@@ -1,0 +1,56 @@
+"""Headline query registry.
+
+Aggregates per-module ``QUERIES`` (name -> callable(spark, sf_dir) ->
+DataFrame) and ``ORACLES`` (name -> equivalent DuckDB SQL) dicts that
+``__spark_entry__`` exposes to the driver's correctness gate.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    from . import relational
+
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    out.update(relational.QUERIES)
+    try:
+        from . import pipeline
+
+        out.update(pipeline.QUERIES)
+    except ImportError:
+        pass
+    try:
+        from . import domain
+
+        out.update(domain.QUERIES)
+    except ImportError:
+        pass
+    return out
+
+
+def all_oracles() -> dict[str, str]:
+    from . import relational
+
+    out: dict[str, str] = {}
+    out.update(relational.ORACLES)
+    try:
+        from . import pipeline
+
+        out.update(pipeline.ORACLES)
+    except ImportError:
+        pass
+    try:
+        from . import domain
+
+        out.update(domain.ORACLES)
+    except ImportError:
+        pass
+    return out

@@ -1,0 +1,416 @@
+"""Relational query battery over the driver's TPC-H-ish testdata.
+
+These exercise the generic SQL surface of the engine (SURVEY §2.2-2.6
+and the §7 capability-gap list: window functions, rollup, semi/anti
+joins, sessionization). Each query is written as an idiomatic
+DataFrame plan — filters and projections reach the parquet scan,
+dimension joins are broadcast, aggregates run partial+final.
+
+Hash-exactness rules (vs. the DuckDB oracle):
+- every SUM over a double expression is computed in DECIMAL(20, 6)
+  (exact, order-insensitive) then cast back to DOUBLE;
+- averages are CAST(sum AS DOUBLE) / CAST(count AS DOUBLE);
+- timestamps in output are formatted to strings; time arithmetic uses
+  microsecond epochs (int64) to be independent of ns-vs-us precision;
+- every top-k has a total-order tie-break.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from . import load
+
+
+def _dsum(col: F.Column) -> F.Column:
+    """Exact sum of a double expression: sum in decimal, emit double."""
+    return F.sum(col.cast("decimal(20,6)")).cast("double")
+
+
+# ---------------------------------------------------------------------------
+# q1: pricing summary (scan + partial/final hash aggregate)
+# ---------------------------------------------------------------------------
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem").where(F.col("l_shipdate") <= "1998-09-02")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        l.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum(F.col("l_quantity")).alias("sum_qty"),
+            _dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            _dsum(disc_price).alias("sum_disc_price"),
+            _dsum(charge).alias("sum_charge"),
+            (
+                F.sum(F.col("l_quantity").cast("decimal(20,6)")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(20,6))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,6))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,6))) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(20,6))) AS DOUBLE) AS sum_charge,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(20,6))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_qty,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# q3: shipping priority (3-way join + agg + deterministic top-k)
+# ---------------------------------------------------------------------------
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf_dir, "orders").where(F.col("o_orderdate") < "1997-03-15")
+    l = load(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > "1997-03-15")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .select(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority",
+            "revenue",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+Q3_SQL = """
+SELECT l_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       o_orderpriority,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,6))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1997-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1997-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# q5: regional supplier volume (6-way star join; dims broadcast)
+# ---------------------------------------------------------------------------
+
+def q5_region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = load(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    n = load(spark, sf_dir, "nation")
+    c = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier")
+    o = load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    l = load(spark, sf_dir, "lineitem")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .where(c.c_nationkey == s.s_nationkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("n_name"))
+    )
+
+
+Q5_SQL = """
+SELECT n_name,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,6))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# brand revenue top-k (broadcast dim join + agg + top-k)
+# ---------------------------------------------------------------------------
+
+def topk_brands_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part")
+    l = load(spark, sf_dir, "lineitem")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("p_brand"))
+        .limit(5)
+    )
+
+
+TOPK_BRANDS_SQL = """
+SELECT p_brand,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,6))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+ORDER BY revenue DESC, p_brand
+LIMIT 5
+"""
+
+
+# ---------------------------------------------------------------------------
+# window: rank orders per customer (row_number) — SURVEY §2.5 gap coverage
+# ---------------------------------------------------------------------------
+
+def window_order_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+WINDOW_RANK_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice, rn
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+)
+WHERE rn <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# window: running per-user value over the events stream table
+# ---------------------------------------------------------------------------
+
+def window_running_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # events.ts is parquet TIMESTAMP(NANOS) → read as epoch-nanos long
+    # (see session.py nanosAsLong); ordering is identical either way.
+    e = load(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        F.sum(F.col("value").cast("decimal(20,6)")).over(w).cast("double").alias("running_value"),
+    )
+
+
+WINDOW_RUNNING_SQL = """
+SELECT user_id, event_id,
+       CAST(SUM(CAST(value AS DECIMAL(20,6)))
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
+FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
+# sessionization: 30-minute-gap sessions (lag + cumulative conditional sum).
+# Batch twin of the streaming session-window operator; time arithmetic in
+# microsecond epochs so ns-vs-us parquet precision cannot skew boundaries.
+# ---------------------------------------------------------------------------
+
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "value", F.expr("ts div 1000").alias("us")
+    )
+    w = W.partitionBy("user_id").orderBy("us", "event_id")
+    wcum = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    gap = 30 * 60 * 1_000_000
+    flagged = e.withColumn(
+        "is_new",
+        F.when(F.col("us") - F.lag("us").over(w) > gap, 1)
+        .when(F.lag("us").over(w).isNull(), 1)
+        .otherwise(0),
+    )
+    return (
+        flagged.withColumn("session_id", F.sum("is_new").over(wcum))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("us").alias("session_start_us"),
+            F.max("us").alias("session_end_us"),
+            _dsum(F.col("value")).alias("session_value"),
+        )
+    )
+
+
+SESSIONIZE_SQL = """
+WITH e AS (
+  SELECT user_id, event_id, value, epoch_us(ts) AS us FROM events
+), flagged AS (
+  SELECT user_id, event_id, value, us,
+         CASE WHEN us - LAG(us) OVER w > 1800000000 THEN 1
+              WHEN LAG(us) OVER w IS NULL THEN 1
+              ELSE 0 END AS is_new
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+), sessions AS (
+  SELECT user_id, value, us,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id, COUNT(*) AS n_events,
+       MIN(us) AS session_start_us, MAX(us) AS session_end_us,
+       CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS session_value
+FROM sessions
+GROUP BY user_id, session_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# rollup: multi-level aggregate (grouping-sets surface)
+# ---------------------------------------------------------------------------
+
+def rollup_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")
+    return (
+        l.rollup("l_returnflag", "l_linestatus")
+        .agg(_dsum(F.col("l_quantity")).alias("sum_qty"), F.count(F.lit(1)).alias("n_rows"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "sum_qty",
+            "n_rows",
+        )
+    )
+
+
+ROLLUP_SQL = """
+SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+       COALESCE(l_linestatus, 'ALL') AS linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(20,6))) AS DOUBLE) AS sum_qty,
+       COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+# ---------------------------------------------------------------------------
+# anti join: customers with no orders (SURVEY J1's left_anti pattern)
+# ---------------------------------------------------------------------------
+
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+ANTI_JOIN_SQL = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+# ---------------------------------------------------------------------------
+# semi join: suppliers that shipped a large-quantity item (left_semi)
+# ---------------------------------------------------------------------------
+
+def suppliers_with_large_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load(spark, sf_dir, "supplier")
+    l = load(spark, sf_dir, "lineitem").where(F.col("l_quantity") >= 49)
+    return s.join(l, s.s_suppkey == l.l_suppkey, "left_semi").select(
+        "s_suppkey", "s_name", "s_acctbal"
+    )
+
+
+SEMI_JOIN_SQL = """
+SELECT s_suppkey, s_name, s_acctbal
+FROM supplier
+WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey AND l_quantity >= 49)
+"""
+
+
+# ---------------------------------------------------------------------------
+# pivot (conditional aggregation): per-user event-type counts + JSON prop
+# extraction (events.props is a JSON string column)
+# ---------------------------------------------------------------------------
+
+def pivot_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    kinds = ["click", "view", "purchase", "signup", "error"]
+    aggs = [
+        F.sum(F.when(F.col("event_type") == k, 1).otherwise(0)).alias(f"n_{k}") for k in kinds
+    ]
+    aggs.append(
+        F.max(F.get_json_object("props", "$.k").cast("bigint")).alias("max_prop_k")
+    )
+    return e.groupBy("user_id").agg(*aggs)
+
+
+PIVOT_SQL = """
+SELECT user_id,
+       SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
+       SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
+       SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
+       SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
+       SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error,
+       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_prop_k
+FROM events
+GROUP BY user_id
+"""
+
+
+QUERIES = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_shipping_priority": q3_shipping_priority,
+    "q5_region_volume": q5_region_volume,
+    "topk_brands_by_revenue": topk_brands_by_revenue,
+    "window_order_rank": window_order_rank,
+    "window_running_value": window_running_value,
+    "sessionize_events": sessionize_events,
+    "rollup_returns": rollup_returns,
+    "customers_without_orders": customers_without_orders,
+    "suppliers_with_large_shipments": suppliers_with_large_shipments,
+    "pivot_user_events": pivot_user_events,
+}
+
+ORACLES = {
+    "q1_pricing_summary": Q1_SQL,
+    "q3_shipping_priority": Q3_SQL,
+    "q5_region_volume": Q5_SQL,
+    "topk_brands_by_revenue": TOPK_BRANDS_SQL,
+    "window_order_rank": WINDOW_RANK_SQL,
+    "window_running_value": WINDOW_RUNNING_SQL,
+    "sessionize_events": SESSIONIZE_SQL,
+    "rollup_returns": ROLLUP_SQL,
+    "customers_without_orders": ANTI_JOIN_SQL,
+    "suppliers_with_large_shipments": SEMI_JOIN_SQL,
+    "pivot_user_events": PIVOT_SQL,
+}
