@@ -1,0 +1,295 @@
+"""FHIR schema engine: declarative type definitions → Spark schemas +
+Catalyst conversion expressions.
+
+Re-implements the reference's schema visitor (SURVEY §1.3;
+`DefinitionToSparkVisitor.java:400-641`, `Stu3StructureDefinitions.java`)
+as a pure-Python expansion over a small DSL, producing three artifacts
+per resource type:
+
+1. ``spark_schema``  — the nested analytic StructType (choice elements
+   become one struct with a field per branch; references gain synthetic
+   ``<target>Id`` columns; repeated elements are arrays);
+2. ``json_schema``   — the *parse* StructType matching FHIR JSON
+   spelling (choice branches are flattened sibling keys, e.g.
+   ``valueQuantity``); and
+3. ``converter``     — a Catalyst Column expression mapping a parsed
+   JSON struct into the analytic schema (code ``"?"`` → null per
+   `EnumConverter.java:13-28`, relative-reference id extraction per
+   `RelativeValueConverter:342-378`).
+
+All conversion executes JVM-side inside whole-stage codegen — there is
+no per-row Python anywhere on the ingest path.
+
+Type mappings follow `DefinitionToSparkVisitor.java:400-419`:
+dates/instants stay ISO-8601 strings, ``decimal`` is DECIMAL(12,4),
+``base64Binary`` stays a string (documented reference flaw kept for
+parity).
+
+Recursive types are cut after one repetition of the same definition on
+the expansion stack (`Stu3StructureDefinitions.java:88-114` with
+maxDepth=1).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dc_field
+from typing import Union
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# ---------------------------------------------------------------------------
+# DSL
+# ---------------------------------------------------------------------------
+
+PRIMITIVES = {
+    "id": T.StringType(),
+    "string": T.StringType(),
+    "markdown": T.StringType(),
+    "time": T.StringType(),
+    "xhtml": T.StringType(),
+    "uri": T.StringType(),
+    "oid": T.StringType(),
+    "code": T.StringType(),
+    "date": T.StringType(),
+    "dateTime": T.StringType(),
+    "instant": T.StringType(),
+    "base64Binary": T.StringType(),
+    "boolean": T.BooleanType(),
+    "integer": T.IntegerType(),
+    "unsignedInt": T.IntegerType(),
+    "positiveInt": T.IntegerType(),
+    "decimal": T.DecimalType(12, 4),
+}
+
+
+@dataclass(frozen=True)
+class Complex:
+    """A named complex datatype or backbone element."""
+
+    name: str
+    fields: tuple["Field", ...]
+
+
+@dataclass(frozen=True)
+class Choice:
+    """A FHIR ``foo[x]`` choice element: one struct field per branch.
+
+    ``branches`` is a tuple of (branchName, type) where branchName is
+    the lowercased-first-letter type name ('quantity', 'dateTime', ...).
+    """
+
+    branches: tuple[tuple[str, Union[str, Complex]], ...]
+
+
+@dataclass(frozen=True)
+class Reference:
+    """A FHIR Reference element; ``targets`` are permissible resource
+    type names, each contributing a synthetic ``<target>Id`` column
+    ('Resource' means any → no synthetic columns)."""
+
+    targets: tuple[str, ...] = ()
+
+
+FType = Union[str, Complex, Choice, Reference]
+
+
+@dataclass(frozen=True)
+class Field:
+    name: str
+    ftype: FType
+    many: bool = False
+
+
+def backbone(name: str, *fields: Field) -> Complex:
+    return Complex(name=name, fields=tuple(fields))
+
+
+def _lower_first(s: str) -> str:
+    return s[0].lower() + s[1:]
+
+
+def _upper_first(s: str) -> str:
+    return s[0].upper() + s[1:]
+
+
+# ---------------------------------------------------------------------------
+# Expansion: analytic (nested) Spark schema
+# ---------------------------------------------------------------------------
+
+def _spark_type(ftype: FType, stack: tuple[str, ...]) -> T.DataType | None:
+    if isinstance(ftype, str):
+        return PRIMITIVES[ftype]
+    if isinstance(ftype, Reference):
+        fields = [
+            T.StructField("reference", T.StringType(), True),
+            T.StructField("display", T.StringType(), True),
+        ]
+        for t in ftype.targets:
+            if t != "Resource":
+                fields.append(T.StructField(_lower_first(t) + "Id", T.StringType(), True))
+        return T.StructType(fields)
+    if isinstance(ftype, Choice):
+        fields = []
+        for branch, btype in ftype.branches:
+            bt = _spark_type(btype, stack)
+            if bt is not None:
+                fields.append(T.StructField(branch, bt, True))
+        return T.StructType(fields) if fields else None
+    if isinstance(ftype, Complex):
+        if ftype.name in stack:
+            return None  # recursion cut (depth 1)
+        sub = stack + (ftype.name,)
+        fields = []
+        for f in ftype.fields:
+            st = _spark_type(f.ftype, sub)
+            if st is None:
+                continue
+            if f.many:
+                st = T.ArrayType(st, True)
+            fields.append(T.StructField(f.name, st, True))
+        return T.StructType(fields) if fields else None
+    raise TypeError(f"unknown ftype {ftype!r}")
+
+
+def spark_schema(root: Complex) -> T.StructType:
+    st = _spark_type(root, ())
+    assert isinstance(st, T.StructType)
+    return st
+
+
+# ---------------------------------------------------------------------------
+# Expansion: JSON parse schema (FHIR JSON spelling)
+# ---------------------------------------------------------------------------
+
+def _json_fields(fields: tuple[Field, ...], stack: tuple[str, ...]) -> list[T.StructField]:
+    out: list[T.StructField] = []
+    for f in fields:
+        if isinstance(f.ftype, Choice):
+            # flattened sibling keys: value[x] → valueQuantity, valueString, ...
+            for branch, btype in f.ftype.branches:
+                jt = _json_type(btype, stack)
+                if jt is None:
+                    continue
+                out.append(T.StructField(f.name + _upper_first(branch), jt, True))
+        else:
+            jt = _json_type(f.ftype, stack)
+            if jt is None:
+                continue
+            if f.many:
+                jt = T.ArrayType(jt, True)
+            out.append(T.StructField(f.name, jt, True))
+    return out
+
+
+def _json_type(ftype: FType, stack: tuple[str, ...]) -> T.DataType | None:
+    if isinstance(ftype, str):
+        return PRIMITIVES[ftype]
+    if isinstance(ftype, Reference):
+        return T.StructType(
+            [
+                T.StructField("reference", T.StringType(), True),
+                T.StructField("display", T.StringType(), True),
+            ]
+        )
+    if isinstance(ftype, Choice):
+        raise AssertionError("choice handled at field level")
+    if isinstance(ftype, Complex):
+        if ftype.name in stack:
+            return None
+        fields = _json_fields(ftype.fields, stack + (ftype.name,))
+        return T.StructType(fields) if fields else None
+    raise TypeError(f"unknown ftype {ftype!r}")
+
+
+def json_schema(root: Complex) -> T.StructType:
+    fields = _json_fields(root.fields, (root.name,))
+    # keep resourceType so a parsed column is self-describing
+    return T.StructType([T.StructField("resourceType", T.StringType(), True), *fields])
+
+
+# ---------------------------------------------------------------------------
+# Conversion: parsed JSON struct → analytic struct (pure Column exprs)
+# ---------------------------------------------------------------------------
+
+def _relative_id(ref: Column, target: str) -> Column:
+    """'Patient/123' or '.../Patient/123' → '123' when the second-to-last
+    path segment names the target type (RelativeValueConverter:342-378)."""
+    parts = F.split(ref, "/")
+    n = F.size(parts)
+    return F.when(
+        ref.isNotNull() & (n >= 2) & (F.element_at(parts, -2) == F.lit(target)),
+        F.element_at(parts, -1),
+    )
+
+
+def _convert(src: Column, ftype: FType, stack: tuple[str, ...]) -> Column | None:
+    if isinstance(ftype, str):
+        if ftype == "code":
+            # HAPI null-flavor "?" → SQL null (EnumConverter.java:13-28)
+            return F.when(src == "?", F.lit(None).cast("string")).otherwise(src)
+        return src
+    if isinstance(ftype, Reference):
+        cols = [src["reference"].alias("reference"), src["display"].alias("display")]
+        for t in ftype.targets:
+            if t != "Resource":
+                cols.append(_relative_id(src["reference"], t).alias(_lower_first(t) + "Id"))
+        return F.when(src.isNotNull(), F.struct(*cols))
+    if isinstance(ftype, Complex):
+        if ftype.name in stack:
+            return None
+        sub = stack + (ftype.name,)
+        named = _convert_fields(src, ftype.fields, sub)
+        if not named:
+            return None
+        return F.when(src.isNotNull(), F.struct(*[c.alias(n) for n, c in named]))
+    raise TypeError(f"unknown ftype {ftype!r}")
+
+
+def _convert_field(parent: Column, f: Field, stack: tuple[str, ...]) -> Column | None:
+    if isinstance(f.ftype, Choice):
+        branch_cols = []
+        any_branch = []
+        for branch, btype in f.ftype.branches:
+            jkey = f.name + _upper_first(branch)
+            conv = _convert(parent[jkey], btype, stack)
+            if conv is None:
+                continue
+            branch_cols.append(conv.alias(branch))
+            any_branch.append(parent[jkey].isNotNull())
+        if not branch_cols:
+            return None
+        present = any_branch[0]
+        for c in any_branch[1:]:
+            present = present | c
+        return F.when(present, F.struct(*branch_cols))
+    src = parent[f.name]
+    if f.many:
+        elem_t = f.ftype
+
+        def conv_elem(x: Column) -> Column:
+            c = _convert(x, elem_t, stack)
+            return c if c is not None else x
+
+        if _spark_type(elem_t, stack) is None:
+            return None
+        return F.when(src.isNotNull(), F.transform(src, conv_elem))
+    return _convert(src, f.ftype, stack)
+
+
+def _convert_fields(
+    parent: Column, fields: tuple[Field, ...], stack: tuple[str, ...]
+) -> list[tuple[str, Column]]:
+    out: list[tuple[str, Column]] = []
+    for f in fields:
+        c = _convert_field(parent, f, stack)
+        if c is not None:
+            out.append((f.name, c))
+    return out
+
+
+def converter(root: Complex, parsed: Column) -> Column:
+    """Column expression: parsed-JSON struct → analytic struct."""
+    named = _convert_fields(parsed, root.fields, (root.name,))
+    return F.struct(*[c.alias(n) for n, c in named])

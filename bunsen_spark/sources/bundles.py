@@ -1,0 +1,99 @@
+"""Bundle ingestion: FHIR bundles → resource DataFrames.
+
+Replaces the reference's RDD pipeline (`Bundles.java:117-279`: wholeTextFiles
+→ per-bundle HAPI parse → per-resource Row conversion) with a single
+Catalyst plan:
+
+    read.text(wholetext) → from_json(entry array<resource string>)
+    → explode → filter(resourceType) → from_json(spec parse schema)
+    → nested-struct conversion expressions
+
+Everything after the text scan is whole-stage-codegen'd JVM work; no
+per-row Python and no custom serialization boundary (SURVEY §3.1).
+
+At cluster scale the text scan parallelizes per file; tune
+``spark.sql.files.maxPartitionBytes`` for many-small-file layouts, or
+land bundles in a table first (``from_json_column``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..schema import converter_for, json_schema_for, spark_schema_for
+
+# bundle envelope: capture each entry's resource as a raw JSON string
+_BUNDLE_ENVELOPE = "struct<entry: array<struct<resource: string>>>"
+
+
+def load_from_directory(spark: SparkSession, path: str, min_partitions: int = 1) -> DataFrame:
+    """Directory of bundle files → DataFrame(bundle_file, resource_json,
+    resource_type): one row per resource entry.
+
+    Mirrors `Bundles.loadFromDirectory` (Bundles.java:117-125) but keeps
+    bundles as plain columns instead of a custom RDD container type.
+    JSON only for now (reference also reads XML — S3 gap, tracked).
+    """
+    raw = spark.read.text(path, wholetext=True).select(
+        F.input_file_name().alias("bundle_file"), F.col("value").alias("content")
+    )
+    return _explode_bundles(raw, "content")
+
+
+def from_json_column(df: DataFrame, column: str) -> DataFrame:
+    """Bundles held in a string column of an existing DataFrame
+    (`Bundles.fromJson`, Bundles.java:135-150)."""
+    d = df.withColumn("bundle_file", F.lit(None).cast("string")) if "bundle_file" not in df.columns else df
+    return _explode_bundles(d, column)
+
+
+def _explode_bundles(df: DataFrame, content_col: str) -> DataFrame:
+    parsed = df.select(
+        F.col("bundle_file"),
+        F.explode(F.from_json(F.col(content_col), _BUNDLE_ENVELOPE)["entry"]).alias("e"),
+    )
+    return parsed.select(
+        "bundle_file",
+        F.col("e.resource").alias("resource_json"),
+        F.get_json_object("e.resource", "$.resourceType").alias("resource_type"),
+    )
+
+
+def extract_entry(spark: SparkSession, bundles: DataFrame, resource_type: str) -> DataFrame:
+    """Entries of one resource type → DataFrame with the spec-derived
+    nested schema (`Bundles.extractEntry`, Bundles.java:186-279).
+
+    The returned frame's schema is fixed by the FHIR definition — never
+    inferred from data — so absent elements are typed nulls.
+    """
+    parse_schema = json_schema_for(resource_type)
+    target_schema = spark_schema_for(resource_type)
+    parsed = (
+        bundles.where(F.col("resource_type") == resource_type)
+        .select(F.from_json("resource_json", parse_schema).alias("r"))
+        .select(converter_for(resource_type, F.col("r")).alias("res"))
+    )
+    # flatten the single struct column into top-level resource columns,
+    # casting through the spec schema for exact type parity
+    out = parsed.select("res.*")
+    assert out.schema == target_schema, "converter output must equal spec schema"
+    return out
+
+
+def save_as_database(
+    spark: SparkSession,
+    bundles: DataFrame,
+    database: str,
+    *resource_types: str,
+    path: str | None = None,
+) -> None:
+    """Extract each resource type and save as one table per type
+    (`Bundles.saveAsDatabase`, Bundles.java:298-311)."""
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {database}")
+    for rt in resource_types:
+        df = extract_entry(spark, bundles, rt)
+        writer = df.write.mode("overwrite").format("parquet")
+        if path:
+            writer = writer.option("path", f"{path}/{rt.lower()}")
+        writer.saveAsTable(f"{database}.{rt.lower()}")
