@@ -1,0 +1,242 @@
+"""Valueset membership: push/pop broadcast valuesets + ``in_valueset``.
+
+Mirrors the reference's API surface (`python/bunsen/stu3/valuesets.py`,
+`ValueSetUdfs.java:26-210`) with one architectural upgrade: the primary
+membership predicate is a **native Catalyst expression**
+(``exists(code.coding, c -> (system|code) IN <literal set>)``), not an
+opaque UDF — so predicate pushdown, null reasoning, and whole-stage
+codegen all still apply (SURVEY §4: "the single biggest optimizer win").
+Spark compiles the IN-list to an O(1) hash InSet above 10 items.
+
+A row-at-a-time Python UDF with identical semantics is still registered
+as SQL ``in_valueset(code, 'ref')`` for drop-in parity with reference
+queries; it is the documented slow path.
+
+Valueset sources, matching `BroadcastableValueSets.java:42-346`:
+- explicit (system, code) lists;
+- hierarchy descendants via ``isa_loinc`` / ``isa_snomed`` descriptors
+  (a code is always in its own descendant set, :318-324);
+- valueset references resolved from a ValueSets store (J2).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..operators.hierarchies import (
+    LOINC_CODE_SYSTEM,
+    LOINC_HIERARCHY_URI,
+    SNOMED_CODE_SYSTEM,
+    SNOMED_HIERARCHY_URI,
+    Hierarchies,
+)
+
+
+@dataclass(frozen=True)
+class HierarchyDescendants:
+    """Marker returned by isa_loinc/isa_snomed: 'this valueset is the
+    descendants of (system, code) in hierarchy uri'."""
+
+    system: str
+    code: str
+    hierarchy_uri: str
+    version: str | None = None
+
+
+@dataclass(frozen=True)
+class ValueSetReference:
+    """Marker: 'this valueset is the contents of valueset uri[@version]'
+    resolved from a ValueSets store at build time."""
+
+    uri: str
+    version: str | None = None
+
+
+def isa_loinc(code: str, version: str | None = None) -> HierarchyDescendants:
+    return HierarchyDescendants(LOINC_CODE_SYSTEM, code, LOINC_HIERARCHY_URI, version)
+
+
+def isa_snomed(code: str, version: str | None = None) -> HierarchyDescendants:
+    return HierarchyDescendants(SNOMED_CODE_SYSTEM, code, SNOMED_HIERARCHY_URI, version)
+
+
+ValueSetSpec = "list[tuple[str, str]] | HierarchyDescendants | ValueSetReference"
+
+
+def build_valuesets(
+    spark: SparkSession,
+    specs: dict,
+    hierarchies: Hierarchies | None = None,
+    value_sets=None,
+) -> dict[str, dict[str, set[str]]]:
+    """Resolve every spec to {referenceName: {system: {codes}}}.
+
+    Descendant and valueset-reference resolution are small terminology
+    joins collected to the driver — same three-job shape as the
+    reference build (`BroadcastableValueSets.java:257-335`)."""
+    out: dict[str, dict[str, set[str]]] = {}
+    for ref, spec in specs.items():
+        systems: dict[str, set[str]] = {}
+        if isinstance(spec, HierarchyDescendants):
+            if hierarchies is None:
+                raise ValueError(f"valueset {ref!r} needs a Hierarchies store for isa_* resolution")
+            rows = hierarchies.descendants_of(spec.system, spec.code).collect()
+            for r in rows:
+                systems.setdefault(r["system"], set()).add(r["value"])
+        elif isinstance(spec, ValueSetReference):
+            if value_sets is None:
+                raise ValueError(f"valueset {ref!r} needs a ValueSets store for reference resolution")
+            values = value_sets.get_values(spec.uri, spec.version)
+            for r in values.select("system", "value").collect():
+                systems.setdefault(r["system"], set()).add(r["value"])
+        else:
+            for system, code in spec:
+                systems.setdefault(system, set()).add(code)
+        out[ref] = systems
+    return out
+
+
+# ---------------------------------------------------------------------------
+# the membership expression (native fast path)
+# ---------------------------------------------------------------------------
+
+def _flat_members(systems: dict[str, set[str]]) -> list[str]:
+    return sorted(f"{s}|{c}" for s, codes in systems.items() for c in codes)
+
+
+def _codeable_concept_matches(cc: Column, members: list[str]) -> Column:
+    return F.exists(
+        cc["coding"],
+        lambda c: F.concat_ws("|", c["system"], c["code"]).isin(members),
+    )
+
+
+def in_valueset(
+    code: Column | str,
+    ref: str,
+    valuesets: dict[str, dict[str, set[str]]] | None = None,
+    *,
+    is_array: bool = False,
+) -> Column:
+    """Boolean Column: does the CodeableConcept column (or array of
+    them, ``is_array=True``) contain any coding in valueset ``ref``?
+
+    Semantics match `ValueSetUdfs.java:32-100`: NULL input → false,
+    unknown reference name → error. Uses the valuesets most recently
+    pushed via :func:`push_valuesets` unless ``valuesets`` is given.
+    """
+    vs = valuesets if valuesets is not None else current_valuesets()
+    if vs is None:
+        raise ValueError("no valuesets pushed; call push_valuesets first")
+    if ref not in vs:
+        raise ValueError(f"unknown valueset reference {ref!r}")
+    members = _flat_members(vs[ref])
+    col = F.col(code) if isinstance(code, str) else code
+    if not members:
+        return F.lit(False)
+    if is_array:
+        matched = F.exists(col, lambda cc: _codeable_concept_matches(cc, members))
+    else:
+        matched = _codeable_concept_matches(col, members)
+    return F.coalesce(matched, F.lit(False))
+
+
+def in_valueset_join(
+    df: DataFrame, code: str, ref: str, valuesets: dict | None = None
+) -> DataFrame:
+    """Semi-join form for very large valuesets (J4 alternative): keeps
+    rows whose code matches, joining against a codes DataFrame instead
+    of inlining a literal set. Scale path when a valueset has millions
+    of members."""
+    vs = valuesets if valuesets is not None else current_valuesets()
+    if vs is None or ref not in vs:
+        raise ValueError(f"unknown valueset reference {ref!r}")
+    spark = df.sparkSession
+    codes = spark.createDataFrame(
+        [(s, c) for s, cs in vs[ref].items() for c in cs], "system string, code string"
+    )
+    exploded = df.select("*", F.explode_outer(F.col(code)["coding"]).alias("__c"))
+    hit = exploded.join(
+        F.broadcast(codes),
+        (F.col("__c.system") == codes.system) & (F.col("__c.code") == codes.code),
+        "left_semi",
+    )
+    return hit.drop("__c").distinct()
+
+
+# ---------------------------------------------------------------------------
+# push/pop stack + SQL UDF parity (D11)
+# ---------------------------------------------------------------------------
+
+_STACK: list[dict[str, dict[str, set[str]]]] = []
+
+
+def current_valuesets() -> dict[str, dict[str, set[str]]] | None:
+    return _STACK[-1] if _STACK else None
+
+
+def _register_udf(spark: SparkSession, vs: dict[str, dict[str, set[str]]]) -> None:
+    bc = spark.sparkContext.broadcast(vs)
+
+    def _in_valueset(code_obj, ref):
+        sets = bc.value.get(ref)
+        if sets is None:
+            raise ValueError(f"Unknown valueset reference {ref}")
+        if code_obj is None:
+            return False
+        items = code_obj if isinstance(code_obj, list) else [code_obj]
+        for cc in items:
+            if cc is None:
+                continue
+            codings = cc["coding"] if "coding" in cc else None
+            if not codings:
+                continue
+            for c in codings:
+                if c is None:
+                    continue
+                codes = sets.get(c["system"])
+                if codes is not None and c["code"] in codes:
+                    return True
+        return False
+
+    spark.udf.register("in_valueset", _in_valueset, T.BooleanType())
+
+
+def push_valuesets(
+    spark: SparkSession,
+    specs: dict,
+    hierarchies: Hierarchies | None = None,
+    value_sets=None,
+) -> dict[str, dict[str, set[str]]]:
+    """Build + push a valueset collection; registers SQL
+    ``in_valueset(code, 'ref')`` against the new top of stack
+    (`ValueSetUdfs.pushUdf`, :124-158)."""
+    vs = build_valuesets(spark, specs, hierarchies, value_sets)
+    _STACK.append(vs)
+    _register_udf(spark, vs)
+    return vs
+
+
+def pop_valuesets(spark: SparkSession) -> None:
+    """Drop the active collection and re-register the previous one
+    (`ValueSetUdfs.popUdf`, :166-186)."""
+    if _STACK:
+        _STACK.pop()
+    if _STACK:
+        _register_udf(spark, _STACK[-1])
+
+
+def get_current_valuesets(spark: SparkSession) -> dict[str, list[tuple[str, str]]] | None:
+    """Active collection as {ref: [(system, code), ...]}
+    (`valuesets.py:127-150` reverse mapping)."""
+    vs = current_valuesets()
+    if vs is None:
+        return None
+    return {
+        ref: sorted((s, c) for s, cs in systems.items() for c in cs)
+        for ref, systems in vs.items()
+    }

@@ -112,20 +112,21 @@ def bp_observation(oid: str, pid: str, when: str, systolic: float) -> dict:
 
 
 def other_observation(oid: str, pid: str, when: str) -> dict:
-    # a non-BP vital: body weight (LOINC 29463-7); status "?" exercises
-    # the code null-flavor normalization
+    # a non-BP lab: leukocyte count (code 5000-5, a leaf of the repo's
+    # LOINC sample tree so isa_loinc descendants match it); status "?"
+    # exercises the code null-flavor normalization
     return {
         "resourceType": "Observation",
         "id": oid,
         "status": "?",
-        "code": {"coding": [{"system": LOINC, "code": "29463-7", "display": "Body weight"}]},
+        "code": {"coding": [{"system": LOINC, "code": "5000-5", "display": "Leukocytes [#/volume]"}]},
         "subject": {"reference": f"Patient/{pid}"},
         "effectiveDateTime": when,
         "valueQuantity": {
-            "value": 72.5,
-            "unit": "kg",
+            "value": 7.3,
+            "unit": "10*3/uL",
             "system": "http://unitsofmeasure.org",
-            "code": "kg",
+            "code": "10*3/uL",
         },
     }
 
