@@ -1,0 +1,160 @@
+"""ValueSets collection: immutable accumulator of ValueSet resources +
+exploded member values, with partitioned-warehouse persistence.
+
+Re-expresses `AbstractValueSets.java` / `stu3/codes/ValueSets.java`:
+- explode (D6): compose.include[].concept[] → flat (valueseturi,
+  valuesetversion, system, version, value) rows via chained explodes;
+- payload strip (D7): metadata rows keep the ValueSet structure with
+  `compose.include[].concept := []` (higher-order transform, no UDF);
+- latest-version (A1): groupBy(url).max(version) — Spark SQL max() is
+  lexicographic on strings, replacing the reference's RDD workaround;
+- duplicate rejection (J5) via anti-join semantics;
+- warehouse (S9/S10): `values` parquet-partitioned by
+  (valueseturi, valuesetversion); `valuesets` metadata table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+VALUES_COLUMNS = ["system", "version", "value", "valueseturi", "valuesetversion"]
+
+
+def expand_values(value_sets: DataFrame) -> DataFrame:
+    """ValueSet resources → flat member rows (D6)."""
+    inc = value_sets.select(
+        F.col("url").alias("valueseturi"),
+        F.col("version").alias("valuesetversion"),
+        F.explode("compose.include").alias("inc"),
+    )
+    return inc.select(
+        F.col("inc.system").alias("system"),
+        F.col("inc.version").alias("version"),
+        F.explode("inc.concept").alias("c"),
+        "valueseturi",
+        "valuesetversion",
+    ).select(
+        "system",
+        "version",
+        F.col("c.code").alias("value"),
+        "valueseturi",
+        "valuesetversion",
+    )
+
+
+def _strip_concepts(value_sets: DataFrame) -> DataFrame:
+    """Metadata view: drop the (potentially huge) concept payload (D7)."""
+    stripped_include = F.transform(
+        F.col("compose.include"),
+        # slice-to-zero keeps the element type without restating the schema
+        lambda i: i.withField("concept", F.slice(i["concept"], 1, 0)),
+    )
+    return value_sets.withColumn(
+        "compose",
+        F.when(
+            F.col("compose").isNotNull(),
+            F.col("compose").withField("include", stripped_include),
+        ),
+    )
+
+
+class ValueSets:
+    def __init__(self, spark: SparkSession, value_sets: DataFrame, values: DataFrame):
+        self.spark = spark
+        self.value_sets = value_sets
+        self.values = values
+
+    @classmethod
+    def empty(cls, spark: SparkSession) -> "ValueSets":
+        from ..schema import spark_schema_for
+
+        vs = spark.createDataFrame([], spark_schema_for("ValueSet"))
+        vals = spark.createDataFrame([], ", ".join(f"{c} string" for c in VALUES_COLUMNS))
+        return cls(spark, vs, vals)
+
+    def with_value_sets(self, df: DataFrame) -> "ValueSets":
+        """Add ValueSet resources (spec schema). Rejects (url, version)
+        duplicates within the batch or against current members
+        (`AbstractValueSets.java:296-299,372-387`)."""
+        new_members = df.select("url", "version").distinct()
+        if new_members.count() != df.count():
+            raise ValueError("duplicate (url, version) within added valuesets")
+        if self.value_sets.join(new_members, ["url", "version"], "left_semi").count() > 0:
+            raise ValueError("valueset (url, version) already present in collection")
+        return ValueSets(
+            self.spark,
+            self.value_sets.unionByName(_strip_concepts(df)),
+            self.values.unionByName(expand_values(df)),
+        )
+
+    def with_value_sets_from_directory(self, path: str) -> "ValueSets":
+        from ..sources.resources import read_resources_from_directory
+
+        return self.with_value_sets(
+            read_resources_from_directory(self.spark, path, "ValueSet")
+        )
+
+    # -- queries ------------------------------------------------------------
+
+    def get_value_sets(self) -> DataFrame:
+        return self.value_sets
+
+    def latest_version(self, url: str) -> str | None:
+        row = (
+            self.value_sets.where(F.col("url") == url)
+            .agg(F.max("version").alias("v"))
+            .collect()[0]
+        )
+        return row["v"]
+
+    def get_latest_versions(self, include_experimental: bool = False) -> DataFrame:
+        df = self.value_sets
+        if not include_experimental:
+            df = df.where(F.col("experimental").isNull() | ~F.col("experimental"))
+        return df.groupBy("url").agg(F.max("version").alias("version"))
+
+    def get_values(self, uri: str, version: str | None = None) -> DataFrame:
+        v = version or self.latest_version(uri)
+        return self.values.where(
+            (F.col("valueseturi") == uri) & (F.col("valuesetversion") == v)
+        ).select("system", "version", "value")
+
+    # -- warehouse ----------------------------------------------------------
+
+    def write_to_database(self, database: str, path: str | None = None) -> None:
+        spark = self.spark
+        spark.sql(f"CREATE DATABASE IF NOT EXISTS {database}")
+        values_table = f"{database}.values"
+        meta_table = f"{database}.valuesets"
+        if spark.catalog.tableExists(values_table):
+            existing = spark.table(values_table).select("valueseturi", "valuesetversion").distinct()
+            dup = existing.join(
+                self.values.select("valueseturi", "valuesetversion").distinct(),
+                ["valueseturi", "valuesetversion"],
+            )
+            if dup.count() > 0:
+                raise ValueError("valueset uri/version already exists in database")
+            self.values.select(*VALUES_COLUMNS).write.insertInto(values_table)
+            self.value_sets.write.mode("append").saveAsTable(meta_table)
+        else:
+            vw = (
+                self.values.select(*VALUES_COLUMNS)
+                .write.format("parquet")
+                .partitionBy("valueseturi", "valuesetversion")
+            )
+            if path:
+                vw = vw.option("path", f"{path}/values")
+            vw.saveAsTable(values_table)
+            mw = self.value_sets.write.format("parquet")
+            if path:
+                mw = mw.option("path", f"{path}/valuesets")
+            mw.saveAsTable(meta_table)
+
+    @classmethod
+    def get_from_database(cls, spark: SparkSession, database: str) -> "ValueSets":
+        return cls(
+            spark,
+            spark.table(f"{database}.valuesets"),
+            spark.table(f"{database}.values"),
+        )
