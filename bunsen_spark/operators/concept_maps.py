@@ -1,0 +1,295 @@
+"""ConceptMaps collection: immutable accumulator of ConceptMap resources +
+exploded mapping rows, translate with OTHERMAP delegation, and a
+partitioned warehouse.
+
+Re-expresses `AbstractConceptMaps.java` / `stu3/codes/ConceptMaps.java`:
+- explode (D4, `ConceptMaps.java:207-275`): group[].element[].target[] →
+  flat mapping rows via three chained explodes (Catalyst-native, no
+  per-row Java);
+- payload strip (D7, `ConceptMaps.java:277-301`): metadata rows keep the
+  ConceptMap structure with `group[].element := []`;
+- latest-version (A1, `AbstractConceptMaps.java:456-492`): the reference
+  drops to RDD reduceByKey because it believed SQL ``max`` was
+  numeric-only; Spark SQL ``max`` is lexicographic on strings, so this is
+  a one-line groupBy;
+- duplicate rejection (J5) and disjoint import (J1) via semi/anti joins;
+- translate with delegation (D12, `BroadcastableConceptMap.java:93-125`,
+  topo sort `ConceptMaps.java:386-441`): instead of an opaque broadcast
+  dict behind a Java UDF, delegation chains are FLATTENED into an
+  "effective mappings" DataFrame (base mappings ∪ delegate mappings for
+  source codes the base leaves unmapped, resolved recursively), so
+  translation of a fact table is a plain broadcast hash join that
+  Catalyst can push around;
+- warehouse (S9/S10, `AbstractConceptMaps.java:515-678`): `mappings`
+  parquet table partitioned by (conceptmapuri, conceptmapversion).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MAPPINGS_COLUMNS = [
+    "sourcevalueset",
+    "targetvalueset",
+    "sourcesystem",
+    "sourcevalue",
+    "targetsystem",
+    "targetvalue",
+    "equivalence",
+    "conceptmapuri",
+    "conceptmapversion",
+]
+
+#: equivalences that count as a usable source→target mapping
+#: (`stu3/codes/ConceptMaps.java:348-353`)
+TRANSLATE_EQUIVALENCES = ("equivalent", "equals", "wider", "subsumes")
+
+
+def expand_mappings(concept_maps: DataFrame) -> DataFrame:
+    """ConceptMap resources → flat mapping rows (D4): three chained
+    explodes, one row per (group, element, target)."""
+    g = concept_maps.select(
+        F.col("url").alias("conceptmapuri"),
+        F.col("version").alias("conceptmapversion"),
+        F.col("source.uri").alias("sourcevalueset"),
+        F.col("target.uri").alias("targetvalueset"),
+        F.explode("group").alias("g"),
+    )
+    e = g.select(
+        "conceptmapuri",
+        "conceptmapversion",
+        "sourcevalueset",
+        "targetvalueset",
+        F.col("g.source").alias("sourcesystem"),
+        F.col("g.target").alias("targetsystem"),
+        F.explode("g.element").alias("e"),
+    )
+    return e.select(
+        "sourcevalueset",
+        "targetvalueset",
+        "sourcesystem",
+        F.col("e.code").alias("sourcevalue"),
+        "targetsystem",
+        F.explode("e.target").alias("t"),
+        "conceptmapuri",
+        "conceptmapversion",
+    ).select(
+        "sourcevalueset",
+        "targetvalueset",
+        "sourcesystem",
+        "sourcevalue",
+        "targetsystem",
+        F.col("t.code").alias("targetvalue"),
+        F.col("t.equivalence").alias("equivalence"),
+        "conceptmapuri",
+        "conceptmapversion",
+    )
+
+
+def _strip_elements(concept_maps: DataFrame) -> DataFrame:
+    """Metadata view: drop the (potentially huge) element payload (D7)."""
+    stripped_group = F.transform(
+        F.col("group"),
+        # slice-to-zero keeps the element type without restating the schema
+        lambda g: g.withField("element", F.slice(g["element"], 1, 0)),
+    )
+    return concept_maps.withColumn(
+        "group",
+        F.when(F.col("group").isNotNull(), stripped_group),
+    )
+
+
+class ConceptMaps:
+    """Immutable collection; every ``with_*`` returns a new instance
+    (U1, `AbstractConceptMaps.java:283-298`)."""
+
+    def __init__(self, spark: SparkSession, concept_maps: DataFrame, mappings: DataFrame):
+        self.spark = spark
+        self.concept_maps = concept_maps
+        self.mappings = mappings
+
+    @classmethod
+    def empty(cls, spark: SparkSession) -> "ConceptMaps":
+        from ..schema import spark_schema_for
+
+        cm = spark.createDataFrame([], spark_schema_for("ConceptMap"))
+        mp = spark.createDataFrame([], ", ".join(f"{c} string" for c in MAPPINGS_COLUMNS))
+        return cls(spark, cm, mp)
+
+    def with_concept_maps(self, df: DataFrame) -> "ConceptMaps":
+        """Add ConceptMap resources (spec schema). Rejects (url, version)
+        duplicates within the batch or against current members
+        (`AbstractConceptMaps.java:494-512`)."""
+        new_members = df.select("url", "version").distinct()
+        if new_members.count() != df.count():
+            raise ValueError("duplicate (url, version) within added concept maps")
+        if self.concept_maps.join(new_members, ["url", "version"], "left_semi").count() > 0:
+            raise ValueError("concept map (url, version) already present in collection")
+        return ConceptMaps(
+            self.spark,
+            self.concept_maps.unionByName(_strip_elements(df)),
+            self.mappings.unionByName(expand_mappings(df)),
+        )
+
+    def with_maps_from_directory(self, path: str) -> "ConceptMaps":
+        from ..sources.resources import read_resources_from_directory
+
+        return self.with_concept_maps(
+            read_resources_from_directory(self.spark, path, "ConceptMap")
+        )
+
+    def with_disjoint_maps_from_directory(self, path: str) -> "ConceptMaps":
+        """Disjoint import (J1, `AbstractConceptMaps.java:220-234`): load
+        only maps whose (url, version) the collection does not already
+        have — a left anti-join, not a collect-and-diff."""
+        from ..sources.resources import read_resources_from_directory
+
+        candidates = read_resources_from_directory(self.spark, path, "ConceptMap")
+        fresh = candidates.join(
+            self.concept_maps.select("url", "version"), ["url", "version"], "left_anti"
+        )
+        return self.with_concept_maps(fresh)
+
+    # -- queries ------------------------------------------------------------
+
+    def get_maps(self) -> DataFrame:
+        return self.concept_maps
+
+    def get_mappings(self, uri: str | None = None, version: str | None = None) -> DataFrame:
+        if uri is None:
+            return self.mappings
+        v = version or self.latest_version(uri)
+        # equality on the partition columns → partition pruning on the
+        # warehouse-backed table (P4)
+        return self.mappings.where(
+            (F.col("conceptmapuri") == uri) & (F.col("conceptmapversion") == v)
+        )
+
+    def latest_version(self, url: str) -> str | None:
+        row = (
+            self.concept_maps.where(F.col("url") == url)
+            .agg(F.max("version").alias("v"))
+            .collect()[0]
+        )
+        return row["v"]
+
+    def get_latest_versions(self, include_experimental: bool = False) -> DataFrame:
+        df = self.concept_maps
+        if not include_experimental:
+            df = df.where(F.col("experimental").isNull() | ~F.col("experimental"))
+        return df.groupBy("url").agg(F.max("version").alias("version"))
+
+    # -- translate (D12) ----------------------------------------------------
+
+    def _delegate_uri(self, uri: str, version: str) -> str | None:
+        row = (
+            self.concept_maps.where(
+                (F.col("url") == uri) & (F.col("version") == version)
+            )
+            .select(F.explode("group").alias("g"))
+            # STU3 spells the code "other-map"; HAPI's enum is OTHERMAP
+            .where(F.regexp_replace(F.lower("g.unmapped.mode"), "-", "") == "othermap")
+            .select("g.unmapped.url")
+            .limit(1)
+            .collect()
+        )
+        return row[0]["url"] if row else None
+
+    def effective_mappings(self, uri: str, version: str | None = None) -> DataFrame:
+        """Delegation-flattened mappings for ``uri``: the map's own
+        usable mappings plus, for source codes it leaves unmapped, the
+        delegate chain's (recursively). Equivalence whitelist applied
+        (P5). Output columns: sourcesystem, sourcevalue, targetsystem,
+        targetvalue, equivalence."""
+        out_cols = ["sourcesystem", "sourcevalue", "targetsystem", "targetvalue", "equivalence"]
+        visited: set[str] = set()
+
+        def resolve(u: str, ver: str | None) -> DataFrame:
+            v = ver or self.latest_version(u)
+            if v is None:
+                raise ValueError(f"unknown concept map: {u}")
+            key = f"{u}|{v}"
+            if key in visited:  # cycle guard — reference topo-sorts instead
+                return self.spark.createDataFrame([], ", ".join(f"{c} string" for c in out_cols))
+            visited.add(key)
+            own = (
+                self.get_mappings(u, v)
+                .where(F.col("equivalence").isin(*TRANSLATE_EQUIVALENCES))
+                .select(*out_cols)
+            )
+            delegate = self._delegate_uri(u, v)
+            if delegate is None:
+                return own
+            fallback = resolve(delegate, None).join(
+                own.select("sourcesystem", "sourcevalue").distinct(),
+                ["sourcesystem", "sourcevalue"],
+                "left_anti",
+            )
+            return own.unionByName(fallback.select(*out_cols))
+
+        return resolve(uri, version)
+
+    def translate(
+        self,
+        df: DataFrame,
+        uri: str,
+        system_col: str,
+        code_col: str,
+        version: str | None = None,
+    ) -> DataFrame:
+        """Translate a fact table's (system, code) columns through a
+        concept map: broadcast hash join against the (small) effective
+        mappings — Catalyst keeps pushdown/pruning, unlike the
+        reference's opaque broadcast-dict UDF. Adds ``targetsystem`` /
+        ``targetvalue`` columns (null where unmapped)."""
+        m = self.effective_mappings(uri, version).select(
+            F.col("sourcesystem").alias(system_col),
+            F.col("sourcevalue").alias(code_col),
+            "targetsystem",
+            "targetvalue",
+        )
+        return df.join(F.broadcast(m), [system_col, code_col], "left")
+
+    # -- warehouse ----------------------------------------------------------
+
+    def write_to_database(self, database: str, path: str | None = None) -> None:
+        spark = self.spark
+        spark.sql(f"CREATE DATABASE IF NOT EXISTS {database}")
+        mappings_table = f"{database}.mappings"
+        meta_table = f"{database}.conceptmaps"
+        if spark.catalog.tableExists(mappings_table):
+            existing = (
+                spark.table(mappings_table)
+                .select("conceptmapuri", "conceptmapversion")
+                .distinct()
+            )
+            dup = existing.join(
+                self.mappings.select("conceptmapuri", "conceptmapversion").distinct(),
+                ["conceptmapuri", "conceptmapversion"],
+            )
+            if dup.count() > 0:
+                raise ValueError("concept map uri/version already exists in database")
+            self.mappings.select(*MAPPINGS_COLUMNS).write.insertInto(mappings_table)
+            self.concept_maps.write.mode("append").saveAsTable(meta_table)
+        else:
+            mw = (
+                self.mappings.select(*MAPPINGS_COLUMNS)
+                .write.format("parquet")
+                .partitionBy("conceptmapuri", "conceptmapversion")
+            )
+            if path:
+                mw = mw.option("path", f"{path}/mappings")
+            mw.saveAsTable(mappings_table)
+            cw = self.concept_maps.write.format("parquet")
+            if path:
+                cw = cw.option("path", f"{path}/conceptmaps")
+            cw.saveAsTable(meta_table)
+
+    @classmethod
+    def get_from_database(cls, spark: SparkSession, database: str) -> "ConceptMaps":
+        return cls(
+            spark,
+            spark.table(f"{database}.conceptmaps"),
+            spark.table(f"{database}.mappings"),
+        )
