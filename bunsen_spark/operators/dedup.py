@@ -1,0 +1,455 @@
+"""Deduplication operators for training-data pipelines: exact,
+shingle-Jaccard (inverted index), MinHash+LSH, SimHash, and
+embedding-cosine near-duplicate detection.
+
+Beyond-reference scale extension (SURVEY §7 M7). Design for 100 TB:
+
+- **exact**: one hash-aggregate on a text digest — a single shuffle on
+  a 32-byte key, never on the text itself.
+- **jaccard_pairs**: exact set-Jaccard via posting-list self-join
+  (shingle → doc inverted index). Skew is bounded by ``max_df``
+  stop-shingle pruning (a shingle in more than ``max_df`` docs is
+  dropped from BOTH the intersection and the per-doc sizes, keeping
+  the measure self-consistent); without it one hot shingle over m docs
+  explodes into m² join rows.
+- **minhash_lsh_pairs**: candidate generation is |docs| × bands rows
+  (constant per doc), so the pair-join only sees docs agreeing on a
+  full band — the classic sub-quadratic near-dup path. Candidates are
+  verified with the exact Jaccard, so precision is 1 and only recall
+  is approximate.
+- **simhash_pairs**: 32-bit signature, 4 × 8-bit bands; candidate
+  pairs share a band byte, verified by Hamming distance.
+- **embedding_near_dup_pairs**: exact all-pairs cosine threshold join
+  (the LSH-bucketed scale path lives in
+  :mod:`bunsen_spark.operators.similarity`).
+
+Everything is integer / fixed-order arithmetic over a portable md5
+hash (see :mod:`text_analysis`), so DuckDB oracles reproduce results
+bit-for-bit. No Python UDFs anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text_analysis import MERSENNE31, md5int, md5int_sql
+
+#: word n-gram order used by the similarity-family dedup operators —
+#: unigram word sets are non-discriminative on low-vocabulary corpora
+#: (nearly all pairs exceed any threshold), 3-grams key on word ORDER
+SHINGLE_N = 3
+
+WORDS_DISTINCT = "array_distinct(regexp_extract_all(lower(text), '[a-z0-9]+', 0))"
+WORDS_DISTINCT_SQL = "list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))"
+
+# -- exact dedup -------------------------------------------------------------
+
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """Exact duplicate grouping by text digest: one row per distinct
+    text with the representative (minimum) doc_id and the duplicate
+    count. Output: (fingerprint, keep_id, n_docs)."""
+    return (
+        docs.groupBy(F.md5("text").alias("fingerprint"))
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count("*").alias("n_docs"),
+        )
+    )
+
+
+def exact_dedup_sql(table: str = "documents") -> str:
+    return f"""
+SELECT md5(text) AS fingerprint, min(doc_id) AS keep_id, count(*) AS n_docs
+FROM {table} GROUP BY md5(text)
+"""
+
+
+# -- shingle helpers ---------------------------------------------------------
+
+
+def shingles_expr(n: int) -> str:
+    """Distinct word ``n``-gram shingles of ``text`` (Spark SQL expr)."""
+    words = "regexp_extract_all(lower(text), '[a-z0-9]+', 0)"
+    if n == 1:
+        return WORDS_DISTINCT
+    return (
+        f"array_distinct(transform(sequence(1, greatest(size({words}) - {n - 1}, 1)),"
+        f" i -> concat_ws(' ', slice({words}, i, {n}))))"
+    )
+
+
+def shingles_sql(n: int) -> str:
+    if n == 1:
+        return WORDS_DISTINCT_SQL
+    words = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+    return (
+        f"list_distinct(list_transform(range(1, greatest(len({words}) - {n - 1}, 1) + 1),"
+        f" i -> array_to_string({words}[CAST(i AS INTEGER):CAST(i + {n - 1} AS INTEGER)], ' ')))"
+    )
+
+
+
+def _with_shingles(docs: DataFrame, n: int = SHINGLE_N) -> DataFrame:
+    """(doc_id, shingles array<string>): words are materialized in a
+    projection BEFORE shingling — referencing the regexp inside the
+    slice lambda would re-run it per shingle position (O(len²) regex
+    work per document, ~10× slower at sf0.1)."""
+    words = F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), 0)
+    base = docs.select("doc_id", words.alias("__w"))
+    if n == 1:
+        sh = F.array_distinct(F.col("__w"))
+    else:
+        sh = F.expr(
+            f"array_distinct(transform(sequence(1, greatest(size(__w) - {n - 1}, 1)),"
+            f" i -> concat_ws(' ', slice(__w, i, {n}))))"
+        )
+    return base.select("doc_id", sh.alias("shingles"))
+
+
+# -- exact set-Jaccard via inverted index ------------------------------------
+
+
+def jaccard_pairs(
+    docs: DataFrame, n: int = SHINGLE_N, threshold: float = 0.5, max_df: int = 1000
+) -> DataFrame:
+    """Exact Jaccard near-dup pairs over word ``n``-gram shingle sets,
+    via posting-list self-join; shingles with document frequency >
+    ``max_df`` are pruned everywhere (see module doc). Output:
+    (a_id, b_id, jaccard) with jaccard ≥ threshold, rounded to 6."""
+    postings = _with_shingles(docs, n).select("doc_id", F.explode("shingles").alias("s"))
+    # one aggregation per shingle replaces the classic posting-list
+    # SELF-JOIN: the doc list is collected once, df-pruning is a filter
+    # on its size, and the i<j pairs are expanded inline — two shuffles
+    # total instead of four, and no join of the 2×|postings| streams.
+    grouped = (
+        postings.groupBy("s")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+        .where(F.size("ds") <= max_df)
+    )
+    sizes = (
+        grouped.select(F.explode("ds").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("sz"))
+    )
+    inter = (
+        grouped.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ds, (x, i) ->"
+                    " transform(slice(ds, i + 2, size(ds)),"
+                    " y -> struct(x AS a_id, y AS b_id))))"
+                )
+            ).alias("p")
+        )
+        .groupBy("p.a_id", "p.b_id")
+        .agg(F.count("*").alias("inter"))
+    )
+    j = (
+        inter.join(sizes.withColumnsRenamed({"doc_id": "a_id", "sz": "sza"}), "a_id")
+        .join(sizes.withColumnsRenamed({"doc_id": "b_id", "sz": "szb"}), "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            (F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter"))).alias("j"),
+        )
+        .where(F.col("j") >= threshold)
+    )
+    return j.select("a_id", "b_id", F.round("j", 6).alias("jaccard"))
+
+
+def jaccard_pairs_sql(
+    table: str = "documents", n: int = SHINGLE_N, threshold: float = 0.5, max_df: int = 1000
+) -> str:
+    return f"""
+WITH postings AS (
+  SELECT doc_id, unnest({shingles_sql(n)}) AS s FROM {table}
+), kept AS (
+  SELECT s FROM postings GROUP BY s HAVING count(*) <= {max_df}
+), pruned AS (
+  SELECT p.doc_id, p.s FROM postings p JOIN kept USING (s)
+), sizes AS (
+  SELECT doc_id, count(*) AS sz FROM pruned GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+  FROM pruned a JOIN pruned b USING (s)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT a_id, b_id, round(j, 6) AS jaccard FROM (
+  SELECT a_id, b_id,
+         inter / (sa.sz + sb.sz - inter) AS j
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = a_id
+  JOIN sizes sb ON sb.doc_id = b_id
+) WHERE j >= {threshold}
+"""
+
+
+# -- MinHash + LSH -----------------------------------------------------------
+
+NUM_HASHES = 32
+BANDS = 16
+ROWS_PER_BAND = NUM_HASHES // BANDS
+
+#: fixed permutation constants (a_k * h + b_k) mod 2^31-1 — generated
+#: from a deterministic formula so the DuckDB oracle embeds the same
+#: literals.
+MINHASH_A = [((k + 1) * 2654435761) % MERSENNE31 for k in range(NUM_HASHES)]
+MINHASH_B = [(k * k * 912367 + 7) % MERSENNE31 for k in range(NUM_HASHES)]
+
+def _shingle_hashes(col: Column) -> Column:
+    return F.transform(col, lambda s: md5int(s) % MERSENNE31)
+
+
+def minhash_signature(docs: DataFrame) -> DataFrame:
+    """(doc_id, sig array<long>, words array<string>) with the
+    ``NUM_HASHES``-wide MinHash signature over the shingle set."""
+    base = _with_shingles(docs).select(
+        "doc_id",
+        F.col("shingles").alias("words"),
+        _shingle_hashes(F.col("shingles")).alias("hs"),
+    )
+    def perm(a: int, b: int):
+        return lambda h: (F.lit(a) * h + F.lit(b)) % MERSENNE31
+
+    sig = F.array(
+        *[
+            F.array_min(F.transform(F.col("hs"), perm(MINHASH_A[k], MINHASH_B[k])))
+            for k in range(NUM_HASHES)
+        ]
+    )
+    return base.select("doc_id", "words", sig.alias("sig"))
+
+
+def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """Near-dup pairs: LSH banding proposes candidates (docs agreeing
+    on all ``ROWS_PER_BAND`` signature slots of some band), exact
+    shingle-set Jaccard verifies. Output: (a_id, b_id, jaccard ≥
+    threshold, rounded 6)."""
+    sigs = minhash_signature(docs)
+    band_keys = F.array(
+        *[
+            F.concat_ws(
+                "-",
+                F.lit(i),
+                *[
+                    F.element_at("sig", i * ROWS_PER_BAND + r + 1)
+                    for r in range(ROWS_PER_BAND)
+                ],
+            )
+            for i in range(BANDS)
+        ]
+    )
+    buckets = sigs.select("doc_id", F.explode(band_keys).alias("bk"))
+    cand = (
+        buckets.alias("x")
+        .join(buckets.alias("y"), "bk")
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("a_id"), F.col("y.doc_id").alias("b_id")
+        )
+        .distinct()
+    )
+    wa = sigs.select(F.col("doc_id").alias("a_id"), F.col("words").alias("wa"))
+    wb = sigs.select(F.col("doc_id").alias("b_id"), F.col("words").alias("wb"))
+    verified = (
+        cand.join(wa, "a_id")
+        .join(wb, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            (
+                F.size(F.array_intersect("wa", "wb"))
+                / (
+                    F.size("wa")
+                    + F.size("wb")
+                    - F.size(F.array_intersect("wa", "wb"))
+                )
+            ).alias("j"),
+        )
+        .where(F.col("j") >= threshold)
+    )
+    return verified.select("a_id", "b_id", F.round("j", 6).alias("jaccard"))
+
+
+def minhash_lsh_pairs_sql(table: str = "documents", threshold: float = 0.5) -> str:
+    shingle_hash = f"{md5int_sql('s')} % {MERSENNE31}"
+    mins = ", ".join(
+        f"list_min(list_transform(hs, h -> ({MINHASH_A[k]} * h + {MINHASH_B[k]}) % {MERSENNE31}))"
+        for k in range(NUM_HASHES)
+    )
+    band_keys = ", ".join(
+        "concat_ws('-', "
+        + f"{i}, "
+        + ", ".join(f"sig[{i * ROWS_PER_BAND + r + 1}]" for r in range(ROWS_PER_BAND))
+        + ")"
+        for i in range(BANDS)
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id, {shingles_sql(SHINGLE_N)} AS words,
+         list_transform({shingles_sql(SHINGLE_N)}, s -> {shingle_hash}) AS hs
+  FROM {table}
+), sigs AS (
+  SELECT doc_id, words, [{mins}] AS sig FROM base
+), buckets AS (
+  SELECT doc_id, unnest([{band_keys}]) AS bk FROM sigs
+), cand AS (
+  SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+  FROM buckets x JOIN buckets y USING (bk)
+  WHERE x.doc_id < y.doc_id
+)
+SELECT a_id, b_id, round(j, 6) AS jaccard FROM (
+  SELECT a_id, b_id,
+         len(list_intersect(sa.words, sb.words)) /
+         (len(sa.words) + len(sb.words) - len(list_intersect(sa.words, sb.words))) AS j
+  FROM cand
+  JOIN sigs sa ON sa.doc_id = a_id
+  JOIN sigs sb ON sb.doc_id = b_id
+) WHERE j >= {threshold}
+"""
+
+
+# -- SimHash -----------------------------------------------------------------
+
+SIMHASH_BITS = 32
+SIMHASH_BANDS = 4
+SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS
+HAMMING_MAX = 3
+
+
+def simhash_signature(docs: DataFrame) -> DataFrame:
+    """(doc_id, sig long): 32-bit SimHash over the shingle md5
+    hashes — bit b is 1 iff more word hashes have bit b set than not."""
+    base = _with_shingles(docs).select(
+        "doc_id",
+        _shingle_hashes(F.col("shingles")).alias("hs"),
+        F.size("shingles").alias("n"),
+    )
+    def bit_set(b: int):
+        return lambda h: F.shiftright(h, b).bitwiseAND(1) == 1
+
+    bit_terms = []
+    for b in range(SIMHASH_BITS):
+        cnt = F.size(F.filter(F.col("hs"), bit_set(b)))
+        bit_terms.append(
+            F.when(cnt * 2 > F.col("n"), F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+        )
+    sig = bit_terms[0]
+    for t in bit_terms[1:]:
+        sig = sig + t
+    return base.select("doc_id", sig.alias("sig"))
+
+
+def simhash_pairs(docs: DataFrame, hamming_max: int = HAMMING_MAX) -> DataFrame:
+    """Near-dup pairs by SimHash: candidates share one of the 4
+    signature bytes (LSH on bands), verified by Hamming distance ≤
+    ``hamming_max``. Output: (a_id, b_id, hamming)."""
+    sigs = simhash_signature(docs)
+    band_keys = F.array(
+        *[
+            F.concat_ws(
+                "-",
+                F.lit(i),
+                F.shiftright("sig", i * SIMHASH_BAND_BITS).bitwiseAND((1 << SIMHASH_BAND_BITS) - 1),
+            )
+            for i in range(SIMHASH_BANDS)
+        ]
+    )
+    buckets = sigs.select("doc_id", "sig", F.explode(band_keys).alias("bk"))
+    pairs = (
+        buckets.alias("x")
+        .join(buckets.alias("y"), "bk")
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("a_id"),
+            F.col("y.doc_id").alias("b_id"),
+            F.col("x.sig").alias("sa"),
+            F.col("y.sig").alias("sb"),
+        )
+        .distinct()
+        .select(
+            "a_id",
+            "b_id",
+            F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).alias("hamming"),
+        )
+        .where(F.col("hamming") <= hamming_max)
+    )
+    return pairs
+
+
+def simhash_pairs_sql(table: str = "documents", hamming_max: int = HAMMING_MAX) -> str:
+    shingle_hash = f"{md5int_sql('s')} % {MERSENNE31}"
+    bit_terms = " + ".join(
+        f"(CASE WHEN 2 * len(list_filter(hs, h -> (h >> {b}) & 1 = 1)) > n"
+        f" THEN CAST({1 << b} AS BIGINT) ELSE 0 END)"
+        for b in range(SIMHASH_BITS)
+    )
+    band_keys = ", ".join(
+        f"concat_ws('-', {i}, (sig >> {i * SIMHASH_BAND_BITS}) & {(1 << SIMHASH_BAND_BITS) - 1})"
+        for i in range(SIMHASH_BANDS)
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         list_transform({shingles_sql(SHINGLE_N)}, s -> {shingle_hash}) AS hs,
+         len({shingles_sql(SHINGLE_N)}) AS n
+  FROM {table}
+), sigs AS (
+  SELECT doc_id, {bit_terms} AS sig FROM base
+), buckets AS (
+  SELECT doc_id, sig, unnest([{band_keys}]) AS bk FROM sigs
+)
+SELECT a_id, b_id, hamming FROM (
+  SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id,
+         bit_count(xor(x.sig, y.sig)) AS hamming
+  FROM buckets x JOIN buckets y USING (bk)
+  WHERE x.doc_id < y.doc_id
+) WHERE hamming <= {hamming_max}
+"""
+
+
+# -- embedding cosine near-dup ----------------------------------------------
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def embedding_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.45) -> DataFrame:
+    """All-pairs cosine ≥ threshold over the embedding column (exact
+    baseline; see :mod:`similarity` for the LSH-bucketed scale path).
+    Output: (a_id, b_id) — the similarity value itself is excluded so
+    the check is robust to last-ulp float summation differences."""
+    v = embeddings.select(
+        F.col("vec_id"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    ).withColumn("norm", F.sqrt(_dot(F.col("v"), F.col("v"))))
+    a = v.select(
+        F.col("vec_id").alias("a_id"), F.col("v").alias("va"), F.col("norm").alias("na")
+    )
+    b = v.select(
+        F.col("vec_id").alias("b_id"), F.col("v").alias("vb"), F.col("norm").alias("nb")
+    )
+    return (
+        a.crossJoin(b)
+        .where(F.col("a_id") < F.col("b_id"))
+        .where(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")) >= threshold)
+        .select("a_id", "b_id")
+    )
+
+
+def embedding_near_dup_pairs_sql(
+    table: str = "embeddings", threshold: float = 0.45
+) -> str:
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM {table})
+SELECT a.vec_id AS a_id, b.vec_id AS b_id
+FROM e a, e b
+WHERE a.vec_id < b.vec_id
+  AND list_cosine_similarity(a.v, b.v) >= {threshold}
+"""

@@ -1,0 +1,206 @@
+"""Similarity search over an embedding column (``array<float>``):
+brute-force cosine top-k as the exact baseline, and a random-hyperplane
+LSH-bucketed variant as the approximate scale path.
+
+Beyond-reference scale extension (SURVEY §7 M7). Design for 100 TB:
+
+- **brute-force top-k**: the query set is broadcast (it is small by
+  construction), so scoring is a map-side broadcast nested loop over
+  the corpus — no shuffle of the corpus — followed by a top-k window
+  per query. Dot products run as Catalyst higher-order functions
+  (``zip_with`` + ``aggregate``) inside codegen; for very wide
+  vectors a pandas_udf with numpy matmul is the drop-in upgrade, but
+  at 64 dims the JVM expression wins (no Arrow transfer).
+- **LSH top-k**: each vector gets a ``NUM_PLANES``-bit bucket from the
+  signs of dot products with fixed pseudo-random hyperplanes; bucket
+  bits are split into bands, candidates must share a band value with
+  the query (multi-probe across bands), and only candidates are scored
+  exactly. Corpus-side work is one narrow map + a band-key equi-join —
+  the classic sub-quadratic ANN path. Recall is approximate;
+  ranking among candidates is exact.
+
+The hyperplane weights derive from the portable md5 integer hash, so a
+DuckDB oracle reproduces bucket assignments exactly; similarity values
+are never emitted (rank only), keeping comparisons robust to last-ulp
+float-summation differences.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text_analysis import md5int_sql
+
+EMBED_DIM = 64
+NUM_PLANES = 16
+LSH_BANDS = 2
+BAND_BITS = NUM_PLANES // LSH_BANDS
+
+
+def _plane_weight(p: int, d: int) -> float:
+    """Deterministic pseudo-random weight in [-1, 1] for plane ``p``,
+    dim ``d`` — the md5int of ``"plane<p>_<d>"`` reduced mod 2001."""
+    import hashlib
+
+    h = int(hashlib.md5(f"plane{p}_{d}".encode()).hexdigest()[:13], 16)
+    return ((h % 2001) - 1000) / 1000.0
+
+
+PLANES: list[list[float]] = [
+    [_plane_weight(p, d) for d in range(EMBED_DIM)] for p in range(NUM_PLANES)
+]
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _cosine(va: Column, vb: Column, na: Column, nb: Column) -> Column:
+    return _dot(va, vb) / (na * nb)
+
+
+def _with_norm(embeddings: DataFrame) -> DataFrame:
+    v = F.col("embedding").cast("array<double>")
+    return embeddings.select(
+        "vec_id", v.alias("v")
+    ).withColumn("norm", F.sqrt(_dot(F.col("v"), F.col("v"))))
+
+
+def brute_force_topk(
+    embeddings: DataFrame, k: int = 5, num_queries: int = 32
+) -> DataFrame:
+    """Exact cosine top-k: for each query vector (vec_id <
+    ``num_queries``), the ``k`` nearest other vectors. Output:
+    (query_id, neighbor_id, rank) — rank 1 = nearest, ties broken by
+    neighbor_id."""
+    corpus = _with_norm(embeddings)
+    queries = corpus.where(F.col("vec_id") < num_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"),
+    )
+    scored = corpus.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id")).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        _cosine(F.col("qv"), F.col("v"), F.col("qnorm"), F.col("norm")).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def brute_force_topk_sql(
+    table: str = "embeddings", k: int = 5, num_queries: int = 32
+) -> str:
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM {table})
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY list_cosine_similarity(q.v, c.v) DESC, c.vec_id
+         ) AS rank
+  FROM e q JOIN e c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id < {num_queries}
+) WHERE rank <= {k}
+"""
+
+
+def _bucket_col() -> Column:
+    """NUM_PLANES-bit LSH bucket from hyperplane dot-product signs."""
+    bit = None
+    for p in range(NUM_PLANES):
+        plane = F.array(*[F.lit(w) for w in PLANES[p]])
+        term = F.when(_dot(F.col("v"), plane) > 0, F.lit(1 << p).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        bit = term if bit is None else bit + term
+    return bit
+
+
+def _bucket_sql() -> str:
+    terms = []
+    for p in range(NUM_PLANES):
+        plane = "[" + ", ".join(repr(w) for w in PLANES[p]) + "]"
+        terms.append(
+            f"(CASE WHEN list_dot_product(v, {plane}) > 0"
+            f" THEN CAST({1 << p} AS BIGINT) ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
+def lsh_topk(
+    embeddings: DataFrame, k: int = 5, num_queries: int = 32
+) -> DataFrame:
+    """Approximate cosine top-k: candidates must share one of the
+    ``LSH_BANDS`` bucket bands with the query; exact cosine ranks the
+    candidates. Output: (query_id, neighbor_id, rank)."""
+    base = _with_norm(embeddings).withColumn("bucket", _bucket_col())
+    band_keys = F.array(
+        *[
+            F.concat_ws(
+                "-",
+                F.lit(i),
+                F.shiftright("bucket", i * BAND_BITS).bitwiseAND((1 << BAND_BITS) - 1),
+            )
+            for i in range(LSH_BANDS)
+        ]
+    )
+    banded = base.select("vec_id", "v", "norm", F.explode(band_keys).alias("bk"))
+    queries = banded.where(F.col("vec_id") < num_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"),
+        "bk",
+    )
+    cand = (
+        banded.join(F.broadcast(queries), "bk")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            _cosine(F.col("qv"), F.col("v"), F.col("qnorm"), F.col("norm")).alias("sim"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def lsh_topk_sql(table: str = "embeddings", k: int = 5, num_queries: int = 32) -> str:
+    band_keys = ", ".join(
+        f"concat_ws('-', {i}, (bucket >> {i * BAND_BITS}) & {(1 << BAND_BITS) - 1})"
+        for i in range(LSH_BANDS)
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, v, {_bucket_sql()} AS bucket
+  FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM {table})
+), banded AS (
+  SELECT vec_id, v, unnest([{band_keys}]) AS bk FROM e
+), cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM banded q JOIN banded c USING (bk)
+  WHERE q.vec_id < {num_queries} AND c.vec_id <> q.vec_id
+)
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (
+             PARTITION BY query_id
+             ORDER BY list_cosine_similarity(eq.v, ec.v) DESC, neighbor_id
+         ) AS rank
+  FROM cand
+  JOIN e eq ON eq.vec_id = query_id
+  JOIN e ec ON ec.vec_id = neighbor_id
+) WHERE rank <= {k}
+"""

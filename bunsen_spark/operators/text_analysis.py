@@ -1,0 +1,272 @@
+"""Text-analysis operators for training-data pipelines: language ID,
+quality scoring, token statistics, document fingerprinting.
+
+Beyond-reference scale extension (SURVEY §7 M7). Every operator is a
+pure Catalyst expression pipeline (split / higher-order functions /
+regexp — whole-stage codegen, no Python UDFs), so it scales linearly
+over document shards with zero shuffle: each output row depends only on
+its input row. At 100 TB these run as a single map stage behind the
+parquet scan with full column pruning (only ``doc_id`` + ``text`` read).
+
+Determinism contract: every derived number is integer arithmetic or a
+single IEEE-754 double division/weighted-sum evaluated in a fixed
+order, so a DuckDB oracle reproduces values bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Portable 53-bit integer from md5 — identical in Spark
+# (conv(substr(md5(x),1,13),16,10)) and DuckDB
+# (('0x' || substr(md5(x),1,13))::BIGINT). 13 hex digits = 52 bits keeps
+# every value exactly representable and products within int64 when
+# reduced mod 2^31-1 first.
+MERSENNE31 = 2147483647
+
+
+def md5int(col: Column) -> Column:
+    """Portable 52-bit non-negative integer hash of a string column."""
+    return F.conv(F.substring(F.md5(col), 1, 13), 16, 10).cast("long")
+
+
+def md5int_sql(expr: str) -> str:
+    """DuckDB twin of :func:`md5int`."""
+    return f"CAST(('0x' || substring(md5({expr}), 1, 13)) AS BIGINT)"
+
+
+def words_col(text: Column) -> Column:
+    """Lowercased alphanumeric word tokens."""
+    return F.regexp_extract_all(F.lower(text), F.lit("[a-z0-9]+"), 0)
+
+
+WORDS_SQL = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+
+# language marker stopwords: tiny per-language lists with no overlap.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "das", "und", "nicht", "ist", "ein", "mit"),
+    "en": ("the", "of", "and", "to", "in", "is", "that", "it"),
+    "es": ("el", "la", "los", "las", "es", "por", "una", "como"),
+    "fr": ("le", "les", "des", "est", "une", "dans", "pour", "que"),
+    "zh": ("de5", "shi4", "bu4", "le5", "zai4", "you3", "wo3", "ta1"),
+}
+
+# quality-score weights, applied in this exact order (determinism)
+_QUALITY_WEIGHTS = (
+    ("ttr", 0.3),
+    ("stopword_ratio", 0.3),
+    ("alpha_ratio", 0.2),
+    ("length_factor", 0.2),
+)
+
+
+def language_id(docs: DataFrame) -> DataFrame:
+    """Heuristic language ID: count marker-stopword hits per language,
+    pick the argmax (ties broken by language-code order). Output:
+    (doc_id, predicted_lang, marker_hits)."""
+    w = words_col(F.col("text"))
+
+    def marker_counter(markers: tuple[str, ...]):
+        return lambda x: x.isin(*markers)
+
+    scored = docs.select(
+        "doc_id",
+        *[
+            F.size(F.filter(w, marker_counter(markers))).alias(f"c_{lang}")
+            for lang, markers in LANG_MARKERS.items()
+        ],
+    )
+    langs = sorted(LANG_MARKERS)
+    # forward CASE chain: earlier languages win ties (matches the SQL twin)
+    chain = None
+    hits = None
+    for lang in langs:
+        cond = F.col(f"c_{lang}") >= F.greatest(*[F.col(f"c_{l}") for l in langs])
+        chain = F.when(cond, F.lit(lang)) if chain is None else chain.when(cond, F.lit(lang))
+        hits = F.when(cond, F.col(f"c_{lang}")) if hits is None else hits.when(cond, F.col(f"c_{lang}"))
+    return scored.select(
+        "doc_id",
+        chain.alias("predicted_lang"),
+        hits.cast("long").alias("marker_hits"),
+    )
+
+
+def language_id_sql(table: str = "documents") -> str:
+    langs = sorted(LANG_MARKERS)
+    counts = ", ".join(
+        f"len(list_filter({WORDS_SQL}, w -> w IN ({', '.join(repr(m) for m in LANG_MARKERS[lang])}))) AS c_{lang}"
+        for lang in langs
+    )
+    greatest = f"greatest({', '.join('c_' + lang for lang in langs)})"
+    case_lang = "CASE " + " ".join(
+        f"WHEN c_{lang} >= {greatest} THEN '{lang}'" for lang in langs
+    ) + " END"
+    case_hits = "CASE " + " ".join(
+        f"WHEN c_{lang} >= {greatest} THEN c_{lang}" for lang in langs
+    ) + " END"
+    return f"""
+SELECT doc_id, {case_lang} AS predicted_lang,
+       CAST({case_hits} AS BIGINT) AS marker_hits
+FROM (SELECT doc_id, {counts} FROM {table})
+"""
+
+
+_ALL_MARKERS = tuple(m for ms in LANG_MARKERS.values() for m in ms)
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Deterministic quality features + weighted score per document:
+    type-token ratio, stopword ratio, alphabetic-character ratio and a
+    length factor (min(n_words, 256)/256), each a double in [0, 1].
+    Output: (doc_id, n_words, n_distinct, ttr, stopword_ratio,
+    alpha_ratio, length_factor, quality_score) — ratios rounded to 6
+    decimals AFTER the score is computed from unrounded values."""
+    w = words_col(F.col("text"))
+    base = docs.select(
+        "doc_id",
+        F.col("text"),
+        F.size(w).alias("n_words"),
+        F.size(F.array_distinct(w)).alias("n_distinct"),
+        F.size(F.filter(w, lambda x: x.isin(*_ALL_MARKERS))).alias("n_stop"),
+    )
+    n_alpha = F.length(F.regexp_replace(F.lower("text"), "[^a-z]", ""))
+    n_chars = F.length("text")
+    ttr = F.col("n_distinct") / F.greatest(F.col("n_words"), F.lit(1))
+    stop_ratio = F.col("n_stop") / F.greatest(F.col("n_words"), F.lit(1))
+    alpha_ratio = n_alpha / F.greatest(n_chars, F.lit(1))
+    length_factor = F.least(F.col("n_words"), F.lit(256)) / F.lit(256.0)
+    parts = {
+        "ttr": ttr,
+        "stopword_ratio": stop_ratio,
+        "alpha_ratio": alpha_ratio,
+        "length_factor": length_factor,
+    }
+    score = None
+    for name, weight in _QUALITY_WEIGHTS:
+        term = parts[name] * F.lit(weight)
+        score = term if score is None else score + term
+    return base.select(
+        "doc_id",
+        "n_words",
+        "n_distinct",
+        F.round(ttr, 6).alias("ttr"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(alpha_ratio, 6).alias("alpha_ratio"),
+        F.round(length_factor, 6).alias("length_factor"),
+        F.round(score, 6).alias("quality_score"),
+    )
+
+
+def quality_score_sql(table: str = "documents") -> str:
+    markers = ", ".join(repr(m) for m in _ALL_MARKERS)
+    return f"""
+WITH base AS (
+  SELECT doc_id, text,
+         len({WORDS_SQL}) AS n_words,
+         len(list_distinct({WORDS_SQL})) AS n_distinct,
+         len(list_filter({WORDS_SQL}, w -> w IN ({markers}))) AS n_stop
+  FROM {table}
+), feat AS (
+  SELECT doc_id, n_words, n_distinct,
+         n_distinct / greatest(n_words, 1) AS ttr,
+         n_stop / greatest(n_words, 1) AS stopword_ratio,
+         length(regexp_replace(lower(text), '[^a-z]', '', 'g')) /
+             greatest(length(text), 1) AS alpha_ratio,
+         least(n_words, 256) / 256.0 AS length_factor
+  FROM base
+)
+SELECT doc_id, n_words, n_distinct,
+       round(ttr, 6) AS ttr,
+       round(stopword_ratio, 6) AS stopword_ratio,
+       round(alpha_ratio, 6) AS alpha_ratio,
+       round(length_factor, 6) AS length_factor,
+       round(ttr*0.3 + stopword_ratio*0.3 + alpha_ratio*0.2 + length_factor*0.2,
+             6) AS quality_score
+FROM feat
+"""
+
+
+#: BPE-ish token regex: alphanumeric runs or single non-space symbols
+TOKEN_REGEX = "[a-z0-9]+|[^a-z0-9\\s]"
+
+
+def token_stats(docs: DataFrame) -> DataFrame:
+    """Token counting: whitespace tokens, regex (BPE-ish) tokens,
+    distinct regex tokens, and chars-per-token. Output: (doc_id,
+    ws_tokens, re_tokens, distinct_tokens, chars_per_token)."""
+    toks = F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_REGEX), 0)
+    return docs.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).alias("ws_tokens"),
+        F.size(toks).alias("re_tokens"),
+        F.size(F.array_distinct(toks)).alias("distinct_tokens"),
+        F.round(
+            F.length("text") / F.greatest(F.size(toks), F.lit(1)), 6
+        ).alias("chars_per_token"),
+    )
+
+
+def token_stats_sql(table: str = "documents") -> str:
+    toks = f"regexp_extract_all(lower(text), '{TOKEN_REGEX}')"
+    return f"""
+SELECT doc_id,
+       len(string_split(text, ' ')) AS ws_tokens,
+       len({toks}) AS re_tokens,
+       len(list_distinct({toks})) AS distinct_tokens,
+       round(length(text) / greatest(len({toks}), 1), 6) AS chars_per_token
+FROM {table}
+"""
+
+
+FP_K = 8  #: fingerprint k-gram length (characters)
+FP_WINDOW = 16  #: winnowing window (k-grams per window)
+
+
+def fingerprint(docs: DataFrame) -> DataFrame:
+    """Rolling-hash document fingerprint (winnowing-style): hash every
+    ``FP_K``-char gram of the lowercased text, then keep the minimum
+    hash of each ``FP_WINDOW``-wide window; the distinct window minima
+    form the fingerprint set. Output: (doc_id, n_grams, fp_min,
+    fp_size) where fp_min is the global minimum gram hash and fp_size
+    the winnowed-set size."""
+    # lower(text) is materialized first: substr-ing lower(text) inside
+    # the lambda would re-lower the whole text per gram position
+    grams = F.expr(
+        f"transform(sequence(1, greatest(char_length(__t) - {FP_K - 1}, 1)),"
+        f" i -> substr(__t, i, {FP_K}))"
+    )
+    hashes = F.transform(grams, lambda g: md5int(g) % MERSENNE31)
+    windows = F.expr(
+        f"transform(sequence(1, greatest(size(__hashes) - {FP_WINDOW - 1}, 1)),"
+        f" i -> array_min(slice(__hashes, i, {FP_WINDOW})))"
+    )
+    return (
+        docs.select("doc_id", F.lower("text").alias("__t"))
+        .select("doc_id", hashes.alias("__hashes"))
+        .select(
+            "doc_id",
+            F.size("__hashes").alias("n_grams"),
+            F.array_min("__hashes").alias("fp_min"),
+            F.size(F.array_distinct(windows)).alias("fp_size"),
+        )
+    )
+
+
+def fingerprint_sql(table: str = "documents") -> str:
+    gram = f"substr(lower(text), CAST(i AS INTEGER), {FP_K})"
+    hashes = (
+        f"list_transform(range(1, greatest(length(text) - {FP_K - 1}, 1) + 1),"
+        f" i -> {md5int_sql(gram)} % {MERSENNE31})"
+    )
+    return f"""
+WITH h AS (SELECT doc_id, {hashes} AS hs FROM {table})
+SELECT doc_id,
+       len(hs) AS n_grams,
+       list_min(hs) AS fp_min,
+       len(list_distinct(
+           list_transform(range(1, greatest(len(hs) - {FP_WINDOW - 1}, 1) + 1),
+                          i -> list_min(hs[CAST(i AS INTEGER):CAST(i + {FP_WINDOW - 1} AS INTEGER)]))
+       )) AS fp_size
+FROM h
+"""

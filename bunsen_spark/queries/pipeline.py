@@ -1,0 +1,130 @@
+"""Training-data pipeline queries over the synthetic ``documents`` /
+``embeddings`` tables: text analysis, deduplication, similarity search.
+
+Each entry pairs a Spark DataFrame implementation (Catalyst
+expressions, no Python UDFs) with a DuckDB oracle that reproduces the
+result bit-for-bit (determinism contracts in the operator modules).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from . import load
+
+
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text_analysis import language_id
+
+    return language_id(load(spark, sf_dir, "documents"))
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text_analysis import quality_score
+
+    return quality_score(load(spark, sf_dir, "documents"))
+
+
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text_analysis import token_stats
+
+    return token_stats(load(spark, sf_dir, "documents"))
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text_analysis import fingerprint
+
+    return fingerprint(load(spark, sf_dir, "documents"))
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import exact_dedup
+
+    return exact_dedup(load(spark, sf_dir, "documents"))
+
+
+def dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import jaccard_pairs
+
+    return jaccard_pairs(load(spark, sf_dir, "documents"))
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(load(spark, sf_dir, "documents"))
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import simhash_pairs
+
+    return simhash_pairs(load(spark, sf_dir, "documents"))
+
+
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import embedding_near_dup_pairs
+
+    return embedding_near_dup_pairs(load(spark, sf_dir, "embeddings"))
+
+
+def ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import brute_force_topk
+
+    return brute_force_topk(load(spark, sf_dir, "embeddings"))
+
+
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import lsh_topk
+
+    return lsh_topk(load(spark, sf_dir, "embeddings"))
+
+
+def _oracles() -> dict[str, str]:
+    from ..operators.text_analysis import (
+        fingerprint_sql,
+        language_id_sql,
+        quality_score_sql,
+        token_stats_sql,
+    )
+
+    from ..operators.dedup import (
+        embedding_near_dup_pairs_sql,
+        exact_dedup_sql,
+        jaccard_pairs_sql,
+        minhash_lsh_pairs_sql,
+        simhash_pairs_sql,
+    )
+    from ..operators.similarity import brute_force_topk_sql, lsh_topk_sql
+
+    return {
+        "text_language_id": language_id_sql(),
+        "text_quality": quality_score_sql(),
+        "text_token_stats": token_stats_sql(),
+        "text_fingerprint": fingerprint_sql(),
+        "dedup_exact": exact_dedup_sql(),
+        "dedup_jaccard": jaccard_pairs_sql(),
+        "dedup_minhash_lsh": minhash_lsh_pairs_sql(),
+        "dedup_simhash": simhash_pairs_sql(),
+        "dedup_embedding": embedding_near_dup_pairs_sql(),
+        "ann_brute_topk": brute_force_topk_sql(),
+        "ann_lsh_topk": lsh_topk_sql(),
+    }
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "text_language_id": text_language_id,
+    "text_quality": text_quality,
+    "text_token_stats": text_token_stats,
+    "text_fingerprint": text_fingerprint,
+    "dedup_exact": dedup_exact,
+    "dedup_jaccard": dedup_jaccard,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_simhash": dedup_simhash,
+    "dedup_embedding": dedup_embedding,
+    "ann_brute_topk": ann_brute_topk,
+    "ann_lsh_topk": ann_lsh_topk,
+}
+
+ORACLES: dict[str, str] = _oracles()
