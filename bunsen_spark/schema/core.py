@@ -293,3 +293,74 @@ def converter(root: Complex, parsed: Column) -> Column:
     """Column expression: parsed-JSON struct → analytic struct."""
     named = _convert_fields(parsed, root.fields, (root.name,))
     return F.struct(*[c.alias(n) for n, c in named])
+
+
+# ---------------------------------------------------------------------------
+# Export: analytic struct → FHIR-JSON-spelling struct (inverse of converter)
+# ---------------------------------------------------------------------------
+#
+# Mirrors the reference's decode path (`HapiCompositeConverter.java:244-359`,
+# SURVEY D3) as pure Column expressions: choice structs re-flatten to
+# sibling ``valueQuantity``-style keys, synthetic reference ``<target>Id``
+# columns are dropped, and null pruning is left to ``to_json``'s
+# ignoreNullFields so absent elements vanish from the JSON.
+
+def _export(src: Column, ftype: FType, stack: tuple[str, ...]) -> Column | None:
+    if isinstance(ftype, str):
+        return src
+    if isinstance(ftype, Reference):
+        return F.when(
+            src.isNotNull(),
+            F.struct(
+                src["reference"].alias("reference"), src["display"].alias("display")
+            ),
+        )
+    if isinstance(ftype, Complex):
+        if ftype.name in stack:
+            return None
+        named = _export_fields(src, ftype.fields, stack + (ftype.name,))
+        if not named:
+            return None
+        return F.when(src.isNotNull(), F.struct(*[c.alias(n) for n, c in named]))
+    raise TypeError(f"unknown ftype {ftype!r}")
+
+
+def _export_fields(
+    parent: Column, fields: tuple[Field, ...], stack: tuple[str, ...]
+) -> list[tuple[str, Column]]:
+    out: list[tuple[str, Column]] = []
+    for f in fields:
+        if isinstance(f.ftype, Choice):
+            for branch, btype in f.ftype.branches:
+                if _spark_type(btype, stack) is None:
+                    continue
+                c = _export(parent[f.name][branch], btype, stack)
+                if c is not None:
+                    out.append((f.name + _upper_first(branch), c))
+            continue
+        src = parent[f.name]
+        if f.many:
+            elem_t = f.ftype
+            if _spark_type(elem_t, stack) is None:
+                continue
+
+            def conv_elem(x: Column) -> Column:
+                c = _export(x, elem_t, stack)
+                return c if c is not None else x
+
+            out.append((f.name, F.when(src.isNotNull(), F.transform(src, conv_elem))))
+            continue
+        c = _export(src, f.ftype, stack)
+        if c is not None:
+            out.append((f.name, c))
+    return out
+
+
+def export_struct(root: Complex, analytic: Column) -> Column:
+    """Column expression: analytic struct → FHIR-JSON-spelling struct
+    (leading ``resourceType`` discriminator included)."""
+    named = _export_fields(analytic, root.fields, (root.name,))
+    return F.struct(
+        F.lit(root.name).alias("resourceType"),
+        *[c.alias(n) for n, c in named],
+    )

@@ -558,3 +558,7 @@ def json_schema_for(resource_type: str) -> T.StructType:
 
 def converter_for(resource_type: str, parsed: Column) -> Column:
     return core.converter(definition_for(resource_type), parsed)
+
+
+def export_struct_for(resource_type: str, analytic: Column) -> Column:
+    return core.export_struct(definition_for(resource_type), analytic)
