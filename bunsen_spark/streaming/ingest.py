@@ -1,0 +1,92 @@
+"""Structured Streaming ingest: the batch bundle→table pipeline behind
+``readStream`` (SURVEY §7 M7 — an extension; the reference is
+batch-only, see SURVEY §1.1 row "Streams").
+
+The whole batch ingest plan (`sources.bundles`) is stateless Catalyst
+expressions, so the SAME functions run unchanged on a streaming
+DataFrame — this module only swaps the source (file stream, exactly
+-once per-file tracking) and adds the streaming-specific pieces:
+watermarked windowed aggregation for late data and sink wiring.
+
+At scale: the file source lists incrementally (``maxFilesPerTrigger``
+bounds batch size); resource tables land as parquet/Delta appends
+partitioned the same way the batch writer partitions, so batch and
+streaming outputs are interchangeable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.bundles import _explode_bundles, extract_entry
+
+
+def stream_bundles_from_directory(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """Streaming twin of ``load_from_directory``: one row per resource
+    entry, from a file-stream source of whole bundle files."""
+    reader = spark.readStream.format("text").option("wholetext", "true")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    raw = reader.load(path).select(
+        F.lit(None).cast("string").alias("bundle_file"),
+        F.col("value").alias("content"),
+    )
+    return _explode_bundles(raw, "content")
+
+
+def stream_extract_entry(
+    spark: SparkSession, bundles: DataFrame, resource_type: str
+) -> DataFrame:
+    """Identical to the batch ``extract_entry`` — the conversion is
+    pure expressions, valid on streaming DataFrames."""
+    return extract_entry(spark, bundles, resource_type)
+
+
+def windowed_observation_counts(
+    observations: DataFrame,
+    window: str = "1 day",
+    watermark: str = "30 days",
+) -> DataFrame:
+    """Late-data-tolerant tumbling-window counts of observations by
+    effective time: event time comes from the resource's
+    ``effective.dateTime`` (ISO-8601 string → timestamp), with a
+    watermark bounding state retention. Output: (window_start,
+    window_end, code_text, n)."""
+    with_ts = observations.select(
+        F.to_timestamp(F.col("effective.dateTime")).alias("event_ts"),
+        F.col("code.text").alias("code_text"),
+    ).where(F.col("event_ts").isNotNull())
+    return (
+        with_ts.withWatermark("event_ts", watermark)
+        .groupBy(F.window("event_ts", window).alias("w"), "code_text")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "code_text",
+            "n",
+        )
+    )
+
+
+def write_resource_stream(
+    df: DataFrame,
+    path: str,
+    checkpoint: str,
+    trigger_available_now: bool = True,
+):
+    """Append a streaming resource frame to parquet with exactly-once
+    checkpointing; availableNow processes the backlog then stops
+    (batch-parity runs, backfills)."""
+    writer = (
+        df.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
