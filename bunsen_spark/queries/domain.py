@@ -125,14 +125,54 @@ GROUP BY o_orderpriority, translated
 """
 
 
+def asof_purchase_last_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (absent from the reference, SURVEY §2.3): each
+    purchase event picks up the value of the user's most recent strictly
+    -prior view event. Union+window implementation — one shuffle, no
+    range-join fan-out (`operators.asof.as_of_join`)."""
+    from ..operators.asof import as_of_join
+
+    e = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value", F.expr("ts div 1000").alias("us")
+    )
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "us", F.col("value").alias("purchase_value")
+    )
+    views = (
+        e.where(F.col("event_type") == "view")
+        .groupBy("user_id", "us")
+        .agg(F.max_by("value", "event_id").alias("view_value"))
+    )
+    return as_of_join(
+        purchases, views, on=["user_id"], ts="us", payload=["view_value"]
+    ).select("event_id", "user_id", "purchase_value", "view_value")
+
+
+ASOF_PURCHASE_LAST_VIEW_SQL = """
+WITH e AS (
+  SELECT event_id, user_id, event_type, value, epoch_us(ts) AS us FROM events
+), purchases AS (
+  SELECT event_id, user_id, us, value AS purchase_value FROM e WHERE event_type = 'purchase'
+), views AS (
+  SELECT user_id, us, arg_max(value, event_id) AS view_value
+  FROM e WHERE event_type = 'view' GROUP BY user_id, us
+)
+SELECT p.event_id, p.user_id, p.purchase_value, v.view_value
+FROM purchases p ASOF LEFT JOIN views v
+  ON p.user_id = v.user_id AND v.us < p.us
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "closure_part_hierarchy": closure_part_hierarchy,
     "valueset_membership_lineitem": valueset_membership_lineitem,
     "translate_order_priority": translate_order_priority,
+    "asof_purchase_last_view": asof_purchase_last_view,
 }
 
 ORACLES: dict[str, str] = {
     "closure_part_hierarchy": CLOSURE_PART_HIERARCHY_SQL,
     "valueset_membership_lineitem": VALUESET_MEMBERSHIP_SQL,
     "translate_order_priority": TRANSLATE_ORDER_PRIORITY_SQL,
+    "asof_purchase_last_view": ASOF_PURCHASE_LAST_VIEW_SQL,
 }
