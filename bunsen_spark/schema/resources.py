@@ -257,6 +257,46 @@ _MEDICATION_CHOICE = Choice(
     (("codeableConcept", CODEABLE_CONCEPT), ("reference", Reference(("Medication",))))
 )
 
+_RATIO = backbone(
+    "Ratio",
+    Field("id", "string"),
+    Field("numerator", QUANTITY),
+    Field("denominator", QUANTITY),
+)
+
+MEDICATION = Complex(
+    "Medication",
+    (
+        *_DOMAIN,
+        Field("code", CODEABLE_CONCEPT),
+        Field("status", "code"),
+        Field("isBrand", "boolean"),
+        Field("isOverTheCounter", "boolean"),
+        Field("manufacturer", Reference(("Organization",))),
+        Field("form", CODEABLE_CONCEPT),
+        Field(
+            "ingredient",
+            backbone(
+                "MedicationIngredient",
+                Field("id", "string"),
+                Field(
+                    "item",
+                    Choice(
+                        (
+                            ("codeableConcept", CODEABLE_CONCEPT),
+                            ("reference", Reference(("Substance", "Medication"))),
+                        )
+                    ),
+                ),
+                Field("isActive", "boolean"),
+                Field("amount", _RATIO),
+            ),
+            many=True,
+        ),
+    ),
+)
+
+
 MEDICATION_REQUEST = Complex(
     "MedicationRequest",
     (
@@ -519,6 +559,7 @@ _RESOURCES: dict[str, Complex] = {
     r.name: r
     for r in (
         PATIENT,
+        MEDICATION,
         OBSERVATION,
         CONDITION,
         ENCOUNTER,
@@ -562,3 +603,90 @@ def converter_for(resource_type: str, parsed: Column) -> Column:
 
 def export_struct_for(resource_type: str, analytic: Column) -> Column:
     return core.export_struct(definition_for(resource_type), analytic)
+
+
+def _lower(s: str) -> str:
+    return s[0].lower() + s[1:]
+
+
+def _merged_contained_json_struct(contained: tuple[str, ...]) -> T.StructType:
+    """Parse-side struct for a contained entry: resourceType + the
+    UNION of every declared type's JSON fields (FHIR JSON spells
+    contained entries as flat resource objects; the analytic schema
+    re-nests per type). Name collisions must agree on datatype."""
+    merged: dict[str, T.StructField] = {}
+    for rt in contained:
+        for f in json_schema_for(rt).fields:
+            if f.name == "resourceType":
+                continue
+            if f.name in merged and merged[f.name].dataType != f.dataType:
+                raise ValueError(
+                    f"contained types conflict on field {f.name!r}: "
+                    f"{merged[f.name].dataType.simpleString()} vs {f.dataType.simpleString()}"
+                )
+            merged.setdefault(f.name, f)
+    return T.StructType(
+        [T.StructField("resourceType", T.StringType(), True), *merged.values()]
+    )
+
+
+def json_schema_with_contained(
+    resource_type: str, contained: tuple[str, ...]
+) -> T.StructType:
+    base = json_schema_for(resource_type)
+    return T.StructType(
+        [
+            *base.fields,
+            T.StructField(
+                "contained",
+                T.ArrayType(_merged_contained_json_struct(contained), True),
+                True,
+            ),
+        ]
+    )
+
+
+def spark_schema_with_contained(
+    resource_type: str, contained: tuple[str, ...]
+) -> T.StructType:
+    """Analytic schema: the reference declares contained as one struct
+    field per permissible type (`SparkRowConverter.java:71-116`,
+    `Stu3StructureDefinitions.java:624-635`)."""
+    base = spark_schema_for(resource_type)
+    inner = T.StructType(
+        [
+            T.StructField(_lower(rt), spark_schema_for(rt), True)
+            for rt in contained
+        ]
+    )
+    # containsNull=False: each converted entry is a (never-null) struct
+    # with exactly one non-null per-type branch
+    return T.StructType(
+        [*base.fields, T.StructField("contained", T.ArrayType(inner, False), True)]
+    )
+
+
+def converter_with_contained(
+    resource_type: str, contained: tuple[str, ...], parsed: Column
+) -> Column:
+    """Base conversion + resourceType-dispatched conversion of each
+    contained entry (decode dispatch-by-type mirrors
+    `DefinitionToSparkVisitor.java:180-233`)."""
+    from pyspark.sql import functions as F
+
+    base = converter_for(resource_type, parsed)
+
+    def conv_entry(c: Column) -> Column:
+        return F.struct(
+            *[
+                F.when(
+                    c["resourceType"] == rt, core.converter(definition_for(rt), c)
+                ).alias(_lower(rt))
+                for rt in contained
+            ]
+        )
+
+    contained_col = F.when(
+        parsed["contained"].isNotNull(), F.transform(parsed["contained"], conv_entry)
+    )
+    return base.withField("contained", contained_col)

@@ -60,19 +60,41 @@ def _explode_bundles(df: DataFrame, content_col: str) -> DataFrame:
     )
 
 
-def extract_entry(spark: SparkSession, bundles: DataFrame, resource_type: str) -> DataFrame:
+def extract_entry(
+    spark: SparkSession,
+    bundles: DataFrame,
+    resource_type: str,
+    contained_types: tuple[str, ...] = (),
+) -> DataFrame:
     """Entries of one resource type → DataFrame with the spec-derived
     nested schema (`Bundles.extractEntry`, Bundles.java:186-279).
 
     The returned frame's schema is fixed by the FHIR definition — never
     inferred from data — so absent elements are typed nulls.
+    ``contained_types`` declares the permissible contained resource
+    types (`SparkRowConverter.forResource` containedUrls,
+    SparkRowConverter.java:71-116): the schema gains a ``contained``
+    array with one struct field per declared type, populated by
+    resourceType dispatch.
     """
-    parse_schema = json_schema_for(resource_type)
-    target_schema = spark_schema_for(resource_type)
+    if contained_types:
+        from ..schema.resources import (
+            converter_with_contained,
+            json_schema_with_contained,
+            spark_schema_with_contained,
+        )
+
+        parse_schema = json_schema_with_contained(resource_type, contained_types)
+        target_schema = spark_schema_with_contained(resource_type, contained_types)
+        convert = lambda col: converter_with_contained(resource_type, contained_types, col)  # noqa: E731
+    else:
+        parse_schema = json_schema_for(resource_type)
+        target_schema = spark_schema_for(resource_type)
+        convert = lambda col: converter_for(resource_type, col)  # noqa: E731
     parsed = (
         bundles.where(F.col("resource_type") == resource_type)
         .select(F.from_json("resource_json", parse_schema).alias("r"))
-        .select(converter_for(resource_type, F.col("r")).alias("res"))
+        .select(convert(F.col("r")).alias("res"))
     )
     # flatten the single struct column into top-level resource columns,
     # casting through the spec schema for exact type parity
