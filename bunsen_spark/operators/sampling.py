@@ -1,0 +1,72 @@
+"""Deterministic sampling / dataset splitting for training pipelines.
+
+Beyond-reference scale extension (SURVEY §7 M7). ``split_assign`` maps
+each row to a named split (train/val/test/…) from the md5 hash of its
+key — no RNG, no state: the assignment is a pure function of the key,
+so it is stable across runs, engines, partitionings and scale factors
+(rows keep their split when the corpus grows), and needs zero shuffle.
+``deterministic_sample`` keeps a fixed fraction the same way.
+
+This is the horizontally-scalable replacement for ``randomSplit`` /
+``sample``, whose outputs depend on partition layout and seed plumbing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text_analysis import md5int, md5int_sql
+
+#: hash-space size for split bucketing; 10^6 gives ppm-resolution weights
+BUCKETS = 1_000_000
+
+
+def _bucket(key: Column) -> Column:
+    return md5int(key.cast("string")) % BUCKETS
+
+
+def _bucket_sql(key: str) -> str:
+    return f"{md5int_sql(f'CAST({key} AS VARCHAR)')} % {BUCKETS}"
+
+
+def split_assign(
+    df: DataFrame, key: str, splits: dict[str, float], col_name: str = "split"
+) -> DataFrame:
+    """Add a ``split`` column assigning each row to a named fraction.
+
+    ``splits`` maps name → weight (weights must sum to ≤ 1; any
+    remainder is assigned null). Assignment is by half-open bucket
+    ranges over md5(key) mod 1e6, evaluated in the given order."""
+    total = sum(splits.values())
+    if total > 1.0 + 1e-9:
+        raise ValueError(f"split weights sum to {total} > 1")
+    b = _bucket(F.col(key))
+    expr = F.lit(None).cast("string")
+    hi = 0.0
+    chain: list[tuple[str, int, int]] = []
+    for name, w in splits.items():
+        lo_b = int(round(hi * BUCKETS))
+        hi += w
+        chain.append((name, lo_b, int(round(hi * BUCKETS))))
+    for name, lo_b, hi_b in reversed(chain):
+        expr = F.when((b >= lo_b) & (b < hi_b), F.lit(name)).otherwise(expr)
+    return df.withColumn(col_name, expr)
+
+
+def split_assign_sql(
+    table: str, key: str, splits: dict[str, float], col_name: str = "split"
+) -> str:
+    b = _bucket_sql(key)
+    hi = 0.0
+    cases = []
+    for name, w in splits.items():
+        lo_b = int(round(hi * BUCKETS))
+        hi += w
+        cases.append(f"WHEN {b} >= {lo_b} AND {b} < {int(round(hi * BUCKETS))} THEN '{name}'")
+    return f"SELECT *, CASE {' '.join(cases)} END AS {col_name} FROM {table}"
+
+
+def deterministic_sample(df: DataFrame, key: str, fraction: float) -> DataFrame:
+    """Keep ~``fraction`` of rows, chosen purely by key hash."""
+    return df.where(_bucket(F.col(key)) < int(round(fraction * BUCKETS)))

@@ -81,6 +81,22 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(load(spark, sf_dir, "embeddings"))
 
 
+#: canonical corpus split used by the split query + its oracle
+SPLITS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def dataset_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment over documents, reported
+    as per-split counts (stable across runs/engines/scale — see
+    operators.sampling)."""
+    from pyspark.sql import functions as F
+
+    from ..operators.sampling import split_assign
+
+    assigned = split_assign(load(spark, sf_dir, "documents"), "doc_id", SPLITS)
+    return assigned.groupBy("split").agg(F.count("*").alias("n_docs"))
+
+
 def _oracles() -> dict[str, str]:
     from ..operators.text_analysis import (
         fingerprint_sql,
@@ -96,6 +112,7 @@ def _oracles() -> dict[str, str]:
         minhash_lsh_pairs_sql,
         simhash_pairs_sql,
     )
+    from ..operators.sampling import split_assign_sql
     from ..operators.similarity import brute_force_topk_sql, lsh_topk_sql
 
     return {
@@ -110,6 +127,11 @@ def _oracles() -> dict[str, str]:
         "dedup_embedding": embedding_near_dup_pairs_sql(),
         "ann_brute_topk": brute_force_topk_sql(),
         "ann_lsh_topk": lsh_topk_sql(),
+        "dataset_split_counts": (
+            "SELECT split, count(*) AS n_docs FROM ("
+            + split_assign_sql("documents", "doc_id", SPLITS)
+            + ") GROUP BY split"
+        ),
     }
 
 
@@ -125,6 +147,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_embedding": dedup_embedding,
     "ann_brute_topk": ann_brute_topk,
     "ann_lsh_topk": ann_lsh_topk,
+    "dataset_split_counts": dataset_split_counts,
 }
 
 ORACLES: dict[str, str] = _oracles()

@@ -44,6 +44,18 @@ def _localname(tag: str) -> str:
     return tag.rsplit("}", 1)[-1]
 
 
+
+
+def _div_to_string(elem: ET.Element) -> str:
+    """Serialize narrative XHTML with xhtml as the DEFAULT namespace
+    (inside a FHIR document ElementTree would otherwise emit html:
+    prefixes, changing the text form)."""
+    try:
+        return ET.tostring(elem, encoding="unicode", default_namespace=XHTML_NS)
+    except ValueError:  # mixed namespaces: fall back to prefixed form
+        return ET.tostring(elem, encoding="unicode")
+
+
 def _is_resource_container(elem: ET.Element) -> bool:
     """FHIR wraps nested resources (Bundle.entry.resource, contained)
     in an element whose single child tag is a capitalized type name."""
@@ -81,7 +93,7 @@ def _convert_typed(elem: ET.Element, ftype):
         if "value" in elem.attrib and not list(elem):
             return _primitive_literal(elem.attrib["value"], ftype)
         if _localname(elem.tag) == "div" or ftype == "xhtml":
-            return ET.tostring(elem, encoding="unicode")
+            return _div_to_string(elem)
         return _convert_generic(elem)
     if isinstance(ftype, Reference):
         out = {}
