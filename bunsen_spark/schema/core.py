@@ -92,7 +92,27 @@ class Reference:
     targets: tuple[str, ...] = ()
 
 
-FType = Union[str, Complex, Choice, Reference]
+@dataclass(frozen=True)
+class Extension:
+    """A profiled FHIR extension slice surfaced as a first-class named
+    column (SURVEY §1.3 extensions; `LeafExtensionConverter.java:17-115`,
+    `DefinitionToSparkVisitor.java:522-562`).
+
+    ``vtype`` is the value type for a LEAF extension (primitive or
+    datatype Complex); a PARENT extension instead sets ``children`` to
+    the sub-extension Fields (each itself Extension-typed), and its
+    column is a struct of those children."""
+
+    url: str
+    vtype: Union[str, Complex, None] = None
+    children: tuple["Field", ...] = ()
+
+    @property
+    def is_parent(self) -> bool:
+        return bool(self.children)
+
+
+FType = Union[str, Complex, Choice, Reference, Extension]
 
 
 @dataclass(frozen=True)
@@ -121,6 +141,18 @@ def _upper_first(s: str) -> str:
 def _spark_type(ftype: FType, stack: tuple[str, ...]) -> T.DataType | None:
     if isinstance(ftype, str):
         return PRIMITIVES[ftype]
+    if isinstance(ftype, Extension):
+        if ftype.is_parent:
+            fields = []
+            for f in ftype.children:
+                st = _spark_type(f.ftype, stack)
+                if st is None:
+                    continue
+                if f.many:
+                    st = T.ArrayType(st, True)
+                fields.append(T.StructField(f.name, st, True))
+            return T.StructType(fields) if fields else None
+        return _spark_type(ftype.vtype, stack)
     if isinstance(ftype, Reference):
         fields = [
             T.StructField("reference", T.StringType(), True),
@@ -163,9 +195,58 @@ def spark_schema(root: Complex) -> T.StructType:
 # Expansion: JSON parse schema (FHIR JSON spelling)
 # ---------------------------------------------------------------------------
 
+def _value_spelling(vtype: Union[str, Complex]) -> str:
+    """FHIR JSON key for an extension value: value + UpperFirst(type)
+    (valueCode, valueCoding, valueCodeableConcept, ...)."""
+    name = vtype if isinstance(vtype, str) else vtype.name
+    return "value" + _upper_first(name)
+
+
+def _ext_entry_struct(ext_fields: list[Field], stack: tuple[str, ...]) -> T.StructType:
+    """Parse struct for one entry of an ``extension`` array: id + url +
+    the union of leaf value spellings, plus a nested ``extension``
+    array covering parent sub-extensions (one level, per the DSL)."""
+    value_fields: dict[str, T.StructField] = {}
+    sub_fields: list[Field] = []
+    for f in ext_fields:
+        ext = f.ftype
+        if ext.is_parent:
+            sub_fields.extend(ext.children)
+        else:
+            sp = _value_spelling(ext.vtype)
+            jt = _json_type(ext.vtype, stack)
+            if jt is not None:
+                value_fields.setdefault(sp, T.StructField(sp, jt, True))
+    entry = [
+        T.StructField("id", T.StringType(), True),
+        T.StructField("url", T.StringType(), True),
+        *value_fields.values(),
+    ]
+    if sub_fields:
+        entry.append(
+            T.StructField(
+                "extension",
+                T.ArrayType(_ext_entry_struct(sub_fields, stack), True),
+                True,
+            )
+        )
+    return T.StructType(entry)
+
+
 def _json_fields(fields: tuple[Field, ...], stack: tuple[str, ...]) -> list[T.StructField]:
     out: list[T.StructField] = []
+    ext_fields = [f for f in fields if isinstance(f.ftype, Extension)]
+    if ext_fields:
+        out.append(
+            T.StructField(
+                "extension",
+                T.ArrayType(_ext_entry_struct(ext_fields, stack), True),
+                True,
+            )
+        )
     for f in fields:
+        if isinstance(f.ftype, Extension):
+            continue  # parsed via the shared "extension" array above
         if isinstance(f.ftype, Choice):
             # flattened sibling keys: value[x] → valueQuantity, valueString, ...
             for branch, btype in f.ftype.branches:
@@ -247,7 +328,46 @@ def _convert(src: Column, ftype: FType, stack: tuple[str, ...]) -> Column | None
     raise TypeError(f"unknown ftype {ftype!r}")
 
 
+def _convert_extension(parent: Column, f: Field, stack: tuple[str, ...]) -> Column | None:
+    """Named column from the shared extension array: entries matching
+    the slice url, value extracted by spelling (leaf) or recursed into
+    sub-extensions (parent)."""
+    ext = f.ftype
+    entries = F.filter(parent["extension"], lambda e: e["url"] == F.lit(ext.url))
+    if ext.is_parent:
+        first = F.element_at(entries, 1)
+
+        def sub_value(c: Field) -> Column | None:
+            sub = F.filter(
+                first["extension"], lambda e: e["url"] == F.lit(c.ftype.url)
+            )
+            spelling = _value_spelling(c.ftype.vtype)
+            if c.many:
+                return F.when(
+                    F.size(sub) > 0,
+                    F.transform(sub, lambda e: _convert(e[spelling], c.ftype.vtype, stack)),
+                )
+            return _convert(F.element_at(sub, 1)[spelling], c.ftype.vtype, stack)
+
+        named = [(c.name, sub_value(c)) for c in ext.children]
+        named = [(n, c) for n, c in named if c is not None]
+        if not named:
+            return None
+        return F.when(
+            F.size(entries) > 0, F.struct(*[c.alias(n) for n, c in named])
+        )
+    spelling = _value_spelling(ext.vtype)
+    if f.many:
+        return F.when(
+            F.size(entries) > 0,
+            F.transform(entries, lambda e: _convert(e[spelling], ext.vtype, stack)),
+        )
+    return _convert(F.element_at(entries, 1)[spelling], ext.vtype, stack)
+
+
 def _convert_field(parent: Column, f: Field, stack: tuple[str, ...]) -> Column | None:
+    if isinstance(f.ftype, Extension):
+        return _convert_extension(parent, f, stack)
     if isinstance(f.ftype, Choice):
         branch_cols = []
         any_branch = []
@@ -330,6 +450,8 @@ def _export_fields(
 ) -> list[tuple[str, Column]]:
     out: list[tuple[str, Column]] = []
     for f in fields:
+        if isinstance(f.ftype, Extension):
+            continue  # profiled extension columns are not re-exported (gap)
         if isinstance(f.ftype, Choice):
             for branch, btype in f.ftype.branches:
                 if _spark_type(btype, stack) is None:

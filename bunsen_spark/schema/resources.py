@@ -21,7 +21,7 @@ from pyspark.sql import Column
 from pyspark.sql import types as T
 
 from . import core
-from .core import Choice, Complex, Field, Reference, backbone
+from .core import Choice, Complex, Extension, Field, Reference, backbone
 from .datatypes import (
     ADDRESS,
     ANNOTATION,
@@ -555,6 +555,41 @@ CONCEPTMAP = Complex(
     ),
 )
 
+
+# -- profiles: base resources + extension slices (SURVEY §1.3) ---------------
+
+US_CORE_RACE_URL = "http://hl7.org/fhir/us/core/StructureDefinition/us-core-race"
+US_CORE_BIRTHSEX_URL = "http://hl7.org/fhir/us/core/StructureDefinition/us-core-birthsex"
+
+#: US-Core-style Patient profile: complex (parent) race extension with
+#: ombCategory/text sub-extensions + leaf birthsex extension — exercises
+#: both visitParentExtension and visitLeafExtension analogues
+#: (`DefinitionToSparkVisitor.java:522-562`).
+US_CORE_PATIENT = Complex(
+    "Patient",
+    (
+        *PATIENT.fields,
+        Field(
+            "race",
+            Extension(
+                US_CORE_RACE_URL,
+                children=(
+                    Field("ombCategory", Extension("ombCategory", CODING), many=True),
+                    Field("text", Extension("text", "string")),
+                ),
+            ),
+        ),
+        Field("birthsex", Extension(US_CORE_BIRTHSEX_URL, "code")),
+    ),
+)
+
+#: profile name → (base resource type, definition); rows written under
+#: one profile can be read under another — decode is by field name
+#: (`DefinitionToSparkVisitor.java:135-152`)
+_PROFILES: dict[str, tuple[str, Complex]] = {
+    "UsCorePatient": ("Patient", US_CORE_PATIENT),
+}
+
 _RESOURCES: dict[str, Complex] = {
     r.name: r
     for r in (
@@ -579,12 +614,23 @@ def resource_names() -> list[str]:
 
 
 def definition_for(resource_type: str) -> Complex:
+    if resource_type in _PROFILES:
+        return _PROFILES[resource_type][1]
     try:
         return _RESOURCES[resource_type]
     except KeyError:
         raise ValueError(
-            f"unsupported resource type {resource_type!r}; supported: {resource_names()}"
+            f"unsupported resource type {resource_type!r}; supported: "
+            f"{resource_names() + sorted(_PROFILES)}"
         ) from None
+
+
+def base_resource_type(resource_type: str) -> str:
+    """The FHIR resourceType a profile's rows carry (profiles are
+    addressed by profile name but filter entries by base type)."""
+    if resource_type in _PROFILES:
+        return _PROFILES[resource_type][0]
+    return resource_type
 
 
 @lru_cache(maxsize=None)

@@ -91,8 +91,10 @@ def extract_entry(
         parse_schema = json_schema_for(resource_type)
         target_schema = spark_schema_for(resource_type)
         convert = lambda col: converter_for(resource_type, col)  # noqa: E731
+    from ..schema.resources import base_resource_type
+
     parsed = (
-        bundles.where(F.col("resource_type") == resource_type)
+        bundles.where(F.col("resource_type") == base_resource_type(resource_type))
         .select(F.from_json("resource_json", parse_schema).alias("r"))
         .select(convert(F.col("r")).alias("res"))
     )
