@@ -163,11 +163,43 @@ FROM purchases p ASOF LEFT JOIN views v
 """
 
 
+def nations_with_customers_and_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operation (U2 intersect as a user query): nation keys present
+    on BOTH the customer and supplier side."""
+    c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+NATIONS_INTERSECT_SQL = """
+SELECT c_nationkey AS nationkey FROM customer
+INTERSECT
+SELECT s_nationkey AS nationkey FROM supplier
+"""
+
+
+def parts_never_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operation (except as a user query): part keys that never
+    appear in lineitem."""
+    p = load(spark, sf_dir, "part").select(F.col("p_partkey").alias("partkey"))
+    l = load(spark, sf_dir, "lineitem").select(F.col("l_partkey").alias("partkey"))
+    return p.exceptAll(l.distinct()).distinct()
+
+
+PARTS_EXCEPT_SQL = """
+SELECT p_partkey AS partkey FROM part
+EXCEPT
+SELECT l_partkey AS partkey FROM lineitem
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "closure_part_hierarchy": closure_part_hierarchy,
     "valueset_membership_lineitem": valueset_membership_lineitem,
     "translate_order_priority": translate_order_priority,
     "asof_purchase_last_view": asof_purchase_last_view,
+    "nations_with_customers_and_suppliers": nations_with_customers_and_suppliers,
+    "parts_never_ordered": parts_never_ordered,
 }
 
 ORACLES: dict[str, str] = {
@@ -175,4 +207,6 @@ ORACLES: dict[str, str] = {
     "valueset_membership_lineitem": VALUESET_MEMBERSHIP_SQL,
     "translate_order_priority": TRANSLATE_ORDER_PRIORITY_SQL,
     "asof_purchase_last_view": ASOF_PURCHASE_LAST_VIEW_SQL,
+    "nations_with_customers_and_suppliers": NATIONS_INTERSECT_SQL,
+    "parts_never_ordered": PARTS_EXCEPT_SQL,
 }

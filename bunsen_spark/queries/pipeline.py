@@ -81,6 +81,39 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(load(spark, sf_dir, "embeddings"))
 
 
+def corpus_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level 2-gram frequency table (top 25, ties broken by the
+    ngram text): one explode + one aggregation + a top-k — the shape of
+    every corpus-statistics job; at scale the explode fan-out is the
+    cost and the agg is map-side combined."""
+    from pyspark.sql import functions as F
+
+    from ..operators.dedup import _with_shingles
+
+    grams = _with_shingles(load(spark, sf_dir, "documents"), 2).select(
+        F.explode("shingles").alias("ngram")
+    )
+    return (
+        grams.groupBy("ngram")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy(F.desc("n_docs"), F.asc("ngram"))
+        .limit(25)
+    )
+
+
+CORPUS_TOP_NGRAMS_SQL = """
+WITH grams AS (
+  SELECT unnest(list_distinct(list_transform(
+      range(1, greatest(len(regexp_extract_all(lower(text), '[a-z0-9]+')) - 1, 1) + 1),
+      i -> array_to_string(regexp_extract_all(lower(text), '[a-z0-9]+')[CAST(i AS INTEGER):CAST(i + 1 AS INTEGER)], ' ')
+  ))) AS ngram
+  FROM documents
+)
+SELECT ngram, count(*) AS n_docs FROM grams
+GROUP BY ngram ORDER BY n_docs DESC, ngram LIMIT 25
+"""
+
+
 #: canonical corpus split used by the split query + its oracle
 SPLITS = {"train": 0.8, "val": 0.1, "test": 0.1}
 
@@ -132,6 +165,7 @@ def _oracles() -> dict[str, str]:
             + split_assign_sql("documents", "doc_id", SPLITS)
             + ") GROUP BY split"
         ),
+        "corpus_top_ngrams": CORPUS_TOP_NGRAMS_SQL,
     }
 
 
@@ -148,6 +182,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_brute_topk": ann_brute_topk,
     "ann_lsh_topk": ann_lsh_topk,
     "dataset_split_counts": dataset_split_counts,
+    "corpus_top_ngrams": corpus_top_ngrams,
 }
 
 ORACLES: dict[str, str] = _oracles()

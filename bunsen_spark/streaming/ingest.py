@@ -72,6 +72,17 @@ def windowed_observation_counts(
     )
 
 
+def stream_dedup(
+    df: DataFrame, keys: list[str], ts_col: str, watermark: str = "1 hour"
+) -> DataFrame:
+    """Streaming exactly-once-per-key dedup with bounded state:
+    duplicates arriving within the watermark horizon are dropped,
+    state for older keys is evicted (``dropDuplicatesWithinWatermark``)
+    — the streaming twin of the batch ``dedup`` family for
+    at-least-once upstream sources."""
+    return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
 def write_resource_stream(
     df: DataFrame,
     path: str,

@@ -133,3 +133,43 @@ def test_sessionize_stateful(spark, tmp_path):
     assert (1, "2024-01-01 10:00:00", 2) in got
     assert (1, "2024-01-01 12:00:00", 1) in got
     assert (2, "2024-01-01 09:00:00", 1) in got
+
+
+def test_stream_dedup(spark, tmp_path):
+    import json as jsonlib
+
+    from pyspark.sql import functions as F
+    import pyspark.sql.types as T
+
+    from bunsen_spark.streaming.ingest import stream_dedup
+
+    src = tmp_path / "dup_events"
+    src.mkdir()
+    rows = [
+        {"k": "a", "ts": "2024-01-01T10:00:00"},
+        {"k": "a", "ts": "2024-01-01T10:00:05"},  # duplicate key within horizon
+        {"k": "b", "ts": "2024-01-01T10:01:00"},
+        {"k": "a", "ts": "2024-01-01T10:02:00"},  # still within horizon -> dropped
+    ]
+    with open(src / "batch0.jsonl", "w") as f:
+        for r in rows:
+            f.write(jsonlib.dumps(r) + "\n")
+    schema = T.StructType(
+        [T.StructField("k", T.StringType()), T.StructField("ts", T.StringType())]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .json(str(src))
+        .select("k", F.to_timestamp("ts").alias("ts"))
+    )
+    q = (
+        stream_dedup(stream, ["k"], "ts")
+        .writeStream.format("memory")
+        .queryName("deduped")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(r["k"] for r in spark.table("deduped").collect())
+    assert got == ["a", "b"]
