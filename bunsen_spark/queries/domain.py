@@ -193,6 +193,57 @@ SELECT l_partkey AS partkey FROM lineitem
 """
 
 
+def orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (Catalyst decorrelates it into an
+    aggregate + join): orders whose total exceeds their customer's
+    average order total. Output: per-priority counts."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("__orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, count(*) AS n
+        FROM __orders o
+        WHERE o_totalprice > (
+            SELECT avg(o_totalprice) FROM __orders i WHERE i.o_custkey = o.o_custkey
+        )
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+ORDERS_ABOVE_CUSTOMER_AVG_SQL = """
+SELECT o_orderpriority, count(*) AS n
+FROM orders o
+WHERE o_totalprice > (
+    SELECT avg(o_totalprice) FROM orders i WHERE i.o_custkey = o.o_custkey
+)
+GROUP BY o_orderpriority
+"""
+
+
+def events_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured column handling: the events ``props`` JSON string
+    is parsed in-plan (no UDF) and aggregated by a derived bucket."""
+    e = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        e.select(F.expr("CAST(get_json_object(props, '$.k') AS INT) div 10").alias("k_bucket"), "value")
+        .groupBy("k_bucket")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+
+
+EVENTS_PROPS_EXTRACT_SQL = """
+SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) // 10 AS k_bucket,
+       count(*) AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM events
+GROUP BY k_bucket
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "closure_part_hierarchy": closure_part_hierarchy,
     "valueset_membership_lineitem": valueset_membership_lineitem,
@@ -200,6 +251,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_purchase_last_view": asof_purchase_last_view,
     "nations_with_customers_and_suppliers": nations_with_customers_and_suppliers,
     "parts_never_ordered": parts_never_ordered,
+    "orders_above_customer_avg": orders_above_customer_avg,
+    "events_props_extract": events_props_extract,
 }
 
 ORACLES: dict[str, str] = {
@@ -209,4 +262,6 @@ ORACLES: dict[str, str] = {
     "asof_purchase_last_view": ASOF_PURCHASE_LAST_VIEW_SQL,
     "nations_with_customers_and_suppliers": NATIONS_INTERSECT_SQL,
     "parts_never_ordered": PARTS_EXCEPT_SQL,
+    "orders_above_customer_avg": ORDERS_ABOVE_CUSTOMER_AVG_SQL,
+    "events_props_extract": EVENTS_PROPS_EXTRACT_SQL,
 }
