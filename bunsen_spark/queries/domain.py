@@ -244,6 +244,43 @@ GROUP BY k_bucket
 """
 
 
+RANGE_WINDOW_US = 30 * 60 * 1_000_000  # 30 minutes
+
+
+def range_join_purchase_views(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (absent from the reference): all (purchase, view)
+    pairs of the same user where the view happened within the 30
+    minutes strictly before the purchase — bucketed equi-join + exact
+    refine, no nested loop (`operators.range_join`)."""
+    from ..operators.range_join import range_join
+
+    e = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", F.expr("ts div 1000").alias("us")
+    )
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("us").alias("p_us")
+    )
+    views = e.where(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"), "user_id", F.col("us").alias("v_us")
+    )
+    return range_join(
+        purchases, views, ["user_id"], "p_us", "v_us", RANGE_WINDOW_US
+    ).select("purchase_id", "view_id", "user_id")
+
+
+RANGE_JOIN_SQL = f"""
+WITH e AS (
+  SELECT event_id, user_id, event_type, epoch_us(ts) AS us FROM events
+)
+SELECT p.event_id AS purchase_id, v.event_id AS view_id, p.user_id
+FROM (SELECT * FROM e WHERE event_type = 'purchase') p
+JOIN (SELECT * FROM e WHERE event_type = 'view') v
+  ON p.user_id = v.user_id
+ AND v.us >= p.us - {RANGE_WINDOW_US}
+ AND v.us < p.us
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "closure_part_hierarchy": closure_part_hierarchy,
     "valueset_membership_lineitem": valueset_membership_lineitem,
@@ -253,6 +290,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "parts_never_ordered": parts_never_ordered,
     "orders_above_customer_avg": orders_above_customer_avg,
     "events_props_extract": events_props_extract,
+    "range_join_purchase_views": range_join_purchase_views,
 }
 
 ORACLES: dict[str, str] = {
@@ -264,4 +302,5 @@ ORACLES: dict[str, str] = {
     "parts_never_ordered": PARTS_EXCEPT_SQL,
     "orders_above_customer_avg": ORDERS_ABOVE_CUSTOMER_AVG_SQL,
     "events_props_extract": EVENTS_PROPS_EXTRACT_SQL,
+    "range_join_purchase_views": RANGE_JOIN_SQL,
 }
