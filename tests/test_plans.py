@@ -1,0 +1,61 @@
+"""Physical-plan regression tests: the optimizer properties the engine
+is designed around must hold — filter pushdown + column pruning at the
+scan, broadcast joins for star queries, and no Python evaluation node
+in the valueset-membership path (the reference's opaque-UDF bottleneck
+this engine removes)."""
+
+from __future__ import annotations
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q1_pushdown_and_pruning(spark, sf_dir):
+    from bunsen_spark.queries.relational import q1_pricing_summary
+
+    plan = _plan(q1_pricing_summary(spark, sf_dir))
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+    # projection pruned to the 7 referenced columns — no full-row scan
+    read = plan.split("ReadSchema: ")[1].split("\n")[0]
+    assert "l_comment" not in read and read.count(":") <= 8
+
+
+def test_q5_broadcasts_dimensions(spark, sf_dir):
+    from bunsen_spark.queries.relational import q5_region_volume
+
+    plan = _plan(q5_region_volume(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_membership_join_is_not_python(spark, sf_dir):
+    from bunsen_spark.queries.domain import valueset_membership_lineitem
+
+    plan = _plan(valueset_membership_lineitem(spark, sf_dir))
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_in_valueset_expression_is_native(spark):
+    """The in_valueset predicate compiles to native expressions (no
+    Python evaluation node) when built from explicit code lists."""
+    from pyspark.sql import functions as F
+
+    from bunsen_spark.functions.valuesets import build_valuesets, in_valueset
+
+    vs = build_valuesets(spark, {"bp": [("http://loinc.org", "8462-4")]})
+    df = spark.createDataFrame(
+        [(("c1", [("http://loinc.org", "8462-4")]),)],
+        "code struct<id:string, coding:array<struct<system:string,code:string>>>",
+    )
+    out = df.where(in_valueset(F.col("code"), "bp", vs))
+    assert "BatchEvalPython" not in _plan(out)
+    assert out.count() == 1
+
+
+def test_range_join_is_hash_not_nested_loop(spark, sf_dir):
+    from bunsen_spark.queries.domain import range_join_purchase_views
+
+    plan = _plan(range_join_purchase_views(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
