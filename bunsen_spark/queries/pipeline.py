@@ -114,6 +114,35 @@ GROUP BY ngram ORDER BY n_docs DESC, ngram LIMIT 25
 """
 
 
+def corpus_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-language length quantiles (percentile aggregate
+    family): Spark's exact ``percentile`` and DuckDB's ``quantile_cont``
+    share the linear-interpolation formula bit-for-bit on integer
+    inputs, so even interpolated values hash-match."""
+    from pyspark.sql import functions as F
+
+    return (
+        load(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(
+            F.expr("percentile(n_chars, 0.25)").alias("q25"),
+            F.expr("percentile(n_chars, 0.5)").alias("q50"),
+            F.expr("percentile(n_chars, 0.9)").alias("q90"),
+            F.count("*").alias("n_docs"),
+        )
+    )
+
+
+CORPUS_LENGTH_QUANTILES_SQL = """
+SELECT lang,
+       quantile_cont(n_chars, 0.25) AS q25,
+       quantile_cont(n_chars, 0.5) AS q50,
+       quantile_cont(n_chars, 0.9) AS q90,
+       count(*) AS n_docs
+FROM documents GROUP BY lang
+"""
+
+
 #: canonical corpus split used by the split query + its oracle
 SPLITS = {"train": 0.8, "val": 0.1, "test": 0.1}
 
@@ -166,6 +195,7 @@ def _oracles() -> dict[str, str]:
             + ") GROUP BY split"
         ),
         "corpus_top_ngrams": CORPUS_TOP_NGRAMS_SQL,
+        "corpus_length_quantiles": CORPUS_LENGTH_QUANTILES_SQL,
     }
 
 
@@ -183,6 +213,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_lsh_topk": ann_lsh_topk,
     "dataset_split_counts": dataset_split_counts,
     "corpus_top_ngrams": corpus_top_ngrams,
+    "corpus_length_quantiles": corpus_length_quantiles,
 }
 
 ORACLES: dict[str, str] = _oracles()
