@@ -13,6 +13,12 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # The testdata fixtures write parquet TIMESTAMP(NANOS), which Spark can
+    # only read as int64 epoch-nanos with this conf. The driver's correctness
+    # gate builds its own SparkSession (not our session factory), so the conf
+    # must be applied here, on whatever session we are handed. It is
+    # runtime-settable.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
