@@ -616,13 +616,21 @@ def resource_names() -> list[str]:
 def definition_for(resource_type: str) -> Complex:
     if resource_type in _PROFILES:
         return _PROFILES[resource_type][1]
-    try:
+    if resource_type in _RESOURCES:
         return _RESOURCES[resource_type]
-    except KeyError:
-        raise ValueError(
-            f"unsupported resource type {resource_type!r}; supported: "
-            f"{resource_names() + sorted(_PROFILES)}"
-        ) from None
+    # spec-driven fallback: any StructureDefinition registered with the
+    # default registry (bundled US-Core + user-loaded spec files),
+    # addressable by canonical url, id, or name
+    from .structdef import default_registry
+
+    compiled = default_registry().get(resource_type)
+    if isinstance(compiled, Complex):
+        return compiled
+    raise ValueError(
+        f"unsupported resource type {resource_type!r}; supported: "
+        f"{resource_names() + sorted(_PROFILES)} plus spec-registered "
+        f"profiles {default_registry().resource_profile_names()}"
+    )
 
 
 def base_resource_type(resource_type: str) -> str:
@@ -630,6 +638,12 @@ def base_resource_type(resource_type: str) -> str:
     addressed by profile name but filter entries by base type)."""
     if resource_type in _PROFILES:
         return _PROFILES[resource_type][0]
+    if resource_type not in _RESOURCES:
+        from .structdef import default_registry
+
+        base = default_registry().base_type(resource_type)
+        if base is not None:
+            return base
     return resource_type
 
 

@@ -1,0 +1,432 @@
+"""Spec-driven schema generation: FHIR StructureDefinition JSON → DSL.
+
+Compiles the ``snapshot`` element list of a FHIR StructureDefinition
+(the public spec artifact format, hl7.org/fhir/STU3/structuredefinition.html)
+into this package's declarative schema DSL (:mod:`.core`), so any
+resource or profile with a published spec file gets the full schema /
+converter / export machinery with no hand-written definition.
+
+Mirrors the reference's definition walker
+(`Stu3StructureDefinitions.java:35-371`, which traverses HAPI's parsed
+StructureDefinitions) but consumes the spec JSON directly — no FHIR
+runtime needed. The same structural rules apply (SURVEY §1.3):
+
+* choice elements (``foo[x]``) become one struct with a field per type;
+* ``Reference`` elements carry synthetic ``<target>Id`` columns;
+* ``max=0`` elements are dropped, ``max>1`` become arrays;
+* non-extension slices are constraints, not new columns — skipped;
+* sliced extensions become first-class named columns, resolved through
+  the extension's own StructureDefinition (leaf value or nested
+  sub-extensions — `DefinitionToSparkVisitor.java:522-562`);
+* ``contentReference`` re-uses the referenced backbone's definition;
+* recursion is cut by :mod:`.core`'s depth-1 stack rule.
+
+A minimized form of the public HL7 US-Core STU3 package (produced by
+``tools/minimize_structdefs.py``; see that module's docstring) is
+bundled at ``definitions/us_core_stu3.min.json`` and auto-loaded, which
+covers the same 26 profiles the reference ships
+(`UsCoreStu3ProfileProvider.java:43-69`). Users can register further
+spec files — any STU3 resource or profile — with
+:func:`load_structure_definitions`.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+from .core import PRIMITIVES, Choice, Complex, Extension, Field, Reference
+from . import datatypes as dt
+
+# ---------------------------------------------------------------------------
+# Datatype registry: FHIR type code → DSL definition
+# ---------------------------------------------------------------------------
+
+SIGNATURE = Complex(
+    "Signature",
+    (
+        Field("id", "string"),
+        Field("type", dt.CODING, many=True),
+        Field("when", "instant"),
+        Field("whoUri", "uri"),
+        Field("whoReference", Reference(())),
+        Field("onBehalfOfUri", "uri"),
+        Field("onBehalfOfReference", Reference(())),
+        Field("contentType", "code"),
+        Field("blob", "base64Binary"),
+    ),
+)
+
+DATATYPES: dict[str, Complex] = {
+    "Coding": dt.CODING,
+    "CodeableConcept": dt.CODEABLE_CONCEPT,
+    "Quantity": dt.QUANTITY,
+    "SimpleQuantity": dt.QUANTITY,
+    "Period": dt.PERIOD,
+    "Range": dt.RANGE,
+    "Ratio": dt.RATIO,
+    "SampledData": dt.SAMPLED_DATA,
+    "Identifier": dt.IDENTIFIER,
+    "HumanName": dt.HUMAN_NAME,
+    "Address": dt.ADDRESS,
+    "ContactPoint": dt.CONTACT_POINT,
+    "Annotation": dt.ANNOTATION,
+    "Attachment": dt.ATTACHMENT,
+    "Meta": dt.META,
+    "Narrative": dt.NARRATIVE,
+    "Timing": dt.TIMING,
+    "Dosage": dt.DOSAGE,
+    "Signature": SIGNATURE,
+    # Quantity-derived types: same element list, distinct JSON spelling
+    **{
+        code: Complex(code, dt.QUANTITY.fields)
+        for code in ("Age", "Count", "Distance", "Duration", "Money")
+    },
+}
+
+#: element names never surfaced as columns (reference parity:
+#: `Stu3StructureDefinitions.java` skips contained unless requested,
+#: and unsliced extension/modifierExtension arrays)
+_SKIP_NAMES = {"contained", "modifierExtension"}
+
+
+def _upper_first(s: str) -> str:
+    return s[0].upper() + s[1:]
+
+
+def _lower_first(s: str) -> str:
+    return s[0].lower() + s[1:]
+
+
+def _is_many(el: dict) -> bool:
+    mx = str(el.get("max", "1"))
+    return mx == "*" or (mx.isdigit() and int(mx) > 1)
+
+
+def _bare_target_name(url: str) -> str:
+    return url.rsplit("/", 1)[-1]
+
+
+class _Node:
+    __slots__ = ("el", "children")
+
+    def __init__(self, el: dict):
+        self.el = el
+        self.children: list[_Node] = []
+
+
+def _build_tree(elements: list[dict]) -> _Node:
+    """Position-aware tree: a slice row is a sibling of its unsliced
+    base (same path), and rows following a slice attach to the slice —
+    exactly the snapshot's textual order."""
+    root = _Node(elements[0])
+    stack: list[tuple[int, _Node]] = [(elements[0]["path"].count("."), root)]
+    for el in elements[1:]:
+        depth = el["path"].count(".")
+        while stack and stack[-1][0] >= depth:
+            stack.pop()
+        node = _Node(el)
+        stack[-1][1].children.append(node)
+        stack.append((depth, node))
+    return root
+
+
+class StructureDefinitionRegistry:
+    """url/id/name → compiled DSL definition, resolved lazily.
+
+    Extension StructureDefinitions resolve to :class:`core.Extension`
+    values; resource (and resource-profile) definitions to
+    :class:`core.Complex` trees rooted at the base resource type.
+    """
+
+    def __init__(self) -> None:
+        self._raw: dict[str, dict] = {}  # canonical url -> minimized sd
+        self._alias: dict[str, str] = {}  # id/name/url -> url
+        self._compiled: dict[str, Complex | Extension] = {}
+
+    # -- loading ------------------------------------------------------------
+
+    def add(self, sd: dict) -> None:
+        sd = _ensure_minimized(sd)
+        url = sd["url"]
+        self._raw[url] = sd
+        self._compiled.pop(url, None)
+        for alias in (url, sd.get("id"), sd.get("name")):
+            if alias:
+                self._alias[alias] = url
+
+    def load_file(self, path: str | Path) -> list[str]:
+        """Load a registry JSON (url→sd map) or a single SD JSON."""
+        doc = json.loads(Path(path).read_text())
+        sds = [doc] if doc.get("resourceType") == "StructureDefinition" else list(doc.values())
+        for sd in sds:
+            self.add(sd)
+        return [sd["url"] for sd in sds]
+
+    def load_dir(self, path: str | Path) -> list[str]:
+        out = []
+        for p in sorted(Path(path).glob("*.json")):
+            try:
+                doc = json.loads(p.read_text())
+            except ValueError:
+                continue
+            if doc.get("resourceType") == "StructureDefinition":
+                self.add(doc)
+                out.append(doc["url"])
+        return out
+
+    # -- lookup -------------------------------------------------------------
+
+    def urls(self) -> list[str]:
+        return sorted(self._raw)
+
+    def resource_profile_names(self) -> list[str]:
+        return sorted(
+            sd["id"] for sd in self._raw.values() if sd.get("kind") == "resource"
+        )
+
+    def get(self, key: str) -> Complex | Extension | None:
+        url = self._alias.get(key)
+        if url is None:
+            return None
+        if url not in self._compiled:
+            self._compiled[url] = self._compile(self._raw[url])
+        return self._compiled[url]
+
+    def base_type(self, key: str) -> str | None:
+        url = self._alias.get(key)
+        return self._raw[url]["type"] if url else None
+
+    def _target_name(self, url: str) -> str:
+        """Reference targetProfile URL → base resource type. Profile
+        targets (e.g. ``.../us-core-patient``) resolve through the
+        registry to the resource they constrain; plain spec URLs
+        (``.../StructureDefinition/Patient``) use the last segment."""
+        base = self.base_type(url)
+        return base if base is not None else _bare_target_name(url)
+
+    # -- compilation --------------------------------------------------------
+
+    def _compile(self, sd: dict) -> Complex | Extension:
+        tree = _build_tree(sd["element"])
+        if sd.get("type") == "Extension":
+            return self._compile_extension_tree(tree, sd["url"])
+        backbones: dict[str, Complex] = {}
+        deferred: list[tuple[str, ...]] = []
+        fields = self._compile_children(tree, sd["type"], backbones, deferred)
+        # contentReference targets are compiled by now (FHIR defines the
+        # referenced element in the same snapshot); patch them in order.
+        while deferred:
+            raise AssertionError("unresolved contentReference")  # pragma: no cover
+        return Complex(sd["type"], tuple(fields))
+
+    def _compile_children(
+        self,
+        node: _Node,
+        owner: str,
+        backbones: dict[str, Complex],
+        deferred: list,
+    ) -> list[Field]:
+        fields: list[Field] = []
+        for child in node.children:
+            f = self._compile_element(child, owner, backbones, deferred)
+            if f is not None:
+                fields.append(f)
+        return fields
+
+    def _compile_element(
+        self,
+        node: _Node,
+        owner: str,
+        backbones: dict[str, Complex],
+        deferred: list,
+    ) -> Field | None:
+        el = node.el
+        path: str = el["path"]
+        name = path.rsplit(".", 1)[-1]
+        if str(el.get("max", "1")) == "0" or name in _SKIP_NAMES:
+            return None
+        many = _is_many(el)
+        types = el.get("type", [])
+        codes = [t.get("code") for t in types]
+
+        if name == "extension":
+            if "sliceName" not in el:
+                return None  # the unsliced open extension array
+            return self._compile_extension_slice(node, many)
+        if "sliceName" in el:
+            return None  # non-extension slices constrain, they don't add columns
+        if "contentReference" in el:
+            ref = el["contentReference"].lstrip("#")
+            target = backbones.get(ref)
+            if target is None:
+                # forward reference — not produced by STU3 snapshots, but
+                # fail loudly rather than silently drop the element
+                raise ValueError(f"unresolved contentReference #{ref} at {path}")
+            return Field(name, target, many=many)
+
+        if name.endswith("[x]"):
+            return self._compile_choice(name[:-3], types, many)
+
+        if not codes:
+            return None
+        code = codes[0]
+        if code == "Reference":
+            targets = tuple(
+                dict.fromkeys(
+                    self._target_name(t["targetProfile"])
+                    for t in types
+                    if t.get("code") == "Reference" and t.get("targetProfile")
+                )
+            )
+            return Field(name, Reference(targets), many=many)
+        if code in ("BackboneElement", "Element"):
+            sub = Complex(
+                owner + _upper_first(name),
+                tuple(self._compile_children(node, owner + _upper_first(name), backbones, deferred)),
+            )
+            backbones[path] = sub
+            return Field(name, sub, many=many)
+        if code == "Resource":
+            return None  # inline any-resource (contained-style) — not projected
+        if code in PRIMITIVES:
+            return Field(name, code, many=many)
+        if code in DATATYPES:
+            return Field(name, DATATYPES[code], many=many)
+        if code == "Extension":
+            return None  # extension-typed non-'extension' path (rare)
+        raise ValueError(f"unsupported type code {code!r} at {path}")
+
+    def _compile_choice(self, base: str, types: list[dict], many: bool) -> Field | None:
+        branches: list[tuple[str, object]] = []
+        ref_targets: list[str] = []
+        seen: set[str] = set()
+        for t in types:
+            code = t.get("code")
+            if code == "Reference":
+                if t.get("targetProfile"):
+                    ref_targets.append(self._target_name(t["targetProfile"]))
+                if "reference" not in seen:
+                    seen.add("reference")
+                    branches.append(("reference", None))  # patched below
+                continue
+            bname = _lower_first(code)
+            if bname in seen:
+                continue
+            seen.add(bname)
+            if code in PRIMITIVES:
+                branches.append((bname, code))
+            elif code in DATATYPES:
+                branches.append((bname, DATATYPES[code]))
+        if not branches:
+            return None
+        patched = tuple(
+            (n, Reference(tuple(dict.fromkeys(ref_targets)))) if bt is None else (n, bt)
+            for n, bt in branches
+        )
+        return Field(base, Choice(patched), many=many)
+
+    def _compile_extension_slice(self, node: _Node, many: bool) -> Field | None:
+        """A ``path.extension`` row with a sliceName: either an external
+        profile reference (resolve its SD) or an inline sub-extension."""
+        el = node.el
+        slice_name = el["sliceName"]
+        prof = next((t.get("profile") for t in el.get("type", []) if t.get("profile")), None)
+        if prof is not None:
+            ext = self.get(prof)
+            if ext is None:
+                raise ValueError(
+                    f"extension profile {prof!r} not loaded (slice {slice_name!r})"
+                )
+            if not isinstance(ext, Extension):
+                raise ValueError(f"{prof!r} is not an extension definition")
+            return Field(slice_name, ext, many=many)
+        return Field(slice_name, self._compile_extension_tree(node, slice_name), many=many)
+
+    def _compile_extension_tree(self, node: _Node, url: str) -> Extension:
+        """Extension body: sliced sub-extensions → parent; otherwise the
+        single constrained value element → leaf."""
+        sub_slices = [
+            c
+            for c in node.children
+            if c.el["path"].rsplit(".", 1)[-1] == "extension" and "sliceName" in c.el
+        ]
+        if sub_slices:
+            children = []
+            for c in sub_slices:
+                f = self._compile_extension_slice(c, _is_many(c.el))
+                if f is not None:
+                    children.append(f)
+            return Extension(url, children=tuple(children))
+        for c in node.children:
+            el = c.el
+            name = el["path"].rsplit(".", 1)[-1]
+            if not name.startswith("value") or str(el.get("max", "1")) == "0":
+                continue
+            types = el.get("type", [])
+            if not types:
+                continue
+            code = types[0].get("code")
+            if code in PRIMITIVES:
+                return Extension(url, code)
+            if code in DATATYPES:
+                return Extension(url, DATATYPES[code])
+            raise ValueError(f"unsupported extension value type {code!r} for {url}")
+        raise ValueError(f"extension {url} has neither sub-extensions nor a value element")
+
+
+def _minimize(sd: dict) -> dict:
+    out = {
+        k: sd[k]
+        for k in ("resourceType", "id", "url", "name", "type", "kind", "baseDefinition")
+        if k in sd
+    }
+    elements = []
+    for el in sd.get("snapshot", {}).get("element", []):
+        m = {
+            k: el[k]
+            for k in ("path", "min", "max", "sliceName", "contentReference")
+            if k in el
+        }
+        types = []
+        for t in el.get("type", []):
+            mt = {k: t[k] for k in ("code", "profile", "targetProfile") if k in t}
+            if mt not in types:
+                types.append(mt)
+        if types:
+            m["type"] = types
+        elements.append(m)
+    out["element"] = elements
+    return out
+
+
+def _ensure_minimized(sd: dict) -> dict:
+    """Accept either the full spec artifact or the minimized form."""
+    return sd if "element" in sd else _minimize(sd)
+
+
+# ---------------------------------------------------------------------------
+# Default registry (bundled US-Core STU3 package)
+# ---------------------------------------------------------------------------
+
+_BUNDLED = Path(__file__).parent / "definitions" / "us_core_stu3.min.json"
+_default: StructureDefinitionRegistry | None = None
+
+
+def default_registry() -> StructureDefinitionRegistry:
+    global _default
+    if _default is None:
+        reg = StructureDefinitionRegistry()
+        if _BUNDLED.exists():
+            reg.load_file(_BUNDLED)
+        _default = reg
+    return _default
+
+
+def load_structure_definitions(path: str | Path) -> list[str]:
+    """Register spec files (a directory of StructureDefinition JSONs, a
+    single SD JSON, or a minimized registry file) with the default
+    registry; returns the canonical URLs loaded."""
+    reg = default_registry()
+    p = Path(path)
+    return reg.load_dir(p) if p.is_dir() else reg.load_file(p)
