@@ -180,6 +180,75 @@ class ConceptMaps:
             df = df.where(F.col("experimental").isNull() | ~F.col("experimental"))
         return df.groupBy("url").agg(F.max("version").alias("version"))
 
+    def get_concept_map(self, uri: str, version: str | None = None) -> DataFrame:
+        """Re-assemble ONE stored map as a full ConceptMap resource row
+        (D5, `stu3/codes/ConceptMaps.java:134-199`): the stripped
+        metadata's ``group[].element`` arrays are rebuilt from the flat
+        mapping rows with two grouped collects, then spliced back into
+        each group struct by (source, target) system pair.
+
+        Element and target arrays are returned sorted by code — the
+        flat table does not record document order (FHIR imposes none).
+        """
+        v = version or self.latest_version(uri)
+        meta = self.concept_maps.where((F.col("url") == uri) & (F.col("version") == v))
+        maps = self.mappings.where(
+            (F.col("conceptmapuri") == uri) & (F.col("conceptmapversion") == v)
+        )
+
+        by_code = lambda l, r: F.when(l["code"] < r["code"], -1).when(  # noqa: E731
+            l["code"] > r["code"], 1
+        ).otherwise(F.lit(0))
+        nstr = F.lit(None).cast("string")
+        target_struct = F.struct(
+            nstr.alias("id"),
+            F.col("targetvalue").alias("code"),
+            nstr.alias("display"),
+            F.col("equivalence").alias("equivalence"),
+            nstr.alias("comment"),
+        )
+        targets = maps.groupBy("sourcesystem", "targetsystem", "sourcevalue").agg(
+            F.collect_list(target_struct).alias("target")
+        )
+        element_struct = F.struct(
+            nstr.alias("id"),
+            F.col("sourcevalue").alias("code"),
+            nstr.alias("display"),
+            F.array_sort(F.col("target"), by_code).alias("target"),
+        )
+        elements = targets.groupBy("sourcesystem", "targetsystem").agg(
+            F.collect_list(element_struct).alias("_element")
+        ).withColumn("_element", F.array_sort(F.col("_element"), by_code))
+
+        g = meta.select("url", "version", F.posexplode("group").alias("pos", "g"))
+        joined = g.join(
+            elements,
+            (g["g.source"] == elements["sourcesystem"])
+            & (g["g.target"] == elements["targetsystem"]),
+            "left",
+        )
+        rebuilt = joined.select(
+            "url",
+            "version",
+            F.struct(
+                F.col("pos"),
+                F.col("g").withField(
+                    "element", F.coalesce(F.col("_element"), F.col("g.element"))
+                ).alias("g"),
+            ).alias("pg"),
+        )
+        groups = rebuilt.groupBy("url", "version").agg(
+            F.transform(F.array_sort(F.collect_list("pg")), lambda x: x["g"]).alias("_group")
+        )
+        return (
+            meta.join(groups, ["url", "version"], "left")
+            .withColumn(
+                "group", F.when(F.col("_group").isNotNull(), F.col("_group")).otherwise(F.col("group"))
+            )
+            # equi-join hoists the keys to the front; restore resource order
+            .select(*meta.columns)
+        )
+
     # -- translate (D12) ----------------------------------------------------
 
     def _delegate_uri(self, uri: str, version: str) -> str | None:

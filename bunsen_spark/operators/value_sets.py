@@ -120,6 +120,76 @@ class ValueSets:
             (F.col("valueseturi") == uri) & (F.col("valuesetversion") == v)
         ).select("system", "version", "value")
 
+    def get_value_set(self, uri: str, version: str | None = None) -> DataFrame:
+        """Re-assemble ONE stored set as a full ValueSet resource row
+        (D6 read-back, `stu3/codes/ValueSets.java:237-285`): the
+        stripped metadata's ``compose.include[].concept`` arrays are
+        rebuilt from the flat value rows (grouped collect per code
+        system) and spliced back into each include struct by
+        null-safe (system, version) match.
+
+        Concept arrays come back sorted by code — the flat table does
+        not record document order (FHIR imposes none).
+        """
+        v = version or self.latest_version(uri)
+        meta = self.value_sets.where((F.col("url") == uri) & (F.col("version") == v))
+        vals = self.values.where(
+            (F.col("valueseturi") == uri) & (F.col("valuesetversion") == v)
+        )
+
+        by_code = lambda l, r: F.when(l["code"] < r["code"], -1).when(  # noqa: E731
+            l["code"] > r["code"], 1
+        ).otherwise(F.lit(0))
+        nstr = F.lit(None).cast("string")
+        concept_struct = F.struct(
+            nstr.alias("id"),
+            F.col("value").alias("code"),
+            nstr.alias("display"),
+        )
+        concepts = vals.groupBy("system", "version").agg(
+            F.collect_list(concept_struct).alias("_concept")
+        ).withColumn("_concept", F.array_sort(F.col("_concept"), by_code))
+
+        inc = meta.select(
+            F.col("url").alias("_u"),
+            F.col("version").alias("_v"),
+            F.posexplode("compose.include").alias("pos", "inc"),
+        )
+        joined = inc.join(
+            concepts,
+            (inc["inc.system"] == concepts["system"])
+            & inc["inc.version"].eqNullSafe(concepts["version"]),
+            "left",
+        )
+        rebuilt = joined.select(
+            "_u",
+            "_v",
+            F.struct(
+                F.col("pos"),
+                F.col("inc").withField(
+                    "concept", F.coalesce(F.col("_concept"), F.col("inc.concept"))
+                ).alias("inc"),
+            ).alias("pi"),
+        )
+        includes = rebuilt.groupBy("_u", "_v").agg(
+            F.transform(F.array_sort(F.collect_list("pi")), lambda x: x["inc"]).alias("_include")
+        )
+        return (
+            meta.join(
+                includes,
+                (meta["url"] == includes["_u"]) & (meta["version"] == includes["_v"]),
+                "left",
+            )
+            .withColumn(
+                "compose",
+                F.when(
+                    F.col("_include").isNotNull(),
+                    F.col("compose").withField("include", F.col("_include")),
+                ).otherwise(F.col("compose")),
+            )
+            .select(*meta.columns)
+        )
+
     # -- warehouse ----------------------------------------------------------
 
     def write_to_database(self, database: str, path: str | None = None) -> None:

@@ -108,3 +108,44 @@ def test_warehouse_round_trip(spark, concept_maps, tmp_path):
     with pytest.raises(ValueError, match="already exists"):
         concept_maps.write_to_database(db, path=str(tmp_path))
     spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+
+
+def test_get_concept_map_reassembles_nested_resource(spark, concept_maps):
+    """D5: stored flat mappings → full nested ConceptMap resource row →
+    JSON equal to the original fixture (element/target arrays sorted by
+    code; the flat table records no document order)."""
+    import json
+
+    from bunsen_spark.sources.export import to_resource_json
+
+    one = concept_maps.get_concept_map(GENDER_URL)
+    # exact analytic schema and original column order
+    assert one.schema == concept_maps.get_maps().schema
+    assert one.count() == 1
+
+    got = json.loads(to_resource_json(one, "ConceptMap").collect()[0]["json"])
+    want = json.load(open("fixtures/conceptmaps/gender.json"))
+
+    def norm(d):
+        for g in d.get("group", []):
+            for e in g.get("element", []):
+                e["target"].sort(key=lambda t: t["code"])
+            g["element"].sort(key=lambda e: e["code"])
+        return d
+
+    assert norm(got) == norm(want)
+
+
+def test_get_concept_map_after_warehouse(spark, concept_maps, tmp_path):
+    """The read-back path the reference implements in
+    `ConceptMaps.java:134-199`: database → collection → full resource."""
+    from bunsen_spark.operators.concept_maps import ConceptMaps
+
+    spark.sql("DROP DATABASE IF EXISTS reassembly_cm CASCADE")
+    concept_maps.write_to_database("reassembly_cm", path=str(tmp_path / "cmdb"))
+    stored = ConceptMaps.get_from_database(spark, "reassembly_cm")
+    one = stored.get_concept_map(GENDER_URL)
+    row = one.collect()[0]
+    elements = {e["code"] for g in row["group"] for e in g["element"]}
+    assert elements == {"F", "f", "M", "m", "U"}
+    spark.sql("DROP DATABASE IF EXISTS reassembly_cm CASCADE")

@@ -74,3 +74,31 @@ def test_warehouse_round_trip(spark, valuesets, tmp_path):
     with pytest.raises(ValueError, match="already exists"):
         valuesets.write_to_database(db, path=str(tmp_path))
     spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+
+
+def test_get_value_set_reassembles_nested_resource(spark, valuesets):
+    """D6 read-back: flat values → full nested ValueSet resource row.
+    ``display`` is not persisted in the flat values table (reference
+    parity: `AbstractValueSets` value rows carry system/version/value
+    only), so compare against the fixture with displays stripped."""
+    import json
+
+    from bunsen_spark.sources.export import to_resource_json
+
+    uri = "urn:bunsen-spark:valueset:married_maritalstatus"
+    one = valuesets.get_value_set(uri)
+    assert one.schema == valuesets.get_value_sets().schema
+    assert one.count() == 1
+
+    got = json.loads(to_resource_json(one, "ValueSet").collect()[0]["json"])
+    want = json.load(open("fixtures/valuesets/married_maritalstatus.json"))
+
+    def norm(d, strip_display):
+        for i in d.get("compose", {}).get("include", []):
+            for c in i.get("concept", []):
+                if strip_display:
+                    c.pop("display", None)
+            i.get("concept", []).sort(key=lambda c: c["code"])
+        return d
+
+    assert norm(got, False) == norm(want, True)
