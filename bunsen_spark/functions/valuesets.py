@@ -169,6 +169,66 @@ def in_valueset_join(
 
 
 # ---------------------------------------------------------------------------
+# native SQL path: rewrite in_valueset(col, 'ref') before execution
+# ---------------------------------------------------------------------------
+
+#: canonical docs idiom: in_valueset(<column or dotted path>, '<ref>')
+_SQL_CALL = None  # compiled lazily (keeps module import cheap)
+
+
+def _sql_call_re():
+    global _SQL_CALL
+    if _SQL_CALL is None:
+        import re
+
+        _SQL_CALL = re.compile(
+            r"in_valueset\s*\(\s*([A-Za-z_][\w.`]*)\s*,\s*'([^']*)'\s*\)",
+            re.IGNORECASE,
+        )
+    return _SQL_CALL
+
+
+def rewrite_in_valueset_sql(query: str, valuesets: dict | None = None) -> str:
+    """Rewrite every ``in_valueset(col, 'ref')`` call in a SQL string
+    into the native exists-expression the Column API emits, so the SQL
+    idiom of the reference docs (`docs/source/introduction.rst:76-90`)
+    never falls back to the row-at-a-time Python UDF.
+
+    The first argument must be a column reference (optionally dotted /
+    backquoted) naming a CodeableConcept struct — the canonical usage.
+    Calls that don't match the pattern are left for the registered UDF.
+    """
+    vs = valuesets if valuesets is not None else current_valuesets()
+
+    def repl(m):
+        colexpr, ref = m.group(1), m.group(2)
+        if vs is None:
+            raise ValueError("no valuesets pushed; call push_valuesets first")
+        if ref not in vs:
+            raise ValueError(f"unknown valueset reference {ref!r}")
+        members = _flat_members(vs[ref])
+        if not members:
+            return "false"
+        lits = ", ".join("'" + mb.replace("'", "''") + "'" for mb in members)
+        return (
+            f"coalesce(exists({colexpr}.coding, "
+            f"c -> concat_ws('|', c.system, c.code) IN ({lits})), false)"
+        )
+
+    return _sql_call_re().sub(repl, query)
+
+
+def sql(spark: SparkSession, query: str, valuesets: dict | None = None) -> DataFrame:
+    """Run a SQL query with ``in_valueset`` compiled natively.
+
+    Drop-in for ``spark.sql`` on queries using the reference's SQL
+    membership idiom: the predicate is rewritten into a JVM-side
+    exists/IN-set expression (whole-stage codegen, pushdown-friendly)
+    instead of hitting the registered Python UDF."""
+    return spark.sql(rewrite_in_valueset_sql(query, valuesets))
+
+
+# ---------------------------------------------------------------------------
 # push/pop stack + SQL UDF parity (D11)
 # ---------------------------------------------------------------------------
 

@@ -59,3 +59,28 @@ def test_range_join_is_hash_not_nested_loop(spark, sf_dir):
 
     plan = _plan(range_join_purchase_views(spark, sf_dir))
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_sql_string_in_valueset_is_native(spark):
+    """The SQL-STRING form of the docs membership query
+    (`introduction.rst:76-90` shape) must compile to native expressions
+    via the sql() rewriter — no BatchEvalPython (VERDICT r1 item 4)."""
+    from bunsen_spark.functions.valuesets import pop_valuesets, push_valuesets, sql
+
+    push_valuesets(spark, {"bp": [("http://loinc.org", "8462-4")]})
+    try:
+        df = spark.createDataFrame(
+            [(("c1", [("http://loinc.org", "8462-4")]),),
+             (("c2", [("http://loinc.org", "9999-9")]),)],
+            "code struct<id:string, coding:array<struct<system:string,code:string>>>",
+        )
+        df.createOrReplaceTempView("obs_sqltest")
+        out = sql(spark, "SELECT * FROM obs_sqltest WHERE in_valueset(code, 'bp')")
+        plan = _plan(out)
+        assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+        assert out.count() == 1
+        # same rows as the (slow-path) registered Python UDF
+        udf_out = spark.sql("SELECT * FROM obs_sqltest WHERE in_valueset(code, 'bp')")
+        assert sorted(map(str, out.collect())) == sorted(map(str, udf_out.collect()))
+    finally:
+        pop_valuesets(spark)
