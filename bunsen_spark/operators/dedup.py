@@ -422,46 +422,117 @@ def _dot(a: Column, b: Column) -> Column:
     )
 
 
-def embedding_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.45) -> DataFrame:
-    """All-pairs cosine ≥ threshold over the embedding column (exact
-    baseline; see :mod:`similarity` for the LSH-bucketed scale path).
+def embedding_near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.45,
+    strategy: str = "auto",
+    num_blocks: int = 8,
+    max_broadcast_rows: int = 500_000,
+) -> DataFrame:
+    """All-pairs cosine ≥ threshold over the embedding column (exact;
+    see :mod:`similarity` for the approximate LSH top-k path).
     Output: (a_id, b_id) — the similarity value itself is excluded so
     the check is robust to last-ulp float summation differences.
 
-    Execution: the corpus matrix is gathered once and broadcast
-    (n_vectors × dim doubles — ~0.5 GB per million 64-dim vectors),
-    then every partition scores its rows against it with one numpy
-    matmul inside ``mapInPandas`` — ~10× the per-pair Catalyst
-    higher-order-function expression this replaces. Past broadcast
-    size, switch to LSH bucketing (:func:`similarity.lsh_topk`'s
-    banding) or block-partitioned matmul."""
+    Strategies (both exact, bit-identical output):
+
+    - ``broadcast``: corpus matrix gathered once and broadcast
+      (n × dim doubles — ~0.5 GB per million 64-dim vectors), each
+      partition matmuls its rows against it. Fastest while the matrix
+      fits; REFUSED above ``max_broadcast_rows`` (driver protection).
+    - ``blocked``: the 100 TB path — no driver collect anywhere.
+      Vectors are hashed into ``num_blocks`` blocks; each of the
+      B(B+1)/2 unordered block pairs is a shuffle group whose two
+      blocks are cross-scored with one numpy matmul inside
+      ``applyInPandas``. Every vector is shuffled exactly B times
+      (its block pairs with every block), so total shuffle volume is
+      n·B rows — linear in n with a √-replication factor, never an
+      n² expansion. Size ``num_blocks`` so two blocks of
+      n/num_blocks × dim doubles fit an executor (e.g. 1 M × 768-d
+      ≈ 6 GB/block at B=32 → ~12 GB per task).
+    - ``auto``: broadcast when a cheap count says the corpus fits,
+      else blocked.
+    """
     import numpy as np
     import pandas as pd
 
     spark = embeddings.sparkSession
     src = embeddings.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
-    gathered = src.collect()
-    ids = np.array([r["vec_id"] for r in gathered], dtype=np.int64)
-    mat = np.array([r["v"] for r in gathered], dtype=np.float64)
-    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
-    b_ids = spark.sparkContext.broadcast(ids)
-    b_mat = spark.sparkContext.broadcast(mat)
 
-    def score(batches):
-        all_ids, all_mat = b_ids.value, b_mat.value
-        for pdf in batches:
-            rows = np.array(pdf["v"].tolist(), dtype=np.float64)
-            rows /= np.linalg.norm(rows, axis=1, keepdims=True)
-            row_ids = pdf["vec_id"].to_numpy()
-            sims = rows @ all_mat.T
-            out_a, out_b = [], []
-            for i, rid in enumerate(row_ids):
-                hits = all_ids[(sims[i] >= threshold) & (all_ids > rid)]
-                out_a.extend([rid] * len(hits))
-                out_b.extend(hits.tolist())
-            yield pd.DataFrame({"a_id": out_a, "b_id": out_b})
+    if strategy == "auto":
+        strategy = "broadcast" if src.count() <= max_broadcast_rows else "blocked"
 
-    return src.mapInPandas(score, "a_id long, b_id long")
+    if strategy == "broadcast":
+        gathered = src.collect()
+        if len(gathered) > max_broadcast_rows:
+            raise ValueError(
+                f"{len(gathered)} vectors exceed max_broadcast_rows="
+                f"{max_broadcast_rows}; use strategy='blocked'"
+            )
+        ids = np.array([r["vec_id"] for r in gathered], dtype=np.int64)
+        mat = np.array([r["v"] for r in gathered], dtype=np.float64)
+        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+        b_ids = spark.sparkContext.broadcast(ids)
+        b_mat = spark.sparkContext.broadcast(mat)
+
+        def score(batches):
+            all_ids, all_mat = b_ids.value, b_mat.value
+            for pdf in batches:
+                rows = np.array(pdf["v"].tolist(), dtype=np.float64)
+                rows /= np.linalg.norm(rows, axis=1, keepdims=True)
+                row_ids = pdf["vec_id"].to_numpy()
+                sims = rows @ all_mat.T
+                out_a, out_b = [], []
+                for i, rid in enumerate(row_ids):
+                    hits = all_ids[(sims[i] >= threshold) & (all_ids > rid)]
+                    out_a.extend([rid] * len(hits))
+                    out_b.extend(hits.tolist())
+                yield pd.DataFrame({"a_id": out_a, "b_id": out_b})
+
+        return src.mapInPandas(score, "a_id long, b_id long")
+
+    if strategy != "blocked":
+        raise ValueError(f"unknown strategy {strategy!r}")
+
+    B = num_blocks
+    pairs = spark.createDataFrame(
+        [(i, j) for i in range(B) for j in range(i, B)], "bi int, bj int"
+    )
+    blocked = src.withColumn("blk", F.pmod(F.xxhash64("vec_id"), F.lit(B)).cast("int"))
+    # a vector participates in every block pair containing its block;
+    # each unordered vector pair meets in exactly ONE group
+    side_a = blocked.join(F.broadcast(pairs), F.col("blk") == F.col("bi")).select(
+        "bi", "bj", F.lit("a").alias("side"), "vec_id", "v"
+    )
+    side_b = blocked.join(F.broadcast(pairs), F.col("blk") == F.col("bj")).select(
+        "bi", "bj", F.lit("b").alias("side"), "vec_id", "v"
+    )
+    both = side_a.unionByName(side_b)
+
+    def cross_score(pdf: pd.DataFrame) -> pd.DataFrame:
+        a = pdf[pdf["side"] == "a"]
+        b = pdf[pdf["side"] == "b"]
+        if a.empty or b.empty:
+            return pd.DataFrame({"a_id": [], "b_id": []}).astype("int64")
+        am = np.array(a["v"].tolist(), dtype=np.float64)
+        bm = np.array(b["v"].tolist(), dtype=np.float64)
+        am /= np.linalg.norm(am, axis=1, keepdims=True)
+        bm /= np.linalg.norm(bm, axis=1, keepdims=True)
+        aid = a["vec_id"].to_numpy()
+        bid = b["vec_id"].to_numpy()
+        sims = am @ bm.T
+        # canonical (min, max) emission; the diagonal block sees every
+        # pair twice (both sides hold the block) — `<` keeps one copy
+        ii, jj = np.nonzero(sims >= threshold)
+        lo = np.minimum(aid[ii], bid[jj])
+        hi = np.maximum(aid[ii], bid[jj])
+        keep = lo < hi
+        out = pd.DataFrame({"a_id": lo[keep], "b_id": hi[keep]})
+        return out.drop_duplicates()
+
+    # no distinct needed: each unordered pair meets in exactly one group
+    # (diagonal-group double emission is deduped inside the group)
+    return both.groupBy("bi", "bj").applyInPandas(cross_score, "a_id long, b_id long")
 
 
 def embedding_near_dup_pairs_sql(

@@ -66,7 +66,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import embedding_near_dup_pairs
 
-    return embedding_near_dup_pairs(load(spark, sf_dir, "embeddings"))
+    # exercise the blocked (no-driver-collect) strategy — the 100 TB
+    # path — so the oracle verifies its exactness, not just broadcast's
+    return embedding_near_dup_pairs(load(spark, sf_dir, "embeddings"), strategy="blocked")
 
 
 def ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,0 +1,47 @@
+"""Embedding near-dup strategies (VERDICT r1 item 5): the blocked
+(no-driver-collect) path must be exact — bit-identical pairs to the
+broadcast baseline — and the broadcast path must refuse corpora past
+its driver-memory guard."""
+
+from __future__ import annotations
+
+import pytest
+
+
+def _pairs(df):
+    return sorted((r["a_id"], r["b_id"]) for r in df.collect())
+
+
+def test_blocked_equals_broadcast(spark, sf_dir):
+    from bunsen_spark.operators.dedup import embedding_near_dup_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    broadcast = _pairs(embedding_near_dup_pairs(emb, strategy="broadcast"))
+    blocked = _pairs(embedding_near_dup_pairs(emb, strategy="blocked", num_blocks=4))
+    assert broadcast == blocked
+    assert len(blocked) > 0  # fixture has near-dup planted pairs
+    # canonical orientation, no self-pairs
+    assert all(a < b for a, b in blocked)
+
+
+def test_blocked_single_block_degenerate(spark, sf_dir):
+    """B=1 → one diagonal group: in-group dedup must keep one copy."""
+    from bunsen_spark.operators.dedup import embedding_near_dup_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    one = _pairs(embedding_near_dup_pairs(emb, strategy="blocked", num_blocks=1))
+    four = _pairs(embedding_near_dup_pairs(emb, strategy="blocked", num_blocks=4))
+    assert one == four
+
+
+def test_broadcast_guard_refuses_large_corpus(spark, sf_dir):
+    from bunsen_spark.operators.dedup import embedding_near_dup_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    with pytest.raises(ValueError, match="max_broadcast_rows"):
+        embedding_near_dup_pairs(
+            emb, strategy="broadcast", max_broadcast_rows=10
+        ).count()
+    # auto falls back to blocked instead of refusing
+    auto = embedding_near_dup_pairs(emb, strategy="auto", max_broadcast_rows=10)
+    assert len(_pairs(auto)) > 0
