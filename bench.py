@@ -30,8 +30,13 @@ def main() -> None:
 
     qs = all_queries()
     timings: dict[str, float] = {}
-    # warm the session (JVM/codegen) once with a trivial job
+    # warm the session once: a trivial JVM job, the Python->JVM
+    # createDataFrame bridge (first use costs seconds of class loading
+    # — it was 90% of translate_order_priority's r1 outlier), and a
+    # parquet footer read
     spark.range(1).count()
+    spark.createDataFrame([(1, "warm")], "a int, b string").count()
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
     for name, fn in qs.items():
         t0 = time.time()
         try:

@@ -206,12 +206,16 @@ def _shingle_hashes(col: Column) -> Column:
 
 
 def minhash_signature(docs: DataFrame) -> DataFrame:
-    """(doc_id, sig array<long>, words array<string>) with the
-    ``NUM_HASHES``-wide MinHash signature over the shingle set."""
+    """(doc_id, hs array<long>, sig array<long>): the distinct hashed
+    shingle set and the ``NUM_HASHES``-wide MinHash signature over it.
+
+    The string shingles never leave the map stage: both the signature
+    AND the later exact-Jaccard verify work on the 8-byte shingle
+    hashes, so downstream joins shuffle compact long arrays instead of
+    word n-gram strings (~an order of magnitude smaller)."""
     base = _with_shingles(docs).select(
         "doc_id",
-        F.col("shingles").alias("words"),
-        _shingle_hashes(F.col("shingles")).alias("hs"),
+        F.array_distinct(_shingle_hashes(F.col("shingles"))).alias("hs"),
     )
     def perm(a: int, b: int):
         return lambda h: (F.lit(a) * h + F.lit(b)) % MERSENNE31
@@ -222,14 +226,15 @@ def minhash_signature(docs: DataFrame) -> DataFrame:
             for k in range(NUM_HASHES)
         ]
     )
-    return base.select("doc_id", "words", sig.alias("sig"))
+    return base.select("doc_id", "hs", sig.alias("sig"))
 
 
 def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     """Near-dup pairs: LSH banding proposes candidates (docs agreeing
     on all ``ROWS_PER_BAND`` signature slots of some band), exact
-    shingle-set Jaccard verifies. Output: (a_id, b_id, jaccard ≥
-    threshold, rounded 6)."""
+    Jaccard over the hashed shingle sets verifies (the oracle hashes
+    identically, so parity is exact even under md5 collisions).
+    Output: (a_id, b_id, jaccard ≥ threshold, rounded 6)."""
     sigs = minhash_signature(docs)
     band_keys = F.array(
         *[
@@ -254,22 +259,17 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
         )
         .distinct()
     )
-    wa = sigs.select(F.col("doc_id").alias("a_id"), F.col("words").alias("wa"))
-    wb = sigs.select(F.col("doc_id").alias("b_id"), F.col("words").alias("wb"))
+    ha = sigs.select(F.col("doc_id").alias("a_id"), F.col("hs").alias("ha"))
+    hb = sigs.select(F.col("doc_id").alias("b_id"), F.col("hs").alias("hb"))
     verified = (
-        cand.join(wa, "a_id")
-        .join(wb, "b_id")
+        cand.join(ha, "a_id")
+        .join(hb, "b_id")
+        # intersect computed once, then the Jaccard identity on sizes
+        .withColumn("i", F.size(F.array_intersect("ha", "hb")))
         .select(
             "a_id",
             "b_id",
-            (
-                F.size(F.array_intersect("wa", "wb"))
-                / (
-                    F.size("wa")
-                    + F.size("wb")
-                    - F.size(F.array_intersect("wa", "wb"))
-                )
-            ).alias("j"),
+            (F.col("i") / (F.size("ha") + F.size("hb") - F.col("i"))).alias("j"),
         )
         .where(F.col("j") >= threshold)
     )
@@ -291,11 +291,11 @@ def minhash_lsh_pairs_sql(table: str = "documents", threshold: float = 0.5) -> s
     )
     return f"""
 WITH base AS (
-  SELECT doc_id, {shingles_sql(SHINGLE_N)} AS words,
-         list_transform({shingles_sql(SHINGLE_N)}, s -> {shingle_hash}) AS hs
+  SELECT doc_id,
+         list_distinct(list_transform({shingles_sql(SHINGLE_N)}, s -> {shingle_hash})) AS hs
   FROM {table}
 ), sigs AS (
-  SELECT doc_id, words, [{mins}] AS sig FROM base
+  SELECT doc_id, hs, [{mins}] AS sig FROM base
 ), buckets AS (
   SELECT doc_id, unnest([{band_keys}]) AS bk FROM sigs
 ), cand AS (
@@ -305,8 +305,8 @@ WITH base AS (
 )
 SELECT a_id, b_id, round(j, 6) AS jaccard FROM (
   SELECT a_id, b_id,
-         len(list_intersect(sa.words, sb.words)) /
-         (len(sa.words) + len(sb.words) - len(list_intersect(sa.words, sb.words))) AS j
+         len(list_intersect(sa.hs, sb.hs)) /
+         (len(sa.hs) + len(sb.hs) - len(list_intersect(sa.hs, sb.hs))) AS j
   FROM cand
   JOIN sigs sa ON sa.doc_id = a_id
   JOIN sigs sb ON sb.doc_id = b_id
