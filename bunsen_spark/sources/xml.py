@@ -217,6 +217,117 @@ def fhir_xml_to_json(xml_string: str) -> str:
     return _to_json(_convert_resource(root))
 
 
+# ---------------------------------------------------------------------------
+# export: FHIR JSON → FHIR XML (inverse shim; SURVEY §8 XML-export gap,
+# parity with the reference's resourceToXml, stu3/python/Functions.java:120-127)
+# ---------------------------------------------------------------------------
+
+
+def _xml_escape_attr(v: str) -> str:
+    from xml.sax.saxutils import quoteattr
+
+    return quoteattr(v)
+
+
+def _num_text(value) -> str:
+    # json.dumps renders numbers exactly as JSON spells them (no float
+    # repr noise); trailing-zero decimals were already normalized at
+    # JSON parse time, documented with the ingest shim
+    return json.dumps(value)
+
+
+def _emit_xml(name: str, value, out: list[str]) -> None:
+    if isinstance(value, list):
+        for v in value:
+            _emit_xml(name, v, out)
+        return
+    if isinstance(value, dict):
+        if "resourceType" in value:
+            # nested resource (Bundle.entry.resource, contained): the
+            # container's single child is the capitalized type element
+            out.append(f"<{name}>")
+            _emit_resource_xml(value, out)
+            out.append(f"</{name}>")
+            return
+        attrs = []
+        body: list[str] = []
+        for k, v in value.items():
+            # FHIR XML spells element ids and extension urls as attributes
+            if k == "id" and isinstance(v, str):
+                attrs.append(f" id={_xml_escape_attr(v)}")
+            elif (
+                k == "url"
+                and name in ("extension", "modifierExtension")
+                and isinstance(v, str)
+            ):
+                attrs.append(f" url={_xml_escape_attr(v)}")
+            elif k == "div" and isinstance(v, str):
+                body.append(v)  # already-serialized XHTML, spliced verbatim
+            else:
+                _emit_xml(k, v, body)
+        out.append(f"<{name}{''.join(attrs)}>")
+        out.extend(body)
+        out.append(f"</{name}>")
+        return
+    if value is True:
+        text = "true"
+    elif value is False:
+        text = "false"
+    elif isinstance(value, str):
+        text = value
+    else:
+        text = _num_text(value)
+    out.append(f"<{name} value={_xml_escape_attr(text)}/>")
+
+
+def _emit_resource_xml(resource: dict, out: list[str]) -> None:
+    rtype = resource["resourceType"]
+    out.append(f'<{rtype} xmlns="{FHIR_NS}">')
+    for k, v in resource.items():
+        if k == "resourceType":
+            continue
+        _emit_xml(k, v, out)
+    out.append(f"</{rtype}>")
+
+
+def fhir_json_to_xml(json_string: str) -> str:
+    """One FHIR JSON document (Bundle or standalone resource) → its
+    FHIR XML spelling — the exact inverse of :func:`fhir_xml_to_json`
+    (element order follows JSON member order, which the export path
+    writes in spec order)."""
+    out: list[str] = []
+    _emit_resource_xml(json.loads(json_string), out)
+    return "".join(out)
+
+
+def resources_from_xml_column(
+    df: DataFrame, column: str, resource_type: str
+) -> DataFrame:
+    """Standalone XML resources in a string column → spec-schema rows
+    (the column twin of :func:`read_xml_resources_from_directory`)."""
+    from ..schema import converter_for, json_schema_for
+
+    def convert(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"resource_json": [fhir_xml_to_json(x) for x in pdf[column]]}
+            )
+
+    jsons = df.select(column).mapInPandas(convert, "resource_json string")
+    parse_schema = json_schema_for(resource_type)
+    from ..schema.resources import base_resource_type
+
+    return (
+        jsons.where(
+            F.get_json_object("resource_json", "$.resourceType")
+            == base_resource_type(resource_type)
+        )
+        .select(F.from_json("resource_json", parse_schema).alias("r"))
+        .select(converter_for(resource_type, F.col("r")).alias("res"))
+        .select("res.*")
+    )
+
+
 def from_xml_column(df: DataFrame, column: str) -> DataFrame:
     """Bundles held in an XML string column → exploded resource rows
     (the XML twin of ``bundles.from_json_column``)."""

@@ -1,0 +1,60 @@
+"""XML export (VERDICT r1 item 6; SURVEY §8 gap closed): analytic rows
+→ FHIR XML strings, the inverse of the XML ingest shim — parity with
+the reference's resourceToXml (`stu3/python/Functions.java:120-127`).
+Round-trip: bundle → extract → export XML → re-ingest → equal rows."""
+
+from __future__ import annotations
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def bundles(spark):
+    from bunsen_spark.sources.bundles import load_from_directory
+
+    return load_from_directory(spark, "fixtures/bundles/json")
+
+
+@pytest.mark.parametrize("rtype", ["Patient", "Observation", "Condition"])
+def test_xml_roundtrip(spark, bundles, rtype):
+    from bunsen_spark.sources.bundles import extract_entry
+    from bunsen_spark.sources.export import to_resource_xml
+    from bunsen_spark.sources.xml import resources_from_xml_column
+
+    orig = extract_entry(spark, bundles, rtype)
+    xml = to_resource_xml(orig, rtype)
+    back = resources_from_xml_column(xml, "xml", rtype)
+    assert back.schema == orig.schema
+    assert sorted(map(str, orig.collect())) == sorted(map(str, back.collect()))
+
+
+def test_xml_spelling_rules(spark, bundles):
+    """Spot-check the FHIR XML spelling: primitives as value=
+    attributes, repeats as repeated elements, choice branches under
+    their JSON sibling spelling, xmlns on the root."""
+    from bunsen_spark.sources.bundles import extract_entry
+    from bunsen_spark.sources.export import to_resource_xml
+
+    obs = extract_entry(spark, bundles, "Observation")
+    one = (
+        to_resource_xml(obs.where(obs["id"] == "obs-001"), "Observation")
+        .collect()[0]["xml"]
+    )
+    assert one.startswith('<Observation xmlns="http://hl7.org/fhir">')
+    assert '<id value="obs-001"/>' in one
+    assert "<valueQuantity>" in one  # choice branch re-flattened
+    assert "resourceType" not in one
+
+
+def test_xml_extension_url_attribute():
+    """Extensions spell url as an XML attribute, not a child element."""
+    from bunsen_spark.sources.xml import fhir_json_to_xml
+
+    xml = fhir_json_to_xml(
+        '{"resourceType": "Patient", "extension": '
+        '[{"url": "http://example.org/ext", "valueCode": "x"}], "id": "p1"}'
+    )
+    assert '<extension url="http://example.org/ext">' in xml
+    assert '<valueCode value="x"/>' in xml
+    # resource-level id stays an element
+    assert '<id value="p1"/>' in xml
