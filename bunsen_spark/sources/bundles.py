@@ -105,19 +105,65 @@ def extract_entry(
     return out
 
 
+#: synthetic colocation column added by ``bucket_by_subject`` layouts
+SUBJECT_KEY = "__subject_key"
+
+
+def _subject_key_column(resource_type: str, df: DataFrame):
+    """The patient-colocation key for a resource table: the patient's
+    own id for Patient, ``subject.patientId`` where the spec declares a
+    patient-target subject reference, else None (table not bucketed)."""
+    from ..schema.resources import base_resource_type
+
+    if base_resource_type(resource_type) == "Patient":
+        return F.col("id")
+    if "subject" in df.columns:
+        subject_type = df.schema["subject"].dataType
+        if hasattr(subject_type, "fieldNames") and "patientId" in subject_type.fieldNames():
+            return F.col("subject.patientId")
+    return None
+
+
 def save_as_database(
     spark: SparkSession,
     bundles: DataFrame,
     database: str,
     *resource_types: str,
     path: str | None = None,
+    bucket_by_subject: bool = False,
+    num_buckets: int = 32,
 ) -> None:
     """Extract each resource type and save as one table per type
-    (`Bundles.saveAsDatabase`, Bundles.java:298-311)."""
+    (`Bundles.saveAsDatabase`, Bundles.java:298-311).
+
+    ``bucket_by_subject=True`` colocates the warehouse by patient: each
+    table gains a ``__subject_key`` column (patient id / subject
+    patientId) and is bucketed+sorted on it, so every recurring
+    patient-level join (patients ⋈ observations ⋈ conditions …) runs
+    with ZERO exchange on either side — the shuffle is paid once at
+    write time. At 100 TB this is the single biggest recurring-cost
+    lever the warehouse layout controls (see :mod:`.warehouse`).
+    Resources with no patient subject fall back to plain parquet.
+    """
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {database}")
     for rt in resource_types:
         df = extract_entry(spark, bundles, rt)
+        table = f"{database}.{rt.lower()}"
+        table_path = f"{path}/{rt.lower()}" if path else None
+        if bucket_by_subject:
+            key = _subject_key_column(rt, df)
+            if key is not None:
+                from .warehouse import write_bucketed
+
+                write_bucketed(
+                    df.withColumn(SUBJECT_KEY, key),
+                    table,
+                    SUBJECT_KEY,
+                    num_buckets=num_buckets,
+                    path=table_path,
+                )
+                continue
         writer = df.write.mode("overwrite").format("parquet")
-        if path:
-            writer = writer.option("path", f"{path}/{rt.lower()}")
-        writer.saveAsTable(f"{database}.{rt.lower()}")
+        if table_path:
+            writer = writer.option("path", table_path)
+        writer.saveAsTable(table)

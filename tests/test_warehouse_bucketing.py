@@ -30,3 +30,39 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
     assert joined.count() == lineitem.count()
     spark.sql("DROP TABLE IF EXISTS bkt_orders")
     spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
+
+
+def test_fhir_warehouse_bucketed_by_subject(spark, tmp_path):
+    """VERDICT r1 item 10: save_as_database(bucket_by_subject=True)
+    colocates patient-level tables — patients ⋈ observations runs with
+    no Exchange on either side."""
+    from bunsen_spark.sources.bundles import (
+        SUBJECT_KEY,
+        load_from_directory,
+        save_as_database,
+    )
+    from bunsen_spark.sources.warehouse import joins_without_shuffle
+
+    spark.sql("DROP DATABASE IF EXISTS fhir_bucketed CASCADE")
+    bundles = load_from_directory(spark, "fixtures/bundles/json")
+    save_as_database(
+        spark,
+        bundles,
+        "fhir_bucketed",
+        "Patient",
+        "Observation",
+        path=str(tmp_path / "fhirdb"),
+        bucket_by_subject=True,
+        num_buckets=8,
+    )
+    assert joins_without_shuffle(
+        spark, "fhir_bucketed.patient", "fhir_bucketed.observation", [SUBJECT_KEY]
+    )
+    # the key is populated consistently on both sides
+    pat = spark.table("fhir_bucketed.patient")
+    obs = spark.table("fhir_bucketed.observation")
+    assert pat.where(f"{SUBJECT_KEY} != id").count() == 0
+    assert obs.where(f"{SUBJECT_KEY} != subject.patientId").count() == 0
+    joined = pat.join(obs, SUBJECT_KEY).select(pat["id"]).distinct()
+    assert joined.count() > 0
+    spark.sql("DROP DATABASE IF EXISTS fhir_bucketed CASCADE")
