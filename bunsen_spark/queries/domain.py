@@ -224,7 +224,6 @@ def events_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured column handling: the events ``props`` JSON string
     is parsed in-plan (no UDF) and aggregated by a derived bucket."""
     e = load(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("int")
     return (
         e.select(F.expr("CAST(get_json_object(props, '$.k') AS INT) div 10").alias("k_bucket"), "value")
         .groupBy("k_bucket")
