@@ -445,13 +445,76 @@ def _export(src: Column, ftype: FType, stack: tuple[str, ...]) -> Column | None:
     raise TypeError(f"unknown ftype {ftype!r}")
 
 
+def _export_ext_entries(
+    parent: Column, ext_fields: list[Field], stack: tuple[str, ...]
+) -> Column:
+    """Named extension columns → one FHIR ``extension`` array (inverse
+    of :func:`_convert_extension`): each slice contributes entries with
+    the shared union-spelling entry struct (absent value spellings stay
+    null and vanish under ``to_json`` ignoreNullFields)."""
+    entry_t = _ext_entry_struct(ext_fields, stack)
+    names = [fl.name for fl in entry_t.fields]
+    types = {fl.name: fl.dataType for fl in entry_t.fields}
+
+    def mk_entry(url: str, spelling: str | None = None, value: Column | None = None,
+                 sub: Column | None = None) -> Column:
+        cols = []
+        for n in names:
+            if n == "url":
+                cols.append(F.lit(url).alias("url"))
+            elif n == "extension" and sub is not None:
+                cols.append(sub.alias("extension"))
+            elif n == spelling:
+                cols.append(value.alias(n))
+            else:
+                cols.append(F.lit(None).cast(types[n]).alias(n))
+        return F.struct(*cols)
+
+    empty = F.lit(None).cast(T.ArrayType(entry_t, True))
+    arrays: list[Column] = []
+    for f in ext_fields:
+        ext = f.ftype
+        src = parent[f.name]
+        if ext.is_parent:
+            sub = _export_ext_entries(src, list(ext.children), stack)
+            arr = F.when(src.isNotNull(), F.array(mk_entry(ext.url, sub=sub)))
+        else:
+            spelling = _value_spelling(ext.vtype)
+
+            def conv(v: Column, vt=ext.vtype) -> Column:
+                c = _export(v, vt, stack)
+                return c if c is not None else v
+
+            if f.many:
+                arr = F.when(
+                    src.isNotNull(),
+                    F.transform(src, lambda v: mk_entry(ext.url, spelling, conv(v))),
+                )
+            else:
+                arr = F.when(
+                    src.isNotNull(), F.array(mk_entry(ext.url, spelling, conv(src)))
+                )
+        arrays.append(arr.cast(T.ArrayType(entry_t, True)))
+    combined = arrays[0]
+    for a in arrays[1:]:
+        # null-tolerant concat: missing slices contribute nothing
+        combined = F.when(
+            combined.isNotNull() & a.isNotNull(), F.concat(combined, a)
+        ).otherwise(F.coalesce(combined, a))
+    return F.when(F.size(combined) > 0, combined).otherwise(empty)
+
+
 def _export_fields(
     parent: Column, fields: tuple[Field, ...], stack: tuple[str, ...]
 ) -> list[tuple[str, Column]]:
     out: list[tuple[str, Column]] = []
+    ext_fields = [f for f in fields if isinstance(f.ftype, Extension)]
+    if ext_fields:
+        # shared extension array first, matching the parse-side layout
+        out.append(("extension", _export_ext_entries(parent, ext_fields, stack)))
     for f in fields:
         if isinstance(f.ftype, Extension):
-            continue  # profiled extension columns are not re-exported (gap)
+            continue  # exported through the shared "extension" array above
         if isinstance(f.ftype, Choice):
             for branch, btype in f.ftype.branches:
                 if _spark_type(btype, stack) is None:

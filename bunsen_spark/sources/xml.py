@@ -125,6 +125,9 @@ def _convert_typed(elem: ET.Element, ftype):
                     out[cname] = val
             elif cname in choice_spellings:
                 out[cname] = _convert_typed(child, choice_spellings[cname])
+            elif cname in ("extension", "modifierExtension"):
+                # always an array in FHIR JSON, even for one element
+                out.setdefault(cname, []).append(_convert_generic(child))
             else:
                 out[cname] = _convert_generic(child)
         return out
@@ -147,6 +150,8 @@ def _convert_generic(elem: ET.Element):
     for child in elem:
         cname = _localname(child.tag)
         val = _convert_generic(child)
+        if cname in ("extension", "modifierExtension") and cname not in out:
+            out[cname] = []  # always an array in FHIR JSON
         if cname in out and not isinstance(out[cname], list):
             out[cname] = [out[cname]]
         if isinstance(out.get(cname), list):
