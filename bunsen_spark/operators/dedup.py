@@ -314,6 +314,86 @@ SELECT a_id, b_id, round(j, 6) AS jaccard FROM (
 """
 
 
+# -- near-dup clustering (connected components + keep list) ------------------
+
+
+def near_dup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
+    """Connected components over a near-dup pair graph → dedup clusters
+    (the step a training pipeline runs AFTER pair finding: keep one
+    document per cluster). Output: (doc_id, cluster_id, is_keeper) for
+    every doc appearing in a pair; cluster_id is the component's
+    minimum doc_id and its owner is the keeper.
+
+    Distributed min-label propagation: each round every node takes the
+    minimum label in its closed neighborhood, via one join + one
+    map-side-combined min aggregation; ``localCheckpoint`` cuts lineage
+    per round (same pattern as the hierarchy closure). Rounds needed =
+    graph diameter — near-dup components are small and dense, so this
+    converges in 2-4 rounds in practice; for adversarial long-chain
+    graphs swap in large-star/small-star (alternating pointer jumping),
+    which this loop structure accommodates unchanged.
+    """
+    edges = (
+        pairs.select(F.col("a_id").alias("u"), F.col("b_id").alias("v"))
+        .union(pairs.select(F.col("b_id").alias("u"), F.col("a_id").alias("v")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = edges.select("u").distinct().withColumn("label", F.col("u"))
+    for _ in range(max_iterations):
+        nbr_min = (
+            edges.join(
+                labels.select(F.col("u").alias("v"), F.col("label").alias("vlabel")),
+                "v",
+            )
+            .groupBy("u")
+            .agg(F.min("vlabel").alias("nl"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "u", "left")
+            .select(
+                "u",
+                F.least(F.col("label"), F.coalesce("nl", F.col("label"))).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.select(F.col("u").alias("cu"), F.col("label").alias("nlab"))
+            .join(labels, F.col("cu") == F.col("u"))
+            .where(F.col("nlab") < F.col("label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("u").alias("doc_id"),
+        F.col("label").alias("cluster_id"),
+        (F.col("u") == F.col("label")).alias("is_keeper"),
+    )
+
+
+def near_dup_clusters_sql(pairs_sql: str) -> str:
+    """DuckDB twin: min reachable id per node via WITH RECURSIVE over
+    the same pair query (components are small, so the recursion's
+    quadratic frontier is fine at oracle scale)."""
+    return f"""
+WITH RECURSIVE pairs AS (
+  SELECT * FROM ({pairs_sql}) __p
+), edges AS (
+  SELECT a_id AS u, b_id AS v FROM pairs
+  UNION
+  SELECT b_id AS u, a_id AS v FROM pairs
+), reach(u, v) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges) __n
+  UNION
+  SELECT e.u, r.v FROM edges e JOIN reach r ON r.u = e.v
+)
+SELECT u AS doc_id, min(v) AS cluster_id, u = min(v) AS is_keeper
+FROM reach GROUP BY u
+"""
+
+
 # -- SimHash -----------------------------------------------------------------
 
 SIMHASH_BITS = 32

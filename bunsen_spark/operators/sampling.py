@@ -70,3 +70,40 @@ def split_assign_sql(
 def deterministic_sample(df: DataFrame, key: str, fraction: float) -> DataFrame:
     """Keep ~``fraction`` of rows, chosen purely by key hash."""
     return df.where(_bucket(F.col(key)) < int(round(fraction * BUCKETS)))
+
+
+def stratified_sample(
+    df: DataFrame,
+    key: str,
+    strata_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling: keep ~``fractions[stratum]``
+    of each stratum (``default_fraction`` for unlisted strata), chosen
+    purely by key hash — the scalable replacement for
+    ``sampleBy``'s seeded Bernoulli draw (stable across runs, engines
+    and scale; zero shuffle: it is a single codegen'd filter)."""
+    b = _bucket(F.col(key))
+    cutoff = F.lit(int(round(default_fraction * BUCKETS)))
+    for name, frac in fractions.items():
+        cutoff = F.when(
+            F.col(strata_col) == name, F.lit(int(round(frac * BUCKETS)))
+        ).otherwise(cutoff)
+    return df.where(b < cutoff)
+
+
+def stratified_sample_sql(
+    table: str,
+    key: str,
+    strata_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+) -> str:
+    b = _bucket_sql(key)
+    cases = " ".join(
+        f"WHEN {strata_col} = '{name}' THEN {int(round(frac * BUCKETS))}"
+        for name, frac in fractions.items()
+    )
+    cutoff = f"CASE {cases} ELSE {int(round(default_fraction * BUCKETS))} END"
+    return f"SELECT * FROM {table} WHERE {b} < {cutoff}"

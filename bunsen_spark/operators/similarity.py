@@ -112,6 +112,127 @@ SELECT query_id, neighbor_id, rank FROM (
 """
 
 
+IVF_CENTROIDS = 16
+IVF_PROBE = 2
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    k: int = 5,
+    num_queries: int = 32,
+    n_centroids: int = IVF_CENTROIDS,
+    n_probe: int = IVF_PROBE,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: vectors are assigned to
+    their nearest coarse centroid once; a query scans only its
+    ``n_probe`` nearest centroids' lists. Output: (query_id,
+    neighbor_id, rank) — rank among scanned candidates is exact.
+
+    The coarse quantizer picks the ``n_centroids`` corpus vectors with
+    the smallest md5(vec_id) — deterministic and engine-portable (the
+    DuckDB oracle reproduces it), standing in for k-means seeding; a
+    Lloyd-refined codebook is a drop-in replacement with the same
+    assignment/probe plan. Scale shape: centroids broadcast (tiny),
+    corpus assignment is one map + a 1-row-per-vector shuffle for the
+    argmax window; per-query work touches n_probe lists, not the
+    corpus — at 1000 executors the scan cost drops by
+    n_centroids/n_probe versus brute force."""
+    from .text_analysis import md5int
+
+    base = _with_norm(embeddings)
+    centroids = (
+        base.withColumn("h", md5int(F.col("vec_id").cast("string")))
+        .orderBy("h", "vec_id")
+        .limit(n_centroids)
+        .select(
+            F.col("vec_id").alias("cid"),
+            F.col("v").alias("cv"),
+            F.col("norm").alias("cnorm"),
+        )
+    )
+    scored = base.join(F.broadcast(centroids)).select(
+        "vec_id",
+        "v",
+        "norm",
+        "cid",
+        _cosine(F.col("v"), F.col("cv"), F.col("norm"), F.col("cnorm")).alias("csim"),
+    )
+    aw = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("cid"))
+    assigned = (
+        scored.withColumn("rn", F.row_number().over(aw))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "v", "norm", "cid")
+    )
+    probes = (
+        scored.where(F.col("vec_id") < num_queries)
+        .withColumn("rn", F.row_number().over(aw))
+        .where(F.col("rn") <= n_probe)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("norm").alias("qnorm"),
+            "cid",
+        )
+    )
+    cand = (
+        assigned.join(F.broadcast(probes), "cid")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            _cosine(F.col("qv"), F.col("v"), F.col("qnorm"), F.col("norm")).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def ivf_topk_sql(
+    table: str = "embeddings",
+    k: int = 5,
+    num_queries: int = 32,
+    n_centroids: int = IVF_CENTROIDS,
+    n_probe: int = IVF_PROBE,
+) -> str:
+    h = md5int_sql("CAST(vec_id AS VARCHAR)")
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM {table}),
+cent AS (
+  SELECT vec_id AS cid, v AS cv FROM e ORDER BY {h}, vec_id LIMIT {n_centroids}
+), scored AS (
+  SELECT e.vec_id, c.cid,
+         row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid
+         ) AS rn
+  FROM e CROSS JOIN cent c
+), assigned AS (
+  SELECT vec_id, cid FROM scored WHERE rn = 1
+), probes AS (
+  SELECT vec_id AS query_id, cid FROM scored
+  WHERE vec_id < {num_queries} AND rn <= {n_probe}
+), cand AS (
+  SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+  FROM probes p JOIN assigned a USING (cid)
+  WHERE a.vec_id <> p.query_id
+)
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (
+             PARTITION BY query_id
+             ORDER BY list_cosine_similarity(eq.v, ec.v) DESC, neighbor_id
+         ) AS rank
+  FROM cand
+  JOIN e eq ON eq.vec_id = query_id
+  JOIN e ec ON ec.vec_id = neighbor_id
+) WHERE rank <= {k}
+"""
+
+
 def _bucket_col() -> Column:
     """NUM_PLANES-bit LSH bucket from hyperplane dot-product signs."""
     bit = None

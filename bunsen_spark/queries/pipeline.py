@@ -161,6 +161,87 @@ def dataset_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assigned.groupBy("split").agg(F.count("*").alias("n_docs"))
 
 
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pair graph → dedup clusters + keep list (connected
+    components by distributed min-label propagation, verified against
+    a WITH RECURSIVE reachability oracle)."""
+    from ..operators.dedup import minhash_lsh_pairs, near_dup_clusters
+
+    return near_dup_clusters(minhash_lsh_pairs(load(spark, sf_dir, "documents")))
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import ivf_topk
+
+    return ivf_topk(load(spark, sf_dir, "embeddings"))
+
+
+#: canonical per-language sampling fractions used by the gate query
+STRATA_FRACTIONS = {"en": 0.5, "de": 0.25}
+STRATA_DEFAULT = 0.1
+
+
+def stratified_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language sampling, reported as kept-row counts
+    per stratum (zero-shuffle filter; stable across engines/scale)."""
+    from pyspark.sql import functions as F
+
+    from ..operators.sampling import stratified_sample
+
+    kept = stratified_sample(
+        load(spark, sf_dir, "documents"), "doc_id", "lang", STRATA_FRACTIONS, STRATA_DEFAULT
+    )
+    return kept.groupBy("lang").agg(F.count("*").alias("n_kept"))
+
+
+def doc_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document distinctive terms: top 3 by (term frequency desc,
+    document frequency asc, term) — the integer-exact flavor of tf-idf
+    ranking (the same ordering a tf·idf score induces when tf
+    dominates, with no cross-engine float-log hazards). Two map-side-
+    combined aggregations + one join + one per-doc window."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    words = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), 0)
+        ).alias("term"),
+    )
+    tf = words.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tf"), F.asc("df"), F.asc("term")
+    )
+    return (
+        tf.join(df_, "term")
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("doc_id", "term", "tf", "df", "rank")
+    )
+
+
+DOC_TOP_TERMS_SQL = """
+WITH words AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  FROM documents WHERE doc_id < 100
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM words GROUP BY doc_id, term
+), df AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+)
+SELECT doc_id, term, tf, df, rank FROM (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         row_number() OVER (
+             PARTITION BY tf.doc_id ORDER BY tf.tf DESC, df.df ASC, tf.term
+         ) AS rank
+  FROM tf JOIN df USING (term)
+) WHERE rank <= 3
+"""
+
+
 def _oracles() -> dict[str, str]:
     from ..operators.text_analysis import (
         fingerprint_sql,
@@ -174,10 +255,11 @@ def _oracles() -> dict[str, str]:
         exact_dedup_sql,
         jaccard_pairs_sql,
         minhash_lsh_pairs_sql,
+        near_dup_clusters_sql,
         simhash_pairs_sql,
     )
-    from ..operators.sampling import split_assign_sql
-    from ..operators.similarity import brute_force_topk_sql, lsh_topk_sql
+    from ..operators.sampling import split_assign_sql, stratified_sample_sql
+    from ..operators.similarity import brute_force_topk_sql, ivf_topk_sql, lsh_topk_sql
 
     return {
         "text_language_id": language_id_sql(),
@@ -198,6 +280,16 @@ def _oracles() -> dict[str, str]:
         ),
         "corpus_top_ngrams": CORPUS_TOP_NGRAMS_SQL,
         "corpus_length_quantiles": CORPUS_LENGTH_QUANTILES_SQL,
+        "dedup_clusters": near_dup_clusters_sql(minhash_lsh_pairs_sql()),
+        "ann_ivf_topk": ivf_topk_sql(),
+        "stratified_sample_counts": (
+            "SELECT lang, count(*) AS n_kept FROM ("
+            + stratified_sample_sql(
+                "documents", "doc_id", "lang", STRATA_FRACTIONS, STRATA_DEFAULT
+            )
+            + ") GROUP BY lang"
+        ),
+        "doc_top_terms": DOC_TOP_TERMS_SQL,
     }
 
 
@@ -216,6 +308,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dataset_split_counts": dataset_split_counts,
     "corpus_top_ngrams": corpus_top_ngrams,
     "corpus_length_quantiles": corpus_length_quantiles,
+    "dedup_clusters": dedup_clusters,
+    "ann_ivf_topk": ann_ivf_topk,
+    "stratified_sample_counts": stratified_sample_counts,
+    "doc_top_terms": doc_top_terms,
 }
 
 ORACLES: dict[str, str] = _oracles()

@@ -318,6 +318,35 @@ GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
 
 
+def cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus): all 2^2 grouping sets in one
+    pass (map-side-combined partial aggregation; one shuffle)."""
+    l = load(spark, sf_dir, "lineitem")
+    return (
+        l.cube("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "revenue",
+            "n_rows",
+        )
+    )
+
+
+CUBE_SQL = """
+SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+       COALESCE(l_linestatus, 'ALL') AS linestatus,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,6))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
 # ---------------------------------------------------------------------------
 # anti join: customers with no orders (SURVEY J1's left_anti pattern)
 # ---------------------------------------------------------------------------
@@ -396,6 +425,7 @@ QUERIES = {
     "window_running_value": window_running_value,
     "sessionize_events": sessionize_events,
     "rollup_returns": rollup_returns,
+    "cube_revenue": cube_revenue,
     "customers_without_orders": customers_without_orders,
     "suppliers_with_large_shipments": suppliers_with_large_shipments,
     "pivot_user_events": pivot_user_events,
@@ -410,6 +440,7 @@ ORACLES = {
     "window_running_value": WINDOW_RUNNING_SQL,
     "sessionize_events": SESSIONIZE_SQL,
     "rollup_returns": ROLLUP_SQL,
+    "cube_revenue": CUBE_SQL,
     "customers_without_orders": ANTI_JOIN_SQL,
     "suppliers_with_large_shipments": SEMI_JOIN_SQL,
     "pivot_user_events": PIVOT_SQL,
