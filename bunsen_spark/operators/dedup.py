@@ -314,6 +314,51 @@ SELECT a_id, b_id, round(j, 6) AS jaccard FROM (
 """
 
 
+# -- benchmark decontamination (n-gram overlap vs a probe set) ---------------
+
+
+def ngram_contamination(
+    docs: DataFrame, probe: DataFrame, n: int = SHINGLE_N
+) -> DataFrame:
+    """Benchmark decontamination check: for every corpus document, how
+    many distinct word ``n``-gram shingles it shares with the (small)
+    probe/benchmark set. Output: (doc_id, n_overlap) for contaminated
+    docs only — feed the ids to a filter to drop them.
+
+    Scale shape: probe shingles are distinct-collected and BROADCAST
+    (benchmark suites are tiny next to a pretraining corpus), so the
+    corpus side is one map + broadcast semi-match + one aggregation —
+    the corpus text is never shuffled."""
+    probe_shingles = (
+        _with_shingles(probe, n)
+        .select(F.explode("shingles").alias("s"))
+        .distinct()
+    )
+    corpus = _with_shingles(docs, n).select(
+        "doc_id", F.explode("shingles").alias("s")
+    )
+    return (
+        corpus.join(F.broadcast(probe_shingles), "s")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_overlap"))
+    )
+
+
+def ngram_contamination_sql(
+    table: str = "documents", probe_filter: str = "doc_id < 10", n: int = SHINGLE_N
+) -> str:
+    return f"""
+WITH probe AS (
+  SELECT DISTINCT unnest({shingles_sql(n)}) AS s FROM {table} WHERE {probe_filter}
+), corpus AS (
+  SELECT doc_id, unnest({shingles_sql(n)}) AS s FROM {table} WHERE NOT ({probe_filter})
+)
+SELECT doc_id, count(*) AS n_overlap
+FROM corpus JOIN probe USING (s)
+GROUP BY doc_id
+"""
+
+
 # -- near-dup clustering (connected components + keep list) ------------------
 
 

@@ -1,0 +1,76 @@
+"""Sequence packing for LLM pretraining: concat-and-chunk assignment.
+
+Beyond-reference training-data operator. Pretraining pipelines pack
+documents into fixed-size context windows by concatenating a shard's
+token stream and slicing it into ``max_tokens`` chunks. The assignment
+(which chunk does each document start in, at what offset) is computed
+here entirely with deterministic hashing + one window cumulative sum —
+no RNG, no driver state, and the only shuffle is the per-shard sort.
+
+Scale shape: documents hash into ``num_shards`` independent streams
+(shards ≈ writer tasks at 100 TB); within a shard the running token
+offset is a window cumsum ordered by (md5(doc_id), doc_id) — a single
+sort-based window whose partitions are the shards, so the plan is one
+exchange + one sorted window regardless of corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text_analysis import md5int, md5int_sql
+
+#: token estimator shared with the oracle: whitespace-ish word count
+_TOKENS = "size(regexp_extract_all(lower(text), '[a-z0-9]+', 0))"
+_TOKENS_SQL = "len(regexp_extract_all(lower(text), '[a-z0-9]+'))"
+
+
+def pack_concat_chunks(
+    docs: DataFrame, max_tokens: int = 512, num_shards: int = 32
+) -> DataFrame:
+    """(doc_id, shard, start_off, first_chunk): where each document
+    lands in its shard's concatenated token stream. ``start_off`` is
+    the running token offset before the document; ``first_chunk`` is
+    the ``max_tokens`` window that offset falls in."""
+    base = docs.select(
+        "doc_id",
+        F.expr(_TOKENS).alias("n_tokens"),
+        (md5int(F.col("doc_id").cast("string")) % num_shards).alias("shard"),
+        md5int(F.col("doc_id").cast("string")).alias("h"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = base.select(
+        "doc_id",
+        "shard",
+        F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).alias("start_off"),
+    )
+    # integer `div` matches DuckDB's `//` on non-negative longs (a
+    # double-cast BIGINT would round, not truncate, in DuckDB)
+    return offs.withColumn("first_chunk", F.expr(f"start_off div {max_tokens}"))
+
+
+def pack_concat_chunks_sql(
+    table: str = "documents", max_tokens: int = 512, num_shards: int = 32
+) -> str:
+    h = md5int_sql("CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH base AS (
+  SELECT doc_id, {_TOKENS_SQL} AS n_tokens,
+         {h} % {num_shards} AS shard, {h} AS h
+  FROM {table}
+)
+SELECT doc_id, shard, start_off, start_off // {max_tokens} AS first_chunk
+FROM (
+  SELECT doc_id, shard,
+         COALESCE(SUM(n_tokens) OVER (
+             PARTITION BY shard ORDER BY h, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS start_off
+  FROM base
+) __offs
+"""

@@ -242,6 +242,28 @@ SELECT doc_id, term, tf, df, rank FROM (
 """
 
 
+def pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing assignment (deterministic
+    shard + window cumsum; see operators.packing)."""
+    from ..operators.packing import pack_concat_chunks
+
+    return pack_concat_chunks(load(spark, sf_dir, "documents"))
+
+
+def decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus docs sharing word 3-gram
+    shingles with the probe set (doc_id < 10 stands in for the
+    benchmark suite), with overlap counts."""
+    from pyspark.sql import functions as F
+
+    from ..operators.dedup import ngram_contamination
+
+    docs = load(spark, sf_dir, "documents")
+    return ngram_contamination(
+        docs.where(F.col("doc_id") >= 10), docs.where(F.col("doc_id") < 10)
+    )
+
+
 def _oracles() -> dict[str, str]:
     from ..operators.text_analysis import (
         fingerprint_sql,
@@ -258,7 +280,9 @@ def _oracles() -> dict[str, str]:
         near_dup_clusters_sql,
         simhash_pairs_sql,
     )
+    from ..operators.packing import pack_concat_chunks_sql
     from ..operators.sampling import split_assign_sql, stratified_sample_sql
+    from ..operators.dedup import ngram_contamination_sql
     from ..operators.similarity import brute_force_topk_sql, ivf_topk_sql, lsh_topk_sql
 
     return {
@@ -281,6 +305,8 @@ def _oracles() -> dict[str, str]:
         "corpus_top_ngrams": CORPUS_TOP_NGRAMS_SQL,
         "corpus_length_quantiles": CORPUS_LENGTH_QUANTILES_SQL,
         "dedup_clusters": near_dup_clusters_sql(minhash_lsh_pairs_sql()),
+        "pack_chunks": pack_concat_chunks_sql(),
+        "decontaminate_overlap": ngram_contamination_sql(),
         "ann_ivf_topk": ivf_topk_sql(),
         "stratified_sample_counts": (
             "SELECT lang, count(*) AS n_kept FROM ("
@@ -312,6 +338,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_topk": ann_ivf_topk,
     "stratified_sample_counts": stratified_sample_counts,
     "doc_top_terms": doc_top_terms,
+    "pack_chunks": pack_chunks,
+    "decontaminate_overlap": decontaminate_overlap,
 }
 
 ORACLES: dict[str, str] = _oracles()

@@ -84,3 +84,34 @@ def test_sql_string_in_valueset_is_native(spark):
         assert sorted(map(str, out.collect())) == sorted(map(str, udf_out.collect()))
     finally:
         pop_valuesets(spark)
+
+
+def test_ivf_topk_broadcasts_centroids(spark, sf_dir):
+    """IVF: centroid scoring and probe joins must be broadcast — the
+    corpus is never on the build side and never nested-loop joined
+    against itself."""
+    from bunsen_spark.queries.pipeline import ann_ivf_topk
+
+    plan = _plan(ann_ivf_topk(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_contamination_broadcasts_probe(spark, sf_dir):
+    """Decontamination: the probe shingle set is the broadcast side;
+    the corpus stream is map-only up to the final aggregation."""
+    from bunsen_spark.queries.pipeline import decontaminate_overlap
+
+    plan = _plan(decontaminate_overlap(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
+
+
+def test_pack_chunks_single_exchange(spark, sf_dir):
+    """Sequence packing: one shuffle (the per-shard window sort), no
+    join anywhere."""
+    from bunsen_spark.queries.pipeline import pack_chunks
+
+    plan = _plan(pack_chunks(spark, sf_dir))
+    assert plan.count("Exchange") <= 2  # shard hash partitioning (+AQE read)
+    assert "Join" not in plan
