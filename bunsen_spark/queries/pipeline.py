@@ -264,6 +264,25 @@ def decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column media pipeline end-to-end (synthesize → decode →
+    per-channel feature extraction in Arrow-batched mapInPandas). The
+    decode is the deterministic fake (no codecs in this container), so
+    output is stable; registered WITHOUT a SQL oracle — numpy feature
+    math has no DuckDB twin — for the driver's rows-only check."""
+    from pyspark.sql import functions as F
+
+    from ..operators.multimodal import decode_images, image_features, synthesize_media
+
+    media = synthesize_media(spark, n=64, kind="image")
+    feats = image_features(decode_images(media))
+    return feats.select(
+        "media_id",
+        F.round("entropy_bits", 6).alias("entropy_bits"),
+        F.round(F.element_at("mean", 1), 6).alias("mean_c0"),
+    )
+
+
 def _oracles() -> dict[str, str]:
     from ..operators.text_analysis import (
         fingerprint_sql,
@@ -340,6 +359,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_top_terms": doc_top_terms,
     "pack_chunks": pack_chunks,
     "decontaminate_overlap": decontaminate_overlap,
+    "multimodal_image_features": multimodal_image_features,
 }
 
 ORACLES: dict[str, str] = _oracles()
