@@ -347,6 +347,63 @@ GROUP BY CUBE (l_returnflag, l_linestatus)
 """
 
 
+def tumbling_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time windows per event type — the batch
+    twin of the streaming windowed aggregation (same bucketing the
+    watermarked ``window()`` path produces), on integer-exact
+    microsecond epochs."""
+    e = load(spark, sf_dir, "events")
+    hour_us = 3_600_000_000
+    return (
+        e.select("event_type", F.expr("ts div 1000").alias("us"), "value")
+        .withColumn("window_start_us", F.expr(f"(us div {hour_us}) * {hour_us}"))
+        .groupBy("event_type", "window_start_us")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(20,6)")).cast("double").alias("sum_value"),
+        )
+    )
+
+
+TUMBLING_WINDOW_SQL = """
+SELECT event_type,
+       (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY event_type, window_start_us
+"""
+
+
+def skew_salted_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The salted skew join at the gate: lineitem ⋈ orders through
+    salted_join (hot-key fan-out spread across 8 sub-keys), aggregated
+    per priority. The oracle is the PLAIN join — salting must be
+    result-identical, which is exactly what this verifies."""
+    from ..operators.skew import salted_join
+
+    l = load(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_quantity"
+    )
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    return (
+        salted_join(l, o, ["o_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            _dsum(F.col("l_quantity")).alias("sum_qty"),
+        )
+    )
+
+
+SKEW_SALTED_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n_items,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(20,6))) AS DOUBLE) AS sum_qty
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
 # ---------------------------------------------------------------------------
 # anti join: customers with no orders (SURVEY J1's left_anti pattern)
 # ---------------------------------------------------------------------------
@@ -426,6 +483,8 @@ QUERIES = {
     "sessionize_events": sessionize_events,
     "rollup_returns": rollup_returns,
     "cube_revenue": cube_revenue,
+    "tumbling_window_counts": tumbling_window_counts,
+    "skew_salted_order_totals": skew_salted_order_totals,
     "customers_without_orders": customers_without_orders,
     "suppliers_with_large_shipments": suppliers_with_large_shipments,
     "pivot_user_events": pivot_user_events,
@@ -441,6 +500,8 @@ ORACLES = {
     "sessionize_events": SESSIONIZE_SQL,
     "rollup_returns": ROLLUP_SQL,
     "cube_revenue": CUBE_SQL,
+    "tumbling_window_counts": TUMBLING_WINDOW_SQL,
+    "skew_salted_order_totals": SKEW_SALTED_SQL,
     "customers_without_orders": ANTI_JOIN_SQL,
     "suppliers_with_large_shipments": SEMI_JOIN_SQL,
     "pivot_user_events": PIVOT_SQL,
