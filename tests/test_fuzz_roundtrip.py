@@ -10,8 +10,8 @@ import random
 
 import pytest
 
-from bunsen_spark.schema.core import Choice, Complex, Field, Reference
-from bunsen_spark.schema.resources import definition_for
+from bunsen_spark.schema.core import Choice, Complex, Extension, Field, Reference
+from bunsen_spark.schema.resources import base_resource_type, definition_for
 
 _WORDS = ["alpha", "beta", "gamma", "x1", "Z-9", "code.7", "Ab cd"]
 
@@ -50,6 +50,8 @@ def _gen_value(ftype, rng: random.Random, stack: tuple[str, ...]):
 def _gen_complex(c: Complex, rng: random.Random, stack: tuple[str, ...]) -> dict | None:
     out = {}
     for f in c.fields:
+        if isinstance(f.ftype, Extension):
+            continue  # slices live in the shared extension array, not fuzzed here
         if rng.random() < 0.55:  # sparse resources, like real data
             continue
         if isinstance(f.ftype, Choice):
@@ -77,7 +79,7 @@ def gen_resource(resource_type: str, seed: int) -> dict:
     root = definition_for(resource_type)
     body = _gen_complex(root, rng, (root.name,)) or {}
     body["id"] = f"fuzz-{seed}"
-    return {"resourceType": resource_type, **body}
+    return {"resourceType": base_resource_type(resource_type), **body}
 
 
 def _norm(x):
@@ -104,24 +106,33 @@ def test_xml_shim_roundtrip_fuzz(resource_type):
         assert _norm(back) == _norm(obj), f"seed {seed}"
 
 
-def test_spark_ingest_export_roundtrip_fuzz(spark):
+@pytest.mark.parametrize(
+    "resource_type",
+    [
+        "Observation",
+        # SPEC-COMPILED profile (no hand-written DSL): the same fuzz
+        # round-trip must hold for StructureDefinition-driven schemas
+        "us-core-diagnosticreport",
+    ],
+)
+def test_spark_ingest_export_roundtrip_fuzz(spark, resource_type):
     from pyspark.sql import functions as F
 
     from bunsen_spark.schema import converter_for, json_schema_for
     from bunsen_spark.sources.export import to_resource_json
 
-    docs = [json.dumps(gen_resource("Observation", s)) for s in range(40)]
+    docs = [json.dumps(gen_resource(resource_type, s)) for s in range(40)]
     raw = spark.createDataFrame([(d,) for d in docs], "resource_json string")
 
     def ingest(df):
         return (
-            df.select(F.from_json("resource_json", json_schema_for("Observation")).alias("r"))
-            .select(converter_for("Observation", F.col("r")).alias("res"))
+            df.select(F.from_json("resource_json", json_schema_for(resource_type)).alias("r"))
+            .select(converter_for(resource_type, F.col("r")).alias("res"))
             .select("res.*")
         )
 
     first = ingest(raw)
-    exported = to_resource_json(first, "Observation").withColumnRenamed("json", "resource_json")
+    exported = to_resource_json(first, resource_type).withColumnRenamed("json", "resource_json")
     second = ingest(exported)
     assert first.schema == second.schema
     a = sorted(str(r) for r in first.collect())

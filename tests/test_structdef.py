@@ -202,3 +202,47 @@ def test_user_loaded_structure_definition(tmp_path, spark, spec_bundles):
         "display",
         "patientId",
     }
+
+
+def test_contained_types_with_spec_profile(spark):
+    """extract_entry(contained_types=...) composes with spec-compiled
+    profiles: a contained Observation inside a DiagnosticReport."""
+    import json
+
+    from bunsen_spark.sources.bundles import extract_entry, from_json_column
+
+    bundle = {
+        "resourceType": "Bundle",
+        "type": "collection",
+        "entry": [
+            {
+                "resource": {
+                    "resourceType": "DiagnosticReport",
+                    "id": "dr-c1",
+                    "status": "final",
+                    "code": {"text": "panel"},
+                    "contained": [
+                        {
+                            "resourceType": "Observation",
+                            "id": "inner-obs",
+                            "status": "final",
+                            "code": {"text": "glucose"},
+                            "valueQuantity": {"value": 5.5, "unit": "mmol/L"},
+                        }
+                    ],
+                }
+            }
+        ],
+    }
+    df = spark.createDataFrame([(json.dumps(bundle),)], "content string")
+    dr = extract_entry(
+        spark,
+        from_json_column(df, "content"),
+        "us-core-diagnosticreport",
+        contained_types=("Observation",),
+    )
+    row = dr.collect()[0]
+    inner = row["contained"][0]["observation"]
+    assert inner["id"] == "inner-obs"
+    assert inner["code"]["text"] == "glucose"
+    assert str(inner["value"]["quantity"]["value"]) == "5.5000"
