@@ -23,40 +23,24 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from . import relational
+    # no ImportError swallowing: these modules depend only on pyspark +
+    # stdlib, so a failure here is a bug that must surface, not a
+    # missing optional dependency (silently dropping a module would
+    # shrink the correctness gate by 20+ queries)
+    from . import domain, pipeline, relational
 
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     out.update(relational.QUERIES)
-    try:
-        from . import pipeline
-
-        out.update(pipeline.QUERIES)
-    except ImportError:
-        pass
-    try:
-        from . import domain
-
-        out.update(domain.QUERIES)
-    except ImportError:
-        pass
+    out.update(pipeline.QUERIES)
+    out.update(domain.QUERIES)
     return out
 
 
 def all_oracles() -> dict[str, str]:
-    from . import relational
+    from . import domain, pipeline, relational
 
     out: dict[str, str] = {}
     out.update(relational.ORACLES)
-    try:
-        from . import pipeline
-
-        out.update(pipeline.ORACLES)
-    except ImportError:
-        pass
-    try:
-        from . import domain
-
-        out.update(domain.ORACLES)
-    except ImportError:
-        pass
+    out.update(pipeline.ORACLES)
+    out.update(domain.ORACLES)
     return out

@@ -429,4 +429,11 @@ def load_structure_definitions(path: str | Path) -> list[str]:
     registry; returns the canonical URLs loaded."""
     reg = default_registry()
     p = Path(path)
-    return reg.load_dir(p) if p.is_dir() else reg.load_file(p)
+    urls = reg.load_dir(p) if p.is_dir() else reg.load_file(p)
+    # re-registering a definition must invalidate the schema caches in
+    # resources.py, which memoize per resource-type key
+    from . import resources
+
+    resources.spark_schema_for.cache_clear()
+    resources.json_schema_for.cache_clear()
+    return urls
