@@ -101,11 +101,14 @@ class Extension:
     ``vtype`` is the value type for a LEAF extension (primitive or
     datatype Complex); a PARENT extension instead sets ``children`` to
     the sub-extension Fields (each itself Extension-typed), and its
-    column is a struct of those children."""
+    column is a struct of those children. ``modifier=True`` slices
+    parse from / export to the ``modifierExtension`` array instead of
+    ``extension`` (same structural rules)."""
 
     url: str
     vtype: Union[str, Complex, None] = None
     children: tuple["Field", ...] = ()
+    modifier: bool = False
 
     @property
     def is_parent(self) -> bool:
@@ -235,15 +238,20 @@ def _ext_entry_struct(ext_fields: list[Field], stack: tuple[str, ...]) -> T.Stru
 
 def _json_fields(fields: tuple[Field, ...], stack: tuple[str, ...]) -> list[T.StructField]:
     out: list[T.StructField] = []
-    ext_fields = [f for f in fields if isinstance(f.ftype, Extension)]
-    if ext_fields:
-        out.append(
-            T.StructField(
-                "extension",
-                T.ArrayType(_ext_entry_struct(ext_fields, stack), True),
-                True,
+    for arr_name, is_mod in (("extension", False), ("modifierExtension", True)):
+        group = [
+            f
+            for f in fields
+            if isinstance(f.ftype, Extension) and f.ftype.modifier == is_mod
+        ]
+        if group:
+            out.append(
+                T.StructField(
+                    arr_name,
+                    T.ArrayType(_ext_entry_struct(group, stack), True),
+                    True,
+                )
             )
-        )
     for f in fields:
         if isinstance(f.ftype, Extension):
             continue  # parsed via the shared "extension" array above
@@ -333,7 +341,8 @@ def _convert_extension(parent: Column, f: Field, stack: tuple[str, ...]) -> Colu
     the slice url, value extracted by spelling (leaf) or recursed into
     sub-extensions (parent)."""
     ext = f.ftype
-    entries = F.filter(parent["extension"], lambda e: e["url"] == F.lit(ext.url))
+    arr = "modifierExtension" if ext.modifier else "extension"
+    entries = F.filter(parent[arr], lambda e: e["url"] == F.lit(ext.url))
     if ext.is_parent:
         first = F.element_at(entries, 1)
 
@@ -508,10 +517,15 @@ def _export_fields(
     parent: Column, fields: tuple[Field, ...], stack: tuple[str, ...]
 ) -> list[tuple[str, Column]]:
     out: list[tuple[str, Column]] = []
-    ext_fields = [f for f in fields if isinstance(f.ftype, Extension)]
-    if ext_fields:
-        # shared extension array first, matching the parse-side layout
-        out.append(("extension", _export_ext_entries(parent, ext_fields, stack)))
+    for arr_name, is_mod in (("extension", False), ("modifierExtension", True)):
+        group = [
+            f
+            for f in fields
+            if isinstance(f.ftype, Extension) and f.ftype.modifier == is_mod
+        ]
+        if group:
+            # shared arrays first, matching the parse-side layout
+            out.append((arr_name, _export_ext_entries(parent, group, stack)))
     for f in fields:
         if isinstance(f.ftype, Extension):
             continue  # exported through the shared "extension" array above

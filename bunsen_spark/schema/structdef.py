@@ -86,8 +86,9 @@ DATATYPES: dict[str, Complex] = {
 
 #: element names never surfaced as columns (reference parity:
 #: `Stu3StructureDefinitions.java` skips contained unless requested,
-#: and unsliced extension/modifierExtension arrays)
-_SKIP_NAMES = {"contained", "modifierExtension"}
+#: and unsliced extension/modifierExtension arrays; SLICED modifier
+#: extensions do become columns, handled in _compile_element)
+_SKIP_NAMES = {"contained"}
 
 
 def _upper_first(s: str) -> str:
@@ -250,10 +251,12 @@ class StructureDefinitionRegistry:
         types = el.get("type", [])
         codes = [t.get("code") for t in types]
 
-        if name == "extension":
+        if name in ("extension", "modifierExtension"):
             if "sliceName" not in el:
-                return None  # the unsliced open extension array
-            return self._compile_extension_slice(node, many)
+                return None  # the unsliced open extension arrays
+            return self._compile_extension_slice(
+                node, many, modifier=(name == "modifierExtension")
+            )
         if "sliceName" in el:
             return None  # non-extension slices constrain, they don't add columns
         if "contentReference" in el:
@@ -326,9 +329,14 @@ class StructureDefinitionRegistry:
         )
         return Field(base, Choice(patched), many=many)
 
-    def _compile_extension_slice(self, node: _Node, many: bool) -> Field | None:
-        """A ``path.extension`` row with a sliceName: either an external
-        profile reference (resolve its SD) or an inline sub-extension."""
+    def _compile_extension_slice(
+        self, node: _Node, many: bool, modifier: bool = False
+    ) -> Field | None:
+        """A ``path.extension`` / ``path.modifierExtension`` row with a
+        sliceName: either an external profile reference (resolve its
+        SD) or an inline sub-extension."""
+        import dataclasses
+
         el = node.el
         slice_name = el["sliceName"]
         prof = next((t.get("profile") for t in el.get("type", []) if t.get("profile")), None)
@@ -340,8 +348,11 @@ class StructureDefinitionRegistry:
                 )
             if not isinstance(ext, Extension):
                 raise ValueError(f"{prof!r} is not an extension definition")
-            return Field(slice_name, ext, many=many)
-        return Field(slice_name, self._compile_extension_tree(node, slice_name), many=many)
+        else:
+            ext = self._compile_extension_tree(node, slice_name)
+        if modifier:
+            ext = dataclasses.replace(ext, modifier=True)
+        return Field(slice_name, ext, many=many)
 
     def _compile_extension_tree(self, node: _Node, url: str) -> Extension:
         """Extension body: sliced sub-extensions → parent; otherwise the
