@@ -264,6 +264,77 @@ def decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group curation sample: the 5 docs per language
+    with the smallest md5(doc_id) — a reservoir-style 'N per stratum'
+    pick that is stable across runs, engines and scale (one window)."""
+    from pyspark.sql import Window, functions as F
+
+    from ..operators.text_analysis import md5int
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", md5int(F.col("doc_id").cast("string")).alias("h")
+    )
+    w = Window.partitionBy("lang").orderBy("h", "doc_id")
+    return (
+        docs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("lang", "doc_id", "rank")
+    )
+
+
+def _sample_per_lang_sql() -> str:
+    from ..operators.text_analysis import md5int_sql
+
+    h = md5int_sql("CAST(doc_id AS VARCHAR)")
+    return f"""
+SELECT lang, doc_id, rank FROM (
+  SELECT lang, doc_id,
+         row_number() OVER (PARTITION BY lang ORDER BY {h}, doc_id) AS rank
+  FROM documents
+) WHERE rank <= 5
+"""
+
+
+def quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation funnel a real pipeline runs: per language, total
+    docs vs docs surviving each quality bar (length, alpha ratio,
+    type-token ratio) and the final keep count — one pass, conditional
+    aggregation, no UDFs."""
+    from pyspark.sql import functions as F
+
+    from ..operators.text_analysis import quality_score
+
+    q = quality_score(load(spark, sf_dir, "documents")).join(
+        load(spark, sf_dir, "documents").select("doc_id", "lang"), "doc_id"
+    )
+    len_ok = F.col("n_words") >= 5
+    alpha_ok = F.col("alpha_ratio") >= 0.5
+    ttr_ok = F.col("ttr") >= 0.3
+    return q.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(len_ok.cast("long")).alias("n_len_ok"),
+        F.sum((len_ok & alpha_ok).cast("long")).alias("n_alpha_ok"),
+        F.sum((len_ok & alpha_ok & ttr_ok).cast("long")).alias("n_kept"),
+    )
+
+
+def _quality_funnel_sql() -> str:
+    from ..operators.text_analysis import quality_score_sql
+
+    return f"""
+WITH q AS ({quality_score_sql()}),
+j AS (SELECT q.*, d.lang FROM q JOIN documents d USING (doc_id))
+SELECT lang,
+       COUNT(*) AS n_total,
+       SUM(CASE WHEN n_words >= 5 THEN 1 ELSE 0 END) AS n_len_ok,
+       SUM(CASE WHEN n_words >= 5 AND alpha_ratio >= 0.5 THEN 1 ELSE 0 END) AS n_alpha_ok,
+       SUM(CASE WHEN n_words >= 5 AND alpha_ratio >= 0.5 AND ttr >= 0.3
+                THEN 1 ELSE 0 END) AS n_kept
+FROM j GROUP BY lang
+"""
+
+
 def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column media pipeline end-to-end (synthesize → decode →
     per-channel feature extraction in Arrow-batched mapInPandas). The
@@ -326,6 +397,8 @@ def _oracles() -> dict[str, str]:
         "dedup_clusters": near_dup_clusters_sql(minhash_lsh_pairs_sql()),
         "pack_chunks": pack_concat_chunks_sql(),
         "decontaminate_overlap": ngram_contamination_sql(),
+        "sample_per_lang": _sample_per_lang_sql(),
+        "quality_filter_funnel": _quality_funnel_sql(),
         "ann_ivf_topk": ivf_topk_sql(),
         "stratified_sample_counts": (
             "SELECT lang, count(*) AS n_kept FROM ("
@@ -359,6 +432,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_top_terms": doc_top_terms,
     "pack_chunks": pack_chunks,
     "decontaminate_overlap": decontaminate_overlap,
+    "sample_per_lang": sample_per_lang,
+    "quality_filter_funnel": quality_filter_funnel,
     "multimodal_image_features": multimodal_image_features,
 }
 
