@@ -115,3 +115,15 @@ def test_pack_chunks_single_exchange(spark, sf_dir):
     plan = _plan(pack_chunks(spark, sf_dir))
     assert plan.count("Exchange") <= 2  # shard hash partitioning (+AQE read)
     assert "Join" not in plan
+
+
+def test_no_cartesian_product_in_any_gate_query(spark, sf_dir):
+    """Blanket plan discipline: no gate query may degenerate into a
+    CartesianProduct (the one join strategy that cannot survive scale).
+    BroadcastNestedLoop is allowed only where a tiny broadcast side is
+    the design (ANN query sets, IVF centroids)."""
+    from bunsen_spark.queries import all_queries
+
+    for name, fn in all_queries().items():
+        plan = _plan(fn(spark, sf_dir))
+        assert "CartesianProduct" not in plan, name
