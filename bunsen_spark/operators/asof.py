@@ -32,18 +32,34 @@ def as_of_join(
     ts: str,
     payload: list[str],
     strict: bool = True,
+    direction: str = "backward",
+    tolerance: int | float | None = None,
 ) -> DataFrame:
-    """For each left row, attach the ``payload`` columns of the latest
-    right row with the same ``on`` keys and ``right.ts < left.ts``
-    (``<=`` when ``strict=False``). Right payload columns must not
-    collide with left column names; unmatched left rows keep nulls."""
+    """For each left row, attach the ``payload`` columns of the nearest
+    right row with the same ``on`` keys — the latest prior one
+    (``direction="backward"``, ``right.ts < left.ts``; ``<=`` when
+    ``strict=False``) or the earliest following one
+    (``direction="forward"``, ``right.ts > left.ts``). ``tolerance``
+    bounds the time gap (same units as ``ts``): matches farther away
+    yield nulls, pandas ``merge_asof``-style. Right payload columns
+    must not collide with left column names; unmatched left rows keep
+    nulls. Null payload VALUES in right rows are transparent (the scan
+    carries the previous non-null per column).
+
+    Forward is backward on the reversed time axis: only the window's
+    ts sort direction flips — same single shuffle, same O(1) state."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"unknown direction {direction!r}")
     for c in payload + [ts]:
         if c in left.columns and c != ts:
             raise ValueError(f"payload column {c!r} collides with left side")
+    rts = "__right_ts"
+    carried_cols = [*payload, rts]
     lhs = left.select(
         *[F.col(c) for c in left.columns],
         F.lit(1).alias("__is_left"),
         *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in payload],
+        F.lit(None).cast(right.schema[ts].dataType).alias(rts),
     )
     rhs = right.select(
         *[F.col(c) for c in on],
@@ -55,18 +71,33 @@ def as_of_join(
         ],
         F.lit(0).alias("__is_left"),
         *[F.col(c) for c in payload],
+        F.col(ts).alias(rts),
     ).select(*lhs.columns)
     # strict: left sorts before right at equal ts, so the frame up to
     # the current row excludes same-ts right rows; non-strict reverses
     side_order = F.desc("__is_left") if strict else F.asc("__is_left")
+    ts_order = F.asc(ts) if direction == "backward" else F.desc(ts)
     w = (
         Window.partitionBy(*on)
-        .orderBy(F.asc(ts), side_order)
+        .orderBy(ts_order, side_order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = lhs.unionByName(rhs).select(
         *[c for c in left.columns],
         "__is_left",
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in payload],
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in carried_cols],
     )
-    return carried.where(F.col("__is_left") == 1).drop("__is_left")
+    out = carried.where(F.col("__is_left") == 1).drop("__is_left")
+    if tolerance is not None:
+        gap = (
+            F.col(ts) - F.col(rts)
+            if direction == "backward"
+            else F.col(rts) - F.col(ts)
+        )
+        within = F.col(rts).isNotNull() & (gap <= tolerance)
+        out = out.select(
+            *[c for c in left.columns],
+            *[F.when(within, F.col(c)).alias(c) for c in payload],
+            rts,
+        )
+    return out.drop(rts)

@@ -163,6 +163,52 @@ FROM purchases p ASOF LEFT JOIN views v
 """
 
 
+def asof_forward_next_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of with tolerance (pandas merge_asof parity): each
+    purchase picks up the user's EARLIEST strictly-later view value,
+    nulled when it is more than one hour away. Same union+window plan
+    as backward — only the time sort flips."""
+    from ..operators.asof import as_of_join
+
+    e = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value", F.expr("ts div 1000").alias("us")
+    )
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "us", F.col("value").alias("purchase_value")
+    )
+    views = (
+        e.where(F.col("event_type") == "view")
+        .groupBy("user_id", "us")
+        .agg(F.max_by("value", "event_id").alias("next_view_value"))
+    )
+    hour_us = 3_600_000_000
+    return as_of_join(
+        purchases,
+        views,
+        on=["user_id"],
+        ts="us",
+        payload=["next_view_value"],
+        direction="forward",
+        tolerance=hour_us,
+    ).select("event_id", "user_id", "purchase_value", "next_view_value")
+
+
+ASOF_FORWARD_NEXT_VIEW_SQL = """
+WITH e AS (
+  SELECT event_id, user_id, event_type, value, epoch_us(ts) AS us FROM events
+), purchases AS (
+  SELECT event_id, user_id, us, value AS purchase_value FROM e WHERE event_type = 'purchase'
+), views AS (
+  SELECT user_id, us, arg_max(value, event_id) AS next_view_value
+  FROM e WHERE event_type = 'view' GROUP BY user_id, us
+)
+SELECT p.event_id, p.user_id, p.purchase_value,
+       CASE WHEN v.us - p.us <= 3600000000 THEN v.next_view_value END AS next_view_value
+FROM purchases p ASOF LEFT JOIN views v
+  ON p.user_id = v.user_id AND v.us > p.us
+"""
+
+
 def nations_with_customers_and_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set operation (U2 intersect as a user query): nation keys present
     on BOTH the customer and supplier side."""
@@ -285,6 +331,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "valueset_membership_lineitem": valueset_membership_lineitem,
     "translate_order_priority": translate_order_priority,
     "asof_purchase_last_view": asof_purchase_last_view,
+    "asof_forward_next_view": asof_forward_next_view,
     "nations_with_customers_and_suppliers": nations_with_customers_and_suppliers,
     "parts_never_ordered": parts_never_ordered,
     "orders_above_customer_avg": orders_above_customer_avg,
@@ -297,6 +344,7 @@ ORACLES: dict[str, str] = {
     "valueset_membership_lineitem": VALUESET_MEMBERSHIP_SQL,
     "translate_order_priority": TRANSLATE_ORDER_PRIORITY_SQL,
     "asof_purchase_last_view": ASOF_PURCHASE_LAST_VIEW_SQL,
+    "asof_forward_next_view": ASOF_FORWARD_NEXT_VIEW_SQL,
     "nations_with_customers_and_suppliers": NATIONS_INTERSECT_SQL,
     "parts_never_ordered": PARTS_EXCEPT_SQL,
     "orders_above_customer_avg": ORDERS_ABOVE_CUSTOMER_AVG_SQL,
