@@ -173,3 +173,104 @@ def test_stream_dedup(spark, tmp_path):
     q.awaitTermination(120)
     got = sorted(r["k"] for r in spark.table("deduped").collect())
     assert got == ["a", "b"]
+
+
+def test_stream_static_enrich(spark, tmp_path):
+    """Stream-static join: micro-batches pick up dimension columns;
+    result equals the batch join."""
+    import json as jsonlib
+
+    import pyspark.sql.types as T
+    from pyspark.sql import functions as F
+
+    from bunsen_spark.streaming.joins import enrich_stream
+
+    src = tmp_path / "enrich_events"
+    src.mkdir()
+    rows = [(1, 5.0), (2, 7.0), (3, 1.0)]
+    with open(src / "b0.jsonl", "w") as f:
+        for uid, v in rows:
+            f.write(jsonlib.dumps({"user_id": uid, "value": v}) + "\n")
+    schema = T.StructType(
+        [T.StructField("user_id", T.LongType()), T.StructField("value", T.DoubleType())]
+    )
+    stream = spark.readStream.schema(schema).json(str(src))
+    dim = spark.createDataFrame(
+        [(1, "gold"), (2, "silver")], "user_id long, tier string"
+    )
+    q = (
+        enrich_stream(stream, dim, ["user_id"])
+        .writeStream.format("memory")
+        .queryName("enriched")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {(r["user_id"], r["tier"]) for r in spark.table("enriched").collect()}
+    assert got == {(1, "gold"), (2, "silver"), (3, None)}
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Watermarked stream-stream join: purchases pair with views of the
+    same user within [0, 30 min] AFTER the view; out-of-window and
+    cross-user pairs are excluded."""
+    import json as jsonlib
+
+    import pyspark.sql.types as T
+    from pyspark.sql import functions as F
+
+    from bunsen_spark.streaming.joins import interval_join
+
+    vdir, pdir = tmp_path / "views", tmp_path / "purch"
+    vdir.mkdir(), pdir.mkdir()
+    views = [(1, "2024-01-01T10:00:00"), (2, "2024-01-01T10:00:00")]
+    purchases = [
+        (1, "2024-01-01T10:10:00"),  # in window → pairs
+        (1, "2024-01-01T11:30:00"),  # > 30 min after the view → no pair
+        (2, "2024-01-01T09:50:00"),  # before the view → no pair
+    ]
+    with open(vdir / "b0.jsonl", "w") as f:
+        for uid, ts in views:
+            f.write(jsonlib.dumps({"user_id": uid, "vts": ts}) + "\n")
+    with open(pdir / "b0.jsonl", "w") as f:
+        for uid, ts in purchases:
+            f.write(jsonlib.dumps({"user_id": uid, "pts": ts}) + "\n")
+
+    vschema = T.StructType(
+        [T.StructField("user_id", T.LongType()), T.StructField("vts", T.StringType())]
+    )
+    pschema = T.StructType(
+        [T.StructField("user_id", T.LongType()), T.StructField("pts", T.StringType())]
+    )
+    vstream = (
+        spark.readStream.schema(vschema)
+        .json(str(vdir))
+        .select("user_id", F.to_timestamp("vts").alias("view_ts"))
+    )
+    pstream = (
+        spark.readStream.schema(pschema)
+        .json(str(pdir))
+        .select("user_id", F.to_timestamp("pts").alias("purchase_ts"))
+    )
+    joined = interval_join(
+        vstream,
+        pstream,
+        on="user_id",
+        left_ts="view_ts",
+        right_ts="purchase_ts",
+        upper="30 minutes",
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("vp_pairs")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["user_id"], str(r["view_ts"]), str(r["purchase_ts"]))
+        for r in spark.table("vp_pairs").collect()
+    }
+    assert got == {(1, "2024-01-01 10:00:00", "2024-01-01 10:10:00")}
