@@ -5,4 +5,5 @@ from .valuesets import (  # noqa: F401
     isa_snomed,
     pop_valuesets,
     push_valuesets,
+    valueset,
 )

@@ -56,6 +56,12 @@ class ValueSetReference:
     version: str | None = None
 
 
+def valueset(valueset_uri: str, valueset_version: str | None = None) -> ValueSetReference:
+    """Drop-in alias for the reference's spec form
+    (`python/bunsen/stu3/valuesets.py:valueset`)."""
+    return ValueSetReference(valueset_uri, valueset_version)
+
+
 def isa_loinc(code: str, version: str | None = None) -> HierarchyDescendants:
     return HierarchyDescendants(LOINC_CODE_SYSTEM, code, LOINC_HIERARCHY_URI, version)
 

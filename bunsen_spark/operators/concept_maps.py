@@ -139,6 +139,93 @@ class ConceptMaps:
             read_resources_from_directory(self.spark, path, "ConceptMap")
         )
 
+    def with_new_map(
+        self,
+        url: str,
+        version: str,
+        source: str,
+        target: str,
+        mappings: list[tuple],
+        experimental: bool = True,
+    ) -> "ConceptMaps":
+        """Construct a map from (sourcesystem, sourcevalue,
+        targetsystem, targetvalue, equivalence) tuples and add it
+        (`python/bunsen/codes/__init__.py:with_new_map`,
+        `ConceptMaps.java` createMap path): the nested resource is
+        assembled as JSON and run through the standard ingest plan, so
+        schema and converter behavior are identical to file imports."""
+        import json as _json
+
+        groups: dict[tuple[str, str], dict[str, list]] = {}
+        for ss, sv, ts, tv, eq in mappings:
+            elems = groups.setdefault((ss, ts), {})
+            elems.setdefault(sv, []).append({"code": tv, "equivalence": eq})
+        doc = {
+            "resourceType": "ConceptMap",
+            "url": url,
+            "version": version,
+            "status": "draft" if experimental else "active",
+            "experimental": experimental,
+            "sourceUri": source,
+            "targetUri": target,
+            "group": [
+                {
+                    "source": ss,
+                    "target": ts,
+                    "element": [
+                        {"code": sv, "target": tgts} for sv, tgts in elems.items()
+                    ],
+                }
+                for (ss, ts), elems in groups.items()
+            ],
+        }
+        from ..sources.resources import resources_from_json_strings
+
+        raw = self.spark.createDataFrame([(_json.dumps(doc),)], "resource_json string")
+        return self.with_concept_maps(
+            resources_from_json_strings(raw, "resource_json", "ConceptMap")
+        )
+
+    def add_mappings(
+        self, url: str, version: str, new_version: str, mappings: list[tuple]
+    ) -> "ConceptMaps":
+        """New VERSION of a stored map with extra mappings appended
+        (`python/bunsen/codes/__init__.py:add_mappings`): metadata is
+        copied with the new version; the mapping table is the old
+        version's rows plus the new tuples."""
+        meta = self.concept_maps.where(
+            (F.col("url") == url) & (F.col("version") == version)
+        ).withColumn("version", F.lit(new_version))
+        if meta.isEmpty():
+            raise ValueError(f"no stored map {url}@{version}")
+        old = self.get_mappings(url, version).withColumn(
+            "conceptmapversion", F.lit(new_version)
+        )
+        row = meta.select(F.col("source.uri"), F.col("target.uri")).collect()[0]
+        fresh = self.spark.createDataFrame(
+            [
+                (row[0], row[1], ss, sv, ts, tv, eq, url, new_version)
+                for ss, sv, ts, tv, eq in mappings
+            ],
+            ", ".join(f"{c} string" for c in MAPPINGS_COLUMNS),
+        )
+        return ConceptMaps(
+            self.spark,
+            self.concept_maps.unionByName(meta),
+            self.mappings.unionByName(old.select(*MAPPINGS_COLUMNS)).unionByName(
+                fresh
+            ),
+        )
+
+    def get_map_as_xml(self, url: str, version: str | None = None) -> str:
+        """Re-assembled map as one FHIR XML string
+        (`python/bunsen/codes/__init__.py:get_map_as_xml`)."""
+        from ..sources.export import to_resource_xml
+
+        return to_resource_xml(self.get_concept_map(url, version), "ConceptMap").collect()[
+            0
+        ]["xml"]
+
     def with_disjoint_maps_from_directory(self, path: str) -> "ConceptMaps":
         """Disjoint import (J1, `AbstractConceptMaps.java:220-234`): load
         only maps whose (url, version) the collection does not already

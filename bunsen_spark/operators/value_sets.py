@@ -97,6 +97,98 @@ class ValueSets:
 
     # -- queries ------------------------------------------------------------
 
+    def with_new_value_set(
+        self,
+        url: str,
+        version: str,
+        values: list[tuple],
+        experimental: bool = True,
+    ) -> "ValueSets":
+        """Construct a value set from (system, code) or (system,
+        system_version, code) tuples and add it
+        (`python/bunsen/codes/__init__.py:with_new_value_set`): the
+        nested resource is assembled as JSON and run through the
+        standard ingest plan."""
+        import json as _json
+
+        systems: dict[tuple[str, str | None], list[str]] = {}
+        for t in values:
+            if len(t) == 2:
+                system, code = t
+                sys_version = None
+            else:
+                system, sys_version, code = t
+            systems.setdefault((system, sys_version), []).append(code)
+        doc = {
+            "resourceType": "ValueSet",
+            "url": url,
+            "version": version,
+            "status": "draft" if experimental else "active",
+            "experimental": experimental,
+            "compose": {
+                "include": [
+                    {
+                        "system": system,
+                        **({"version": sv} if sv else {}),
+                        "concept": [{"code": c} for c in codes],
+                    }
+                    for (system, sv), codes in systems.items()
+                ]
+            },
+        }
+        from ..sources.resources import resources_from_json_strings
+
+        raw = self.spark.createDataFrame([(_json.dumps(doc),)], "resource_json string")
+        return self.with_value_sets(
+            resources_from_json_strings(raw, "resource_json", "ValueSet")
+        )
+
+    def add_values(
+        self, url: str, version: str, new_version: str, values: list[tuple]
+    ) -> "ValueSets":
+        """New VERSION of a stored set with extra member values appended
+        (`python/bunsen/codes/__init__.py:add_values`)."""
+        meta = self.value_sets.where(
+            (F.col("url") == url) & (F.col("version") == version)
+        ).withColumn("version", F.lit(new_version))
+        if meta.isEmpty():
+            raise ValueError(f"no stored value set {url}@{version}")
+        old = self.values.where(
+            (F.col("valueseturi") == url) & (F.col("valuesetversion") == version)
+        ).withColumn("valuesetversion", F.lit(new_version))
+        rows = []
+        for t in values:
+            system, sys_version, code = t if len(t) == 3 else (t[0], None, t[1])
+            rows.append((system, sys_version, code, url, new_version))
+        fresh = self.spark.createDataFrame(
+            rows, ", ".join(f"{c} string" for c in VALUES_COLUMNS)
+        )
+        return ValueSets(
+            self.spark,
+            self.value_sets.unionByName(meta),
+            self.values.unionByName(old.select(*VALUES_COLUMNS)).unionByName(fresh),
+        )
+
+    def get_value_set_as_xml(self, url: str, version: str | None = None) -> str:
+        """Re-assembled set as one FHIR XML string
+        (`python/bunsen/codes/__init__.py:get_value_set_as_xml`)."""
+        from ..sources.export import to_resource_xml
+
+        return to_resource_xml(self.get_value_set(url, version), "ValueSet").collect()[
+            0
+        ]["xml"]
+
+    def with_disjoint_value_sets_from_directory(self, path: str) -> "ValueSets":
+        """Disjoint import: load only value sets whose (url, version)
+        is not already stored (`AbstractValueSets.java` disjoint path,
+        mirroring the ConceptMaps J1 anti-join)."""
+        from ..sources.resources import read_resources_from_directory
+
+        fresh = read_resources_from_directory(self.spark, path, "ValueSet").join(
+            self.value_sets.select("url", "version"), ["url", "version"], "left_anti"
+        )
+        return self.with_value_sets(fresh)
+
     def get_value_sets(self) -> DataFrame:
         return self.value_sets
 

@@ -18,10 +18,23 @@ def read_resources_from_directory(
     """Each matching file (by resourceType) → one row with the
     spec-derived nested schema."""
     raw = spark.read.text(path, wholetext=True).select(F.col("value").alias("resource_json"))
+    return resources_from_json_strings(raw, "resource_json", resource_type)
+
+
+def resources_from_json_strings(
+    df: DataFrame, column: str, resource_type: str
+) -> DataFrame:
+    """Resource JSON strings in a column → spec-schema rows (shared by
+    directory scans and programmatic resource construction)."""
+    from ..schema.resources import base_resource_type
+
     parse_schema = json_schema_for(resource_type)
     return (
-        raw.where(F.get_json_object("resource_json", "$.resourceType") == resource_type)
-        .select(F.from_json("resource_json", parse_schema).alias("r"))
+        df.where(
+            F.get_json_object(column, "$.resourceType")
+            == base_resource_type(resource_type)
+        )
+        .select(F.from_json(column, parse_schema).alias("r"))
         .select(converter_for(resource_type, F.col("r")).alias("res"))
         .select("res.*")
     )
