@@ -119,8 +119,16 @@ def jaccard_pairs(
     """Exact Jaccard near-dup pairs over word ``n``-gram shingle sets,
     via posting-list self-join; shingles with document frequency >
     ``max_df`` are pruned everywhere (see module doc). Output:
-    (a_id, b_id, jaccard) with jaccard ≥ threshold, rounded to 6."""
-    postings = _with_shingles(docs, n).select("doc_id", F.explode("shingles").alias("s"))
+    (a_id, b_id, jaccard) with jaccard ≥ threshold, rounded to 6.
+
+    Postings are keyed by the 8-byte shingle hash, not the shingle
+    string — the grouping shuffle moves longs instead of word n-grams
+    (the oracle hashes identically, so parity holds under collisions,
+    which also affect both engines' set sizes the same way)."""
+    postings = _with_shingles(docs, n).select(
+        "doc_id",
+        F.explode(F.array_distinct(_shingle_hashes(F.col("shingles")))).alias("s"),
+    )
     # one aggregation per shingle replaces the classic posting-list
     # SELF-JOIN: the doc list is collected once, df-pruning is a filter
     # on its size, and the i<j pairs are expanded inline — two shuffles
@@ -164,9 +172,12 @@ def jaccard_pairs(
 def jaccard_pairs_sql(
     table: str = "documents", n: int = SHINGLE_N, threshold: float = 0.5, max_df: int = 1000
 ) -> str:
+    shingle_hash = f"{md5int_sql('s')} % {MERSENNE31}"
     return f"""
 WITH postings AS (
-  SELECT doc_id, unnest({shingles_sql(n)}) AS s FROM {table}
+  SELECT doc_id, unnest(list_distinct(
+    list_transform({shingles_sql(n)}, s -> {shingle_hash}))) AS s
+  FROM {table}
 ), kept AS (
   SELECT s FROM postings GROUP BY s HAVING count(*) <= {max_df}
 ), pruned AS (
