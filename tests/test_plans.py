@@ -127,3 +127,25 @@ def test_no_cartesian_product_in_any_gate_query(spark, sf_dir):
     for name, fn in all_queries().items():
         plan = _plan(fn(spark, sf_dir))
         assert "CartesianProduct" not in plan, name
+
+
+def test_sql_rewrite_multiple_calls_and_unknown_ref(spark):
+    from bunsen_spark.functions.valuesets import rewrite_in_valueset_sql
+
+    vs = {"a": {"s": {"x"}}, "b": {"s": {"y"}}}
+    out = rewrite_in_valueset_sql(
+        "SELECT * FROM t WHERE in_valueset(code, 'a') OR in_valueset(other.code, 'b')",
+        vs,
+    )
+    assert "in_valueset" not in out
+    assert out.count("exists(") == 2 and "other.code.coding" in out
+    # unknown reference fails like the UDF does
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown valueset reference"):
+        rewrite_in_valueset_sql("SELECT in_valueset(code, 'nope') FROM t", vs)
+    # empty members compile to a constant false
+    assert (
+        rewrite_in_valueset_sql("SELECT in_valueset(code, 'e') FROM t", {"e": {}})
+        == "SELECT false FROM t"
+    )

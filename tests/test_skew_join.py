@@ -33,3 +33,20 @@ def test_salted_left_join(spark, sf_dir):
     plain = customer.join(orders, ["c_custkey"], "left")
     salted = salted_join(customer, orders, ["c_custkey"], "left")
     assert salted.count() == plain.count()
+
+
+def test_deterministic_sample_stable_and_proportional(spark, sf_dir):
+    from bunsen_spark.operators.sampling import deterministic_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = deterministic_sample(docs, "doc_id", 0.3)
+    b = deterministic_sample(docs, "doc_id", 0.3)
+    ids_a = sorted(r["doc_id"] for r in a.select("doc_id").collect())
+    ids_b = sorted(r["doc_id"] for r in b.select("doc_id").collect())
+    assert ids_a == ids_b  # purely key-derived, run-stable
+    n, total = len(ids_a), docs.count()
+    assert 0.15 < n / total < 0.45  # ~30% at small n
+    # a larger fraction is a superset (nested cutoffs)
+    wider = deterministic_sample(docs, "doc_id", 0.6)
+    ids_w = {r["doc_id"] for r in wider.select("doc_id").collect()}
+    assert set(ids_a) <= ids_w
