@@ -67,10 +67,12 @@ WITH base AS (
 SELECT doc_id, shard, start_off, start_off // {max_tokens} AS first_chunk
 FROM (
   SELECT doc_id, shard,
-         COALESCE(SUM(n_tokens) OVER (
+         -- CAST: DuckDB SUM(int) is HUGEINT → float64 under a pandas fetch;
+         -- Spark's window SUM is BIGINT, so pin the oracle type for hash parity.
+         CAST(COALESCE(SUM(n_tokens) OVER (
              PARTITION BY shard ORDER BY h, doc_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
-         ), 0) AS start_off
+         ), 0) AS BIGINT) AS start_off
   FROM base
 ) __offs
 """

@@ -13,13 +13,30 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    # The testdata fixtures write parquet TIMESTAMP(NANOS), which Spark can
-    # only read as int64 epoch-nanos with this conf. The driver's correctness
-    # gate builds its own SparkSession (not our session factory), so the conf
-    # must be applied here, on whatever session we are handed. It is
-    # runtime-settable.
+    # Some testdata generations write parquet TIMESTAMP(NANOS), which Spark
+    # can only read as int64 epoch-nanos with this conf; other generations
+    # write plain microsecond timestamps, where the conf is a no-op. The
+    # driver's correctness gate builds its own SparkSession (not our session
+    # factory), so the conf must be applied here, on whatever session we are
+    # handed. It is runtime-settable. Query code must not assume either
+    # representation — use ts_us() to get epoch-microseconds.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def ts_us(df: DataFrame, col: str = "ts"):
+    """Epoch-microseconds Column for a timestamp column, regardless of how
+    the parquet fixture encodes it: int64 epoch-nanos (nanosAsLong read of
+    TIMESTAMP(NANOS)) or a real timestamp/timestamp_ntz (microsecond
+    parquet). Matches DuckDB's ``epoch_us(ts)`` on the same files — the
+    session timezone is pinned to UTC, so the NTZ→TZ cast reinterprets the
+    naive value as UTC exactly like DuckDB's naive epoch."""
+    from pyspark.sql import functions as F
+
+    dt = df.schema[col].dataType.simpleString()
+    if dt in ("bigint", "long"):
+        return F.expr(f"{col} div 1000")
+    return F.unix_micros(F.col(col).cast("timestamp"))
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

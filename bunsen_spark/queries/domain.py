@@ -15,7 +15,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from . import load
+from . import load, ts_us
 
 
 def closure_part_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -132,8 +132,9 @@ def asof_purchase_last_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     range-join fan-out (`operators.asof.as_of_join`)."""
     from ..operators.asof import as_of_join
 
-    e = load(spark, sf_dir, "events").select(
-        "event_id", "user_id", "event_type", "value", F.expr("ts div 1000").alias("us")
+    e = load(spark, sf_dir, "events")
+    e = e.select(
+        "event_id", "user_id", "event_type", "value", ts_us(e).alias("us")
     )
     purchases = e.where(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "us", F.col("value").alias("purchase_value")
@@ -170,8 +171,9 @@ def asof_forward_next_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     as backward — only the time sort flips."""
     from ..operators.asof import as_of_join
 
-    e = load(spark, sf_dir, "events").select(
-        "event_id", "user_id", "event_type", "value", F.expr("ts div 1000").alias("us")
+    e = load(spark, sf_dir, "events")
+    e = e.select(
+        "event_id", "user_id", "event_type", "value", ts_us(e).alias("us")
     )
     purchases = e.where(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "us", F.col("value").alias("purchase_value")
@@ -299,8 +301,9 @@ def range_join_purchase_views(spark: SparkSession, sf_dir: str) -> DataFrame:
     refine, no nested loop (`operators.range_join`)."""
     from ..operators.range_join import range_join
 
-    e = load(spark, sf_dir, "events").select(
-        "event_id", "user_id", "event_type", F.expr("ts div 1000").alias("us")
+    e = load(spark, sf_dir, "events")
+    e = e.select(
+        "event_id", "user_id", "event_type", ts_us(e).alias("us")
     )
     purchases = e.where(F.col("event_type") == "purchase").select(
         F.col("event_id").alias("purchase_id"), "user_id", F.col("us").alias("p_us")

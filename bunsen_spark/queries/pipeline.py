@@ -327,10 +327,13 @@ WITH q AS ({quality_score_sql()}),
 j AS (SELECT q.*, d.lang FROM q JOIN documents d USING (doc_id))
 SELECT lang,
        COUNT(*) AS n_total,
-       SUM(CASE WHEN n_words >= 5 THEN 1 ELSE 0 END) AS n_len_ok,
-       SUM(CASE WHEN n_words >= 5 AND alpha_ratio >= 0.5 THEN 1 ELSE 0 END) AS n_alpha_ok,
-       SUM(CASE WHEN n_words >= 5 AND alpha_ratio >= 0.5 AND ttr >= 0.3
-                THEN 1 ELSE 0 END) AS n_kept
+       -- CAST: DuckDB SUM(int) is HUGEINT → float64 under a pandas fetch;
+       -- Spark sums longs, so pin the oracle to BIGINT for hash parity.
+       CAST(SUM(CASE WHEN n_words >= 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_len_ok,
+       CAST(SUM(CASE WHEN n_words >= 5 AND alpha_ratio >= 0.5 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_alpha_ok,
+       CAST(SUM(CASE WHEN n_words >= 5 AND alpha_ratio >= 0.5 AND ttr >= 0.3
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
 FROM j GROUP BY lang
 """
 

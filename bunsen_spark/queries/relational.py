@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from . import load
+from . import load, ts_us
 
 
 def _dsum(col: F.Column) -> F.Column:
@@ -243,8 +243,9 @@ FROM events
 # ---------------------------------------------------------------------------
 
 def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load(spark, sf_dir, "events").select(
-        "user_id", "event_id", "value", F.expr("ts div 1000").alias("us")
+    e = load(spark, sf_dir, "events")
+    e = e.select(
+        "user_id", "event_id", "value", ts_us(e).alias("us")
     )
     w = W.partitionBy("user_id").orderBy("us", "event_id")
     wcum = w.rowsBetween(W.unboundedPreceding, W.currentRow)
@@ -278,8 +279,11 @@ WITH e AS (
   FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
 ), sessions AS (
   SELECT user_id, value, us,
-         SUM(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
-                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+         -- CAST: DuckDB types SUM(int) as HUGEINT, which renders as float64
+         -- under a pandas/arrow fetch and breaks the driver's value hash.
+         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS session_id
   FROM flagged
 )
 SELECT user_id, session_id, COUNT(*) AS n_events,
@@ -355,7 +359,7 @@ def tumbling_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events")
     hour_us = 3_600_000_000
     return (
-        e.select("event_type", F.expr("ts div 1000").alias("us"), "value")
+        e.select("event_type", ts_us(e).alias("us"), "value")
         .withColumn("window_start_us", F.expr(f"(us div {hour_us}) * {hour_us}"))
         .groupBy("event_type", "window_start_us")
         .agg(
@@ -462,11 +466,13 @@ def pivot_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PIVOT_SQL = """
 SELECT user_id,
-       SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
-       SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
-       SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
-       SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
-       SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error,
+       -- CAST: DuckDB SUM(int) is HUGEINT → float64 under a pandas fetch;
+       -- Spark returns BIGINT, so pin the oracle to BIGINT for hash parity.
+       CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+       CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+       CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
        MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_prop_k
 FROM events
 GROUP BY user_id

@@ -28,11 +28,20 @@ TABLES = [
 
 
 def _norm_cell(v) -> str:
+    import numpy as np
+
+    if isinstance(v, np.ndarray):
+        v = v.tolist()
+    elif isinstance(v, np.generic):
+        v = v.item()
     if v is None:
         return "NULL"
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
+            # the driver fetches BOTH sides through pandas, where a NULL in a
+            # double column renders as NaN — it cannot tell NaN from NULL, and
+            # neither should this mimic (spark side here is collect() → None).
+            return "NULL"
         # repr of a double is exact enough for bit-identical values
         return repr(v)
     if isinstance(v, bytes):
@@ -89,8 +98,12 @@ def main() -> int:
             continue
         try:
             res = con.execute(oracles[name])
-            ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
+            # fetch through pandas — the same dtype path the driver's gate
+            # uses. A fetchall() here hides the DuckDB HUGEINT → float64
+            # coercion that broke 4 gate hashes in round 2.
+            odf = res.fetchdf()
+            ocols = list(odf.columns)
+            orows = [tuple(r) for r in odf.itertuples(index=False, name=None)]
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb error: {e}")
             n_fail += 1
