@@ -342,19 +342,59 @@ def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column media pipeline end-to-end (synthesize → decode →
     per-channel feature extraction in Arrow-batched mapInPandas). The
     decode is the deterministic fake (no codecs in this container), so
-    output is stable; registered WITHOUT a SQL oracle — numpy feature
-    math has no DuckDB twin — for the driver's rows-only check."""
+    the gate output is exactly reproducible: payload byte ``p`` is
+    ``md5('media'+i)[p % 16]`` tiled to ``w*h*3``, so the per-channel
+    means are integer-sum averages with a bit-exact DuckDB twin
+    (``MULTIMODAL_FEATURES_SQL``). ``entropy_bits`` is excluded from
+    the gate columns — its float64 ``Σ p·log2 p`` depends on summation
+    order, so it is covered by ``tests/test_multimodal.py`` instead."""
     from pyspark.sql import functions as F
 
     from ..operators.multimodal import decode_images, image_features, synthesize_media
 
     media = synthesize_media(spark, n=64, kind="image")
-    feats = image_features(decode_images(media))
-    return feats.select(
+    decoded = decode_images(media)
+    feats = image_features(decoded)
+    return feats.join(decoded.select("media_id", "width", "height"), "media_id").select(
         "media_id",
-        F.round("entropy_bits", 6).alias("entropy_bits"),
+        "width",
+        "height",
         F.round(F.element_at("mean", 1), 6).alias("mean_c0"),
+        F.round(F.element_at("mean", 2), 6).alias("mean_c1"),
+        F.round(F.element_at("mean", 3), 6).alias("mean_c2"),
     )
+
+
+# DuckDB twin of the deterministic fake decode: byte q of the tiled
+# pixel buffer is md5('media'+i)[(q % payload_len) % 16]; channel j is
+# the positions with q % 3 = j. Integer sums are order-independent and
+# exact in float64, so round(avg, 6) matches Spark bit-for-bit.
+MULTIMODAL_FEATURES_SQL = """
+WITH media AS (
+  SELECT i,
+         md5('media' || CAST(i AS VARCHAR)) AS h,
+         64 + (i % 5) * 16 AS plen,
+         8 + (i % 4) AS w,
+         6 + (i % 3) AS ht
+  FROM range(64) t(i)
+),
+px AS (
+  SELECT m.i, m.w, m.ht, t.q,
+         (strpos('0123456789abcdef',
+                 substr(m.h, 2 * ((t.q % m.plen) % 16) + 1, 1)) - 1) * 16
+         + strpos('0123456789abcdef',
+                  substr(m.h, 2 * ((t.q % m.plen) % 16) + 2, 1)) - 1 AS val
+  FROM media m
+  CROSS JOIN range(264) t(q)      -- 264 = max w (11) * max h (8) * 3
+  WHERE t.q < m.w * m.ht * 3
+)
+SELECT i AS media_id, w AS width, ht AS height,
+       round(avg(CASE WHEN q % 3 = 0 THEN val END), 6) AS mean_c0,
+       round(avg(CASE WHEN q % 3 = 1 THEN val END), 6) AS mean_c1,
+       round(avg(CASE WHEN q % 3 = 2 THEN val END), 6) AS mean_c2
+FROM px
+GROUP BY i, w, ht
+"""
 
 
 def _oracles() -> dict[str, str]:
@@ -411,6 +451,7 @@ def _oracles() -> dict[str, str]:
             + ") GROUP BY lang"
         ),
         "doc_top_terms": DOC_TOP_TERMS_SQL,
+        "multimodal_image_features": MULTIMODAL_FEATURES_SQL,
     }
 
 
