@@ -629,7 +629,12 @@ def definition_for(resource_type: str) -> Complex:
     raise ValueError(
         f"unsupported resource type {resource_type!r}; supported: "
         f"{resource_names() + sorted(_PROFILES)} plus spec-registered "
-        f"profiles {default_registry().resource_profile_names()}"
+        f"profiles {default_registry().resource_profile_names()}. "
+        "Any other STU3 resource works after registering its public "
+        "spec artifact: download profiles-resources.json from "
+        "hl7.org/fhir/STU3, optionally shrink it with "
+        "tools/minimize_structdefs.py, then call "
+        "bunsen_spark.schema.structdef.load_structure_definitions(path)."
     )
 
 

@@ -25,9 +25,19 @@ A minimized form of the public HL7 US-Core STU3 package (produced by
 ``tools/minimize_structdefs.py``; see that module's docstring) is
 bundled at ``definitions/us_core_stu3.min.json`` and auto-loaded, which
 covers the same 26 profiles the reference ships
-(`UsCoreStu3ProfileProvider.java:43-69`). Users can register further
-spec files — any STU3 resource or profile — with
-:func:`load_structure_definitions`.
+(`UsCoreStu3ProfileProvider.java:43-69`). Each bundled resource profile
+also registers a fallback alias under its bare base type name (its
+snapshot embeds the full base element tree), so ``CarePlan``, ``Goal``,
+``Location``, ``Practitioner`` … resolve with zero setup. For the
+remaining STU3 resource types (the reference reaches them through
+HAPI's bundled spec, `StructureDefinitions.java:93-122`) the path is
+one public artifact away: download ``profiles-resources.json`` from
+hl7.org/fhir/STU3, optionally shrink it with
+``tools/minimize_structdefs.py`` (it reads the spec's Bundle publish
+format directly), and register it with
+:func:`load_structure_definitions`. This container has no network
+access, so that artifact is not vendored here; the workflow itself is
+exercised end-to-end in ``tests/test_structdef_full_spec.py``.
 """
 
 from __future__ import annotations
@@ -155,6 +165,14 @@ class StructureDefinitionRegistry:
         for alias in (url, sd.get("id"), sd.get("name")):
             if alias:
                 self._alias[alias] = url
+        # Fallback alias: a resource profile's snapshot embeds the full
+        # element tree of the base type it constrains, so surface the
+        # bare type name (e.g. "CarePlan" → us-core-careplan) when no
+        # definition holds that name yet. setdefault means a real base
+        # StructureDefinition loaded at any time wins via the exact
+        # id/name alias assignment above.
+        if sd.get("kind") == "resource" and sd.get("type"):
+            self._alias.setdefault(sd["type"], url)
 
     def load_file(self, path: str | Path) -> list[str]:
         """Load a registry JSON (url→sd map) or a single SD JSON."""

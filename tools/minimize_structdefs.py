@@ -46,18 +46,33 @@ def minimize_sd(sd: dict) -> dict:
     return out
 
 
+def _iter_sds(doc: dict):
+    """A source JSON is either one StructureDefinition or a Bundle of
+    them (the spec's own profiles-resources.json / profiles-types.json
+    publish format)."""
+    if doc.get("resourceType") == "StructureDefinition":
+        yield doc
+    elif doc.get("resourceType") == "Bundle":
+        for entry in doc.get("entry", []):
+            res = entry.get("resource", {})
+            if res.get("resourceType") == "StructureDefinition":
+                yield res
+
+
 def main() -> int:
     src = Path(sys.argv[1])
     dst = Path(sys.argv[2])
     registry: dict[str, dict] = {}
-    for p in sorted(src.glob("*.json")):
+    paths = sorted(src.glob("*.json")) if src.is_dir() else [src]
+    for p in paths:
         try:
-            sd = json.loads(p.read_text())
+            doc = json.loads(p.read_text())
         except ValueError:
             continue
-        if sd.get("resourceType") != "StructureDefinition" or "snapshot" not in sd:
-            continue
-        registry[sd["url"]] = minimize_sd(sd)
+        for sd in _iter_sds(doc):
+            if "snapshot" not in sd:
+                continue
+            registry[sd["url"]] = minimize_sd(sd)
     dst.parent.mkdir(parents=True, exist_ok=True)
     dst.write_text(json.dumps(registry, indent=None, separators=(",", ":"), sort_keys=True))
     print(f"{len(registry)} StructureDefinitions -> {dst} ({dst.stat().st_size} bytes)")
