@@ -12,6 +12,23 @@ Scale shape: documents hash into ``num_shards`` independent streams
 offset is a window cumsum ordered by (md5(doc_id), doc_id) — a single
 sort-based window whose partitions are the shards, so the plan is one
 exchange + one sorted window regardless of corpus size.
+
+``num_shards`` is the scale knob: each shard is one sort task, so it
+must grow with the corpus. The default derives from the input's
+partition count (``df.rdd.getNumPartitions()``), which already tracks
+input bytes / ``spark.sql.files.maxPartitionBytes``:
+
+=============  ==================  =======================
+corpus         input partitions    derived shards (~task)
+=============  ==================  =======================
+60 MB local    ~32                 32 × ~2 MB sorts
+1 TB cluster   ~8,000              8,000 × ~128 MB sorts
+100 TB         ~800,000            800,000 × ~128 MB sorts
+=============  ==================  =======================
+
+Pass ``num_shards`` explicitly when the output layout is contractual
+(the correctness gate pins 32 so its DuckDB oracle can mirror the
+shard assignment).
 """
 
 from __future__ import annotations
@@ -27,12 +44,18 @@ _TOKENS_SQL = "len(regexp_extract_all(lower(text), '[a-z0-9]+'))"
 
 
 def pack_concat_chunks(
-    docs: DataFrame, max_tokens: int = 512, num_shards: int = 32
+    docs: DataFrame, max_tokens: int = 512, num_shards: int | None = None
 ) -> DataFrame:
     """(doc_id, shard, start_off, first_chunk): where each document
     lands in its shard's concatenated token stream. ``start_off`` is
     the running token offset before the document; ``first_chunk`` is
-    the ``max_tokens`` window that offset falls in."""
+    the ``max_tokens`` window that offset falls in.
+
+    ``num_shards=None`` derives the shard count from the input
+    partition count (module docstring scale table); pass an explicit
+    value when downstream consumers depend on the shard layout."""
+    if num_shards is None:
+        num_shards = max(docs.rdd.getNumPartitions(), 1)
     base = docs.select(
         "doc_id",
         F.expr(_TOKENS).alias("n_tokens"),

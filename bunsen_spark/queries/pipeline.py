@@ -244,10 +244,12 @@ SELECT doc_id, term, tf, df, rank FROM (
 
 def pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-and-chunk sequence packing assignment (deterministic
-    shard + window cumsum; see operators.packing)."""
+    shard + window cumsum; see operators.packing). num_shards is
+    pinned so the DuckDB oracle mirrors the shard hash exactly; the
+    operator's default derives it from the input partition count."""
     from ..operators.packing import pack_concat_chunks
 
-    return pack_concat_chunks(load(spark, sf_dir, "documents"))
+    return pack_concat_chunks(load(spark, sf_dir, "documents"), num_shards=32)
 
 
 def decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
