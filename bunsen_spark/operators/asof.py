@@ -5,15 +5,22 @@ Implementation is the scalable union+window form, NOT a range join:
 
     left(keys, ts, payload) ∪ right(keys, ts, payload)
     → window per key ordered by (ts, side, …)
-    → carry the right payload forward with last(..., ignoreNulls)
+    → carry the nearest right ROW forward as one struct with
+      last(..., ignoreNulls)
     → keep left rows
 
 One shuffle on the key, zero join fan-out, and the state per key is a
-single carried value — this survives arbitrarily skewed key × time
+single carried struct — this survives arbitrarily skewed key × time
 distributions where a theta/range join explodes. Strict inequality
 (right.ts < left.ts) is encoded purely in the sort order: left rows
 sort BEFORE right rows at equal timestamps, so an equal-ts right row
 is never visible to the left row's window frame.
+
+The carried value is ONE struct of (right ts, payload...), so the
+matched row is atomic: the tolerance gap test and every payload column
+refer to the same right row — pandas ``merge_asof`` semantics. A null
+payload VALUE in the nearest right row therefore stays null (it is not
+skipped in favor of an older row's value).
 
 Ties on (key, ts) within the right side must be pre-collapsed by the
 caller (e.g. ``max_by`` a tiebreaker) for deterministic output.
@@ -23,6 +30,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def as_of_join(
@@ -43,8 +51,8 @@ def as_of_join(
     bounds the time gap (same units as ``ts``): matches farther away
     yield nulls, pandas ``merge_asof``-style. Right payload columns
     must not collide with left column names; unmatched left rows keep
-    nulls. Null payload VALUES in right rows are transparent (the scan
-    carries the previous non-null per column).
+    nulls. Payload values come from the nearest right row itself —
+    nulls in that row stay null (``merge_asof`` row semantics).
 
     Forward is backward on the reversed time axis: only the window's
     ts sort direction flips — same single shuffle, same O(1) state."""
@@ -54,12 +62,16 @@ def as_of_join(
         if c in left.columns and c != ts:
             raise ValueError(f"payload column {c!r} collides with left side")
     rts = "__right_ts"
-    carried_cols = [*payload, rts]
+    # the matched right row travels as ONE nullable struct so the gap
+    # test and the payload always describe the same row
+    match_t = T.StructType(
+        [T.StructField(rts, right.schema[ts].dataType)]
+        + [T.StructField(c, right.schema[c].dataType) for c in payload]
+    )
     lhs = left.select(
         *[F.col(c) for c in left.columns],
         F.lit(1).alias("__is_left"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in payload],
-        F.lit(None).cast(right.schema[ts].dataType).alias(rts),
+        F.lit(None).cast(match_t).alias("__match"),
     )
     rhs = right.select(
         *[F.col(c) for c in on],
@@ -70,8 +82,9 @@ def as_of_join(
             if c not in on and c != ts
         ],
         F.lit(0).alias("__is_left"),
-        *[F.col(c) for c in payload],
-        F.col(ts).alias(rts),
+        F.struct(
+            F.col(ts).alias(rts), *[F.col(c) for c in payload]
+        ).cast(match_t).alias("__match"),
     ).select(*lhs.columns)
     # strict: left sorts before right at equal ts, so the frame up to
     # the current row excludes same-ts right rows; non-strict reverses
@@ -85,19 +98,18 @@ def as_of_join(
     carried = lhs.unionByName(rhs).select(
         *[c for c in left.columns],
         "__is_left",
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in carried_cols],
+        F.last("__match", ignorenulls=True).over(w).alias("__match"),
     )
     out = carried.where(F.col("__is_left") == 1).drop("__is_left")
+    match = F.col("__match")
     if tolerance is not None:
         gap = (
-            F.col(ts) - F.col(rts)
+            F.col(ts) - match[rts]
             if direction == "backward"
-            else F.col(rts) - F.col(ts)
+            else match[rts] - F.col(ts)
         )
-        within = F.col(rts).isNotNull() & (gap <= tolerance)
-        out = out.select(
-            *[c for c in left.columns],
-            *[F.when(within, F.col(c)).alias(c) for c in payload],
-            rts,
-        )
-    return out.drop(rts)
+        match = F.when(match.isNotNull() & (gap <= tolerance), match)
+    return out.select(
+        *[c for c in left.columns],
+        *[match[c].alias(c) for c in payload],
+    )
