@@ -373,30 +373,67 @@ GROUP BY doc_id
 # -- near-dup clustering (connected components + keep list) ------------------
 
 
-def near_dup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
+def near_dup_clusters(
+    pairs: DataFrame, max_iterations: int = 20, algorithm: str = "auto"
+) -> DataFrame:
     """Connected components over a near-dup pair graph → dedup clusters
     (the step a training pipeline runs AFTER pair finding: keep one
     document per cluster). Output: (doc_id, cluster_id, is_keeper) for
     every doc appearing in a pair; cluster_id is the component's
     minimum doc_id and its owner is the keeper.
 
-    Distributed min-label propagation: each round every node takes the
-    minimum label in its closed neighborhood, via one join + one
-    map-side-combined min aggregation; ``localCheckpoint`` cuts lineage
-    per round (same pattern as the hierarchy closure). Rounds needed =
-    graph diameter — near-dup components are small and dense, so this
-    converges in 2-4 rounds in practice; for adversarial long-chain
-    graphs swap in large-star/small-star (alternating pointer jumping),
-    which this loop structure accommodates unchanged.
+    ``algorithm``:
+
+    * ``"label-propagation"`` — each round every node takes the minimum
+      label in its closed neighborhood (one join + one map-side-combined
+      min agg; ``localCheckpoint`` cuts lineage per round). Rounds =
+      component diameter: 2-4 for real near-dup graphs, but a chain of
+      n docs needs n rounds. Raises ``RuntimeError`` if still changing
+      after ``max_iterations`` — never silently returns wrong labels.
+    * ``"star"`` — alternating large-star/small-star contraction
+      (Kiveris et al., "Connected Components in MapReduce and Beyond"):
+      every node links its higher/lower neighbors directly to the
+      minimum of its closed neighborhood, so chains collapse in
+      O(log n) rounds regardless of diameter.
+    * ``"auto"`` (default) — label propagation for up to 4 rounds (the
+      dense-component fast path, cheapest per round), then the star
+      algorithm from the original edges if not yet converged. Both
+      produce identical labels (component min), so the switch never
+      changes results.
     """
+    if algorithm not in ("auto", "label-propagation", "star"):
+        raise ValueError(f"unknown algorithm {algorithm!r}")
     edges = (
         pairs.select(F.col("a_id").alias("u"), F.col("b_id").alias("v"))
         .union(pairs.select(F.col("b_id").alias("u"), F.col("a_id").alias("v")))
         .distinct()
         .localCheckpoint()
     )
+    if algorithm == "star":
+        labels = _star_components(edges, max_iterations)
+    else:
+        lp_budget = max_iterations if algorithm == "label-propagation" else min(4, max_iterations)
+        labels = _label_propagation(edges, lp_budget)
+        if labels is None:
+            if algorithm == "label-propagation":
+                raise RuntimeError(
+                    f"near_dup_clusters did not converge in {max_iterations} "
+                    "label-propagation rounds (component diameter exceeds the "
+                    "budget); use algorithm='star' or raise max_iterations"
+                )
+            labels = _star_components(edges, max_iterations)
+    return labels.select(
+        F.col("u").alias("doc_id"),
+        F.col("label").alias("cluster_id"),
+        (F.col("u") == F.col("label")).alias("is_keeper"),
+    )
+
+
+def _label_propagation(edges: DataFrame, max_rounds: int) -> DataFrame | None:
+    """Min-label propagation; returns (u, label) on convergence, None
+    if the budget ran out while labels were still changing."""
     labels = edges.select("u").distinct().withColumn("label", F.col("u"))
-    for _ in range(max_iterations):
+    for _ in range(max_rounds):
         nbr_min = (
             edges.join(
                 labels.select(F.col("u").alias("v"), F.col("label").alias("vlabel")),
@@ -421,11 +458,59 @@ def near_dup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
         )
         labels = new_labels
         if changed == 0:
+            return labels
+    return None
+
+
+def _star_components(edges: DataFrame, max_iterations: int) -> DataFrame:
+    """Large-star/small-star alternation: each round every node u with
+    closed-neighborhood minimum m re-links its larger (large-star) or
+    not-larger (small-star) neighbors straight to m. Edge count stays
+    O(|E|), chains halve per alternation → O(log n) rounds. Returns
+    (u, label) for every node of ``edges``; raises on budget overrun
+    (star's bound makes that a genuine anomaly, not a tuning issue)."""
+    nodes = edges.select("u").distinct().localCheckpoint()
+
+    def star(e: DataFrame, large: bool) -> DataFrame:
+        mins = e.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        joined = e.join(mins, "u")
+        relinked = joined.where(
+            F.col("v") > F.col("u") if large else F.col("v") < F.col("u")
+        ).select(F.col("v").alias("a"), F.col("m").alias("b"))
+        if not large:  # small-star also links u itself to its minimum
+            relinked = relinked.union(mins.select(F.col("u").alias("a"), F.col("m").alias("b")))
+        sym = relinked.where(F.col("a") != F.col("b"))
+        return (
+            sym.union(sym.select(F.col("b").alias("a"), F.col("a").alias("b")))
+            .select(F.col("a").alias("u"), F.col("b").alias("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+
+    def signature(e: DataFrame):
+        # bit_xor, not sum: xor of 64-bit hashes cannot overflow ANSI longs
+        return tuple(
+            e.agg(
+                F.count("*"),
+                F.coalesce(F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)),
+            ).first()
+        )
+
+    sig = signature(edges)
+    for _ in range(max_iterations):
+        edges = star(star(edges, large=True), large=False)
+        new_sig = signature(edges)
+        if new_sig == sig:
             break
-    return labels.select(
-        F.col("u").alias("doc_id"),
-        F.col("label").alias("cluster_id"),
-        (F.col("u") == F.col("label")).alias("is_keeper"),
+        sig = new_sig
+    else:
+        raise RuntimeError(
+            f"star contraction did not reach a fixpoint in {max_iterations} rounds"
+        )
+    # fixpoint: every edge links a node to its component minimum
+    final_min = edges.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("label"))
+    return nodes.join(final_min, "u", "left").select(
+        "u", F.coalesce("label", F.col("u")).alias("label")
     )
 
 
