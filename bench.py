@@ -3,14 +3,28 @@
 ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Each query is executed with a count-style action (collect) so the full
-plan runs; per-query wall time is reported, plus the total.
+Methodology (round 4, noise-hardened):
+  - one untimed warm-up execution per query (JIT, code cache, page
+    cache, shuffle-file reuse), then ``$SPARK_GRAFT_BENCH_RUNS``
+    (default 3) timed executions;
+  - the reported per-query number is the MEDIAN of the timed runs —
+    robust to a single GC pause or a background-process blip;
+  - per-query relative spread ((max-min)/median of the timed runs) is
+    reported under "spread" so a noisy measurement is visible instead
+    of silently polluting round-over-round comparisons;
+  - os.getloadavg() is recorded before and after the run under
+    "loadavg" — a 1-minute load far above $SPARK_GRAFT_CPUS at start
+    means the box was contended and the numbers are suspect.
+
+Each timed execution drives the full plan with .collect(). The total is
+the sum of per-query medians.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 from pathlib import Path
@@ -19,9 +33,17 @@ REPO = Path(__file__).resolve().parent
 sys.path.insert(0, str(REPO))
 
 
+def _loadavg() -> list[float]:
+    try:
+        return [round(x, 2) for x in os.getloadavg()]
+    except OSError:  # pragma: no cover - platform without getloadavg
+        return []
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
 
     from bunsen_spark.queries import all_queries
     from bunsen_spark.session import get_spark
@@ -30,22 +52,35 @@ def main() -> None:
 
     qs = all_queries()
     timings: dict[str, float] = {}
-    # warm the session once: a trivial JVM job, the Python->JVM
+    spreads: dict[str, float] = {}
+    load_before = _loadavg()
+    # Warm the session once: a trivial JVM job, the Python->JVM
     # createDataFrame bridge (first use costs seconds of class loading
     # — it was 90% of translate_order_priority's r1 outlier), and a
-    # parquet footer read
+    # parquet footer read.
     spark.range(1).count()
     spark.createDataFrame([(1, "warm")], "a int, b string").count()
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
     for name, fn in qs.items():
-        t0 = time.time()
         try:
-            df = fn(spark, sf_dir)
-            df.collect()
-            timings[name] = round(time.time() - t0, 3)
-            print(f"# {name}: {timings[name]}s", file=sys.stderr)
+            # Untimed warm-up: builds the plan, loads classes, primes
+            # the page cache for this query's inputs.
+            fn(spark, sf_dir).collect()
+            samples: list[float] = []
+            for _ in range(runs):
+                t0 = time.time()
+                fn(spark, sf_dir).collect()
+                samples.append(time.time() - t0)
+            med = statistics.median(samples)
+            timings[name] = round(med, 3)
+            spreads[name] = round((max(samples) - min(samples)) / med, 3) if med > 0 else 0.0
+            print(
+                f"# {name}: {timings[name]}s (spread {spreads[name]:.0%}, n={runs})",
+                file=sys.stderr,
+            )
         except Exception as e:  # noqa: BLE001
             timings[name] = -1.0
+            spreads[name] = -1.0
             print(f"# bench error in {name}: {e}", file=sys.stderr)
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     print(
@@ -56,6 +91,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "spread": spreads,
+                "runs": runs,
+                "loadavg": {"before": load_before, "after": _loadavg()},
             }
         )
     )
