@@ -119,15 +119,17 @@ def decode_images(media: DataFrame, use_real_codec: bool = False) -> DataFrame:
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {"media_id": [], "width": [], "height": [], "channels": [], "pixels": []}
-            for _, row in pdf.iterrows():
-                meta = row["meta"]
+            # column-zip iteration: per-row numpy work on variable-size
+            # buffers is unavoidable, but pulling the columns once beats
+            # iterrows' per-row Series construction by ~100x
+            for mid, content, meta in zip(pdf["media_id"], pdf["content"], pdf["meta"]):
                 w, h, c = int(meta["width"]), int(meta["height"]), int(meta["channels"])
                 arr = None
                 if use_real_codec:
-                    arr = _try_real_decode(row["content"])
+                    arr = _try_real_decode(content)
                 if arr is None:
-                    arr = _fake_decode_image(bytes(row["content"]), w, h, c)
-                out["media_id"].append(row["media_id"])
+                    arr = _fake_decode_image(bytes(content), w, h, c)
+                out["media_id"].append(mid)
                 out["height"].append(arr.shape[0])
                 out["width"].append(arr.shape[1])
                 out["channels"].append(arr.shape[2])
@@ -149,13 +151,15 @@ def resize_images(decoded: DataFrame, out_w: int, out_h: int) -> DataFrame:
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {"media_id": [], "width": [], "height": [], "channels": [], "pixels": []}
-            for _, row in pdf.iterrows():
-                h, w, c = int(row["height"]), int(row["width"]), int(row["channels"])
-                arr = np.frombuffer(bytes(row["pixels"]), dtype=np.uint8).reshape((h, w, c))
+            for mid, h, w, c, pixels in zip(
+                pdf["media_id"], pdf["height"], pdf["width"], pdf["channels"], pdf["pixels"]
+            ):
+                h, w, c = int(h), int(w), int(c)
+                arr = np.frombuffer(bytes(pixels), dtype=np.uint8).reshape((h, w, c))
                 ys = (np.arange(out_h) * h // out_h).clip(0, h - 1)
                 xs = (np.arange(out_w) * w // out_w).clip(0, w - 1)
                 res = arr[ys][:, xs]
-                out["media_id"].append(row["media_id"])
+                out["media_id"].append(mid)
                 out["height"].append(out_h)
                 out["width"].append(out_w)
                 out["channels"].append(c)
@@ -168,6 +172,8 @@ def resize_images(decoded: DataFrame, out_w: int, out_h: int) -> DataFrame:
 IMAGE_FEATURES_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
         T.StructField("mean", T.ArrayType(T.DoubleType()), True),  # per channel
         T.StructField("std", T.ArrayType(T.DoubleType()), True),
         T.StructField("entropy_bits", T.DoubleType(), True),
@@ -178,18 +184,32 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
 def image_features(decoded: DataFrame) -> DataFrame:
     """Per-channel mean/std + byte-histogram entropy, numpy-vectorized
     inside ``mapInPandas`` (the shape a real embedding-extraction stage
-    would take; swap the body for a model forward pass)."""
+    would take; swap the body for a model forward pass). Carries
+    width/height through so consumers never need a second pass over
+    the decoded frame — decode is the dominant cost at scale and must
+    run exactly once."""
 
     def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = {"media_id": [], "mean": [], "std": [], "entropy_bits": []}
-            for _, row in pdf.iterrows():
-                h, w, c = int(row["height"]), int(row["width"]), int(row["channels"])
-                arr = np.frombuffer(bytes(row["pixels"]), dtype=np.uint8).reshape((h, w, c))
+            out = {
+                "media_id": [],
+                "width": [],
+                "height": [],
+                "mean": [],
+                "std": [],
+                "entropy_bits": [],
+            }
+            for mid, h, w, c, pixels in zip(
+                pdf["media_id"], pdf["height"], pdf["width"], pdf["channels"], pdf["pixels"]
+            ):
+                h, w, c = int(h), int(w), int(c)
+                arr = np.frombuffer(bytes(pixels), dtype=np.uint8).reshape((h, w, c))
                 flat = arr.reshape(-1, c).astype(np.float64)
                 hist = np.bincount(arr.reshape(-1), minlength=256)
                 p = hist[hist > 0] / hist.sum()
-                out["media_id"].append(row["media_id"])
+                out["media_id"].append(mid)
+                out["width"].append(w)
+                out["height"].append(h)
                 out["mean"].append(flat.mean(axis=0).tolist())
                 out["std"].append(flat.std(axis=0).tolist())
                 out["entropy_bits"].append(float(-(p * np.log2(p)).sum()))
@@ -216,14 +236,14 @@ def sample_frames(media: DataFrame, every_k: int = 2) -> DataFrame:
     def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {"media_id": [], "frame_index": [], "frame": []}
-            for _, row in pdf.iterrows():
-                n = int(row["meta"]["n_frames"])
-                payload = bytes(row["content"])
+            for mid, content, meta in zip(pdf["media_id"], pdf["content"], pdf["meta"]):
+                n = int(meta["n_frames"])
+                payload = bytes(content)
                 # NotImplemented: real demux (pyav/ffmpeg) — fixed-size
                 # slab split stands in, same per-frame bytes contract
                 slab = max(len(payload) // max(n, 1), 1)
                 for idx in range(0, n, every_k):
-                    out["media_id"].append(row["media_id"])
+                    out["media_id"].append(mid)
                     out["frame_index"].append(idx)
                     out["frame"].append(payload[idx * slab : (idx + 1) * slab])
             yield pd.DataFrame(out)

@@ -355,9 +355,12 @@ def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import decode_images, image_features, synthesize_media
 
     media = synthesize_media(spark, n=64, kind="image")
-    decoded = decode_images(media)
-    feats = image_features(decoded)
-    return feats.join(decoded.select("media_id", "width", "height"), "media_id").select(
+    # image_features carries width/height through, so the whole gate is
+    # ONE decode pass — no self-join back to `decoded`, which would run
+    # the dominant-cost mapInPandas decode stage twice
+    # (plan-asserted single-decode in tests/test_plans.py).
+    feats = image_features(decode_images(media))
+    return feats.select(
         "media_id",
         "width",
         "height",

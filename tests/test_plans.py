@@ -117,6 +117,21 @@ def test_pack_chunks_single_exchange(spark, sf_dir):
     assert "Join" not in plan
 
 
+def test_multimodal_single_decode_pass(spark, sf_dir):
+    """The media gate query must execute the decode mapInPandas stage
+    exactly ONCE: decode dominates cost at scale, and the r3 plan ran
+    it twice (features + a dimension self-join back to `decoded`).
+    image_features now carries width/height through, so the executed
+    plan has exactly two MapInPandas nodes (decode, feats) and no
+    join."""
+    from bunsen_spark.queries.pipeline import multimodal_image_features
+
+    plan = _plan(multimodal_image_features(spark, sf_dir))
+    assert plan.count("MapInPandas") == 2, plan
+    assert plan.count("decode") == 1, plan
+    assert "Join" not in plan
+
+
 def test_no_cartesian_product_in_any_gate_query(spark, sf_dir):
     """Blanket plan discipline: no gate query may degenerate into a
     CartesianProduct (the one join strategy that cannot survive scale).
