@@ -42,6 +42,7 @@ def as_of_join(
     strict: bool = True,
     direction: str = "backward",
     tolerance: int | float | None = None,
+    time_bucket: int | float | None = None,
 ) -> DataFrame:
     """For each left row, attach the ``payload`` columns of the nearest
     right row with the same ``on`` keys — the latest prior one
@@ -55,7 +56,22 @@ def as_of_join(
     nulls in that row stay null (``merge_asof`` row semantics).
 
     Forward is backward on the reversed time axis: only the window's
-    ts sort direction flips — same single shuffle, same O(1) state."""
+    ts sort direction flips — same single shuffle, same O(1) state.
+
+    ``time_bucket`` is the HOT-KEY GUARD: when set (same units as
+    ``ts``), rows are windowed per ``(key, floor(ts / time_bucket))``
+    instead of per key, so one pathological key no longer becomes one
+    giant sort task — per-task input is bounded by the densest single
+    bucket. Cross-bucket visibility is restored by a boundary stitch:
+    the per-bucket final right match (a tiny ``(key, bucket)``
+    aggregate) is carried across buckets with an exclusive window and
+    joined back, and each left row coalesces its intra-bucket match
+    with the carry-in. Strictness is unaffected — equal timestamps
+    always share a bucket, so the tie-breaking sort order still sees
+    them; carried matches are strictly earlier (later, for forward)
+    buckets. Same results as the unbucketed path; costs one extra
+    shuffle of the big frame plus two tiny summary jobs, which is the
+    price of straggler-proofing a 50%-hot key at 100 TB."""
     if direction not in ("backward", "forward"):
         raise ValueError(f"unknown direction {direction!r}")
     for c in payload + [ts]:
@@ -90,16 +106,66 @@ def as_of_join(
     # the current row excludes same-ts right rows; non-strict reverses
     side_order = F.desc("__is_left") if strict else F.asc("__is_left")
     ts_order = F.asc(ts) if direction == "backward" else F.desc(ts)
-    w = (
-        Window.partitionBy(*on)
-        .orderBy(ts_order, side_order)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    carried = lhs.unionByName(rhs).select(
-        *[c for c in left.columns],
-        "__is_left",
-        F.last("__match", ignorenulls=True).over(w).alias("__match"),
-    )
+    unioned = lhs.unionByName(rhs)
+    if time_bucket is None:
+        w = (
+            Window.partitionBy(*on)
+            .orderBy(ts_order, side_order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        carried = unioned.select(
+            *[c for c in left.columns],
+            "__is_left",
+            F.last("__match", ignorenulls=True).over(w).alias("__match"),
+        )
+    else:
+        # hot-key guard: window per (key, time bucket); requires a
+        # numeric ts (epoch micros/millis — the engine convention)
+        bkt = "__bkt"
+        unioned = unioned.withColumn(bkt, F.floor(F.col(ts) / F.lit(time_bucket)))
+        wb = (
+            Window.partitionBy(*on, bkt)
+            .orderBy(ts_order, side_order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        intra = unioned.select(
+            *[c for c in left.columns],
+            "__is_left",
+            bkt,
+            F.last("__match", ignorenulls=True).over(wb).alias("__match"),
+        )
+        # per-bucket final right match: one row per (key, bucket) —
+        # tiny relative to the data, safe to window per key
+        pick = F.max_by if direction == "backward" else F.min_by
+        summary = (
+            unioned.where(F.col("__is_left") == 0)
+            .groupBy(*on, bkt)
+            .agg(pick("__match", F.col(ts)).alias("__bucket_final"))
+        )
+        # every (key, bucket) present on either side gets a carry-in:
+        # the final match of the nearest preceding (following, for
+        # forward) bucket — exclusive window, so strictly out-of-bucket
+        bkt_order = F.asc(bkt) if direction == "backward" else F.desc(bkt)
+        wc = (
+            Window.partitionBy(*on)
+            .orderBy(bkt_order)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        carry = (
+            unioned.select(*on, bkt)
+            .distinct()
+            .join(summary, [*on, bkt], "left")
+            .select(
+                *on,
+                bkt,
+                F.last("__bucket_final", ignorenulls=True).over(wc).alias("__carry"),
+            )
+        )
+        carried = (
+            intra.join(carry, [*on, bkt], "left")
+            .withColumn("__match", F.coalesce("__match", "__carry"))
+            .drop("__carry", bkt)
+        )
     out = carried.where(F.col("__is_left") == 1).drop("__is_left")
     match = F.col("__match")
     if tolerance is not None:

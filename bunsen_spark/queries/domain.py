@@ -164,6 +164,37 @@ FROM purchases p ASOF LEFT JOIN views v
 """
 
 
+def asof_bucketed_purchase_last_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HOT-KEY-GUARDED as-of path under the oracle gate: identical
+    semantics to ``asof_purchase_last_view`` but windowed per
+    (user, 1-hour time bucket) with boundary stitch
+    (``as_of_join(time_bucket=...)``) so one pathological user cannot
+    become one giant sort task. Shares the backward oracle SQL — the
+    results must be identical by construction."""
+    from ..operators.asof import as_of_join
+
+    e = load(spark, sf_dir, "events")
+    e = e.select(
+        "event_id", "user_id", "event_type", "value", ts_us(e).alias("us")
+    )
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "us", F.col("value").alias("purchase_value")
+    )
+    views = (
+        e.where(F.col("event_type") == "view")
+        .groupBy("user_id", "us")
+        .agg(F.max_by("value", "event_id").alias("view_value"))
+    )
+    return as_of_join(
+        purchases,
+        views,
+        on=["user_id"],
+        ts="us",
+        payload=["view_value"],
+        time_bucket=3_600_000_000,
+    ).select("event_id", "user_id", "purchase_value", "view_value")
+
+
 def asof_forward_next_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Forward as-of with tolerance (pandas merge_asof parity): each
     purchase picks up the user's EARLIEST strictly-later view value,
@@ -334,6 +365,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "valueset_membership_lineitem": valueset_membership_lineitem,
     "translate_order_priority": translate_order_priority,
     "asof_purchase_last_view": asof_purchase_last_view,
+    "asof_bucketed_purchase_last_view": asof_bucketed_purchase_last_view,
     "asof_forward_next_view": asof_forward_next_view,
     "nations_with_customers_and_suppliers": nations_with_customers_and_suppliers,
     "parts_never_ordered": parts_never_ordered,
@@ -347,6 +379,7 @@ ORACLES: dict[str, str] = {
     "valueset_membership_lineitem": VALUESET_MEMBERSHIP_SQL,
     "translate_order_priority": TRANSLATE_ORDER_PRIORITY_SQL,
     "asof_purchase_last_view": ASOF_PURCHASE_LAST_VIEW_SQL,
+    "asof_bucketed_purchase_last_view": ASOF_PURCHASE_LAST_VIEW_SQL,
     "asof_forward_next_view": ASOF_FORWARD_NEXT_VIEW_SQL,
     "nations_with_customers_and_suppliers": NATIONS_INTERSECT_SQL,
     "parts_never_ordered": PARTS_EXCEPT_SQL,

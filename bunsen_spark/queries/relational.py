@@ -242,22 +242,19 @@ FROM events
 # microsecond epochs so ns-vs-us parquet precision cannot skew boundaries.
 # ---------------------------------------------------------------------------
 
-def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+def sessionize_events(
+    spark: SparkSession, sf_dir: str, time_bucket: int | None = None
+) -> DataFrame:
+    from ..operators.sessionize import sessionize
+
     e = load(spark, sf_dir, "events")
     e = e.select(
         "user_id", "event_id", "value", ts_us(e).alias("us")
     )
-    w = W.partitionBy("user_id").orderBy("us", "event_id")
-    wcum = w.rowsBetween(W.unboundedPreceding, W.currentRow)
     gap = 30 * 60 * 1_000_000
-    flagged = e.withColumn(
-        "is_new",
-        F.when(F.col("us") - F.lag("us").over(w) > gap, 1)
-        .when(F.lag("us").over(w).isNull(), 1)
-        .otherwise(0),
-    )
     return (
-        flagged.withColumn("session_id", F.sum("is_new").over(wcum))
+        sessionize(e, ["user_id"], "us", gap, order_cols=["event_id"],
+                   time_bucket=time_bucket)
         .groupBy("user_id", "session_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
@@ -487,6 +484,13 @@ QUERIES = {
     "window_order_rank": window_order_rank,
     "window_running_value": window_running_value,
     "sessionize_events": sessionize_events,
+    # hot-key-guarded sessionize under the oracle gate: distributed
+    # prefix-sum over (user, 1h bucket); must equal the plain scan
+    "sessionize_events_bucketed": (
+        lambda spark, sf_dir: sessionize_events(
+            spark, sf_dir, time_bucket=3_600_000_000
+        )
+    ),
     "rollup_returns": rollup_returns,
     "cube_revenue": cube_revenue,
     "tumbling_window_counts": tumbling_window_counts,
@@ -504,6 +508,7 @@ ORACLES = {
     "window_order_rank": WINDOW_RANK_SQL,
     "window_running_value": WINDOW_RUNNING_SQL,
     "sessionize_events": SESSIONIZE_SQL,
+    "sessionize_events_bucketed": SESSIONIZE_SQL,
     "rollup_returns": ROLLUP_SQL,
     "cube_revenue": CUBE_SQL,
     "tumbling_window_counts": TUMBLING_WINDOW_SQL,

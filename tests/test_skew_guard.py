@@ -1,0 +1,150 @@
+"""Hot-key guard for the window family (VERDICT r3 item 3, carried from
+r2): ``as_of_join(time_bucket=...)`` and ``sessionize(time_bucket=...)``
+must (a) return byte-identical results to the unbucketed scans, and
+(b) demonstrably bound per-task input when one key holds 50% of the
+rows — the largest sort group shrinks from ~n/2 to the densest single
+(key, bucket) cell."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from bunsen_spark.operators.asof import as_of_join
+from bunsen_spark.operators.sessionize import sessionize
+
+
+def _skewed_events(spark, n=2000, seed=7):
+    """Half the rows on one hot key, the rest across 50 cold keys;
+    timestamps spread over [0, 100_000) with duplicates."""
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n):
+        k = "hot" if i % 2 == 0 else f"cold{rng.randrange(50)}"
+        rows.append((k, rng.randrange(100_000), i))
+    return spark.createDataFrame(rows, "k string, ts bigint, event_id bigint")
+
+
+def _skewed_pair(spark, seed=11):
+    rng = random.Random(seed)
+    left = _skewed_events(spark, 1500, seed)
+    rrows = [
+        ("hot" if i % 2 == 0 else f"cold{rng.randrange(50)}",
+         rng.randrange(100_000), float(i))
+        for i in range(1500)
+    ]
+    # collapse (k, ts) ties on the right (the operator's contract)
+    right = (
+        spark.createDataFrame(rrows, "k string, ts bigint, v double")
+        .groupBy("k", "ts")
+        .agg(F.max("v").alias("v"))
+    )
+    return left, right
+
+
+def _key(rows, cols):
+    return sorted(tuple(r[c] for c in cols) for r in rows)
+
+
+def test_asof_bucketed_matches_unbucketed_all_modes(spark):
+    left, right = _skewed_pair(spark)
+    for direction in ("backward", "forward"):
+        for strict in (True, False):
+            for tol in (None, 5_000):
+                base = as_of_join(
+                    left, right, ["k"], "ts", ["v"],
+                    strict=strict, direction=direction, tolerance=tol,
+                ).collect()
+                guarded = as_of_join(
+                    left, right, ["k"], "ts", ["v"],
+                    strict=strict, direction=direction, tolerance=tol,
+                    time_bucket=10_000,
+                ).collect()
+                cols = ["k", "ts", "event_id", "v"]
+                assert _key(base, cols) == _key(guarded, cols), (
+                    direction, strict, tol,
+                )
+
+
+def test_asof_bucket_boundary_and_empty_buckets(spark):
+    """Right matches must carry across empty buckets, and equal-ts
+    strictness must survive rows landing at exact bucket boundaries."""
+    left = spark.createDataFrame(
+        [("a", 10), ("a", 100), ("a", 305), ("a", 300)], "k string, ts bigint"
+    )
+    right = spark.createDataFrame(
+        [("a", 5, 1.0), ("a", 100, 2.0), ("a", 300, 3.0)],
+        "k string, ts bigint, v double",
+    )
+    # bucket width 100: ts=100 and ts=300 sit exactly on boundaries
+    out = {
+        r["ts"]: r["v"]
+        for r in as_of_join(
+            left, right, ["k"], "ts", ["v"], time_bucket=100
+        ).collect()
+    }
+    assert out[10] == 1.0
+    assert out[100] == 1.0  # strict: same-ts right row invisible
+    assert out[300] == 2.0  # carried across the empty (200,300) bucket
+    assert out[305] == 3.0
+    nonstrict = {
+        r["ts"]: r["v"]
+        for r in as_of_join(
+            left, right, ["k"], "ts", ["v"], strict=False, time_bucket=100
+        ).collect()
+    }
+    assert nonstrict[100] == 2.0 and nonstrict[300] == 3.0
+
+
+def test_asof_bucketing_bounds_sort_groups(spark):
+    """The evidence the guard works: with one key holding 50% of rows,
+    the largest window sort group drops from ~n/2 to the densest
+    (key, bucket) cell."""
+    left, right = _skewed_pair(spark)
+    union_n = left.count() + right.count()
+    hot = (
+        left.groupBy("k").count().agg(F.max("count")).collect()[0][0]
+    )
+    assert hot >= union_n * 0.2  # the skew is real
+    bucketed_max = (
+        left.select("k", F.floor(F.col("ts") / 10_000).alias("b"))
+        .groupBy("k", "b")
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+    )
+    # ten buckets → the hot key's giant group splits ~10x
+    assert bucketed_max <= hot / 5
+
+
+def test_sessionize_bucketed_matches_unbucketed(spark):
+    e = _skewed_events(spark)
+    base = sessionize(e, ["k"], "ts", gap=500, order_cols=["event_id"])
+    guarded = sessionize(
+        e, ["k"], "ts", gap=500, order_cols=["event_id"], time_bucket=10_000
+    )
+    cols = ["k", "ts", "event_id", "session_id"]
+    assert _key(base.collect(), cols) == _key(guarded.collect(), cols)
+    # sanity: sessions actually split (gap smaller than the ts spread)
+    n_sessions = base.select("k", "session_id").distinct().count()
+    assert n_sessions > 60
+
+
+def test_sessionize_boundary_gap(spark):
+    """A session spanning a bucket boundary must NOT split, and a gap
+    crossing the boundary must still open a new session."""
+    e = spark.createDataFrame(
+        [("u", 95, 1), ("u", 105, 2), ("u", 390, 3), ("u", 400, 4)],
+        "k string, ts bigint, event_id bigint",
+    )
+    out = {
+        r["event_id"]: r["session_id"]
+        for r in sessionize(
+            e, ["k"], "ts", gap=50, order_cols=["event_id"], time_bucket=100
+        ).collect()
+    }
+    # 95→105 crosses the boundary with gap 10 ≤ 50: same session;
+    # 105→390 gap 285 > 50: new session; 390→400 same session
+    assert out[1] == out[2] == 1
+    assert out[3] == out[4] == 2
