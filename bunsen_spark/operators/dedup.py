@@ -671,8 +671,13 @@ def embedding_near_dup_pairs(
       n² expansion. Size ``num_blocks`` so two blocks of
       n/num_blocks × dim doubles fit an executor (e.g. 1 M × 768-d
       ≈ 6 GB/block at B=32 → ~12 GB per task).
-    - ``auto``: broadcast when a cheap count says the corpus fits,
-      else blocked.
+    - ``auto``: broadcast when Catalyst's PLAN-LEVEL statistics
+      (catalog row counts, or file sizes with a conservative
+      bytes-per-row floor) prove the corpus fits; ``blocked``
+      otherwise. No Spark job runs to decide — at 100 TB a count of
+      the embeddings table is not free (plan-asserted job-free in
+      ``tests/test_dedup.py``). The floor deliberately over-estimates
+      rows, so uncertainty falls to ``blocked``, the safe path.
     """
     import numpy as np
     import pandas as pd
@@ -681,7 +686,17 @@ def embedding_near_dup_pairs(
     src = embeddings.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
 
     if strategy == "auto":
-        strategy = "broadcast" if src.count() <= max_broadcast_rows else "blocked"
+        stats = src._jdf.queryExecution().optimizedPlan().stats()
+        rc = stats.rowCount()
+        if rc.isDefined():
+            got = rc.get()
+            est_rows = int(got if isinstance(got, int) else got.longValue())
+        else:
+            size = stats.sizeInBytes()
+            # 64 B/row floor: far below any real (id + embedding) row,
+            # so est_rows is an over-count and the choice leans blocked
+            est_rows = int(size if isinstance(size, int) else size.longValue()) // 64
+        strategy = "broadcast" if est_rows <= max_broadcast_rows else "blocked"
 
     if strategy == "broadcast":
         gathered = src.collect()

@@ -45,3 +45,44 @@ def test_broadcast_guard_refuses_large_corpus(spark, sf_dir):
     # auto falls back to blocked instead of refusing
     auto = embedding_near_dup_pairs(emb, strategy="auto", max_broadcast_rows=10)
     assert len(_pairs(auto)) > 0
+
+
+def test_auto_strategy_runs_no_spark_job(spark, sf_dir):
+    """VERDICT r3 item 6: picking the auto strategy must not spend a
+    Spark job (the old count()) — the decision reads Catalyst plan
+    statistics only. Assert via job-group tracking: auto→blocked
+    builds with ZERO jobs; auto→broadcast spends exactly the one
+    inherent gather job, not gather+count."""
+    from bunsen_spark.operators.dedup import embedding_near_dup_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    sc = spark.sparkContext
+    sc.setJobGroup("auto_blocked_probe", "decision must be job-free")
+    try:
+        df = embedding_near_dup_pairs(emb, strategy="auto", max_broadcast_rows=1)
+        assert list(sc.statusTracker().getJobIdsForGroup("auto_blocked_probe")) == []
+    finally:
+        sc.setJobGroup("tests", "")
+    assert len(_pairs(df)) > 0
+
+    sc.setJobGroup("auto_bcast_probe", "only the gather job allowed")
+    try:
+        df2 = embedding_near_dup_pairs(emb, strategy="auto")
+        n_jobs = len(list(sc.statusTracker().getJobIdsForGroup("auto_bcast_probe")))
+        assert n_jobs <= 1, f"auto decision spent {n_jobs - 1} extra job(s)"
+    finally:
+        sc.setJobGroup("tests", "")
+    assert len(_pairs(df2)) > 0
+
+
+def test_auto_prefers_blocked_under_uncertainty(spark, sf_dir):
+    """With a tiny max_broadcast_rows the size estimate cannot prove
+    the corpus fits — auto must land on the no-driver-collect blocked
+    path (collect would raise the guard, so surviving .collect() here
+    proves blocked was chosen)."""
+    from bunsen_spark.operators.dedup import embedding_near_dup_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    pairs = _pairs(embedding_near_dup_pairs(emb, strategy="auto", max_broadcast_rows=1))
+    blocked = _pairs(embedding_near_dup_pairs(emb, strategy="blocked"))
+    assert pairs == blocked
