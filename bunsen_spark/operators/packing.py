@@ -51,11 +51,19 @@ def pack_concat_chunks(
     the running token offset before the document; ``first_chunk`` is
     the ``max_tokens`` window that offset falls in.
 
-    ``num_shards=None`` derives the shard count from the input
-    partition count (module docstring scale table); pass an explicit
-    value when downstream consumers depend on the shard layout."""
+    ``num_shards=None`` derives the shard count from the cluster's
+    default parallelism — a stable proxy for available cores that does
+    NOT depend on the input's physical partitioning (AQE, file-split
+    config, upstream repartitions), so identical data on the same
+    cluster packs identically. It still varies ACROSS clusters: any
+    consumer that caches or compares packed layouts between
+    environments must pass an explicit ``num_shards`` — that is the
+    contractual, layout-stable path (tested in
+    ``tests/test_packing.py``). Reading ``defaultParallelism`` is also
+    free, where the previous input-partition probe forced a full
+    physical-plan → RDD conversion just to read a count."""
     if num_shards is None:
-        num_shards = max(docs.rdd.getNumPartitions(), 1)
+        num_shards = max(docs.sparkSession.sparkContext.defaultParallelism, 1)
     base = docs.select(
         "doc_id",
         F.expr(_TOKENS).alias("n_tokens"),

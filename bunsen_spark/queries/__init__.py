@@ -21,6 +21,13 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # handed. It is runtime-settable. Query code must not assume either
     # representation — use ts_us() to get epoch-microseconds.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Pin the session timezone on whatever session we are handed, for
+    # the same reason: ts_us() documents that the NTZ→TZ cast
+    # reinterprets naive values as UTC. On a driver session inheriting
+    # a non-UTC machine timezone, unix_micros(cast(ntz as timestamp))
+    # would shift by the zone offset while DuckDB's epoch_us(ts) would
+    # not — every events-based gate query would hash-mismatch.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

