@@ -218,6 +218,96 @@ def image_features(decoded: DataFrame) -> DataFrame:
     return decoded.mapInPandas(feats, IMAGE_FEATURES_SCHEMA)
 
 
+DECODED_AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("n_samples", T.IntegerType(), True),
+        T.StructField("samples", T.BinaryType(), True),  # uint8 PCM-ish
+    ]
+)
+
+
+def decode_audio(media: DataFrame) -> DataFrame:
+    """Audio payloads → raw sample buffers, the audio twin of
+    :func:`decode_images`. The deterministic fake tiles the payload
+    bytes to ``meta.n_samples`` unsigned 8-bit samples (a real codec
+    — soundfile/ffmpeg — slots in at this boundary with the same
+    shape contract: one buffer row per media row)."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "sample_rate": [], "n_samples": [], "samples": []}
+            for mid, content, meta in zip(pdf["media_id"], pdf["content"], pdf["meta"]):
+                n = int(meta["n_samples"])
+                payload = bytes(content)
+                buf = np.frombuffer(
+                    (payload * (n // max(len(payload), 1) + 1))[:n], dtype=np.uint8
+                )
+                out["media_id"].append(mid)
+                out["sample_rate"].append(int(meta["sample_rate"]))
+                out["n_samples"].append(n)
+                out["samples"].append(buf.tobytes())
+            yield pd.DataFrame(out)
+
+    return (
+        media.where(F.col("kind") == "audio")
+        .select("media_id", "content", "meta")
+        .mapInPandas(decode, DECODED_AUDIO_SCHEMA)
+    )
+
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("n_samples", T.IntegerType(), True),
+        T.StructField("mean_amp", T.DoubleType(), True),
+        T.StructField("mean_abs", T.DoubleType(), True),
+        T.StructField("zero_crossings", T.LongType(), True),
+        T.StructField("peak", T.IntegerType(), True),
+    ]
+)
+
+
+def audio_features(decoded: DataFrame) -> DataFrame:
+    """Signal statistics per clip, numpy-vectorized in one
+    ``mapInPandas`` pass (swap the body for a real feature extractor /
+    embedding model). Samples are centered at 128 (unsigned PCM-8
+    convention); all statistics are integer sums, so float64 averages
+    are summation-order-independent and the DuckDB oracle can mirror
+    them bit-exactly. Carries sample_rate/n_samples through so no
+    consumer ever re-runs the decode (the r3 image double-decode
+    lesson, applied from the start)."""
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "media_id": [],
+                "sample_rate": [],
+                "n_samples": [],
+                "mean_amp": [],
+                "mean_abs": [],
+                "zero_crossings": [],
+                "peak": [],
+            }
+            for mid, sr, n, samples in zip(
+                pdf["media_id"], pdf["sample_rate"], pdf["n_samples"], pdf["samples"]
+            ):
+                s = np.frombuffer(bytes(samples), dtype=np.uint8).astype(np.int64) - 128
+                nonneg = s >= 0
+                out["media_id"].append(mid)
+                out["sample_rate"].append(int(sr))
+                out["n_samples"].append(int(n))
+                out["mean_amp"].append(float(s.mean()))
+                out["mean_abs"].append(float(np.abs(s).mean()))
+                out["zero_crossings"].append(int(np.sum(nonneg[1:] != nonneg[:-1])))
+                out["peak"].append(int(np.abs(s).max()))
+            yield pd.DataFrame(out)
+
+    return decoded.mapInPandas(feats, AUDIO_FEATURES_SCHEMA)
+
+
 FRAME_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),

@@ -402,6 +402,69 @@ GROUP BY i, w, ht
 """
 
 
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio twin of ``multimodal_image_features``: synthesize → decode
+    (deterministic fake: payload bytes tiled to ``n_samples`` PCM-8
+    samples) → per-clip signal statistics in one Arrow-batched pass.
+    All statistics are integer sums over samples ``md5('media'+i)[(q %
+    plen) % 16] - 128``, so the DuckDB twin is bit-exact. Single decode
+    by construction: ``audio_features`` carries n_samples through
+    (plan-asserted in tests/test_plans.py)."""
+    from pyspark.sql import functions as F
+
+    from ..operators.multimodal import audio_features, decode_audio, synthesize_media
+
+    media = synthesize_media(spark, n=64, kind="audio")
+    feats = audio_features(decode_audio(media))
+    return feats.select(
+        "media_id",
+        "n_samples",
+        F.round("mean_amp", 6).alias("mean_amp"),
+        F.round("mean_abs", 6).alias("mean_abs"),
+        "zero_crossings",
+        "peak",
+    )
+
+
+# DuckDB twin of the fake audio decode: sample q of clip i is
+# md5('media'+i)[(q % plen) % 16] - 128 (same tiled-digest scheme the
+# image oracle mirrors); zero-crossings via LAG, everything else plain
+# integer aggregation — order-independent, exact in float64.
+MULTIMODAL_AUDIO_SQL = """
+WITH media AS (
+  SELECT i,
+         md5('media' || CAST(i AS VARCHAR)) AS h,
+         64 + (i % 5) * 16 AS plen,
+         1024 + 64 * (i % 7) AS ns
+  FROM range(64) t(i)
+),
+smp AS (
+  SELECT m.i, m.ns, t.q,
+         (strpos('0123456789abcdef',
+                 substr(m.h, 2 * ((t.q % m.plen) % 16) + 1, 1)) - 1) * 16
+         + strpos('0123456789abcdef',
+                  substr(m.h, 2 * ((t.q % m.plen) % 16) + 2, 1)) - 1 - 128 AS s
+  FROM media m
+  CROSS JOIN range(1408) t(q)     -- 1408 = max n_samples (i % 7 = 6)
+  WHERE t.q < m.ns
+),
+flags AS (
+  SELECT i, ns, s,
+         CASE WHEN LAG(s) OVER w IS NULL THEN 0
+              WHEN (s >= 0) <> (LAG(s) OVER w >= 0) THEN 1
+              ELSE 0 END AS zc
+  FROM smp WINDOW w AS (PARTITION BY i ORDER BY q)
+)
+SELECT i AS media_id, ns AS n_samples,
+       round(avg(s), 6) AS mean_amp,
+       round(avg(abs(s)), 6) AS mean_abs,
+       CAST(SUM(zc) AS BIGINT) AS zero_crossings,
+       MAX(abs(s)) AS peak
+FROM flags
+GROUP BY i, ns
+"""
+
+
 def _oracles() -> dict[str, str]:
     from ..operators.text_analysis import (
         fingerprint_sql,
@@ -457,6 +520,7 @@ def _oracles() -> dict[str, str]:
         ),
         "doc_top_terms": DOC_TOP_TERMS_SQL,
         "multimodal_image_features": MULTIMODAL_FEATURES_SQL,
+        "multimodal_audio_features": MULTIMODAL_AUDIO_SQL,
     }
 
 
@@ -484,6 +548,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_per_lang": sample_per_lang,
     "quality_filter_funnel": quality_filter_funnel,
     "multimodal_image_features": multimodal_image_features,
+    "multimodal_audio_features": multimodal_audio_features,
 }
 
 ORACLES: dict[str, str] = _oracles()

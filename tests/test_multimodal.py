@@ -72,3 +72,44 @@ def test_sample_frames(spark):
     for mid, idxs in by_media.items():
         assert sorted(idxs) == list(range(0, metas[mid], 2))
         assert all(len(f["frame"]) > 0 for f in frames if f["media_id"] == mid)
+
+
+def test_decode_audio_shapes(spark):
+    from bunsen_spark.operators.multimodal import decode_audio, synthesize_media
+
+    audio = synthesize_media(spark, n=12, kind="audio")
+    rows = decode_audio(audio).collect()
+    assert len(rows) == 12
+    for r in rows:
+        assert len(r["samples"]) == r["n_samples"]
+        assert r["sample_rate"] == 16000
+
+
+def test_audio_features_values(spark):
+    """Features must match a direct numpy computation on the same
+    deterministic fake buffers."""
+    import hashlib
+
+    import numpy as np
+
+    from bunsen_spark.operators.multimodal import (
+        audio_features,
+        decode_audio,
+        synthesize_media,
+    )
+
+    audio = synthesize_media(spark, n=8, kind="audio")
+    feats = {r["media_id"]: r for r in audio_features(decode_audio(audio)).collect()}
+    for i in range(8):
+        seed = hashlib.md5(f"media{i}".encode()).digest()
+        payload = (seed * 8)[: 64 + (i % 5) * 16]
+        n = 1024 + 64 * (i % 7)
+        buf = (payload * (n // len(payload) + 1))[:n]
+        s = np.frombuffer(buf, dtype=np.uint8).astype(np.int64) - 128
+        r = feats[i]
+        assert r["n_samples"] == n
+        assert r["mean_amp"] == s.mean()
+        assert r["mean_abs"] == np.abs(s).mean()
+        nonneg = s >= 0
+        assert r["zero_crossings"] == int(np.sum(nonneg[1:] != nonneg[:-1]))
+        assert r["peak"] == int(np.abs(s).max())

@@ -132,6 +132,17 @@ def test_multimodal_single_decode_pass(spark, sf_dir):
     assert "Join" not in plan
 
 
+def test_multimodal_audio_single_decode_pass(spark, sf_dir):
+    """Audio gate query: exactly one decode mapInPandas (audio_features
+    carries n_samples through — no join back to the decoded frame)."""
+    from bunsen_spark.queries.pipeline import multimodal_audio_features
+
+    plan = _plan(multimodal_audio_features(spark, sf_dir))
+    assert plan.count("MapInPandas") == 2, plan
+    assert plan.count("decode") == 1, plan
+    assert "Join" not in plan
+
+
 def test_no_cartesian_product_in_any_gate_query(spark, sf_dir):
     """Blanket plan discipline: no gate query may degenerate into a
     CartesianProduct (the one join strategy that cannot survive scale).
