@@ -233,6 +233,219 @@ SELECT query_id, neighbor_id, rank FROM (
 """
 
 
+# -- IVF with a Lloyd-trained codebook ---------------------------------------
+
+KMEANS_ITERS = 2
+KMEANS_QUANT = 1000.0
+
+
+def _quantized(embeddings: DataFrame) -> DataFrame:
+    """(vec_id, q, qnorm): vectors quantized to INTEGRAL doubles
+    (``round(x * 1000)``). Integral doubles make every k-means partial
+    sum exact regardless of accumulation order (all addends and sums
+    are integers far below 2^53), which is what lets an independent
+    engine reproduce the trained codebook bit-for-bit."""
+    v = F.col("embedding").cast("array<double>")
+    q = F.transform(v, lambda x: F.round(x * F.lit(KMEANS_QUANT), 0))
+    return embeddings.select(
+        "vec_id", q.alias("q")
+    ).withColumn("qnorm", F.sqrt(_dot(F.col("q"), F.col("q"))))
+
+
+def kmeans_codebook(
+    embeddings: DataFrame,
+    n_centroids: int = IVF_CENTROIDS,
+    n_iters: int = KMEANS_ITERS,
+) -> DataFrame:
+    """Distributed spherical k-means (Lloyd) codebook: (cid, cv, cnorm).
+
+    Seeding is the deterministic md5-min pick (engine-portable);
+    each refinement assigns every vector to its max-cosine centroid
+    (broadcast join — centroids are tiny) and recomputes centroids as
+    element-wise means via ``posexplode`` + a map-side-combined
+    aggregation — the shuffle per iteration is partitions × centroids
+    × dim partial sums, NOT the corpus. The whole training is one
+    declarative plan (no driver collect between iterations); at much
+    deeper iteration counts, localCheckpoint per iteration is the
+    drop-in lineage cut. Centroids that lose all members drop out
+    (standard Lloyd behavior, mirrored by the oracle).
+
+    Assignment ranks are cosine comparisons, so they are reproducible
+    across engines on the quantized integral vectors; the means are
+    exact integer-sum averages (see :func:`_quantized`)."""
+    base = _quantized(embeddings)
+    from .text_analysis import md5int
+
+    cents = (
+        base.withColumn("h", md5int(F.col("vec_id").cast("string")))
+        .orderBy("h", "vec_id")
+        .limit(n_centroids)
+        .select(F.col("vec_id").alias("cid"), F.col("q").alias("cv"))
+    )
+    for _ in range(n_iters):
+        cent = cents.select(
+            "cid", "cv", F.sqrt(_dot(F.col("cv"), F.col("cv"))).alias("cnorm")
+        )
+        aw = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("cid"))
+        assigned = (
+            base.join(F.broadcast(cent))
+            .withColumn(
+                "csim", _cosine(F.col("q"), F.col("cv"), F.col("qnorm"), F.col("cnorm"))
+            )
+            .withColumn("rn", F.row_number().over(aw))
+            .where(F.col("rn") == 1)
+            .select("cid", "q")
+        )
+        sums = (
+            assigned.select("cid", F.posexplode("q").alias("pos", "val"))
+            .groupBy("cid", "pos")
+            .agg((F.sum("val") / F.count(F.lit(1))).alias("cd"))
+        )
+        cents = sums.groupBy("cid").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cd"))), lambda s: s["cd"]
+            ).alias("cv")
+        )
+    return cents.select(
+        "cid", "cv", F.sqrt(_dot(F.col("cv"), F.col("cv"))).alias("cnorm")
+    )
+
+
+def ivf_kmeans_topk(
+    embeddings: DataFrame,
+    k: int = 5,
+    num_queries: int = 32,
+    n_centroids: int = IVF_CENTROIDS,
+    n_probe: int = IVF_PROBE,
+    n_iters: int = KMEANS_ITERS,
+) -> DataFrame:
+    """IVF top-k over a Lloyd-trained codebook (the real-k-means
+    upgrade of :func:`ivf_topk`'s seeded quantizer; same probe plan).
+    Coarse assignment/probing uses cosine against the trained
+    centroids on the quantized vectors; final ranking among candidates
+    is exact cosine on the original vectors."""
+    cents = kmeans_codebook(embeddings, n_centroids, n_iters)
+    quant = _quantized(embeddings)
+    scored = quant.join(F.broadcast(cents)).select(
+        "vec_id",
+        "cid",
+        _cosine(F.col("q"), F.col("cv"), F.col("qnorm"), F.col("cnorm")).alias("csim"),
+    )
+    aw = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("cid"))
+    ranked = scored.withColumn("rn", F.row_number().over(aw))
+    assigned = ranked.where(F.col("rn") == 1).select("vec_id", "cid")
+    probes = (
+        ranked.where((F.col("vec_id") < num_queries) & (F.col("rn") <= n_probe))
+        .select(F.col("vec_id").alias("query_id"), "cid")
+    )
+    base = _with_norm(embeddings)
+    queries = base.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"),
+    )
+    cand = (
+        assigned.join(F.broadcast(probes), "cid")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        .distinct()
+        .join(base, F.col("neighbor_id") == base["vec_id"])
+        .join(F.broadcast(queries), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            _cosine(F.col("qv"), F.col("v"), F.col("qnorm"), F.col("norm")).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def ivf_kmeans_topk_sql(
+    table: str = "embeddings",
+    k: int = 5,
+    num_queries: int = 32,
+    n_centroids: int = IVF_CENTROIDS,
+    n_probe: int = IVF_PROBE,
+    n_iters: int = KMEANS_ITERS,
+    dim: int = EMBED_DIM,
+) -> str:
+    """DuckDB twin with the Lloyd iterations UNROLLED as generated
+    CTEs (cent0 → cent1 → …): same md5 seeding, same integral-double
+    quantization, same cosine argmax assignment, same exact integer
+    mean updates — the codebook reproduces bit-for-bit, so the final
+    candidate lists and ranks match the Spark plan."""
+    h = md5int_sql("CAST(vec_id AS VARCHAR)")
+    parts = [
+        f"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM {table}),
+e_q AS (
+  SELECT vec_id, list_transform(embedding::DOUBLE[], x -> round(x * {KMEANS_QUANT})) AS q
+  FROM {table}
+),
+cent0 AS (
+  SELECT vec_id AS cid, q AS cv FROM e_q ORDER BY {h}, vec_id LIMIT {n_centroids}
+)"""
+    ]
+    for t in range(1, n_iters + 1):
+        parts.append(
+            f"""asg{t} AS (
+  SELECT vec_id, q, cid FROM (
+    SELECT eq.vec_id, eq.q, c.cid,
+           row_number() OVER (
+               PARTITION BY eq.vec_id
+               ORDER BY list_cosine_similarity(eq.q, c.cv) DESC, c.cid
+           ) AS rn
+    FROM e_q eq CROSS JOIN cent{t - 1} c
+  ) WHERE rn = 1
+),
+cent{t} AS (
+  SELECT cid, list(cd ORDER BY pos) AS cv FROM (
+    SELECT cid, pos, sum(val) / count(*) AS cd FROM (
+      SELECT cid, unnest(q) AS val, unnest(range(1, {dim + 1})) AS pos FROM asg{t}
+    ) GROUP BY cid, pos
+  ) GROUP BY cid
+)"""
+        )
+    parts.append(
+        f"""scored AS (
+  SELECT eq.vec_id, c.cid,
+         row_number() OVER (
+             PARTITION BY eq.vec_id
+             ORDER BY list_cosine_similarity(eq.q, c.cv) DESC, c.cid
+         ) AS rn
+  FROM e_q eq CROSS JOIN cent{n_iters} c
+),
+assigned AS (SELECT vec_id, cid FROM scored WHERE rn = 1),
+probes AS (
+  SELECT vec_id AS query_id, cid FROM scored
+  WHERE vec_id < {num_queries} AND rn <= {n_probe}
+),
+cand AS (
+  SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+  FROM probes p JOIN assigned a USING (cid)
+  WHERE a.vec_id <> p.query_id
+)"""
+    )
+    ctes = ",\n".join(parts)
+    return f"""
+WITH {ctes}
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (
+             PARTITION BY query_id
+             ORDER BY list_cosine_similarity(eq.v, ec.v) DESC, neighbor_id
+         ) AS rank
+  FROM cand
+  JOIN e eq ON eq.vec_id = query_id
+  JOIN e ec ON ec.vec_id = neighbor_id
+) WHERE rank <= {k}
+"""
+
+
 def _bucket_col() -> Column:
     """NUM_PLANES-bit LSH bucket from hyperplane dot-product signs."""
     bit = None

@@ -176,6 +176,17 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(load(spark, sf_dir, "embeddings"))
 
 
+def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF over a distributed Lloyd-trained (spherical k-means)
+    codebook — the trained upgrade of ``ann_ivf_topk``'s seeded
+    quantizer. The DuckDB twin re-trains the same codebook (unrolled
+    iterations, bit-exact integer-mean updates) and must reproduce the
+    same candidate lists and ranks."""
+    from ..operators.similarity import ivf_kmeans_topk
+
+    return ivf_kmeans_topk(load(spark, sf_dir, "embeddings"))
+
+
 #: canonical per-language sampling fractions used by the gate query
 STRATA_FRACTIONS = {"en": 0.5, "de": 0.25}
 STRATA_DEFAULT = 0.1
@@ -484,7 +495,12 @@ def _oracles() -> dict[str, str]:
     from ..operators.packing import pack_concat_chunks_sql
     from ..operators.sampling import split_assign_sql, stratified_sample_sql
     from ..operators.dedup import ngram_contamination_sql
-    from ..operators.similarity import brute_force_topk_sql, ivf_topk_sql, lsh_topk_sql
+    from ..operators.similarity import (
+        brute_force_topk_sql,
+        ivf_kmeans_topk_sql,
+        ivf_topk_sql,
+        lsh_topk_sql,
+    )
 
     return {
         "text_language_id": language_id_sql(),
@@ -511,6 +527,7 @@ def _oracles() -> dict[str, str]:
         "sample_per_lang": _sample_per_lang_sql(),
         "quality_filter_funnel": _quality_funnel_sql(),
         "ann_ivf_topk": ivf_topk_sql(),
+        "ann_ivf_kmeans_topk": ivf_kmeans_topk_sql(),
         "stratified_sample_counts": (
             "SELECT lang, count(*) AS n_kept FROM ("
             + stratified_sample_sql(
@@ -541,6 +558,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_length_quantiles": corpus_length_quantiles,
     "dedup_clusters": dedup_clusters,
     "ann_ivf_topk": ann_ivf_topk,
+    "ann_ivf_kmeans_topk": ann_ivf_kmeans_topk,
     "stratified_sample_counts": stratified_sample_counts,
     "doc_top_terms": doc_top_terms,
     "pack_chunks": pack_chunks,
