@@ -227,6 +227,127 @@ def window_running_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q4_priority_late_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-q4-shaped order-priority check: orders in a quarter with
+    at least one line item shipped after the order date. The EXISTS
+    compiles to a LEFT-SEMI join with a correlated non-equi conjunct —
+    the semi side never fans out, so the per-order count is exact
+    without a distinct. Both join keys hash; at scale the semi join
+    shuffles only (orderkey, shipdate) pairs."""
+    o = load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1997-04-01")
+    )
+    l = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(
+        l,
+        (o.o_orderkey == l.l_orderkey) & (l.l_shipdate > o.o_orderdate),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+Q4_SQL = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+  )
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-q10-shaped returned-item report: revenue lost to returns
+    per customer over a quarter, 4-way join (fact × orders filtered ×
+    customer × broadcast nation), top 20. The two big sides join on
+    their natural keys; nation broadcasts."""
+    l = load(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    o = load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1997-04-01")
+    )
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+Q10_SQL = """
+SELECT c_custkey, c_name, c_acctbal, n_name,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,6))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-q18-shaped large-volume-customer query: orders whose total
+    quantity clears a threshold (grouped HAVING on the fact), joined
+    back to orders + customer. The HAVING prunes the fact to a few
+    hundred keys BEFORE the joins — the classic aggregate-then-join
+    ordering that keeps the join inputs tiny at scale."""
+    l = load(spark, sf_dir, "lineitem")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(_dsum(F.col("l_quantity")).alias("sum_qty"))
+        .where(F.col("sum_qty") > 250)
+    )
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_totalprice",
+            "sum_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(20)
+    )
+
+
+Q18_SQL = """
+SELECT c_name, c_custkey, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       o_totalprice, sum_qty
+FROM (
+  SELECT l_orderkey,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(20,6))) AS DOUBLE) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey HAVING sum_qty > 250
+) big
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 20
+"""
+
+
 WINDOW_RUNNING_SQL = """
 SELECT user_id, event_id,
        CAST(SUM(CAST(value AS DECIMAL(20,6)))
@@ -480,6 +601,9 @@ QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_region_volume": q5_region_volume,
+    "q4_priority_late_ship": q4_priority_late_ship,
+    "q10_returned_revenue": q10_returned_revenue,
+    "q18_large_volume_orders": q18_large_volume_orders,
     "topk_brands_by_revenue": topk_brands_by_revenue,
     "window_order_rank": window_order_rank,
     "window_running_value": window_running_value,
@@ -504,6 +628,9 @@ ORACLES = {
     "q1_pricing_summary": Q1_SQL,
     "q3_shipping_priority": Q3_SQL,
     "q5_region_volume": Q5_SQL,
+    "q4_priority_late_ship": Q4_SQL,
+    "q10_returned_revenue": Q10_SQL,
+    "q18_large_volume_orders": Q18_SQL,
     "topk_brands_by_revenue": TOPK_BRANDS_SQL,
     "window_order_rank": WINDOW_RANK_SQL,
     "window_running_value": WINDOW_RUNNING_SQL,
