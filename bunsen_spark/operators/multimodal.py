@@ -308,6 +308,37 @@ def audio_features(decoded: DataFrame) -> DataFrame:
     return decoded.mapInPandas(feats, AUDIO_FEATURES_SCHEMA)
 
 
+FRAME_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_index", T.IntegerType(), False),
+        T.StructField("frame_len", T.IntegerType(), True),
+        T.StructField("byte_sum", T.LongType(), True),
+    ]
+)
+
+
+def frame_stats(frames: DataFrame) -> DataFrame:
+    """Per-frame length + byte checksum (the verification stage a
+    frame-sampling pipeline runs before handing frames to a model;
+    integer sums → bit-exact DuckDB twin)."""
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "frame_index": [], "frame_len": [], "byte_sum": []}
+            for mid, idx, frame in zip(
+                pdf["media_id"], pdf["frame_index"], pdf["frame"]
+            ):
+                buf = np.frombuffer(bytes(frame), dtype=np.uint8)
+                out["media_id"].append(mid)
+                out["frame_index"].append(int(idx))
+                out["frame_len"].append(len(buf))
+                out["byte_sum"].append(int(buf.sum()))
+            yield pd.DataFrame(out)
+
+    return frames.mapInPandas(stats, FRAME_STATS_SCHEMA)
+
+
 FRAME_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),

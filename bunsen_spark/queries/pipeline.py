@@ -476,6 +476,115 @@ GROUP BY i, ns
 """
 
 
+def multimodal_resize_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize stage under the oracle gate: decode → nearest-neighbour
+    resize to 4×4 → per-channel means, one chained Arrow pipeline
+    (decode runs once; resize and features are buffer-local numpy).
+    The fake decode + integer index arithmetic make the resized
+    buffer's channel means exactly reproducible in SQL."""
+    from pyspark.sql import functions as F
+
+    from ..operators.multimodal import (
+        decode_images,
+        image_features,
+        resize_images,
+        synthesize_media,
+    )
+
+    media = synthesize_media(spark, n=64, kind="image")
+    feats = image_features(resize_images(decode_images(media), 4, 4))
+    return feats.select(
+        "media_id",
+        "width",
+        "height",
+        F.round(F.element_at("mean", 1), 6).alias("mean_c0"),
+        F.round(F.element_at("mean", 2), 6).alias("mean_c1"),
+        F.round(F.element_at("mean", 3), 6).alias("mean_c2"),
+    )
+
+
+# DuckDB twin of decode→4×4-nearest-neighbour-resize→channel means:
+# resized pixel j (0..47) maps back to source byte
+# ((y*h//4)*w + (x*w//4))*3 + ch, whose value is the tiled digest byte
+# as in MULTIMODAL_FEATURES_SQL.
+MULTIMODAL_RESIZE_SQL = """
+WITH media AS (
+  SELECT i,
+         md5('media' || CAST(i AS VARCHAR)) AS h,
+         64 + (i % 5) * 16 AS plen,
+         8 + (i % 4) AS w,
+         6 + (i % 3) AS ht
+  FROM range(64) t(i)
+),
+px AS (
+  SELECT m.i, t.j % 3 AS ch,
+         ((((t.j // 12) * m.ht // 4) * m.w + (((t.j % 12) // 3) * m.w // 4)) * 3
+          + (t.j % 3)) AS q,
+         m.h, m.plen
+  FROM media m CROSS JOIN range(48) t(j)
+),
+vals AS (
+  SELECT i, ch,
+         (strpos('0123456789abcdef',
+                 substr(h, 2 * ((q % plen) % 16) + 1, 1)) - 1) * 16
+         + strpos('0123456789abcdef',
+                  substr(h, 2 * ((q % plen) % 16) + 2, 1)) - 1 AS val
+  FROM px
+)
+SELECT i AS media_id, 4 AS width, 4 AS height,
+       round(avg(CASE WHEN ch = 0 THEN val END), 6) AS mean_c0,
+       round(avg(CASE WHEN ch = 1 THEN val END), 6) AS mean_c1,
+       round(avg(CASE WHEN ch = 2 THEN val END), 6) AS mean_c2
+FROM vals
+GROUP BY i
+"""
+
+
+def multimodal_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling stage under the oracle gate: every-2nd
+    frame as fixed-size payload slabs (the demux stand-in boundary),
+    then per-frame length + byte checksum. Slab slicing and fan-out
+    are the real distributed work; the checksum verifies frame bytes
+    end-to-end against SQL."""
+    from ..operators.multimodal import frame_stats, sample_frames, synthesize_media
+
+    media = synthesize_media(spark, n=64, kind="video")
+    return frame_stats(sample_frames(media, every_k=2))
+
+
+# DuckDB twin: clip i has plen payload bytes (tiled 16-byte digest),
+# n_frames = 4 + i%5 slabs of plen // n_frames bytes; sampled frames
+# are the even indices; byte p of frame f is digest[(f*slab + p) % 16].
+MULTIMODAL_FRAMES_SQL = """
+WITH media AS (
+  SELECT i,
+         md5('media' || CAST(i AS VARCHAR)) AS h,
+         64 + (i % 5) * 16 AS plen,
+         4 + (i % 5) AS nf
+  FROM range(64) t(i)
+),
+frames AS (
+  SELECT i, h, plen, plen // nf AS slab, f.fi
+  FROM media CROSS JOIN range(8) f(fi)
+  WHERE f.fi < nf AND f.fi % 2 = 0
+),
+bytes AS (
+  SELECT i, fi, slab,
+         (strpos('0123456789abcdef',
+                 substr(h, 2 * (((fi * slab + p.p) % plen) % 16) + 1, 1)) - 1) * 16
+         + strpos('0123456789abcdef',
+                  substr(h, 2 * (((fi * slab + p.p) % plen) % 16) + 2, 1)) - 1 AS val
+  FROM frames CROSS JOIN range(32) p(p)
+  WHERE p.p < slab
+)
+SELECT i AS media_id, fi AS frame_index,
+       CAST(count(*) AS INTEGER) AS frame_len,
+       CAST(sum(val) AS BIGINT) AS byte_sum
+FROM bytes
+GROUP BY i, fi
+"""
+
+
 def _oracles() -> dict[str, str]:
     from ..operators.text_analysis import (
         fingerprint_sql,
@@ -538,6 +647,8 @@ def _oracles() -> dict[str, str]:
         "doc_top_terms": DOC_TOP_TERMS_SQL,
         "multimodal_image_features": MULTIMODAL_FEATURES_SQL,
         "multimodal_audio_features": MULTIMODAL_AUDIO_SQL,
+        "multimodal_resize_means": MULTIMODAL_RESIZE_SQL,
+        "multimodal_frame_stats": MULTIMODAL_FRAMES_SQL,
     }
 
 
@@ -567,6 +678,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_filter_funnel": quality_filter_funnel,
     "multimodal_image_features": multimodal_image_features,
     "multimodal_audio_features": multimodal_audio_features,
+    "multimodal_resize_means": multimodal_resize_means,
+    "multimodal_frame_stats": multimodal_frame_stats,
 }
 
 ORACLES: dict[str, str] = _oracles()
