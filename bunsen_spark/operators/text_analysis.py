@@ -270,3 +270,95 @@ SELECT doc_id,
        )) AS fp_size
 FROM h
 """
+
+
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    """Gopher-style repetition signals per document (word-level,
+    adapted to the corpus's single-line texts): duplicate-word and
+    duplicate-bigram fractions from array cardinalities (pure Catalyst,
+    zero shuffle), plus top-word dominance (most frequent word's share)
+    via one explode + two map-side-combined aggregations. High values
+    on any of the three are the standard "remove boilerplate/spam"
+    curation predicate. Output: (doc_id, n_words, dup_word_frac,
+    dup_bigram_frac, top_word_frac), fractions rounded to 6."""
+    from pyspark.sql import Window
+
+    words = words_col(F.col("text"))
+    # guard: 0/1-word docs have NO bigrams (element_at would fault
+    # under ANSI on the empty array; the oracle mirrors the guard)
+    bigrams = F.when(
+        F.size(words) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(words, i), F.element_at(words, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    base = docs.select(
+        "doc_id",
+        words.alias("ws"),
+        F.size(words).alias("n_words"),
+        bigrams.alias("bg"),
+    )
+    flat = base.select(
+        "doc_id",
+        "n_words",
+        F.round(
+            (F.size("ws") - F.size(F.array_distinct("ws")))
+            / F.greatest(F.size("ws"), F.lit(1)),
+            6,
+        ).alias("dup_word_frac"),
+        F.round(
+            (F.size("bg") - F.size(F.array_distinct("bg")))
+            / F.greatest(F.size("bg"), F.lit(1)),
+            6,
+        ).alias("dup_bigram_frac"),
+    )
+    counts = (
+        docs.select("doc_id", F.explode(words_col(F.col("text"))).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_c"))
+    )
+    return flat.join(counts, "doc_id", "left").select(
+        "doc_id",
+        "n_words",
+        "dup_word_frac",
+        "dup_bigram_frac",
+        F.round(
+            F.coalesce(F.col("top_c"), F.lit(0))
+            / F.greatest(F.col("n_words"), F.lit(1)),
+            6,
+        ).alias("top_word_frac"),
+    )
+
+
+def repetition_stats_sql(table: str = "documents") -> str:
+    bigrams = (
+        f"CASE WHEN len({WORDS_SQL}) >= 2 THEN "
+        f"list_transform(range(1, len({WORDS_SQL})), "
+        f"i -> array_to_string({WORDS_SQL}[CAST(i AS INTEGER):CAST(i + 1 AS INTEGER)], ' ')) "
+        f"ELSE [] END"
+    )
+    return f"""
+WITH flat AS (
+  SELECT doc_id,
+         len({WORDS_SQL}) AS n_words,
+         round((len({WORDS_SQL}) - len(list_distinct({WORDS_SQL})))
+               / greatest(len({WORDS_SQL}), 1), 6) AS dup_word_frac,
+         round((len({bigrams}) - len(list_distinct({bigrams})))
+               / greatest(len({bigrams}), 1), 6) AS dup_bigram_frac
+  FROM {table}
+), counts AS (
+  SELECT doc_id, max(c) AS top_c FROM (
+    SELECT doc_id, count(*) AS c
+    FROM (SELECT doc_id, unnest({WORDS_SQL}) AS w FROM {table})
+    GROUP BY doc_id, w
+  ) GROUP BY doc_id
+)
+SELECT f.doc_id, f.n_words, f.dup_word_frac, f.dup_bigram_frac,
+       round(COALESCE(c.top_c, 0) / greatest(f.n_words, 1), 6) AS top_word_frac
+FROM flat f LEFT JOIN counts c USING (doc_id)
+"""

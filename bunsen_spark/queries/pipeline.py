@@ -39,6 +39,12 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint(load(spark, sf_dir, "documents"))
 
 
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text_analysis import repetition_stats
+
+    return repetition_stats(load(spark, sf_dir, "documents"))
+
+
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import exact_dedup
 
@@ -588,6 +594,7 @@ GROUP BY i, fi
 def _oracles() -> dict[str, str]:
     from ..operators.text_analysis import (
         fingerprint_sql,
+        repetition_stats_sql,
         language_id_sql,
         quality_score_sql,
         token_stats_sql,
@@ -616,6 +623,7 @@ def _oracles() -> dict[str, str]:
         "text_quality": quality_score_sql(),
         "text_token_stats": token_stats_sql(),
         "text_fingerprint": fingerprint_sql(),
+        "text_repetition": repetition_stats_sql(),
         "dedup_exact": exact_dedup_sql(),
         "dedup_jaccard": jaccard_pairs_sql(),
         "dedup_minhash_lsh": minhash_lsh_pairs_sql(),
@@ -657,6 +665,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality": text_quality,
     "text_token_stats": text_token_stats,
     "text_fingerprint": text_fingerprint,
+    "text_repetition": text_repetition,
     "dedup_exact": dedup_exact,
     "dedup_jaccard": dedup_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
