@@ -31,13 +31,16 @@ SESSION_SCHEMA = T.StructType(
 
 _STATE_SCHEMA = T.StructType(
     [
-        T.StructField("start_ms", T.LongType(), True),
-        T.StructField("end_ms", T.LongType(), True),
+        T.StructField("start_us", T.LongType(), True),
+        T.StructField("end_us", T.LongType(), True),
         T.StructField("n", T.LongType(), True),
     ]
 )
 
-GAP_MS = 30 * 60 * 1000
+#: session gap in MICROSECONDS — the engine-wide time unit, matching
+#: the batch operators.sessionize scan exactly (parity-tested on the
+#: events fixture, whose timestamps carry sub-millisecond precision)
+GAP_US = 30 * 60 * 1_000_000
 
 
 def _sessionize_fn(
@@ -50,45 +53,47 @@ def _sessionize_fn(
     timeout when the watermark passes start+gap)."""
     user_id = key[0]
     if state.hasTimedOut:
-        start_ms, end_ms, n = state.get
+        start_us, end_us, n = state.get
         state.remove()
         yield pd.DataFrame(
             {
                 "user_id": [user_id],
-                "session_start": [pd.Timestamp(start_ms, unit="ms")],
-                "session_end": [pd.Timestamp(end_ms, unit="ms")],
+                "session_start": [pd.Timestamp(start_us, unit="us")],
+                "session_end": [pd.Timestamp(end_us, unit="us")],
                 "n_events": [n],
             }
         )
         return
 
-    ts_ms: list[int] = []
+    ts_us: list[int] = []
     for pdf in pdfs:
-        ts_ms.extend(int(t.value // 1_000_000) for t in pdf["ts"])
-    ts_ms.sort()
+        ts_us.extend(int(t.value // 1_000) for t in pdf["ts"])
+    ts_us.sort()
     if state.exists:
-        start_ms, end_ms, n = state.get
+        start_us, end_us, n = state.get
     else:
-        start_ms, end_ms, n = None, None, 0
+        start_us, end_us, n = None, None, 0
 
     closed: list[tuple[int, int, int]] = []
-    for t in ts_ms:
-        if start_ms is None:
-            start_ms, end_ms, n = t, t, 1
-        elif t - end_ms <= GAP_MS:
-            end_ms, n = max(end_ms, t), n + 1
+    for t in ts_us:
+        if start_us is None:
+            start_us, end_us, n = t, t, 1
+        elif t - end_us <= GAP_US:
+            end_us, n = max(end_us, t), n + 1
         else:
-            closed.append((start_ms, end_ms, n))
-            start_ms, end_ms, n = t, t, 1
-    state.update((start_ms, end_ms, n))
+            closed.append((start_us, end_us, n))
+            start_us, end_us, n = t, t, 1
+    state.update((start_us, end_us, n))
     # flush the open session once the watermark passes its gap horizon
-    state.setTimeoutTimestamp(end_ms + GAP_MS)
+    # (GroupState timeouts are millisecond-granular: round UP so the
+    # microsecond horizon is never undershot)
+    state.setTimeoutTimestamp(-(-(end_us + GAP_US) // 1000))
     if closed:
         yield pd.DataFrame(
             {
                 "user_id": [user_id] * len(closed),
-                "session_start": [pd.Timestamp(s, unit="ms") for s, _, _ in closed],
-                "session_end": [pd.Timestamp(e, unit="ms") for _, e, _ in closed],
+                "session_start": [pd.Timestamp(s, unit="us") for s, _, _ in closed],
+                "session_end": [pd.Timestamp(e, unit="us") for _, e, _ in closed],
                 "n_events": [c for _, _, c in closed],
             }
         )

@@ -274,3 +274,75 @@ def test_stream_stream_interval_join(spark, tmp_path):
         for r in spark.table("vp_pairs").collect()
     }
     assert got == {(1, "2024-01-01 10:00:00", "2024-01-01 10:10:00")}
+
+
+def test_streaming_sessionize_matches_batch_operator(spark, tmp_path):
+    """Batch/streaming parity on the REAL events fixture: the
+    applyInPandasWithState sessionizer must produce exactly the
+    sessions the batch `operators.sessionize` scan produces (which is
+    itself oracle-gated via sessionize_events). Cross-validates the
+    two implementations' gap semantics end-to-end."""
+    from pyspark.sql import functions as F
+    import pyspark.sql.types as T
+
+    from bunsen_spark.operators.sessionize import sessionize
+    from bunsen_spark.queries import load, ts_us
+    from bunsen_spark.streaming.stateful import sessionize_events
+
+    e = load(spark, "/root/testdata/sf0.001", "events")
+    e = e.select("user_id", ts_us(e).alias("us"))
+
+    gap_us = 30 * 60 * 1_000_000
+    batch = (
+        sessionize(e, ["user_id"], "us", gap_us)
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min("us").alias("start_us"),
+            F.max("us").alias("end_us"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    expected = {
+        (r["user_id"], r["start_us"], r["end_us"], r["n_events"])
+        for r in batch.collect()
+    }
+
+    # materialize the same events as a file stream + a watermark
+    # sentinel 3 days past the horizon so every session flushes
+    src = tmp_path / "events_stream"
+    e.select(
+        "user_id", F.timestamp_micros(F.col("us")).alias("ts")
+    ).coalesce(1).write.parquet(str(src))
+    max_us = e.agg(F.max("us")).collect()[0][0]
+    sentinel_us = max_us + 3 * 24 * 3600 * 1_000_000
+    spark.createDataFrame([(999_999, sentinel_us)], "user_id long, us long").select(
+        "user_id", F.timestamp_micros(F.col("us")).alias("ts")
+    ).write.mode("append").parquet(str(src))
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    q = (
+        sessionize_events(stream)
+        .writeStream.format("memory")
+        .queryName("sessions_parity")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (
+            r["user_id"],
+            int(r["session_start"].timestamp() * 1_000_000),
+            int(r["session_end"].timestamp() * 1_000_000),
+            r["n_events"],
+        )
+        for r in spark.table("sessions_parity").collect()
+        if r["user_id"] != 999_999
+    }
+    assert got == expected
