@@ -283,7 +283,11 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
     dup_bigram_frac, top_word_frac), fractions rounded to 6."""
     from pyspark.sql import Window
 
-    words = words_col(F.col("text"))
+    # tokenize ONCE into a column; every downstream expression reads
+    # the materialized array (the regex is the dominant per-row cost —
+    # re-evaluating it per derived expression tripled the query time)
+    toks = docs.select("doc_id", words_col(F.col("text")).alias("ws"))
+    words = F.col("ws")
     # guard: 0/1-word docs have NO bigrams (element_at would fault
     # under ANSI on the empty array; the oracle mirrors the guard)
     bigrams = F.when(
@@ -295,9 +299,9 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    base = docs.select(
+    base = toks.select(
         "doc_id",
-        words.alias("ws"),
+        "ws",
         F.size(words).alias("n_words"),
         bigrams.alias("bg"),
     )
@@ -316,7 +320,7 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
         ).alias("dup_bigram_frac"),
     )
     counts = (
-        docs.select("doc_id", F.explode(words_col(F.col("text"))).alias("w"))
+        toks.select("doc_id", F.explode("ws").alias("w"))
         .groupBy("doc_id", "w")
         .agg(F.count(F.lit(1)).alias("c"))
         .groupBy("doc_id")
