@@ -65,15 +65,15 @@ def language_id(docs: DataFrame) -> DataFrame:
     """Heuristic language ID: count marker-stopword hits per language,
     pick the argmax (ties broken by language-code order). Output:
     (doc_id, predicted_lang, marker_hits)."""
-    w = words_col(F.col("text"))
-
     def marker_counter(markers: tuple[str, ...]):
         return lambda x: x.isin(*markers)
 
-    scored = docs.select(
+    # tokenize once; the per-language filters read the materialized
+    # array instead of re-running the regex per language
+    scored = docs.select("doc_id", words_col(F.col("text")).alias("ws")).select(
         "doc_id",
         *[
-            F.size(F.filter(w, marker_counter(markers))).alias(f"c_{lang}")
+            F.size(F.filter(F.col("ws"), marker_counter(markers))).alias(f"c_{lang}")
             for lang, markers in LANG_MARKERS.items()
         ],
     )
@@ -122,8 +122,10 @@ def quality_score(docs: DataFrame) -> DataFrame:
     Output: (doc_id, n_words, n_distinct, ttr, stopword_ratio,
     alpha_ratio, length_factor, quality_score) — ratios rounded to 6
     decimals AFTER the score is computed from unrounded values."""
-    w = words_col(F.col("text"))
+    w = F.col("ws")
     base = docs.select(
+        "doc_id", "text", words_col(F.col("text")).alias("ws")
+    ).select(
         "doc_id",
         F.col("text"),
         F.size(w).alias("n_words"),
@@ -196,13 +198,13 @@ def token_stats(docs: DataFrame) -> DataFrame:
     distinct regex tokens, and chars-per-token. Output: (doc_id,
     ws_tokens, re_tokens, distinct_tokens, chars_per_token)."""
     toks = F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_REGEX), 0)
-    return docs.select(
+    return docs.select("doc_id", "text", toks.alias("tk")).select(
         "doc_id",
         F.size(F.split(F.col("text"), " ")).alias("ws_tokens"),
-        F.size(toks).alias("re_tokens"),
-        F.size(F.array_distinct(toks)).alias("distinct_tokens"),
+        F.size("tk").alias("re_tokens"),
+        F.size(F.array_distinct("tk")).alias("distinct_tokens"),
         F.round(
-            F.length("text") / F.greatest(F.size(toks), F.lit(1)), 6
+            F.length("text") / F.greatest(F.size("tk"), F.lit(1)), 6
         ).alias("chars_per_token"),
     )
 
