@@ -175,3 +175,40 @@ def test_sql_rewrite_multiple_calls_and_unknown_ref(spark):
         rewrite_in_valueset_sql("SELECT in_valueset(code, 'e') FROM t", {"e": {}})
         == "SELECT false FROM t"
     )
+
+
+def test_q4_exists_is_semi_join(spark, sf_dir):
+    """The correlated EXISTS must compile to a LEFT-SEMI hash join
+    (non-equi conjunct as join condition), never a cartesian or a
+    per-row subquery."""
+    from bunsen_spark.queries.relational import q4_priority_late_ship
+
+    plan = _plan(q4_priority_late_ship(spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q10_broadcasts_nation(spark, sf_dir):
+    from bunsen_spark.queries.relational import q10_returned_revenue
+
+    plan = _plan(q10_returned_revenue(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q18_aggregates_before_join(spark, sf_dir):
+    """The HAVING aggregate must sit BELOW the joins (aggregate-then-
+    join): the lineitem scan feeds a HashAggregate whose output joins
+    orders — not the other way around."""
+    from bunsen_spark.queries.relational import q18_large_volume_orders
+
+    plan = _plan(q18_large_volume_orders(spark, sf_dir))
+    assert "HashAggregate" in plan and "CartesianProduct" not in plan
+    # the sum_qty threshold is a Filter over the aggregate, not over a
+    # join output: the aggregate (printed deeper) appears AFTER the
+    # first join node in the plan string's top-down rendering
+    first_join = min(
+        p for p in (plan.find("SortMergeJoin"), plan.find("BroadcastHashJoin")) if p >= 0
+    )
+    assert plan.index("sum_qty") > 0
+    assert plan.rindex("HashAggregate") > first_join
