@@ -47,8 +47,12 @@ def _key(rows, cols):
     return sorted(tuple(r[c] for c in cols) for r in rows)
 
 
-def test_asof_bucketed_matches_unbucketed_all_modes(spark):
-    left, right = _skewed_pair(spark)
+import pytest
+
+
+@pytest.mark.parametrize("seed", [11, 23, 47])
+def test_asof_bucketed_matches_unbucketed_all_modes(spark, seed):
+    left, right = _skewed_pair(spark, seed)
     for direction in ("backward", "forward"):
         for strict in (True, False):
             for tol in (None, 5_000):
