@@ -538,3 +538,80 @@ SELECT query_id, neighbor_id, rank FROM (
   JOIN e ec ON ec.vec_id = neighbor_id
 ) WHERE rank <= {k}
 """
+
+
+# -- int8 embedding quantization ---------------------------------------------
+
+
+def quantize_embeddings_stats(embeddings: DataFrame) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column with
+    per-vector verification stats — the compression step an ANN
+    serving layer runs before indexing (4x smaller vectors, dot
+    products stay int8-SIMD-able). Pure Catalyst higher-order
+    functions; zero shuffle, one map stage.
+
+    Output per vector: ``scale`` (max |component|, the dequant
+    factor), ``q_l1`` and position-weighted ``q_checksum`` over the
+    int8 codes (integer-exact), and ``max_abs_err`` (the worst
+    per-component reconstruction error). Every emitted number is
+    either integer arithmetic or a comparison-selected single IEEE
+    expression, so the DuckDB twin reproduces all of them bit-for-bit
+    — no float summation anywhere (a sum of reconstruction errors
+    would depend on accumulation order; the max does not)."""
+    v = F.col("embedding").cast("array<double>")
+    base = embeddings.select("vec_id", v.alias("v")).withColumn(
+        "s", F.array_max(F.transform(F.col("v"), lambda x: F.abs(x)))
+    )
+    q = F.when(
+        F.col("s") > 0,
+        F.transform(F.col("v"), lambda x: F.round(x / F.col("s") * 127, 0).cast("int")),
+    ).otherwise(F.transform(F.col("v"), lambda x: F.lit(0)))
+    qd = base.withColumn("q", q)
+    idx = F.sequence(F.lit(1), F.size("q"))
+    recon_err = F.zip_with(
+        F.col("v"),
+        F.col("q"),
+        lambda x, y: F.abs(x - y * F.col("s") / 127.0),
+    )
+    return qd.select(
+        "vec_id",
+        F.round("s", 6).alias("scale"),
+        F.aggregate(
+            F.transform(F.col("q"), lambda x: F.abs(x).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("q_l1"),
+        F.aggregate(
+            F.zip_with(F.col("q"), idx, lambda x, i: x.cast("long") * i),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("q_checksum"),
+        F.round(F.array_max(recon_err), 6).alias("max_abs_err"),
+    )
+
+
+def quantize_embeddings_stats_sql(table: str = "embeddings") -> str:
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM {table}
+), sc AS (
+  SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS s FROM e
+), qv AS (
+  SELECT vec_id, v, s,
+         CASE WHEN s > 0
+              THEN list_transform(v, x -> CAST(round(x / s * 127) AS INTEGER))
+              ELSE list_transform(v, x -> 0) END AS q
+  FROM sc
+)
+SELECT vec_id,
+       round(s, 6) AS scale,
+       CAST(list_sum(list_transform(q, x -> abs(x))) AS BIGINT) AS q_l1,
+       CAST(list_sum(list_transform(range(1, len(q) + 1),
+                                    i -> q[CAST(i AS INTEGER)] * i)) AS BIGINT)
+           AS q_checksum,
+       round(list_max(list_transform(range(1, len(q) + 1),
+                                     i -> abs(v[CAST(i AS INTEGER)]
+                                              - q[CAST(i AS INTEGER)] * s / 127))),
+             6) AS max_abs_err
+FROM qv
+"""

@@ -77,6 +77,15 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dup_pairs(load(spark, sf_dir, "embeddings"), strategy="blocked")
 
 
+def embedding_quantize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 vector compression under the oracle gate: every emitted
+    stat is integer-exact or comparison-selected (no float sums), so
+    the DuckDB twin matches bit-for-bit."""
+    from ..operators.similarity import quantize_embeddings_stats
+
+    return quantize_embeddings_stats(load(spark, sf_dir, "embeddings"))
+
+
 def ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import brute_force_topk
 
@@ -614,6 +623,7 @@ def _oracles() -> dict[str, str]:
     from ..operators.similarity import (
         brute_force_topk_sql,
         ivf_kmeans_topk_sql,
+        quantize_embeddings_stats_sql,
         ivf_topk_sql,
         lsh_topk_sql,
     )
@@ -645,6 +655,7 @@ def _oracles() -> dict[str, str]:
         "quality_filter_funnel": _quality_funnel_sql(),
         "ann_ivf_topk": ivf_topk_sql(),
         "ann_ivf_kmeans_topk": ivf_kmeans_topk_sql(),
+        "embedding_quantize_stats": quantize_embeddings_stats_sql(),
         "stratified_sample_counts": (
             "SELECT lang, count(*) AS n_kept FROM ("
             + stratified_sample_sql(
@@ -679,6 +690,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_clusters": dedup_clusters,
     "ann_ivf_topk": ann_ivf_topk,
     "ann_ivf_kmeans_topk": ann_ivf_kmeans_topk,
+    "embedding_quantize_stats": embedding_quantize_stats,
     "stratified_sample_counts": stratified_sample_counts,
     "doc_top_terms": doc_top_terms,
     "pack_chunks": pack_chunks,

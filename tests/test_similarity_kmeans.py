@@ -66,3 +66,32 @@ def test_ivf_kmeans_recall_not_worse_than_seeded(spark, sf_dir):
         .collect()
     )
     assert all(r["mx"] == r["n"] for r in per_q)
+
+
+def test_quantize_embeddings_stats_contract(spark, sf_dir):
+    """Int8 quantization invariants: codes within [-127, 127] implies
+    q_l1 <= 127*dim; reconstruction error bounded by half a quant step
+    (scale/254 + float slack); zero-vector guard emits scale 0."""
+    from pyspark.sql import functions as F
+
+    from bunsen_spark.operators.similarity import quantize_embeddings_stats
+
+    emb = _emb(spark, sf_dir)
+    out = quantize_embeddings_stats(emb)
+    rows = out.collect()
+    assert len(rows) == emb.count()
+    for r in rows[:50]:
+        assert 0 <= r["q_l1"] <= 127 * 64
+        assert r["max_abs_err"] <= r["scale"] / 254 + 1e-9
+    # deterministic across physical layouts
+    a = sorted(map(tuple, rows))
+    b = sorted(map(tuple, quantize_embeddings_stats(emb.repartition(7)).collect()))
+    assert a == b
+    # zero vector: scale 0, all codes 0
+    z = spark.createDataFrame(
+        [(1, [0.0] * 4), (2, [0.0, 2.0, -4.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    zr = {r["vec_id"]: r for r in quantize_embeddings_stats(z).collect()}
+    assert zr[1]["scale"] == 0.0 and zr[1]["q_l1"] == 0 and zr[1]["max_abs_err"] == 0.0
+    assert zr[2]["scale"] == 4.0 and zr[2]["q_l1"] == 0 + 64 + 127 + 32
