@@ -299,6 +299,58 @@ GROUP BY o_orderpriority
 """
 
 
+def event_funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel conversion over the event stream: per user, the earliest
+    view / click / purchase timestamps from ONE conditional-min
+    aggregation (no self-joins), then corpus-level stage counts with
+    strict ordering (view < click < purchase). The single-pass
+    min-per-type shape is the scalable funnel plan — one shuffle on
+    user_id regardless of funnel depth."""
+    e = load(spark, sf_dir, "events")
+    e = e.select("user_id", "event_type", ts_us(e).alias("us"))
+    mins = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("us"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("us"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("us"))).alias("t_buy"),
+    )
+    return mins.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count(F.col("t_view")).alias("n_view"),
+        F.coalesce(
+            F.sum(((F.col("t_click") > F.col("t_view"))).cast("long")), F.lit(0)
+        ).alias("n_view_then_click"),
+        F.coalesce(
+            F.sum(
+                (
+                    (F.col("t_click") > F.col("t_view"))
+                    & (F.col("t_buy") > F.col("t_click"))
+                ).cast("long")
+            ),
+            F.lit(0),
+        ).alias("n_full_funnel"),
+    )
+
+
+EVENT_FUNNEL_SQL = """
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+), mins AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN us END) AS t_view,
+         min(CASE WHEN event_type = 'click' THEN us END) AS t_click,
+         min(CASE WHEN event_type = 'purchase' THEN us END) AS t_buy
+  FROM e GROUP BY user_id
+)
+SELECT count(*) AS n_users,
+       count(t_view) AS n_view,
+       CAST(SUM(CASE WHEN t_click > t_view THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_view_then_click,
+       CAST(SUM(CASE WHEN t_click > t_view AND t_buy > t_click THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_full_funnel
+FROM mins
+"""
+
+
 def events_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured column handling: the events ``props`` JSON string
     is parsed in-plan (no UDF) and aggregated by a derived bucket."""
@@ -370,6 +422,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "nations_with_customers_and_suppliers": nations_with_customers_and_suppliers,
     "parts_never_ordered": parts_never_ordered,
     "orders_above_customer_avg": orders_above_customer_avg,
+    "event_funnel_counts": event_funnel_counts,
     "events_props_extract": events_props_extract,
     "range_join_purchase_views": range_join_purchase_views,
 }
@@ -384,6 +437,7 @@ ORACLES: dict[str, str] = {
     "nations_with_customers_and_suppliers": NATIONS_INTERSECT_SQL,
     "parts_never_ordered": PARTS_EXCEPT_SQL,
     "orders_above_customer_avg": ORDERS_ABOVE_CUSTOMER_AVG_SQL,
+    "event_funnel_counts": EVENT_FUNNEL_SQL,
     "events_props_extract": EVENTS_PROPS_EXTRACT_SQL,
     "range_join_purchase_views": RANGE_JOIN_SQL,
 }
