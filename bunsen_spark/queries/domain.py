@@ -351,6 +351,55 @@ FROM mins
 """
 
 
+def cohort_retention_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users bucketed by signup week, counted
+    in each later week they were active. Two aggregations + one join —
+    cohort assignment is a conditional min per user (no self-join),
+    activity is a distinct (user, week) projection; all time math is
+    integer epoch-microsecond division, so the oracle matches exactly."""
+    week_us = 7 * 24 * 3600 * 1_000_000
+    e = load(spark, sf_dir, "events")
+    e = e.select("user_id", "event_type", ts_us(e).alias("us"))
+    cohort = (
+        e.groupBy("user_id")
+        .agg(
+            F.min(
+                F.when(F.col("event_type") == "signup", F.col("us"))
+            ).alias("s_us")
+        )
+        .where(F.col("s_us").isNotNull())
+        .select("user_id", F.expr(f"s_us div {week_us}").alias("cohort_week"))
+    )
+    activity = e.select(
+        "user_id", F.expr(f"us div {week_us}").alias("week")
+    ).distinct()
+    return (
+        activity.join(cohort, "user_id")
+        .where(F.col("week") >= F.col("cohort_week"))
+        .groupBy("cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset"))
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+COHORT_RETENTION_SQL = """
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+), cohort AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'signup' THEN us END) // 604800000000
+             AS cohort_week
+  FROM e GROUP BY user_id
+  HAVING min(CASE WHEN event_type = 'signup' THEN us END) IS NOT NULL
+), activity AS (
+  SELECT DISTINCT user_id, us // 604800000000 AS week FROM e
+)
+SELECT cohort_week, week - cohort_week AS week_offset, count(*) AS n_users
+FROM activity JOIN cohort USING (user_id)
+WHERE week >= cohort_week
+GROUP BY cohort_week, week_offset
+"""
+
+
 def events_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured column handling: the events ``props`` JSON string
     is parsed in-plan (no UDF) and aggregated by a derived bucket."""
@@ -423,6 +472,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "parts_never_ordered": parts_never_ordered,
     "orders_above_customer_avg": orders_above_customer_avg,
     "event_funnel_counts": event_funnel_counts,
+    "cohort_retention_counts": cohort_retention_counts,
     "events_props_extract": events_props_extract,
     "range_join_purchase_views": range_join_purchase_views,
 }
@@ -438,6 +488,7 @@ ORACLES: dict[str, str] = {
     "parts_never_ordered": PARTS_EXCEPT_SQL,
     "orders_above_customer_avg": ORDERS_ABOVE_CUSTOMER_AVG_SQL,
     "event_funnel_counts": EVENT_FUNNEL_SQL,
+    "cohort_retention_counts": COHORT_RETENTION_SQL,
     "events_props_extract": EVENTS_PROPS_EXTRACT_SQL,
     "range_join_purchase_views": RANGE_JOIN_SQL,
 }
