@@ -1,0 +1,78 @@
+"""Running-aggregate windows with an opt-in hot-key guard.
+
+``prefix_sum`` is the general distributed-prefix-sum companion to
+:mod:`sessionize`'s flag-counting variant: the plain form is one
+cumulative-sum window per key; with ``time_bucket`` set, the scan is
+windowed per ``(key, floor(ts / time_bucket))`` and each bucket adds a
+carried offset — the exclusive prefix of the per-bucket totals (a tiny
+``(key, bucket)`` frame) — so one pathological key becomes many bounded
+sort tasks instead of one. The value column must be exactly summable
+(integers, longs, decimals — cast floats to ``decimal`` first), which
+also makes the split mathematically exact: decimal/integer addition is
+associative, so intra-bucket + carried prefix equals the global scan
+bit-for-bit. (This is precisely why the guard does NOT offer plain
+double sums — their non-associativity would make the bucketed result
+differ in last-ulp from the unbucketed one.)
+
+No reference counterpart (the reference has no window functions at
+all; SURVEY §6) — beyond-reference operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def prefix_sum(
+    df: DataFrame,
+    keys: list[str],
+    ts: str,
+    value: str | Column,
+    order_cols: list[str] | None = None,
+    time_bucket: int | float | None = None,
+    out_col: str = "running",
+) -> DataFrame:
+    """Append ``out_col``: the running total of ``value`` per ``keys``
+    in ``(ts, *order_cols)`` order, inclusive of the current row.
+    ``ts`` must be numeric when ``time_bucket`` is set (epoch micros by
+    engine convention). ``value`` may be a column name or Column; it
+    must be an exactly-summable type (see module docstring)."""
+    order_cols = order_cols or []
+    val = F.col(value) if isinstance(value, str) else value
+    if time_bucket is None:
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(ts, *order_cols)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return df.withColumn(out_col, F.sum(val).over(w))
+
+    bkt = "__bkt"
+    bdf = df.withColumn(bkt, F.floor(F.col(ts) / F.lit(time_bucket))).withColumn(
+        "__v", val
+    )
+    wb = (
+        Window.partitionBy(*keys, bkt)
+        .orderBy(ts, *order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # per-bucket totals → exclusive prefix across buckets (tiny frame)
+    wprev = (
+        Window.partitionBy(*keys)
+        .orderBy(bkt)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        bdf.groupBy(*keys, bkt)
+        .agg(F.sum("__v").alias("__bkt_sum"))
+        .select(*keys, bkt, F.sum("__bkt_sum").over(wprev).alias("__offset"))
+    )
+    return (
+        bdf.join(offsets, [*keys, bkt], "left")
+        .withColumn(
+            out_col,
+            F.sum("__v").over(wb) + F.coalesce(F.col("__offset"), F.lit(0)),
+        )
+        .drop(bkt, "__v", "__offset")
+    )

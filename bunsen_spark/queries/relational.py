@@ -211,19 +211,26 @@ WHERE rn <= 3
 # window: running per-user value over the events stream table
 # ---------------------------------------------------------------------------
 
-def window_running_value(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # events.ts is parquet TIMESTAMP(NANOS) → read as epoch-nanos long
-    # (see session.py nanosAsLong); ordering is identical either way.
+def window_running_value(
+    spark: SparkSession, sf_dir: str, time_bucket: int | None = None
+) -> DataFrame:
+    """Per-user running total via ``operators.windows.prefix_sum``;
+    decimal accumulation (exact, order-insensitive) cast back to
+    double at the edge. ``time_bucket`` engages the distributed
+    prefix-sum hot-key guard — identical results by decimal
+    associativity, gate-verified against the same oracle."""
+    from ..operators.windows import prefix_sum
+
     e = load(spark, sf_dir, "events")
-    w = (
-        W.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    e = e.select(
+        "user_id", "event_id", ts_us(e).alias("us"),
+        F.col("value").cast("decimal(20,6)").alias("v"),
     )
-    return e.select(
-        "user_id",
-        "event_id",
-        F.sum(F.col("value").cast("decimal(20,6)")).over(w).cast("double").alias("running_value"),
+    return prefix_sum(
+        e, ["user_id"], "us", "v", order_cols=["event_id"],
+        time_bucket=time_bucket, out_col="running",
+    ).select(
+        "user_id", "event_id", F.col("running").cast("double").alias("running_value")
     )
 
 
@@ -607,6 +614,13 @@ QUERIES = {
     "topk_brands_by_revenue": topk_brands_by_revenue,
     "window_order_rank": window_order_rank,
     "window_running_value": window_running_value,
+    # hot-key-guarded running sum: distributed prefix sum over
+    # (user, 1h bucket); decimal associativity makes it exactly equal
+    "window_running_value_bucketed": (
+        lambda spark, sf_dir: window_running_value(
+            spark, sf_dir, time_bucket=3_600_000_000
+        )
+    ),
     "sessionize_events": sessionize_events,
     # hot-key-guarded sessionize under the oracle gate: distributed
     # prefix-sum over (user, 1h bucket); must equal the plain scan
@@ -634,6 +648,7 @@ ORACLES = {
     "topk_brands_by_revenue": TOPK_BRANDS_SQL,
     "window_order_rank": WINDOW_RANK_SQL,
     "window_running_value": WINDOW_RUNNING_SQL,
+    "window_running_value_bucketed": WINDOW_RUNNING_SQL,
     "sessionize_events": SESSIONIZE_SQL,
     "sessionize_events_bucketed": SESSIONIZE_SQL,
     "rollup_returns": ROLLUP_SQL,

@@ -152,3 +152,28 @@ def test_sessionize_boundary_gap(spark):
     # 105→390 gap 285 > 50: new session; 390→400 same session
     assert out[1] == out[2] == 1
     assert out[3] == out[4] == 2
+
+
+def test_prefix_sum_bucketed_matches_unbucketed(spark):
+    """prefix_sum (operators.windows): the distributed-prefix-sum
+    guard must equal the plain per-key scan exactly — decimal and
+    integer value types (the operator refuses nothing, but only
+    associative types keep the guarantee; gate queries use decimal)."""
+    from pyspark.sql import functions as F
+
+    from bunsen_spark.operators.windows import prefix_sum
+
+    e = _skewed_events(spark)
+    cases = [
+        F.col("event_id"),                                # long
+        (F.col("event_id") % 7).cast("decimal(20,6)"),    # decimal
+    ]
+    for val in cases:
+        base = prefix_sum(
+            e, ["k"], "ts", val, order_cols=["event_id"]
+        ).select("k", "ts", "event_id", F.col("running").cast("string"))
+        guarded = prefix_sum(
+            e, ["k"], "ts", val, order_cols=["event_id"], time_bucket=10_000
+        ).select("k", "ts", "event_id", F.col("running").cast("string"))
+        cols = ["k", "ts", "event_id", "running"]
+        assert _key(base.collect(), cols) == _key(guarded.collect(), cols)
