@@ -504,6 +504,46 @@ GROUP BY event_type, window_start_us
 """
 
 
+def hopping_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) event-time windows: 1-hour windows every 15
+    minutes, so each event lands in 4 overlapping windows — Spark's
+    native ``window(size, slide)`` operator (the same fan-out the
+    streaming path uses). The oracle reproduces Spark's epoch-aligned
+    window assignment with integer arithmetic."""
+    e = load(spark, sf_dir, "events")
+    e = e.select("event_type", F.timestamp_micros(ts_us(e)).alias("ts_t"), "value")
+    return (
+        e.groupBy("event_type", F.window("ts_t", "1 hour", "15 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(20,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            "event_type",
+            F.unix_micros("w.start").alias("window_start_us"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+HOPPING_WINDOW_SQL = """
+WITH e AS (
+  SELECT event_type, epoch_us(ts) AS us, value FROM events
+), fanned AS (
+  SELECT event_type, us, value,
+         ((us // 900000000) - j.j) * 900000000 AS window_start_us
+  FROM e CROSS JOIN range(4) j(j)
+  WHERE ((us // 900000000) - j.j) * 900000000 + 3600000000 > us
+)
+SELECT event_type, window_start_us,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS sum_value
+FROM fanned
+GROUP BY event_type, window_start_us
+"""
+
+
 def skew_salted_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The salted skew join at the gate: lineitem ⋈ orders through
     salted_join (hot-key fan-out spread across 8 sub-keys), aggregated
@@ -632,6 +672,7 @@ QUERIES = {
     "rollup_returns": rollup_returns,
     "cube_revenue": cube_revenue,
     "tumbling_window_counts": tumbling_window_counts,
+    "hopping_window_counts": hopping_window_counts,
     "skew_salted_order_totals": skew_salted_order_totals,
     "customers_without_orders": customers_without_orders,
     "suppliers_with_large_shipments": suppliers_with_large_shipments,
@@ -654,6 +695,7 @@ ORACLES = {
     "rollup_returns": ROLLUP_SQL,
     "cube_revenue": CUBE_SQL,
     "tumbling_window_counts": TUMBLING_WINDOW_SQL,
+    "hopping_window_counts": HOPPING_WINDOW_SQL,
     "skew_salted_order_totals": SKEW_SALTED_SQL,
     "customers_without_orders": ANTI_JOIN_SQL,
     "suppliers_with_large_shipments": SEMI_JOIN_SQL,
