@@ -177,3 +177,60 @@ def test_prefix_sum_bucketed_matches_unbucketed(spark):
         ).select("k", "ts", "event_id", F.col("running").cast("string"))
         cols = ["k", "ts", "event_id", "running"]
         assert _key(base.collect(), cols) == _key(guarded.collect(), cols)
+
+
+def test_sessionize_bucketed_exhaustive_boundary_sweep(spark):
+    """EXHAUSTIVE equivalence on a tiny domain: every 4-event timestamp
+    combination over ts∈{0..5} with bucket width 2 (all boundary/dup/
+    empty-bucket shapes exist in this space), batched as one frame with
+    a case_id key so the whole sweep is two collects, not 1296."""
+    from itertools import product
+
+    rows = [
+        (case_id, ts, i)
+        for case_id, combo in enumerate(product(range(6), repeat=4))
+        for i, ts in enumerate(combo)
+    ]
+    e = spark.createDataFrame(rows, "case_id long, ts long, event_id long")
+    cols = ["case_id", "ts", "event_id", "session_id"]
+    base = _key(
+        sessionize(e, ["case_id"], "ts", gap=1, order_cols=["event_id"]).collect(),
+        cols,
+    )
+    guarded = _key(
+        sessionize(
+            e, ["case_id"], "ts", gap=1, order_cols=["event_id"], time_bucket=2
+        ).collect(),
+        cols,
+    )
+    assert base == guarded
+
+
+def test_asof_bucketed_exhaustive_boundary_sweep(spark):
+    """Exhaustive as-of equivalence: 2 left x 2 right timestamps over
+    ts∈{0..4}, bucket width 2 — every same-bucket / adjacent-bucket /
+    empty-gap / equal-ts configuration, all four mode combinations."""
+    from itertools import product
+
+    lrows, rrows = [], []
+    for case_id, (l1, l2, r1, r2) in enumerate(product(range(5), repeat=4)):
+        lrows += [(case_id, l1, 0), (case_id, l2, 1)]
+        rrows += [(case_id, r1, 10.0 + r1), (case_id, r2, 20.0 + r2)]
+    left = spark.createDataFrame(lrows, "case_id long, ts long, event_id long")
+    right = (
+        spark.createDataFrame(rrows, "case_id long, ts long, v double")
+        .groupBy("case_id", "ts")
+        .agg(F.max("v").alias("v"))
+    )
+    cols = ["case_id", "ts", "event_id", "v"]
+    for direction in ("backward", "forward"):
+        for strict in (True, False):
+            base = as_of_join(
+                left, right, ["case_id"], "ts", ["v"],
+                strict=strict, direction=direction,
+            ).collect()
+            guarded = as_of_join(
+                left, right, ["case_id"], "ts", ["v"],
+                strict=strict, direction=direction, time_bucket=2,
+            ).collect()
+            assert _key(base, cols) == _key(guarded, cols), (direction, strict)
