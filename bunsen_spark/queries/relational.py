@@ -644,12 +644,229 @@ GROUP BY user_id
 """
 
 
+# ---------------------------------------------------------------------------
+# q7-shaped: shipping volume between two nations, both directions, by
+# year. Two independent nation lookups (supplier side and customer
+# side) with a disjunctive pair filter.
+# ---------------------------------------------------------------------------
+
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-q7-shaped bi-national volume report. The fact joins
+    supplier and orders→customer on their natural keys; both nation
+    lookups broadcast (25 rows), so the pair filter
+    ``(supp, cust) ∈ {(A,B),(B,A)}`` is evaluated map-side right after
+    the broadcast joins — no extra shuffle beyond the two big-key
+    joins Catalyst already needs. At 100 TB the disjunction prunes to
+    ~2/625 of the fact before the final aggregate."""
+    l = load(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n1 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        ((F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7"))
+        | ((F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3"))
+    )
+    return (
+        l.join(s, l.l_suppkey == s.s_suppkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("cn_key"))
+        .where(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+Q7_SQL = """
+SELECT supp_nation, cust_nation, l_year,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,6))) AS DOUBLE) AS volume
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(EXTRACT(year FROM l_shipdate) AS INTEGER) AS l_year,
+         l_extendedprice, l_discount
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+      OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+# ---------------------------------------------------------------------------
+# q14-shaped: promo revenue share — a ratio of two conditional sums in
+# one aggregate pass (no self-join, no second scan).
+# ---------------------------------------------------------------------------
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-q14-shaped promotion-revenue share for one month. Both the
+    conditional (PROMO) sum and the total come out of ONE aggregate
+    over the part join — the naive two-query formulation would scan
+    the fact twice. The part side carries only (partkey, is-promo) —
+    one boolean per part row — so its shuffle weight is minimal; at
+    warehouse scale the same plan holds hash-to-hash (part is a real
+    table, not a broadcastable dim, at SF100k). Sums are decimal-exact
+    and the final ratio is one double division, identical in both
+    engines."""
+    l = load(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1997-03-01") & (F.col("l_shipdate") < "1997-04-01")
+    )
+    p = load(spark, sf_dir, "part").select(
+        "p_partkey", (F.col("p_type") == "PROMO").alias("is_promo")
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    agg = l.join(p, l.l_partkey == p.p_partkey).agg(
+        _dsum(F.when(F.col("is_promo"), rev).otherwise(F.lit(0.0))).alias("promo"),
+        _dsum(rev).alias("total"),
+    )
+    return agg.select(
+        ((F.lit(100.0) * F.col("promo")) / F.col("total")).alias("promo_revenue_pct")
+    )
+
+
+Q14_SQL = """
+SELECT (100.0 * promo) / total AS promo_revenue_pct
+FROM (
+  SELECT
+    CAST(SUM(CASE WHEN p_type = 'PROMO'
+             THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,6))
+             ELSE CAST(0.0 AS DECIMAL(20,6)) END) AS DOUBLE) AS promo,
+    CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,6))) AS DOUBLE) AS total
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+) t
+"""
+
+
+# ---------------------------------------------------------------------------
+# q16-shaped: distinct-supplier counts per (brand, size) excluding a
+# NOT-IN supplier denylist — distinct agg over a join, NULL-safe anti.
+# ---------------------------------------------------------------------------
+
+def q16_parts_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-q16-shaped supplier-diversity report: how many distinct
+    suppliers ship each (brand, size) family, excluding denylisted
+    suppliers (acctbal < 0 — the 'complaints' analog). The NOT IN
+    compiles to a broadcast anti-join (denylist is tiny by
+    construction); the COUNT(DISTINCT) expands to Spark's two-phase
+    distinct aggregate — partial distinct on (brand, size, suppkey)
+    map-side, so the shuffle carries deduplicated triples, not raw
+    fact rows. s_suppkey is non-null so NOT IN ≡ anti-join with no
+    null-trap."""
+    p = load(spark, sf_dir, "part").where(
+        (F.col("p_type") != "PROMO") & (F.col("p_size").isin(1, 4, 9, 14, 19, 23))
+    ).select("p_partkey", "p_brand", "p_size")
+    l = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    deny = load(spark, sf_dir, "supplier").where(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    return (
+        l.join(F.broadcast(deny), l.l_suppkey == deny.s_suppkey, "left_anti")
+        .join(p, F.col("l_partkey") == p.p_partkey)
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_size")
+    )
+
+
+Q16_SQL = """
+SELECT p_brand, p_size,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_type <> 'PROMO'
+  AND p_size IN (1, 4, 9, 14, 19, 23)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_size
+"""
+
+
+# ---------------------------------------------------------------------------
+# q17-shaped: small-quantity revenue — correlated per-part average as
+# an aggregate-then-rejoin (no per-row subquery execution).
+# ---------------------------------------------------------------------------
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-q17-shaped small-order revenue: lines of one brand whose
+    quantity is below 20% of that part's average quantity. The
+    correlated AVG decorrelates into one aggregate over the
+    brand-pruned fact joined back on partkey — the brand filter
+    applies BEFORE the average is computed (both engines scope the
+    subquery to the filtered parts, and pruning first means the avg
+    aggregate reads ~1/25 of the fact). The avg is derived
+    decimal-sum / count so the 0.2× threshold is bit-identical."""
+    p = load(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#23").select(
+        "p_partkey"
+    )
+    l = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    lp = l.join(F.broadcast(p), l.l_partkey == p.p_partkey).select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    avg_q = lp.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
+        (
+            F.sum(F.col("l_quantity").cast("decimal(20,6)")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("avg_qty")
+    )
+    return (
+        lp.join(F.broadcast(avg_q), lp.l_partkey == avg_q.a_partkey)
+        .where(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            (_dsum(F.col("l_extendedprice")) / F.lit(7.0)).alias("avg_yearly")
+        )
+    )
+
+
+Q17_SQL = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,6))) AS DOUBLE) / 7.0 AS avg_yearly
+FROM lineitem l
+JOIN part ON l_partkey = p_partkey
+JOIN (
+  SELECT l_partkey AS a_partkey,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(20,6))) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) AS avg_qty
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = 'Brand#23'
+  GROUP BY l_partkey
+) a ON l.l_partkey = a.a_partkey
+WHERE p_brand = 'Brand#23'
+  AND l_quantity < 0.2 * avg_qty
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_region_volume": q5_region_volume,
     "q4_priority_late_ship": q4_priority_late_ship,
+    "q7_nation_volume": q7_nation_volume,
     "q10_returned_revenue": q10_returned_revenue,
+    "q14_promo_revenue": q14_promo_revenue,
+    "q16_parts_supplier_counts": q16_parts_supplier_counts,
+    "q17_small_quantity_revenue": q17_small_quantity_revenue,
     "q18_large_volume_orders": q18_large_volume_orders,
     "topk_brands_by_revenue": topk_brands_by_revenue,
     "window_order_rank": window_order_rank,
@@ -684,7 +901,11 @@ ORACLES = {
     "q3_shipping_priority": Q3_SQL,
     "q5_region_volume": Q5_SQL,
     "q4_priority_late_ship": Q4_SQL,
+    "q7_nation_volume": Q7_SQL,
     "q10_returned_revenue": Q10_SQL,
+    "q14_promo_revenue": Q14_SQL,
+    "q16_parts_supplier_counts": Q16_SQL,
+    "q17_small_quantity_revenue": Q17_SQL,
     "q18_large_volume_orders": Q18_SQL,
     "topk_brands_by_revenue": TOPK_BRANDS_SQL,
     "window_order_rank": WINDOW_RANK_SQL,
