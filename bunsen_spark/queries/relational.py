@@ -857,6 +857,289 @@ WHERE p_brand = 'Brand#23'
 """
 
 
+# ---------------------------------------------------------------------------
+# q2-shaped: cheapest-supplier lookup — correlated MIN over a derived
+# part×supplier cost table, decorrelated to aggregate + equality join.
+# ---------------------------------------------------------------------------
+
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-q2-shaped minimum-cost supplier: for each size-50 part,
+    the supplier(s) whose average sale price for that part is the
+    part's minimum. The testdata has no partsupp table, so the
+    part×supplier cost relation is derived from the fact once
+    (groupBy(partkey, suppkey)) — the correlated ``MIN(cost) WHERE
+    ps_partkey = p_partkey`` then decorrelates into a second
+    aggregate over the SAME derived table plus an equality join, so
+    the fact is scanned once, not once per part. Cost is decimal-sum /
+    count: bit-identical in both engines, making the MIN-equality
+    exact. All joins after the derive are on partkey — one shuffle
+    partitioning reused end-to-end."""
+    p = load(spark, sf_dir, "part").where(F.col("p_size") == 50).select(
+        "p_partkey", "p_name"
+    )
+    l = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
+    )
+    ps = (
+        l.join(F.broadcast(p.select("p_partkey")), l.l_partkey == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            (
+                F.sum(F.col("l_extendedprice").cast("decimal(20,6)")).cast("double")
+                / F.sum(F.col("l_quantity").cast("decimal(20,6)")).cast("double")
+            ).alias("unit_cost")
+        )
+    )
+    best = ps.groupBy(F.col("l_partkey").alias("m_partkey")).agg(
+        F.min("unit_cost").alias("min_cost")
+    )
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        ps.join(
+            best,
+            (ps.l_partkey == best.m_partkey) & (ps.unit_cost == best.min_cost),
+        )
+        .join(p, ps.l_partkey == F.col("p_partkey"))
+        .join(s, ps.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select("p_partkey", "p_name", "s_name", "n_name", "unit_cost")
+        .orderBy("p_partkey", "s_name")
+    )
+
+
+Q2_SQL = """
+WITH ps AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,6))) AS DOUBLE)
+           / CAST(SUM(CAST(l_quantity AS DECIMAL(20,6))) AS DOUBLE) AS unit_cost
+  FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size = 50)
+  GROUP BY l_partkey, l_suppkey
+)
+SELECT p_partkey, p_name, s_name, n_name, unit_cost
+FROM ps
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_size = 50
+  AND unit_cost = (SELECT MIN(unit_cost) FROM ps i WHERE i.l_partkey = ps.l_partkey)
+ORDER BY p_partkey, s_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# q15-shaped: top supplier — argmax against a global MAX scalar over an
+# aggregated view (ties kept, exact by decimal sums).
+# ---------------------------------------------------------------------------
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-q15-shaped top-revenue supplier: quarterly revenue per
+    supplier, keep the supplier(s) equal to the global max. The view
+    aggregates the fact once; the scalar MAX is a single-row
+    broadcast crossed onto the view — no second scan of the fact, no
+    window over an unpartitioned ORDER BY (which would funnel every
+    row through one task at scale). Revenue is decimal-exact so the
+    equality keeps exact ties like the SQL does."""
+    l = load(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-04-01")
+    )
+    rev = l.groupBy(F.col("l_suppkey").alias("r_suppkey")).agg(
+        _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_revenue")
+    )
+    mx = rev.agg(F.max("total_revenue").alias("max_revenue"))
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_acctbal")
+    return (
+        rev.join(F.broadcast(mx), rev.total_revenue == mx.max_revenue)
+        .join(s, F.col("r_suppkey") == s.s_suppkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+Q15_SQL = """
+WITH revenue AS (
+  SELECT l_suppkey AS r_suppkey,
+         CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,6))) AS DOUBLE)
+           AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, s_acctbal, total_revenue
+FROM supplier
+JOIN revenue ON s_suppkey = r_suppkey
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# q19-shaped: disjunctive multi-clause predicate across a join — tests
+# that an OR of conjunctions still prunes at the scan.
+# ---------------------------------------------------------------------------
+
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-q19-shaped disjunctive-predicate revenue: an OR of three
+    (brand, size-range, quantity-range) clause groups evaluated
+    across the lineitem×part join. Written as one boolean expression
+    so Catalyst can extract the common l_quantity bounds and push the
+    part-only conjuncts (brand+size) below the join — the join input
+    is pre-pruned on both sides rather than filtered after the fact.
+    One row out; decimal-exact sum."""
+    l = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    j = l.join(p, l.l_partkey == p.p_partkey)
+    clause = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#15")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return j.where(clause).agg(
+        _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+    )
+
+
+Q19_SQL = """
+SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,6))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+# ---------------------------------------------------------------------------
+# q21-shaped: sole late shipper — EXISTS + NOT EXISTS folded into ONE
+# per-order aggregate instead of two correlated self-joins.
+# ---------------------------------------------------------------------------
+
+def q21_sole_late_shipper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-q21-shaped 'suppliers who kept waiting': suppliers that
+    were the ONLY late shipper in a multi-supplier finished order
+    (late = shipped >60 days after the order date). The classic form
+    is EXISTS(other supplier) AND NOT EXISTS(other late supplier) —
+    two more scans of the fact. Here both predicates fold into ONE
+    per-(order, supplier) aggregate followed by a per-order count:
+    n_supps > 1 AND n_late_supps == 1 AND this supplier is the late
+    one — one shuffle on orderkey replaces two correlated self-joins.
+    At 100 TB that is the difference between 1 and 3 fact shuffles."""
+    o = load(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderdate"
+    )
+    l = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    j = l.join(o, l.l_orderkey == o.o_orderkey)
+    per_supp = j.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max(
+            (F.col("l_shipdate").cast("long") - F.col("o_orderdate").cast("long"))
+            > 60 * 86400
+        ).alias("is_late")
+    )
+    per_order = per_supp.groupBy(F.col("l_orderkey").alias("p_orderkey")).agg(
+        F.count(F.lit(1)).alias("n_supps"),
+        F.sum(F.col("is_late").cast("int")).alias("n_late"),
+    )
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        per_supp.join(per_order, per_supp.l_orderkey == per_order.p_orderkey)
+        .where(F.col("is_late") & (F.col("n_supps") > 1) & (F.col("n_late") == 1))
+        .join(s, per_supp.l_suppkey == s.s_suppkey)
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_suppkey")
+    )
+
+
+Q21_SQL = """
+WITH per_supp AS (
+  SELECT l_orderkey, l_suppkey,
+         MAX(CASE WHEN epoch(l_shipdate) - epoch(o_orderdate) > 60*86400
+                  THEN 1 ELSE 0 END) AS is_late
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+  GROUP BY l_orderkey, l_suppkey
+), per_order AS (
+  SELECT l_orderkey AS p_orderkey,
+         COUNT(*) AS n_supps,
+         SUM(is_late) AS n_late
+  FROM per_supp GROUP BY l_orderkey
+)
+SELECT s_suppkey, s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM per_supp
+JOIN per_order ON l_orderkey = p_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE is_late = 1 AND n_supps > 1 AND n_late = 1
+GROUP BY s_suppkey, s_name
+ORDER BY numwait DESC, s_suppkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# q22-shaped: dormant high-balance customers — scalar AVG subquery +
+# anti-join, grouped by a derived code.
+# ---------------------------------------------------------------------------
+
+def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-q22-shaped global-sales-opportunity: customers with
+    above-average positive balance and NO orders at all, grouped by a
+    derived country code (nationkey mod 10 — the testdata has no
+    phone column). The scalar AVG is one tiny broadcast row; the NOT
+    EXISTS is a left-anti join against just the orders keys. The
+    anti-join is the only fact-sized shuffle; the comparison happens
+    after the broadcast, map-side."""
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_acctbal", "c_nationkey")
+    avg_bal = c.where(F.col("c_acctbal") > 0.0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(20,6)")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("avg_bal")
+    )
+    o = load(spark, sf_dir, "orders").select("o_custkey")
+    return (
+        c.join(F.broadcast(avg_bal), c.c_acctbal > F.col("avg_bal"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy((F.col("c_nationkey") % 10).alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            _dsum(F.col("c_acctbal")).alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )
+
+
+Q22_SQL = """
+SELECT c_nationkey % 10 AS cntrycode,
+       CAST(COUNT(*) AS BIGINT) AS numcust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(20,6))) AS DOUBLE) AS totacctbal
+FROM customer
+WHERE c_acctbal > (
+    SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(20,6))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE)
+    FROM customer WHERE c_acctbal > 0.0
+  )
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY cntrycode
+ORDER BY cntrycode
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
