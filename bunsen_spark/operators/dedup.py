@@ -808,3 +808,49 @@ FROM e a, e b
 WHERE a.vec_id < b.vec_id
   AND list_cosine_similarity(a.v, b.v) >= {threshold}
 """
+
+
+# -- keep-best curation dedup ------------------------------------------------
+
+
+def keep_best(
+    docs: DataFrame, group_col: str = "source", score_col: str = "n_chars"
+) -> DataFrame:
+    """Keep-best dedup: one representative per ``group_col`` — the row
+    maximizing ``score_col``, ties broken by minimum doc_id. The
+    web-crawl curation shape ("one doc per canonical URL, keep the
+    highest-quality capture").
+
+    Implemented as a single ``max(struct(score, -doc_id))`` aggregate —
+    partial max runs map-side, so the shuffle carries one struct per
+    (partition × group), never whole rows, and there is no per-group
+    sort. A window row_number() would have the same answer but
+    sort-buffers every group member; at 100 TB with a skewed group
+    (one domain = 10% of the crawl) the agg form stays a streaming max
+    while the window form becomes one giant spill-sort task.
+
+    Output: (grp, keep_id, best_score, n_docs).
+    """
+    best = F.max(F.struct(F.col(score_col), (-F.col("doc_id")).alias("neg_id")))
+    return docs.groupBy(F.col(group_col).alias("grp")).agg(
+        (-best.getField("neg_id")).alias("keep_id"),
+        F.max(F.col(score_col)).alias("best_score"),
+        F.count("*").alias("n_docs"),
+    )
+
+
+def keep_best_sql(
+    group_col: str = "source", score_col: str = "n_chars", table: str = "documents"
+) -> str:
+    return f"""
+SELECT {group_col} AS grp,
+       min(doc_id) FILTER (
+           WHERE {score_col} = mx
+       ) AS keep_id,
+       max({score_col}) AS best_score,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM (
+  SELECT *, max({score_col}) OVER (PARTITION BY {group_col}) AS mx FROM {table}
+)
+GROUP BY {group_col}
+"""

@@ -368,3 +368,45 @@ SELECT f.doc_id, f.n_words, f.dup_word_frac, f.dup_bigram_frac,
        round(COALESCE(c.top_c, 0) / greatest(f.n_words, 1), 6) AS top_word_frac
 FROM flat f LEFT JOIN counts c USING (doc_id)
 """
+
+
+# ---------------------------------------------------------------------------
+# denylist scrubbing (the PII-redaction pipeline shape)
+# ---------------------------------------------------------------------------
+
+def scrub_terms(docs: DataFrame, denylist: tuple[str, ...]) -> DataFrame:
+    """Redact denylisted terms and report per-doc scrub stats:
+    ``(doc_id, n_scrubbed, scrubbed_chars)``.
+
+    This is the PII-redaction pipeline stage (emails / phone numbers /
+    ids → ``[REDACTED]``): one ``regexp_replace`` over the text plus a
+    match count, all in Catalyst — a pure map stage with NO shuffle, so
+    at 100 TB it runs at scan speed and composes with any downstream
+    filter. The synthetic corpus contains no real PII, so the gate
+    query scrubs a word denylist; swapping the pattern for an
+    email/phone regex changes nothing structurally (the pattern is
+    word-boundary-anchored alternation, expressible identically in
+    Java regex and RE2 — keep to that common subset when adding
+    patterns).
+    """
+    if not denylist:
+        raise ValueError("denylist must be non-empty")
+    pat = r"\b(" + "|".join(denylist) + r")\b"
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(pat), 0)).alias("n_scrubbed"),
+        F.length(F.regexp_replace(F.col("text"), pat, "[REDACTED]")).alias(
+            "scrubbed_chars"
+        ),
+    )
+
+
+def scrub_terms_sql(denylist: tuple[str, ...], table: str = "documents") -> str:
+    pat = r"\b(" + "|".join(denylist) + r")\b"
+    return f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{pat}')) AS INTEGER) AS n_scrubbed,
+       CAST(length(regexp_replace(text, '{pat}', '[REDACTED]', 'g')) AS INTEGER)
+         AS scrubbed_chars
+FROM {table}
+"""

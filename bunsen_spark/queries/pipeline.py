@@ -600,8 +600,31 @@ GROUP BY i, fi
 """
 
 
+#: denylist for the scrub gate query — high-frequency corpus words so the
+#: redaction path is exercised on every document (the corpus has no real PII)
+SCRUB_DENYLIST = ("customer", "table", "order")
+
+
+def text_scrub_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-redaction-shaped denylist scrub (see operators.text_analysis
+    .scrub_terms): per-doc redaction count + scrubbed length."""
+    from ..operators.text_analysis import scrub_terms
+
+    return scrub_terms(load(spark, sf_dir, "documents"), SCRUB_DENYLIST)
+
+
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-best curation dedup: one representative per source (max
+    n_chars, min doc_id tie-break) via a single map-side-combined
+    struct-max aggregate — no window sort."""
+    from ..operators.dedup import keep_best
+
+    return keep_best(load(spark, sf_dir, "documents"))
+
+
 def _oracles() -> dict[str, str]:
     from ..operators.text_analysis import (
+        scrub_terms_sql,
         fingerprint_sql,
         repetition_stats_sql,
         language_id_sql,
@@ -612,6 +635,7 @@ def _oracles() -> dict[str, str]:
     from ..operators.dedup import (
         embedding_near_dup_pairs_sql,
         exact_dedup_sql,
+        keep_best_sql,
         jaccard_pairs_sql,
         minhash_lsh_pairs_sql,
         near_dup_clusters_sql,
@@ -635,6 +659,8 @@ def _oracles() -> dict[str, str]:
         "text_fingerprint": fingerprint_sql(),
         "text_repetition": repetition_stats_sql(),
         "dedup_exact": exact_dedup_sql(),
+        "dedup_keep_best": keep_best_sql(),
+        "text_scrub_counts": scrub_terms_sql(SCRUB_DENYLIST),
         "dedup_jaccard": jaccard_pairs_sql(),
         "dedup_minhash_lsh": minhash_lsh_pairs_sql(),
         "dedup_simhash": simhash_pairs_sql(),
@@ -678,6 +704,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_fingerprint": text_fingerprint,
     "text_repetition": text_repetition,
     "dedup_exact": dedup_exact,
+    "dedup_keep_best": dedup_keep_best,
+    "text_scrub_counts": text_scrub_counts,
     "dedup_jaccard": dedup_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,

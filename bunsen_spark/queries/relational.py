@@ -1140,6 +1140,44 @@ ORDER BY cntrycode
 """
 
 
+# ---------------------------------------------------------------------------
+# daily active users: distinct-count aggregation on the event stream —
+# the batch twin of the classic streaming DAU rollup.
+# ---------------------------------------------------------------------------
+
+def events_daily_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active users + event volume. The day index is integer
+    epoch-microsecond division (timezone- and parquet-precision-proof,
+    see ts_us). COUNT(DISTINCT user_id) expands to Spark's two-phase
+    distinct: partial dedup of (day, user) map-side, so the shuffle
+    carries distinct pairs — at 100 TB that is bounded by
+    days × users, not by event count. For cardinalities where even
+    that is too hot, approx_count_distinct is the documented
+    trade-off (tests/test_sketches.py); the gate pins the exact
+    variant."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.select((ts_us(e) / F.lit(86_400_000_000)).cast("long").alias("day_idx"),
+                 "user_id", "event_id")
+        .groupBy("day_idx")
+        .agg(
+            F.countDistinct("user_id").alias("dau"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("day_idx")
+    )
+
+
+DAU_SQL = """
+SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day_idx,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events
+GROUP BY day_idx
+ORDER BY day_idx
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -1177,6 +1215,7 @@ QUERIES = {
     "customers_without_orders": customers_without_orders,
     "suppliers_with_large_shipments": suppliers_with_large_shipments,
     "pivot_user_events": pivot_user_events,
+    "events_daily_active_users": events_daily_active_users,
 }
 
 ORACLES = {
@@ -1204,4 +1243,5 @@ ORACLES = {
     "customers_without_orders": ANTI_JOIN_SQL,
     "suppliers_with_large_shipments": SEMI_JOIN_SQL,
     "pivot_user_events": PIVOT_SQL,
+    "events_daily_active_users": DAU_SQL,
 }
