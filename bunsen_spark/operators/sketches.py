@@ -1,0 +1,94 @@
+"""Mergeable-sketch operators: approximate distinct counts, quantiles
+and their exact twins.
+
+These are the scale-path complements to the exact aggregations in the
+gate queries (e.g. ``events_daily_active_users``). The exact
+COUNT(DISTINCT) shuffle is bounded by groups × distinct values; once
+THAT is the bottleneck (billions of users, thousands of slices), the
+sketch path trades a fixed relative error for a fixed-size state:
+
+- **HLL sketches** (``hll_sketch_agg`` — Apache DataSketches HLL,
+  JVM-side): one sub-kilobyte binary per group that is MERGEABLE —
+  per-partition (or per-day, per-shard) sketches union into rollups
+  without re-reading the raw data. That mergeability is the warehouse
+  pattern: persist per-partition sketches once, answer any
+  slice-rollup distinct-count later at sketch-size cost.
+- **approx quantiles** (``percentile_approx`` — a positional sketch):
+  rank-error-bounded quantiles in one pass, no global sort.
+
+None of these enter the DuckDB correctness gate: their results are
+estimator outputs, not unique answers (DataSketches HLL and DuckDB's
+approx_count_distinct disagree by design). The contract tested in
+``tests/test_sketches.py`` is (a) relative error vs. the exact twin is
+within the configured bound, and (b) merged sketches equal the
+all-at-once sketch exactly (same binary → same estimate).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def distinct_sketches(
+    df: DataFrame, group_col: str, value_col: str, lg_k: int = 12
+) -> DataFrame:
+    """Per-group HLL sketches: ``(group, sketch binary, estimate)``.
+
+    One aggregation; the shuffle carries fixed-size sketch state per
+    (partition × group) instead of distinct values, so the cost is
+    independent of value cardinality. ``lg_k=12`` → ~2.5 KB per sketch,
+    ~1.6% standard error."""
+    return df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.hll_sketch_agg(F.col(value_col).cast("string"), F.lit(lg_k)).alias("sketch"),
+        F.hll_sketch_estimate(
+            F.hll_sketch_agg(F.col(value_col).cast("string"), F.lit(lg_k))
+        ).cast("long").alias("estimate"),
+    )
+
+
+def merge_sketches(sketches: DataFrame) -> DataFrame:
+    """Roll per-group sketches up to one global estimate WITHOUT
+    touching raw data — the mergeability contract. Input must have a
+    ``sketch`` column from :func:`distinct_sketches`."""
+    return sketches.agg(
+        F.hll_sketch_estimate(F.hll_union_agg(F.col("sketch"))).cast("long").alias(
+            "estimate"
+        )
+    )
+
+
+def approx_distinct_by(
+    df: DataFrame, group_col: str, value_col: str, rsd: float = 0.02
+) -> DataFrame:
+    """Per-group approximate distinct count (HyperLogLog++,
+    ``approx_count_distinct``): the drop-in approximate form of the
+    exact two-phase distinct aggregate. ``rsd`` is the target relative
+    standard deviation."""
+    return df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.approx_count_distinct(F.col(value_col), rsd).alias("approx_distinct")
+    )
+
+
+def exact_distinct_by(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+    """The exact twin of :func:`approx_distinct_by` (two-phase
+    distinct aggregate)."""
+    return df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.countDistinct(F.col(value_col)).alias("n_distinct")
+    )
+
+
+def approx_quantiles(
+    df: DataFrame, value_col: str, probs: tuple[float, ...], accuracy: int = 10000
+) -> DataFrame:
+    """One-pass rank-sketch quantiles: a single row with one column per
+    requested probability. No global sort, no collect — the sketch
+    merges map-side like any partial aggregate. ``accuracy`` bounds the
+    rank error at ``1/accuracy`` of the row count."""
+    aggs: list[Column] = [
+        F.percentile_approx(F.col(value_col), F.lit(p), F.lit(accuracy)).alias(
+            f"p{int(p * 100):02d}"
+        )
+        for p in probs
+    ]
+    return df.agg(*aggs)
