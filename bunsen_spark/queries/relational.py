@@ -1045,10 +1045,14 @@ def q21_sole_late_shipper(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     l = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
     j = l.join(o, l.l_orderkey == o.o_orderkey)
+    late_us = 60 * 86400 * 1_000_000  # 60 days in microseconds
     per_supp = j.groupBy("l_orderkey", "l_suppkey").agg(
         F.max(
-            (F.col("l_shipdate").cast("long") - F.col("o_orderdate").cast("long"))
-            > 60 * 86400
+            (
+                F.unix_micros(F.col("l_shipdate").cast("timestamp"))
+                - F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+            )
+            > late_us
         ).alias("is_late")
     )
     per_order = per_supp.groupBy(F.col("l_orderkey").alias("p_orderkey")).agg(
@@ -1069,7 +1073,7 @@ def q21_sole_late_shipper(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q21_SQL = """
 WITH per_supp AS (
   SELECT l_orderkey, l_suppkey,
-         MAX(CASE WHEN epoch(l_shipdate) - epoch(o_orderdate) > 60*86400
+         MAX(CASE WHEN epoch_us(l_shipdate) - epoch_us(o_orderdate) > CAST(60*86400 AS BIGINT)*1000000
                   THEN 1 ELSE 0 END) AS is_late
   FROM lineitem
   JOIN orders ON l_orderkey = o_orderkey
@@ -1111,7 +1115,9 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1)).cast("double")
         ).alias("avg_bal")
     )
-    o = load(spark, sf_dir, "orders").select("o_custkey")
+    o = load(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= "1999-01-01"
+    ).select("o_custkey")
     return (
         c.join(F.broadcast(avg_bal), c.c_acctbal > F.col("avg_bal"))
         .join(o, c.c_custkey == o.o_custkey, "left_anti")
@@ -1134,7 +1140,8 @@ WHERE c_acctbal > (
              / CAST(COUNT(*) AS DOUBLE)
     FROM customer WHERE c_acctbal > 0.0
   )
-  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
 GROUP BY cntrycode
 ORDER BY cntrycode
 """
@@ -1182,6 +1189,7 @@ QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_region_volume": q5_region_volume,
+    "q2_min_cost_supplier": q2_min_cost_supplier,
     "q4_priority_late_ship": q4_priority_late_ship,
     "q7_nation_volume": q7_nation_volume,
     "q10_returned_revenue": q10_returned_revenue,
@@ -1189,6 +1197,10 @@ QUERIES = {
     "q16_parts_supplier_counts": q16_parts_supplier_counts,
     "q17_small_quantity_revenue": q17_small_quantity_revenue,
     "q18_large_volume_orders": q18_large_volume_orders,
+    "q15_top_supplier": q15_top_supplier,
+    "q19_disjunctive_revenue": q19_disjunctive_revenue,
+    "q21_sole_late_shipper": q21_sole_late_shipper,
+    "q22_dormant_customers": q22_dormant_customers,
     "topk_brands_by_revenue": topk_brands_by_revenue,
     "window_order_rank": window_order_rank,
     "window_running_value": window_running_value,
@@ -1222,6 +1234,7 @@ ORACLES = {
     "q1_pricing_summary": Q1_SQL,
     "q3_shipping_priority": Q3_SQL,
     "q5_region_volume": Q5_SQL,
+    "q2_min_cost_supplier": Q2_SQL,
     "q4_priority_late_ship": Q4_SQL,
     "q7_nation_volume": Q7_SQL,
     "q10_returned_revenue": Q10_SQL,
@@ -1229,6 +1242,10 @@ ORACLES = {
     "q16_parts_supplier_counts": Q16_SQL,
     "q17_small_quantity_revenue": Q17_SQL,
     "q18_large_volume_orders": Q18_SQL,
+    "q15_top_supplier": Q15_SQL,
+    "q19_disjunctive_revenue": Q19_SQL,
+    "q21_sole_late_shipper": Q21_SQL,
+    "q22_dormant_customers": Q22_SQL,
     "topk_brands_by_revenue": TOPK_BRANDS_SQL,
     "window_order_rank": WINDOW_RANK_SQL,
     "window_running_value": WINDOW_RUNNING_SQL,

@@ -80,6 +80,13 @@ def main() -> int:
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
     n_fail = 0
+    # an `only` name that is not registered must be a loud failure —
+    # silently skipping it once turned "ALL PASS" into a no-op check
+    # for five unregistered queries
+    unknown = only - set(qs)
+    if unknown:
+        print(f"FAIL  unknown query names (not in queries()): {sorted(unknown)}")
+        n_fail += len(unknown)
     for name, fn in qs.items():
         if only and name not in only:
             continue
