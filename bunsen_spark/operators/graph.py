@@ -1,0 +1,120 @@
+"""Distributed graph ranking: fixed-iteration PageRank.
+
+Complements the other iterative-fixpoint operators (transitive closure
+in ``operators/hierarchies.py``, connected components in
+``operators/dedup.py``) with the weighted-importance family — the
+training-data use is domain/source ranking (rank crawl domains by link
+mass, downweight link-farm sources before sampling).
+
+Exactness contract: ranks are kept in integer micro-units (BIGINT,
+``SCALE`` = 1e12 units per unit of probability mass) and every
+iteration uses only integer division and integer sums, so the result
+is bit-identical across engines and partitionings — the same
+integral-quantization trick the k-means codebook uses
+(``operators/similarity.py:_quantized``). Floating point appears only
+in the final cosmetic ``rank`` column (one division).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: integer units per 1.0 of rank mass; 1e12 keeps sums far below 2^63
+SCALE = 10**12
+#: damping factor as an integer percentage (0.85)
+DAMPING_PCT = 85
+
+
+def pagerank(edges: DataFrame, iters: int = 3) -> DataFrame:
+    """Fixed-iteration simplified PageRank over directed ``(src, dst)``
+    edges: ``rank = (1-d)/N + d * Σ_in rank/deg`` (no dangling-mass
+    redistribution — dangling rank damps away; documented so the
+    oracle matches by construction). Output: (node, rank_q, rank).
+
+    Plan shape per iteration: one hash join ranks⋈edges on src + one
+    aggregation on dst — both shuffle on node keys, so a cluster that
+    pre-partitions the edge table by src reuses that partitioning for
+    every iteration's build side. Degrees are joined ONCE before the
+    loop. The whole computation is one declarative plan (no driver
+    collect between iterations); for deep iteration counts, insert a
+    ``localCheckpoint`` every few rounds to cut lineage — at 3-5
+    iterations the plain plan is cheaper.
+
+    The per-iteration contribution ``rank_q div deg`` floors away up to
+    ``deg-1`` units (≤1e-12·deg of mass) — deterministic in both
+    engines, and why the quantized form is exact where a double sum
+    would be order-dependent.
+    """
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    ncount = nodes.agg(F.count("*").alias("n"))
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    ed = edges.join(outdeg, "src").select("src", "dst", "deg")
+
+    # init: rank_q = SCALE div N
+    ranks = nodes.crossJoin(F.broadcast(ncount)).select(
+        "node", F.expr(f"{SCALE} div n").alias("rank_q")
+    )
+    base = f"(({SCALE} * {100 - DAMPING_PCT}) div 100) div n"
+    for _ in range(iters):
+        contribs = (
+            ranks.join(ed, ranks.node == ed.src)
+            .select(F.col("dst").alias("node"), F.expr("rank_q div deg").alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("in_q"))
+        )
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .crossJoin(F.broadcast(ncount))
+            .select(
+                "node",
+                F.expr(
+                    f"{base} + (coalesce(in_q, 0) * {DAMPING_PCT}) div 100"
+                ).alias("rank_q"),
+            )
+        )
+    return ranks.select(
+        "node", "rank_q", (F.col("rank_q") / F.lit(float(SCALE))).alias("rank")
+    )
+
+
+def pagerank_sql(edges_sql: str, iters: int = 3) -> str:
+    """DuckDB twin of :func:`pagerank`: the fixed iteration count is
+    UNROLLED into chained CTEs (standard SQL forbids aggregation inside
+    a recursive CTE term, and unrolling keeps the arithmetic visibly
+    identical to the Spark loop). ``edges_sql`` must select columns
+    (src, dst)."""
+    base = f"((CAST({SCALE} AS BIGINT) * {100 - DAMPING_PCT}) // 100) // n"
+    parts = [
+        f"edges AS ({edges_sql})",
+        "nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges)",
+        "nc AS (SELECT COUNT(*) AS n FROM nodes)",
+        "outdeg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src)",
+        "ed AS (SELECT src, dst, deg FROM edges JOIN outdeg USING (src))",
+        f"r0 AS (SELECT node, CAST({SCALE} AS BIGINT) // n AS rank_q FROM nodes, nc)",
+    ]
+    for i in range(iters):
+        parts.append(
+            f"""r{i + 1} AS (
+  SELECT nodes.node,
+         CAST({base} + (COALESCE(c.in_q, 0) * {DAMPING_PCT}) // 100 AS BIGINT) AS rank_q
+  FROM nodes
+  LEFT JOIN (
+    SELECT dst AS node, SUM(rank_q // deg) AS in_q
+    FROM r{i} JOIN ed ON r{i}.node = ed.src
+    GROUP BY dst
+  ) c ON nodes.node = c.node
+  CROSS JOIN nc
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT node, rank_q, rank_q / {float(SCALE)} AS rank FROM r{iters}"
+    )

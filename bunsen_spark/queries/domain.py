@@ -461,6 +461,60 @@ JOIN (SELECT * FROM e WHERE event_type = 'view') v
 """
 
 
+# ---------------------------------------------------------------------------
+# PageRank over the customer→supplier trade network (iterative ranking
+# beyond closure/CC; integer-exact, see operators.graph)
+# ---------------------------------------------------------------------------
+
+def pagerank_trade_network(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-iteration PageRank on the bipartite customer→supplier trade
+    graph (edge = customer ordered from supplier at least once; node
+    ids disambiguated as 2·custkey / 2·suppkey+1). Ranks are integer-
+    quantized micro-units — bit-identical to the unrolled-CTE DuckDB
+    twin (operators/graph.py). Returns the 20 highest-ranked supplier
+    nodes."""
+    from ..operators.graph import pagerank
+
+    l = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edges = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    pr = pagerank(edges, iters=3)
+    return (
+        pr.where(F.col("node") % 2 == 1)
+        .select(
+            ((F.col("node") - 1) / 2).cast("long").alias("s_suppkey"),
+            "rank_q",
+            "rank",
+        )
+        .orderBy(F.col("rank_q").desc(), "s_suppkey")
+        .limit(20)
+    )
+
+
+def _pagerank_trade_sql() -> str:
+    from ..operators.graph import pagerank_sql
+
+    edges_sql = (
+        "SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
+    )
+    inner = pagerank_sql(edges_sql, iters=3)
+    return f"""
+SELECT CAST((node - 1) // 2 AS BIGINT) AS s_suppkey, rank_q, rank
+FROM ({inner})
+WHERE node % 2 = 1
+ORDER BY rank_q DESC, s_suppkey
+LIMIT 20
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "closure_part_hierarchy": closure_part_hierarchy,
     "valueset_membership_lineitem": valueset_membership_lineitem,
@@ -475,6 +529,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cohort_retention_counts": cohort_retention_counts,
     "events_props_extract": events_props_extract,
     "range_join_purchase_views": range_join_purchase_views,
+    "pagerank_trade_network": pagerank_trade_network,
 }
 
 ORACLES: dict[str, str] = {
@@ -491,4 +546,5 @@ ORACLES: dict[str, str] = {
     "cohort_retention_counts": COHORT_RETENTION_SQL,
     "events_props_extract": EVENTS_PROPS_EXTRACT_SQL,
     "range_join_purchase_views": RANGE_JOIN_SQL,
+    "pagerank_trade_network": _pagerank_trade_sql(),
 }
