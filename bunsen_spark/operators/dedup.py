@@ -854,3 +854,29 @@ FROM (
 )
 GROUP BY {group_col}
 """
+
+
+# -- incremental dedup -------------------------------------------------------
+
+
+def incremental_dedup(new_docs: DataFrame, seen: DataFrame) -> DataFrame:
+    """Incremental exact dedup: the new-batch documents that survive
+    against an already-ingested fingerprint state. Returns one row per
+    NEW distinct text: ``(fingerprint, keep_id, n_docs)`` (keep_id =
+    min doc_id inside the batch, n_docs = batch duplicate count).
+    Appending the returned fingerprints to ``seen`` advances the state;
+    the update is associative — processing a corpus in any batch split
+    yields the same final state as one shot (tested in
+    ``tests/test_dedup_incremental.py``).
+
+    ``seen`` needs only a ``fingerprint`` column (32-char md5 hex):
+    the anti-join ships 16-byte digests, never text, and the batch-side
+    aggregate dedups BEFORE the anti-join so the state join sees one
+    row per distinct new text. At warehouse scale, store the state
+    table bucketed by fingerprint (sources/warehouse.py) and the
+    per-batch anti-join becomes a zero-Exchange bucket-local join.
+    """
+    batch = exact_dedup(new_docs)
+    return batch.join(
+        seen.select("fingerprint"), "fingerprint", "left_anti"
+    )

@@ -622,6 +622,28 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keep_best(load(spark, sf_dir, "documents"))
 
 
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact dedup: docs 250+ arrive as a new batch against
+    the fingerprint state built from docs 0-249; returns the batch
+    texts not seen before (see operators.dedup.incremental_dedup)."""
+    from pyspark.sql import functions as F
+
+    from ..operators.dedup import exact_dedup, incremental_dedup
+
+    docs = load(spark, sf_dir, "documents")
+    seen = exact_dedup(docs.where(F.col("doc_id") < 250)).select("fingerprint")
+    return incremental_dedup(docs.where(F.col("doc_id") >= 250), seen)
+
+
+DEDUP_INCREMENTAL_SQL = """
+SELECT md5(text) AS fingerprint, min(doc_id) AS keep_id, count(*) AS n_docs
+FROM documents
+WHERE doc_id >= 250
+  AND md5(text) NOT IN (SELECT md5(text) FROM documents WHERE doc_id < 250)
+GROUP BY md5(text)
+"""
+
+
 def _oracles() -> dict[str, str]:
     from ..operators.text_analysis import (
         scrub_terms_sql,
@@ -660,6 +682,7 @@ def _oracles() -> dict[str, str]:
         "text_repetition": repetition_stats_sql(),
         "dedup_exact": exact_dedup_sql(),
         "dedup_keep_best": keep_best_sql(),
+        "dedup_incremental": DEDUP_INCREMENTAL_SQL,
         "text_scrub_counts": scrub_terms_sql(SCRUB_DENYLIST),
         "dedup_jaccard": jaccard_pairs_sql(),
         "dedup_minhash_lsh": minhash_lsh_pairs_sql(),
@@ -705,6 +728,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_repetition": text_repetition,
     "dedup_exact": dedup_exact,
     "dedup_keep_best": dedup_keep_best,
+    "dedup_incremental": dedup_incremental,
     "text_scrub_counts": text_scrub_counts,
     "dedup_jaccard": dedup_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
