@@ -1,0 +1,111 @@
+"""Overlapping token-window document chunking — training-data prep.
+
+Splits each document into fixed-size whitespace-token windows with a
+configurable overlap (the standard long-document preprocessing step
+before tokenization/packing in LLM data pipelines; the sibling of
+``operators/packing.py`` which concatenates *short* docs up to a
+budget).
+
+Pure Catalyst: tokenize once (`split`), derive the chunk count with
+integer ceiling arithmetic (no float `ceil` — bit-identical across
+engines), `posexplode(sequence(...))` to one row per chunk, `slice` +
+`array_join` to materialize the window. Zero shuffle — the whole
+operator is one map stage, so it scales as a pure scan and pipelines
+into whatever shuffle follows (dedup, packing, ...).
+
+Chunk-count contract: ``n_chunks = 1`` when ``n_tokens <= chunk_size``
+else ``1 + ceil((n_tokens - chunk_size) / stride)`` with
+``stride = chunk_size - overlap`` — every token is covered, the last
+chunk may be shorter than ``chunk_size``, and consecutive chunks share
+exactly ``overlap`` tokens (except possibly the final pair).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def chunk_documents(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_size: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """One row per (doc, chunk): (id_col, chunk_id, n_chunks,
+    chunk_tokens, chunk_text). ``chunk_id`` is 0-based."""
+    if not 0 <= overlap < chunk_size:
+        raise ValueError("require 0 <= overlap < chunk_size")
+    stride = chunk_size - overlap
+    toks = docs.select(
+        F.col(id_col),
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("_toks"),
+    ).select(
+        id_col,
+        "_toks",
+        F.size("_toks").alias("_n"),
+    )
+    # integer ceiling: 1 + (n - chunk_size + stride - 1) div stride
+    n_chunks = F.when(F.col("_n") <= chunk_size, F.lit(1)).otherwise(
+        F.lit(1) + F.expr(f"(_n - {chunk_size} + {stride - 1}) div {stride}")
+    )
+    exploded = toks.select(
+        id_col,
+        "_toks",
+        n_chunks.cast("long").alias("n_chunks"),
+    ).select(
+        id_col,
+        "_toks",
+        "n_chunks",
+        F.posexplode(F.sequence(F.lit(0).cast("long"), F.col("n_chunks") - 1)).alias(
+            "chunk_id", "_start_mult"
+        ),
+    )
+    start = F.col("chunk_id") * stride  # 0-based token offset
+    window = F.slice(F.col("_toks"), (start + 1).cast("int"), chunk_size)
+    return exploded.select(
+        id_col,
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        "n_chunks",
+        F.size(window).cast("long").alias("chunk_tokens"),
+        F.array_join(window, " ").alias("chunk_text"),
+    )
+
+
+def chunk_documents_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_size: int = 64,
+    overlap: int = 16,
+) -> str:
+    """DuckDB twin of :func:`chunk_documents` (1-based list slicing,
+    same integer ceiling arithmetic)."""
+    stride = chunk_size - overlap
+    return f"""
+WITH toks AS (
+  SELECT {id_col},
+         regexp_split_to_array(trim({text_col}), '\\s+') AS t
+  FROM {table}
+), meta AS (
+  SELECT {id_col}, t, len(t) AS n,
+         CASE WHEN len(t) <= {chunk_size} THEN 1
+              ELSE 1 + (n - {chunk_size} + {stride - 1}) // {stride}
+         END AS n_chunks
+  FROM toks
+)
+, chunks AS (
+  SELECT {id_col}, t, n_chunks,
+         unnest(range(0, n_chunks)) AS i
+  FROM meta
+)
+SELECT {id_col},
+       CAST(i AS BIGINT) AS chunk_id,
+       CAST(n_chunks AS BIGINT) AS n_chunks,
+       CAST(len(t[i * {stride} + 1 : i * {stride} + {chunk_size}]) AS BIGINT)
+         AS chunk_tokens,
+       array_to_string(t[i * {stride} + 1 : i * {stride} + {chunk_size}], ' ')
+         AS chunk_text
+FROM chunks
+"""

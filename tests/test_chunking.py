@@ -1,0 +1,73 @@
+"""Token-window chunking: coverage, overlap, size, edge cases."""
+
+from __future__ import annotations
+
+import pytest
+
+
+def _chunks(spark, texts, size, overlap):
+    from bunsen_spark.operators.chunking import chunk_documents
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id int, text string"
+    )
+    out = chunk_documents(df, chunk_size=size, overlap=overlap)
+    by_doc: dict[int, list] = {}
+    for r in out.orderBy("doc_id", "chunk_id").collect():
+        by_doc.setdefault(r.doc_id, []).append(r)
+    return by_doc
+
+
+def test_short_doc_single_chunk(spark):
+    by_doc = _chunks(spark, ["a b c"], size=8, overlap=2)
+    (rows,) = by_doc.values()
+    assert len(rows) == 1
+    assert rows[0].chunk_text == "a b c"
+    assert rows[0].chunk_tokens == 3 and rows[0].n_chunks == 1
+
+
+def test_coverage_and_overlap(spark):
+    n, size, overlap = 23, 8, 3
+    words = [f"w{i}" for i in range(n)]
+    by_doc = _chunks(spark, [" ".join(words)], size=size, overlap=overlap)
+    (rows,) = by_doc.values()
+    stride = size - overlap
+    # every chunk except possibly the last is full-size
+    for r in rows[:-1]:
+        assert r.chunk_tokens == size
+    # stitching chunk i's first `stride` tokens plus the last chunk in
+    # full reconstructs the document exactly
+    rebuilt: list[str] = []
+    for r in rows[:-1]:
+        rebuilt.extend(r.chunk_text.split(" ")[:stride])
+    rebuilt.extend(rows[-1].chunk_text.split(" "))
+    assert rebuilt == words
+    # consecutive chunks share exactly `overlap` tokens (except final pair)
+    for a, b in zip(rows, rows[1:-1] or []):
+        assert a.chunk_text.split(" ")[stride:] == b.chunk_text.split(" ")[:overlap]
+
+
+def test_exact_boundary_no_empty_tail(spark):
+    # n == size, and n == size + stride: both must avoid an empty chunk
+    size, overlap = 6, 2
+    stride = size - overlap
+    for n in (size, size + stride, size + 2 * stride):
+        words = [f"t{i}" for i in range(n)]
+        by_doc = _chunks(spark, [" ".join(words)], size=size, overlap=overlap)
+        (rows,) = by_doc.values()
+        assert all(r.chunk_tokens > 0 for r in rows)
+        assert rows[0].n_chunks == len(rows)
+        # last chunk ends exactly at the last token
+        last = rows[-1]
+        start = last.chunk_id * stride
+        assert start + last.chunk_tokens == n
+
+
+def test_param_validation(spark):
+    from bunsen_spark.operators.chunking import chunk_documents
+
+    df = spark.createDataFrame([(1, "x")], "doc_id int, text string")
+    with pytest.raises(ValueError):
+        chunk_documents(df, chunk_size=8, overlap=8)
+    with pytest.raises(ValueError):
+        chunk_documents(df, chunk_size=8, overlap=-1)
