@@ -137,6 +137,9 @@ def jaccard_pairs(
         postings.groupBy("s")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
         .where(F.size("ds") <= max_df)
+        # consumed twice (sizes + pair expansion); checkpoint lazily so
+        # the shingling scan and the grouping shuffle run once
+        .localCheckpoint(eager=False)
     )
     sizes = (
         grouped.select(F.explode("ds").alias("doc_id"))
@@ -246,7 +249,11 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     Jaccard over the hashed shingle sets verifies (the oracle hashes
     identically, so parity is exact even under md5 collisions).
     Output: (a_id, b_id, jaccard ≥ threshold, rounded 6)."""
-    sigs = minhash_signature(docs)
+    # the signature stage (full-text regex shingling + NUM_HASHES
+    # permutation mins) feeds three consumers (buckets, both verify
+    # sides); a lazy checkpoint materializes it once instead of three
+    # times — state is (doc_id, hs, sig), far smaller than the text
+    sigs = minhash_signature(docs).localCheckpoint(eager=False)
     band_keys = F.array(
         *[
             F.concat_ws(
@@ -597,7 +604,9 @@ def simhash_pairs(docs: DataFrame, hamming_max: int = HAMMING_MAX) -> DataFrame:
     """Near-dup pairs by SimHash: candidates share one of the 4
     signature bytes (LSH on bands), verified by Hamming distance ≤
     ``hamming_max``. Output: (a_id, b_id, hamming)."""
-    sigs = simhash_signature(docs)
+    # the 32-bit-count signature scan feeds both sides of the bucket
+    # self-join; materialize it once (state: doc_id + one long)
+    sigs = simhash_signature(docs).localCheckpoint(eager=False)
     band_keys = F.array(
         *[
             F.concat_ws(

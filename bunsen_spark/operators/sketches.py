@@ -92,3 +92,92 @@ def approx_quantiles(
         for p in probs
     ]
     return df.agg(*aggs)
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch, pure Catalyst — the frequency twin of the Bloom
+# filter in operators/bloom.py. Spark's builtin count_min_sketch()
+# aggregate emits an opaque binary the SQL surface cannot query, so the
+# sketch here is a first-class DataFrame of (row, col, cnt) cells:
+# buildable with one aggregate, probeable with broadcast joins,
+# mergeable with a sum — and auditable.
+# ---------------------------------------------------------------------------
+
+DEFAULT_CM_WIDTH = 1 << 12
+DEFAULT_CM_DEPTH = 4
+
+
+def countmin_table(
+    df: DataFrame,
+    value_col: str,
+    width: int = DEFAULT_CM_WIDTH,
+    depth: int = DEFAULT_CM_DEPTH,
+) -> DataFrame:
+    """Build a count-min sketch as a cell table (row, col, cnt).
+
+    Each value hashes into one column per row (``xxhash64(value, r)``
+    mod width); a single groupBy aggregates cell counts. The shuffle is
+    bounded by ``depth × width`` distinct cells regardless of input
+    size, and the table is MERGEABLE: union two tables and sum cnt per
+    (row, col) to get the sketch of the concatenated inputs — the same
+    warehouse pattern as the HLL sketches above (persist per-partition
+    sketches, roll up later without raw data)."""
+    cells = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(r).alias("row"),
+                    F.pmod(F.xxhash64(F.col(value_col), F.lit(r)), F.lit(width)).alias(
+                        "col"
+                    ),
+                )
+                for r in range(depth)
+            ]
+        )
+    ).alias("cell")
+    return (
+        df.select(cells)
+        .groupBy(F.col("cell.row").alias("row"), F.col("cell.col").alias("col"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def countmin_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Merge two cell tables built with identical (width, depth)."""
+    return (
+        a.unionByName(b)
+        .groupBy("row", "col")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def countmin_estimate(
+    probes: DataFrame,
+    value_col: str,
+    table: DataFrame,
+    width: int = DEFAULT_CM_WIDTH,
+    depth: int = DEFAULT_CM_DEPTH,
+) -> DataFrame:
+    """Estimated frequency for every probe row: min over rows of the
+    cell counts at the probe's hash positions. One broadcast left join
+    per depth level (cell tables are ≤ depth × width rows ≈ KiBs);
+    probe cardinality never changes. Guarantee: estimate >= true count,
+    and P[estimate > true + eps*N] < delta with eps = e/width,
+    delta = exp(-depth)."""
+    out = probes
+    mins: list[Column] = []
+    for r in range(depth):
+        t = table.where(F.col("row") == r).select(
+            F.col("col").alias(f"_cm_col_{r}"), F.col("cnt").alias(f"_cm_cnt_{r}")
+        )
+        out = out.join(
+            F.broadcast(t),
+            F.pmod(F.xxhash64(F.col(value_col), F.lit(r)), F.lit(width))
+            == F.col(f"_cm_col_{r}"),
+            "left",
+        )
+        mins.append(F.coalesce(F.col(f"_cm_cnt_{r}"), F.lit(0)))
+    est = F.least(*mins) if len(mins) > 1 else mins[0]
+    return out.withColumn("cm_estimate", est.cast("long")).drop(
+        *[c for r in range(depth) for c in (f"_cm_col_{r}", f"_cm_cnt_{r}")]
+    )

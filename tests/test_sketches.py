@@ -81,3 +81,49 @@ def test_approx_quantiles_rank_error_bounded(events):
         lo = vals[max(0, int(n * p) - max(2, n // 1000) - 1)]
         hi = vals[min(n - 1, int(n * p) + max(2, n // 1000))]
         assert lo <= est <= hi, (p, est, lo, hi)
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch (pure-Catalyst cell table)
+# ---------------------------------------------------------------------------
+
+
+def test_countmin_overestimates_never_under(spark):
+    from pyspark.sql import functions as F
+
+    from bunsen_spark.operators.sketches import countmin_estimate, countmin_table
+
+    # zipf-ish frequencies: value v appears (50 - v) times
+    rows = [(v,) for v in range(50) for _ in range(50 - v)]
+    df = spark.createDataFrame(rows, "v int")
+    table = countmin_table(df, "v", width=1 << 10, depth=4)
+    truth = df.groupBy("v").count()
+    est = countmin_estimate(truth, "v", table, width=1 << 10, depth=4)
+    bad = est.where(F.col("cm_estimate") < F.col("count")).count()
+    assert bad == 0  # never underestimates
+    # with 1225 items in a 1024-wide sketch, estimates should be tight
+    loose = est.where(F.col("cm_estimate") > F.col("count") + 10).count()
+    assert loose == 0
+
+
+def test_countmin_merge_equals_all_at_once(spark):
+    from bunsen_spark.operators.sketches import countmin_merge, countmin_table
+
+    a = spark.range(0, 300).selectExpr("id % 17 as v")
+    b = spark.range(300, 700).selectExpr("id % 23 as v")
+    merged = countmin_merge(
+        countmin_table(a, "v", width=256, depth=3),
+        countmin_table(b, "v", width=256, depth=3),
+    )
+    whole = countmin_table(a.unionByName(b), "v", width=256, depth=3)
+    ma = sorted((r.row, r.col, r.cnt) for r in merged.collect())
+    wa = sorted((r.row, r.col, r.cnt) for r in whole.collect())
+    assert ma == wa
+
+
+def test_countmin_bounded_cells(spark):
+    from bunsen_spark.operators.sketches import countmin_table
+
+    df = spark.range(0, 5000).selectExpr("id as v")
+    t = countmin_table(df, "v", width=64, depth=2)
+    assert t.count() <= 64 * 2
