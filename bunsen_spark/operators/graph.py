@@ -48,14 +48,23 @@ def pagerank(edges: DataFrame, iters: int = 3) -> DataFrame:
     """
     if iters < 1:
         raise ValueError("iters must be >= 1")
+    # nodes and the degree-annotated edge table appear in EVERY unrolled
+    # iteration; lazy checkpoints materialize each once instead of
+    # re-deriving them per round (and keep the single declarative plan
+    # from growing a re-scan of the raw edges per iteration)
     nodes = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     ncount = nodes.agg(F.count("*").alias("n"))
     outdeg = edges.groupBy("src").agg(F.count("*").alias("deg"))
-    ed = edges.join(outdeg, "src").select("src", "dst", "deg")
+    ed = (
+        edges.join(outdeg, "src")
+        .select("src", "dst", "deg")
+        .localCheckpoint(eager=False)
+    )
 
     # init: rank_q = SCALE div N
     ranks = nodes.crossJoin(F.broadcast(ncount)).select(
