@@ -107,11 +107,35 @@ DEFAULT_CM_WIDTH = 1 << 12
 DEFAULT_CM_DEPTH = 4
 
 
+def _cm_pos(value: Column, r: int, width: int, portable: bool) -> Column:
+    """Hash position of ``value`` in sketch row ``r``. The default
+    family is xxhash64 (JVM-fast); ``portable=True`` switches to the
+    md5-based family shared with the dedup operators, reproducible
+    bit-for-bit in DuckDB (the hash the oracle gate uses)."""
+    if portable:
+        from .text_analysis import md5int
+
+        return F.pmod(
+            md5int(F.concat_ws("#", value.cast("string"), F.lit(str(r)))),
+            F.lit(width),
+        )
+    return F.pmod(F.xxhash64(value, F.lit(r)), F.lit(width))
+
+
+def cm_pos_sql(value_expr: str, r: int, width: int) -> str:
+    """DuckDB twin of the portable hash family in :func:`_cm_pos`."""
+    from .text_analysis import md5int_sql
+
+    h = md5int_sql(f"concat_ws('#', CAST({value_expr} AS VARCHAR), '{r}')")
+    return f"(({h}) % {width})"
+
+
 def countmin_table(
     df: DataFrame,
     value_col: str,
     width: int = DEFAULT_CM_WIDTH,
     depth: int = DEFAULT_CM_DEPTH,
+    portable: bool = False,
 ) -> DataFrame:
     """Build a count-min sketch as a cell table (row, col, cnt).
 
@@ -127,9 +151,7 @@ def countmin_table(
             *[
                 F.struct(
                     F.lit(r).alias("row"),
-                    F.pmod(F.xxhash64(F.col(value_col), F.lit(r)), F.lit(width)).alias(
-                        "col"
-                    ),
+                    _cm_pos(F.col(value_col), r, width, portable).alias("col"),
                 )
                 for r in range(depth)
             ]
@@ -157,6 +179,7 @@ def countmin_estimate(
     table: DataFrame,
     width: int = DEFAULT_CM_WIDTH,
     depth: int = DEFAULT_CM_DEPTH,
+    portable: bool = False,
 ) -> DataFrame:
     """Estimated frequency for every probe row: min over rows of the
     cell counts at the probe's hash positions. One broadcast left join
@@ -172,8 +195,7 @@ def countmin_estimate(
         )
         out = out.join(
             F.broadcast(t),
-            F.pmod(F.xxhash64(F.col(value_col), F.lit(r)), F.lit(width))
-            == F.col(f"_cm_col_{r}"),
+            _cm_pos(F.col(value_col), r, width, portable) == F.col(f"_cm_col_{r}"),
             "left",
         )
         mins.append(F.coalesce(F.col(f"_cm_cnt_{r}"), F.lit(0)))

@@ -61,12 +61,70 @@ def _chunk_sql() -> str:
     return chunk_documents_sql(chunk_size=64, overlap=16)
 
 
+CM_WIDTH, CM_DEPTH = 512, 4
+
+
+def countmin_user_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-count estimates from a count-min cell table
+    (`operators/sketches.py`): build with one bounded aggregate
+    (≤ depth×width cells), probe the distinct users against the
+    broadcast table, return the top 25 by estimate. The estimate is
+    deterministic (min over fixed hash rows, portable md5 hash
+    family), so the DuckDB twin reproduces it bit-for-bit — the sketch
+    itself is under the gate, not just its error bound."""
+    from ..operators.sketches import countmin_estimate, countmin_table
+
+    e = load(spark, sf_dir, "events").select("user_id")
+    table = countmin_table(e, "user_id", width=CM_WIDTH, depth=CM_DEPTH, portable=True)
+    probes = e.distinct()
+    est = countmin_estimate(probes, "user_id", table,
+                            width=CM_WIDTH, depth=CM_DEPTH, portable=True)
+    return (
+        est.select("user_id", "cm_estimate")
+        .orderBy(F.col("cm_estimate").desc(), "user_id")
+        .limit(25)
+    )
+
+
+def _countmin_sql() -> str:
+    from ..operators.sketches import cm_pos_sql
+
+    cell_rows = " UNION ALL ".join(
+        f"SELECT {r} AS row, {cm_pos_sql('v', r, CM_WIDTH)} AS col FROM vals"
+        for r in range(CM_DEPTH)
+    )
+    probe_cols = ", ".join(
+        f"{cm_pos_sql('user_id', r, CM_WIDTH)} AS col_{r}" for r in range(CM_DEPTH)
+    )
+    mins = ", ".join(
+        f"(SELECT cnt FROM cells WHERE row = {r} AND col = p.col_{r})"
+        for r in range(CM_DEPTH)
+    )
+    return f"""
+WITH vals AS (
+  SELECT user_id AS v FROM events
+), cells AS (
+  SELECT row, col, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM ({cell_rows})
+  GROUP BY row, col
+), probes AS (
+  SELECT DISTINCT user_id, {probe_cols} FROM events
+)
+SELECT user_id, CAST(least({mins}) AS BIGINT) AS cm_estimate
+FROM probes p
+ORDER BY cm_estimate DESC, user_id
+LIMIT 25
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bloom_prefilter_supplier_volume": bloom_prefilter_supplier_volume,
     "doc_chunk_windows": doc_chunk_windows,
+    "countmin_user_frequencies": countmin_user_frequencies,
 }
 
 ORACLES: dict[str, str] = {
     "bloom_prefilter_supplier_volume": BLOOM_PREFILTER_SQL,
     "doc_chunk_windows": _chunk_sql(),
+    "countmin_user_frequencies": _countmin_sql(),
 }
