@@ -47,3 +47,49 @@ def joins_without_shuffle(spark: SparkSession, left: str, right: str, on: list[s
     j = spark.table(left).hint("merge").join(spark.table(right), on)
     plan = j._jdf.queryExecution().executedPlan().toString()
     return "Exchange" not in plan
+
+
+def write_range_sorted(
+    df: DataFrame,
+    path: str,
+    sort_cols: str | list[str],
+    num_files: int | None = None,
+) -> None:
+    """Write a globally range-ordered parquet layout: rows are
+    range-partitioned on ``sort_cols`` (one contiguous, disjoint key
+    range per output file) and sorted within each file.
+
+    This is the scan-pruning complement to :func:`write_bucketed`
+    (which optimizes joins): with disjoint per-file ranges, parquet
+    footer min/max statistics let a point or range predicate on the
+    sort key skip whole files and row groups, so a time-range query
+    over a 100 TB event table touches only the files that overlap the
+    range. ``repartitionByRange`` samples the key distribution, so
+    files are balanced even under skew (hot keys split across files —
+    the ranges stay disjoint but one key may span several files).
+    """
+    cols = [sort_cols] if isinstance(sort_cols, str) else list(sort_cols)
+    parts = num_files or df.sparkSession.sparkContext.defaultParallelism
+    (
+        df.repartitionByRange(parts, *cols)
+        .sortWithinPartitions(*cols)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def file_ranges(spark: SparkSession, path: str, col: str) -> DataFrame:
+    """(file, lo, hi, n) per physical parquet file — the audit query
+    for range layouts: a correct :func:`write_range_sorted` output has
+    pairwise-disjoint [lo, hi] intervals across files."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(path)
+    return (
+        df.groupBy(F.input_file_name().alias("file"))
+        .agg(
+            F.min(col).alias("lo"),
+            F.max(col).alias("hi"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
