@@ -243,18 +243,10 @@ def minhash_signature(docs: DataFrame) -> DataFrame:
     return base.select("doc_id", "hs", sig.alias("sig"))
 
 
-def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
-    """Near-dup pairs: LSH banding proposes candidates (docs agreeing
-    on all ``ROWS_PER_BAND`` signature slots of some band), exact
-    Jaccard over the hashed shingle sets verifies (the oracle hashes
-    identically, so parity is exact even under md5 collisions).
-    Output: (a_id, b_id, jaccard ≥ threshold, rounded 6)."""
-    # the signature stage (full-text regex shingling + NUM_HASHES
-    # permutation mins) feeds three consumers (buckets, both verify
-    # sides); a lazy checkpoint materializes it once instead of three
-    # times — state is (doc_id, hs, sig), far smaller than the text
-    sigs = minhash_signature(docs).localCheckpoint(eager=False)
-    band_keys = F.array(
+def _band_keys() -> Column:
+    """LSH band keys over a ``sig`` column: one string per band,
+    concatenating the band's ``ROWS_PER_BAND`` signature slots."""
+    return F.array(
         *[
             F.concat_ws(
                 "-",
@@ -267,7 +259,20 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
             for i in range(BANDS)
         ]
     )
-    buckets = sigs.select("doc_id", F.explode(band_keys).alias("bk"))
+
+
+def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """Near-dup pairs: LSH banding proposes candidates (docs agreeing
+    on all ``ROWS_PER_BAND`` signature slots of some band), exact
+    Jaccard over the hashed shingle sets verifies (the oracle hashes
+    identically, so parity is exact even under md5 collisions).
+    Output: (a_id, b_id, jaccard ≥ threshold, rounded 6)."""
+    # the signature stage (full-text regex shingling + NUM_HASHES
+    # permutation mins) feeds three consumers (buckets, both verify
+    # sides); a lazy checkpoint materializes it once instead of three
+    # times — state is (doc_id, hs, sig), far smaller than the text
+    sigs = minhash_signature(docs).localCheckpoint(eager=False)
+    buckets = sigs.select("doc_id", F.explode(_band_keys()).alias("bk"))
     cand = (
         buckets.alias("x")
         .join(buckets.alias("y"), "bk")
@@ -889,3 +894,102 @@ def incremental_dedup(new_docs: DataFrame, seen: DataFrame) -> DataFrame:
     return batch.join(
         seen.select("fingerprint"), "fingerprint", "left_anti"
     )
+
+
+def minhash_state(docs: DataFrame) -> DataFrame:
+    """Persistable near-dup state for :func:`incremental_near_dup`:
+    ``(doc_id, hs, sig)`` — hashed shingle sets + MinHash signatures,
+    no text. State size is O(tokens) longs per doc (~10× smaller than
+    text); at warehouse scale persist it range- or bucket-partitioned
+    and append each batch's kept rows."""
+    return minhash_signature(docs)
+
+
+def incremental_near_dup(
+    new_docs: DataFrame, state: DataFrame, threshold: float = 0.5
+) -> DataFrame:
+    """Incremental near-dup filter: the new-batch docs that are NOT
+    MinHash-near-duplicates of any doc in ``state`` (rows from
+    :func:`minhash_state`). Returns the kept docs' state rows
+    ``(doc_id, hs, sig)`` — append them to ``state`` to advance it.
+
+    Semantics are state-filter only: batch-internal near-dups are NOT
+    dropped here (compose with :func:`minhash_lsh_pairs` /
+    :func:`near_dup_clusters` for that). Each doc is judged against
+    exactly the state as of its batch, so cutting the stream finer
+    filters MORE (earlier docs enter the state sooner) — monotone, not
+    cut-invariant; the contract and the brute-force equivalence of one
+    step are tested in ``tests/test_dedup_incremental.py``.
+
+    Scale shape: candidates come from the LSH band join — the batch
+    side explodes to |batch| × bands rows and joins the state's bucket
+    table, so cost is proportional to bucket collisions, never
+    |batch| × |state|. Exact-Jaccard verification (precision 1) runs
+    only on candidates. A warehouse that stores the exploded state
+    buckets bucketed by ``bk`` (sources/warehouse.py) makes the
+    candidate join bucket-local."""
+    batch = minhash_signature(new_docs).localCheckpoint(eager=False)
+    bb = batch.select(F.col("doc_id").alias("b_id"), F.explode(_band_keys()).alias("bk"))
+    sb = state.select(F.col("doc_id").alias("s_id"), F.explode(_band_keys()).alias("bk"))
+    cand = bb.join(sb, "bk").select("b_id", "s_id").distinct()
+    ha = batch.select(F.col("doc_id").alias("b_id"), F.col("hs").alias("ha"))
+    hb = state.select(F.col("doc_id").alias("s_id"), F.col("hs").alias("hb"))
+    dropped = (
+        cand.join(ha, "b_id")
+        .join(hb, "s_id")
+        .withColumn("i", F.size(F.array_intersect("ha", "hb")))
+        .where(
+            F.col("i") / (F.size("ha") + F.size("hb") - F.col("i")) >= threshold
+        )
+        .select("b_id")
+        .distinct()
+    )
+    return batch.join(dropped, batch.doc_id == dropped.b_id, "left_anti")
+
+
+def incremental_near_dup_sql(
+    table: str = "documents",
+    state_filter: str = "doc_id < 250",
+    threshold: float = 0.5,
+) -> str:
+    """DuckDB twin of one :func:`incremental_near_dup` step where the
+    state was built from ``table`` rows matching ``state_filter`` and
+    the batch is the rest. Emits kept batch docs as
+    (doc_id, n_shingles)."""
+    shingle_hash = f"{md5int_sql('s')} % {MERSENNE31}"
+    mins = ", ".join(
+        f"list_min(list_transform(hs, h -> ({MINHASH_A[k]} * h + {MINHASH_B[k]}) % {MERSENNE31}))"
+        for k in range(NUM_HASHES)
+    )
+    band_keys = ", ".join(
+        "concat_ws('-', "
+        + f"{i}, "
+        + ", ".join(f"sig[{i * ROWS_PER_BAND + r + 1}]" for r in range(ROWS_PER_BAND))
+        + ")"
+        for i in range(BANDS)
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         list_distinct(list_transform({shingles_sql(SHINGLE_N)}, s -> {shingle_hash})) AS hs,
+         ({state_filter}) AS in_state
+  FROM {table}
+), sigs AS (
+  SELECT doc_id, hs, in_state, [{mins}] AS sig FROM base
+), buckets AS (
+  SELECT doc_id, in_state, unnest([{band_keys}]) AS bk FROM sigs
+), cand AS (
+  SELECT DISTINCT b.doc_id AS b_id, s.doc_id AS s_id
+  FROM buckets b JOIN buckets s USING (bk)
+  WHERE NOT b.in_state AND s.in_state
+), dropped AS (
+  SELECT DISTINCT b_id FROM cand
+  JOIN sigs sa ON sa.doc_id = b_id
+  JOIN sigs sb ON sb.doc_id = s_id
+  WHERE len(list_intersect(sa.hs, sb.hs)) /
+        (len(sa.hs) + len(sb.hs) - len(list_intersect(sa.hs, sb.hs))) >= {threshold}
+)
+SELECT doc_id, CAST(len(hs) AS BIGINT) AS n_shingles
+FROM sigs
+WHERE NOT in_state AND doc_id NOT IN (SELECT b_id FROM dropped)
+"""

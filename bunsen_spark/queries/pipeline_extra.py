@@ -117,14 +117,37 @@ LIMIT 25
 """
 
 
+def dedup_incremental_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One incremental near-dup step (`operators/dedup.py:
+    incremental_near_dup`): state = MinHash signatures of docs with
+    doc_id < 250, batch = the rest; returns the surviving batch docs.
+    LSH band join bounds candidates; exact-Jaccard verify keeps
+    precision 1 — the oracle recomputes the identical hash pipeline."""
+    from ..operators.dedup import incremental_near_dup, minhash_state
+
+    docs = load(spark, sf_dir, "documents")
+    state = minhash_state(docs.where(F.col("doc_id") < 250))
+    batch = docs.where(F.col("doc_id") >= 250)
+    kept = incremental_near_dup(batch, state, threshold=0.5)
+    return kept.select("doc_id", F.size("hs").cast("long").alias("n_shingles"))
+
+
+def _incr_near_sql() -> str:
+    from ..operators.dedup import incremental_near_dup_sql
+
+    return incremental_near_dup_sql("documents", "doc_id < 250", 0.5)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bloom_prefilter_supplier_volume": bloom_prefilter_supplier_volume,
     "doc_chunk_windows": doc_chunk_windows,
     "countmin_user_frequencies": countmin_user_frequencies,
+    "dedup_incremental_near": dedup_incremental_near,
 }
 
 ORACLES: dict[str, str] = {
     "bloom_prefilter_supplier_volume": BLOOM_PREFILTER_SQL,
     "doc_chunk_windows": _chunk_sql(),
     "countmin_user_frequencies": _countmin_sql(),
+    "dedup_incremental_near": _incr_near_sql(),
 }

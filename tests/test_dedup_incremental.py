@@ -53,3 +53,89 @@ def test_fully_seen_batch_emits_nothing(spark, docs):
     state = exact_dedup(docs).select("fingerprint")
     again = docs.withColumn("doc_id", F.col("doc_id") + 100)
     assert incremental_dedup(again, state).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# incremental NEAR-dup (MinHash state filter)
+# ---------------------------------------------------------------------------
+
+
+def _mini_docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog near the river bank today"),
+        (2, "the quick brown fox jumps over the lazy dog near the river bank now"),
+        (3, "completely different text about spark distributed query planning engines"),
+        (4, "the quick brown fox jumps over the lazy dog near the river bank today"),
+        (5, "another unrelated document mentioning parquet files and shuffle services"),
+    ]
+    return spark.createDataFrame(rows, "doc_id int, text string")
+
+
+def test_incr_near_dup_matches_brute_force(spark):
+    from pyspark.sql import functions as F
+
+    from bunsen_spark.operators.dedup import (
+        incremental_near_dup,
+        jaccard_pairs,
+        minhash_state,
+    )
+
+    docs = _mini_docs(spark)
+    state_docs = docs.where(F.col("doc_id") <= 2)
+    batch = docs.where(F.col("doc_id") > 2)
+    kept = incremental_near_dup(batch, minhash_state(state_docs), threshold=0.5)
+    kept_ids = sorted(r.doc_id for r in kept.collect())
+    # brute force: exact jaccard of every batch doc vs every state doc
+    cross = jaccard_pairs(docs, threshold=0.5)
+    near_state = {
+        r.b_id
+        for r in cross.selectExpr("a_id", "b_id").collect()
+        if r.a_id <= 2 and r.b_id > 2
+    } | {
+        r.a_id
+        for r in cross.selectExpr("a_id", "b_id").collect()
+        if r.b_id <= 2 and r.a_id > 2
+    }
+    expected = sorted(set([3, 4, 5]) - near_state)
+    assert kept_ids == expected
+    assert 4 not in kept_ids  # exact dup of state doc 1 must drop
+
+
+def test_incr_near_dup_self_filter_drops_all(spark):
+    from bunsen_spark.operators.dedup import incremental_near_dup, minhash_state
+
+    docs = _mini_docs(spark)
+    kept = incremental_near_dup(docs, minhash_state(docs), threshold=0.5)
+    assert kept.count() == 0  # every doc is jaccard-1 with itself in state
+
+
+def test_incr_near_dup_monotone_in_state(spark):
+    from pyspark.sql import functions as F
+
+    from bunsen_spark.operators.dedup import incremental_near_dup, minhash_state
+
+    docs = _mini_docs(spark)
+    small_state = minhash_state(docs.where(F.col("doc_id") == 3))
+    big_state = minhash_state(docs.where(F.col("doc_id") <= 3))
+    batch = docs.where(F.col("doc_id") > 3)
+    kept_small = {r.doc_id for r in incremental_near_dup(batch, small_state).collect()}
+    kept_big = {r.doc_id for r in incremental_near_dup(batch, big_state).collect()}
+    assert kept_big <= kept_small  # more state can only drop more
+
+
+def test_incr_near_dup_output_is_appendable_state(spark):
+    from pyspark.sql import functions as F
+
+    from bunsen_spark.operators.dedup import incremental_near_dup, minhash_state
+
+    docs = _mini_docs(spark)
+    state = minhash_state(docs.where(F.col("doc_id") <= 1))
+    kept = incremental_near_dup(docs.where(F.col("doc_id") > 1), state)
+    assert set(kept.columns) == {"doc_id", "hs", "sig"}
+    advanced = state.unionByName(kept)
+    # the advanced state drops a re-presented copy of a kept doc
+    again = incremental_near_dup(
+        docs.where(F.col("doc_id") == 3).withColumn("doc_id", F.lit(99)),
+        advanced,
+    )
+    assert again.count() == 0
