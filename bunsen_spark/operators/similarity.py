@@ -273,7 +273,9 @@ def kmeans_codebook(
     Assignment ranks are cosine comparisons, so they are reproducible
     across engines on the quantized integral vectors; the means are
     exact integer-sum averages (see :func:`_quantized`)."""
-    base = _quantized(embeddings)
+    # the quantized corpus is re-read by every Lloyd iteration's
+    # assignment join; materialize it once (state: id + int vector)
+    base = _quantized(embeddings).localCheckpoint(eager=False)
     from .text_analysis import md5int
 
     cents = (
@@ -324,7 +326,14 @@ def ivf_kmeans_topk(
     Coarse assignment/probing uses cosine against the trained
     centroids on the quantized vectors; final ranking among candidates
     is exact cosine on the original vectors."""
-    cents = kmeans_codebook(embeddings, n_centroids, n_iters)
+    # the trained codebook (tiny) and the coarse ranking both feed two
+    # consumers (assignment + probe lists); lazy checkpoints keep the
+    # Lloyd training and the corpus-wide scoring window to one
+    # execution each. The ranking state is pruned to rn <= n_probe
+    # before materializing — O(n × n_probe) rows of four scalars.
+    cents = kmeans_codebook(embeddings, n_centroids, n_iters).localCheckpoint(
+        eager=False
+    )
     quant = _quantized(embeddings)
     scored = quant.join(F.broadcast(cents)).select(
         "vec_id",
@@ -332,7 +341,11 @@ def ivf_kmeans_topk(
         _cosine(F.col("q"), F.col("cv"), F.col("qnorm"), F.col("cnorm")).alias("csim"),
     )
     aw = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("cid"))
-    ranked = scored.withColumn("rn", F.row_number().over(aw))
+    ranked = (
+        scored.withColumn("rn", F.row_number().over(aw))
+        .where(F.col("rn") <= max(n_probe, 1))
+        .localCheckpoint(eager=False)
+    )
     assigned = ranked.where(F.col("rn") == 1).select("vec_id", "cid")
     probes = (
         ranked.where((F.col("vec_id") < num_queries) & (F.col("rn") <= n_probe))
