@@ -212,3 +212,44 @@ def test_q18_aggregates_before_join(spark, sf_dir):
     )
     assert plan.index("sum_qty") > 0
     assert plan.rindex("HashAggregate") > first_join
+
+
+def test_chunking_is_zero_shuffle(spark, sf_dir):
+    """chunk_documents must be a pure map stage: no Exchange anywhere."""
+    from bunsen_spark.operators.chunking import chunk_documents
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(chunk_documents(docs))
+    assert "Exchange" not in plan
+
+
+def test_bloom_probe_is_all_broadcast(spark, sf_dir):
+    """The Bloom prefilter must never shuffle the fact side: every
+    probe is a broadcast hash join, and the bit tests are native
+    expressions (no Python)."""
+    from pyspark.sql import functions as F
+
+    from bunsen_spark.operators.bloom import bloom_prefilter, bloom_words
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select("l_suppkey")
+    dim = spark.read.parquet(f"{sf_dir}/supplier.parquet").where(
+        F.col("s_acctbal") > 5000
+    )
+    words = bloom_words(dim, "s_suppkey", num_bits=1 << 12, num_hashes=3)
+    plan = _plan(bloom_prefilter(li, "l_suppkey", words, 1 << 12, 3))
+    assert plan.count("BroadcastHashJoin") == 3
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "CartesianProduct" not in plan and "BatchEvalPython" not in plan
+
+
+def test_countmin_build_is_one_aggregation(spark, sf_dir):
+    """The count-min build is exactly one partial+final aggregate: a
+    single shuffle (one Exchange) on the bounded cell keys."""
+    from bunsen_spark.operators.sketches import countmin_table
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet").select("user_id")
+    plan = _plan(countmin_table(e, "user_id", width=256, depth=4))
+    import re
+
+    assert len(re.findall(r"\bExchange\b", plan)) == 1
+    assert "HashAggregate" in plan
