@@ -107,3 +107,88 @@ def stratified_sample_sql(
     )
     cutoff = f"CASE {cases} ELSE {int(round(default_fraction * BUCKETS))} END"
     return f"SELECT * FROM {table} WHERE {b} < {cutoff}"
+
+
+def mix_to_proportions(
+    df: DataFrame,
+    key: str,
+    strata_col: str,
+    size_col: str,
+    targets: dict[str, float],
+) -> DataFrame:
+    """Deterministically down-sample strata so the surviving corpus
+    approximates the ``targets`` mixture by ``size_col`` mass (the
+    data-mixing step of training pipelines: e.g. rebalance languages
+    or sources to target token shares, without upsampling).
+
+    The achievable total is ``T = min_s(size_s / w_s)`` — the largest
+    corpus for which every stratum can supply its share from existing
+    rows; each stratum keeps ``rate_s = T*w_s/size_s`` of its mass via
+    the same md5-bucket filter as :func:`deterministic_sample` (no RNG,
+    stable across runs/engines/partitionings). Strata absent from
+    ``targets`` are dropped. Plan shape: one tiny per-stratum aggregate
+    → broadcast rate table → single codegen'd filter over the corpus;
+    the corpus itself is never shuffled."""
+    if not targets or any(w <= 0 for w in targets.values()):
+        raise ValueError("targets must be a non-empty {stratum: weight>0} dict")
+    wexpr = F.lit(None).cast("double")
+    for name, w in targets.items():
+        wexpr = F.when(F.col(strata_col) == name, F.lit(float(w))).otherwise(wexpr)
+    per = (
+        df.groupBy(strata_col)
+        .agg(F.sum(F.col(size_col).cast("long")).alias("_sz"))
+        .withColumn("_w", wexpr)
+        .where(F.col("_w").isNotNull())
+    )
+    t = per.agg(F.min(F.col("_sz") / F.col("_w")).alias("_t"))
+    rates = (
+        per.crossJoin(F.broadcast(t))
+        .select(
+            strata_col,
+            F.floor(
+                F.least(F.lit(1.0), F.col("_t") * F.col("_w") / F.col("_sz"))
+                * F.lit(BUCKETS)
+            ).cast("long").alias("_cutoff"),
+        )
+    )
+    return (
+        df.join(F.broadcast(rates), strata_col)
+        .where(_bucket(F.col(key)) < F.col("_cutoff"))
+        .drop("_cutoff")
+    )
+
+
+def mix_to_proportions_sql(
+    table: str,
+    key: str,
+    strata_col: str,
+    size_col: str,
+    targets: dict[str, float],
+) -> str:
+    """DuckDB twin of :func:`mix_to_proportions` (same floor/bucket
+    arithmetic; identical double expression order)."""
+    cases = " ".join(
+        f"WHEN {strata_col} = '{name}' THEN CAST({float(w)} AS DOUBLE)"
+        for name, w in targets.items()
+    )
+    return f"""
+WITH per AS (
+  SELECT {strata_col},
+         CAST(SUM(CAST({size_col} AS BIGINT)) AS BIGINT) AS _sz,
+         CASE {cases} END AS _w
+  FROM {table}
+  GROUP BY {strata_col}
+  HAVING CASE {cases} END IS NOT NULL
+), t AS (
+  SELECT MIN(_sz / _w) AS _t FROM per
+), rates AS (
+  SELECT {strata_col},
+         CAST(floor(least(CAST(1.0 AS DOUBLE), _t * _w / _sz) * {BUCKETS}) AS BIGINT)
+           AS _cutoff
+  FROM per, t
+)
+SELECT d.*
+FROM {table} d
+JOIN rates r USING ({strata_col})
+WHERE {_bucket_sql(f'd.{key}')} < r._cutoff
+"""

@@ -138,11 +138,48 @@ def _incr_near_sql() -> str:
     return incremental_near_dup_sql("documents", "doc_id < 250", 0.5)
 
 
+MIX_TARGETS = {"en": 0.5, "de": 0.15, "es": 0.15, "fr": 0.1, "zh": 0.1}
+
+
+def corpus_mix_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-rebalancing mix (`operators/sampling.py:
+    mix_to_proportions`): down-sample each language to approximate the
+    target char-mass shares, then report per-language survivors. The
+    corpus is never shuffled — one tiny per-language aggregate feeds a
+    broadcast rate table and a single hash filter."""
+    from ..operators.sampling import mix_to_proportions
+
+    docs = load(spark, sf_dir, "documents")
+    mixed = mix_to_proportions(docs, "doc_id", "lang", "n_chars", MIX_TARGETS)
+    return (
+        mixed.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("n_chars").cast("long")).alias("char_mass"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _mix_sql() -> str:
+    from ..operators.sampling import mix_to_proportions_sql
+
+    inner = mix_to_proportions_sql("documents", "doc_id", "lang", "n_chars", MIX_TARGETS)
+    return f"""
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS char_mass
+FROM ({inner}) m
+GROUP BY lang
+ORDER BY lang
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bloom_prefilter_supplier_volume": bloom_prefilter_supplier_volume,
     "doc_chunk_windows": doc_chunk_windows,
     "countmin_user_frequencies": countmin_user_frequencies,
     "dedup_incremental_near": dedup_incremental_near,
+    "corpus_mix_counts": corpus_mix_counts,
 }
 
 ORACLES: dict[str, str] = {
@@ -150,4 +187,5 @@ ORACLES: dict[str, str] = {
     "doc_chunk_windows": _chunk_sql(),
     "countmin_user_frequencies": _countmin_sql(),
     "dedup_incremental_near": _incr_near_sql(),
+    "corpus_mix_counts": _mix_sql(),
 }
