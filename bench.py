@@ -82,6 +82,13 @@ def main() -> None:
             timings[name] = -1.0
             spreads[name] = -1.0
             print(f"# bench error in {name}: {e}", file=sys.stderr)
+        # drop this query's DataFrame refs so Spark's ContextCleaner can
+        # unpersist its (lazy-localCheckpoint) RDD blocks before the next
+        # query — prevents cross-query block-manager pressure from
+        # polluting a later query's timing in a long 88-query session
+        import gc
+
+        gc.collect()
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     print(
         json.dumps(

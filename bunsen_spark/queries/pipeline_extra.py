@@ -138,6 +138,45 @@ def _incr_near_sql() -> str:
     return incremental_near_dup_sql("documents", "doc_id < 250", 0.5)
 
 
+def event_transition_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type transition matrix (Markov/sequence-feature
+    prep): one lag window partitioned by user + one aggregate. The
+    window shuffles each user's events once; the transition matrix is
+    |event_types|² rows — tiny at any corpus scale. Ties on identical
+    timestamps are broken by event_id so the sequence (and the oracle's)
+    is total-ordered."""
+    from pyspark.sql import Window as W
+    from . import ts_us
+
+    e = load(spark, sf_dir, "events")
+    e = e.select("user_id", "event_id", "event_type", ts_us(e).alias("us"))
+    w = W.partitionBy("user_id").orderBy("us", "event_id")
+    return (
+        e.withColumn("prev_type", F.lag("event_type").over(w))
+        .where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+        .orderBy("prev_type", "next_type")
+    )
+
+
+EVENT_TRANSITIONS_SQL = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (
+             PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+         ) AS prev_type
+  FROM events
+)
+SELECT prev_type, event_type AS next_type,
+       CAST(COUNT(*) AS BIGINT) AS n_transitions
+FROM seq
+WHERE prev_type IS NOT NULL
+GROUP BY prev_type, next_type
+ORDER BY prev_type, next_type
+"""
+
+
 MIX_TARGETS = {"en": 0.5, "de": 0.15, "es": 0.15, "fr": 0.1, "zh": 0.1}
 
 
@@ -180,6 +219,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "countmin_user_frequencies": countmin_user_frequencies,
     "dedup_incremental_near": dedup_incremental_near,
     "corpus_mix_counts": corpus_mix_counts,
+    "event_transition_counts": event_transition_counts,
 }
 
 ORACLES: dict[str, str] = {
@@ -188,4 +228,5 @@ ORACLES: dict[str, str] = {
     "countmin_user_frequencies": _countmin_sql(),
     "dedup_incremental_near": _incr_near_sql(),
     "corpus_mix_counts": _mix_sql(),
+    "event_transition_counts": EVENT_TRANSITIONS_SQL,
 }
