@@ -101,3 +101,59 @@ def write_resource_stream(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_near_dup_filter(
+    docs_stream: DataFrame,
+    state_path: str,
+    checkpoint: str,
+    out_path: str | None = None,
+    threshold: float = 0.5,
+    trigger_available_now: bool = True,
+):
+    """Streaming near-dup decontamination: every micro-batch is
+    filtered against the persistent MinHash state
+    (`operators/dedup.py:incremental_near_dup`) and the survivors'
+    signatures are appended to it, so later batches are judged against
+    everything kept before them — the batch incremental operator
+    lifted into ``foreachBatch``.
+
+    The state lives as a parquet table (doc_id, hs, sig), NOT in the
+    streaming state store: near-dup state is *join* state probed by
+    LSH band keys, which the per-key state-store API cannot express;
+    a parquet table also stays readable by the batch operator, so
+    batch and streaming ingestion can share one state. The kept rows
+    are eagerly materialized BEFORE the append so the read and the
+    write of the same path never overlap. On a replayed batch (retry
+    after a crash mid-append) state rows can duplicate — harmless for
+    filtering (a doc present twice drops the same near-dups), and a
+    periodic compaction (`dropDuplicates(["doc_id"])` rewrite) restores
+    minimality. ``out_path``, when given, receives the surviving
+    documents themselves."""
+    from ..operators.dedup import incremental_near_dup, minhash_state
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        try:
+            state = spark.read.parquet(state_path)
+        except Exception:  # first batch: no state yet
+            state = None
+        if state is None:
+            kept = minhash_state(batch_df)
+        else:
+            kept = incremental_near_dup(batch_df, state, threshold)
+        kept = kept.localCheckpoint()  # eager: finish reading state first
+        kept.write.mode("append").parquet(state_path)
+        if out_path:
+            (
+                batch_df.join(kept.select("doc_id"), "doc_id", "left_semi")
+                .write.mode("append")
+                .parquet(out_path)
+            )
+
+    writer = docs_stream.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -346,3 +346,46 @@ def test_streaming_sessionize_matches_batch_operator(spark, tmp_path):
         if r["user_id"] != 999_999
     }
     assert got == expected
+
+
+def test_stream_near_dup_filter(spark, tmp_path):
+    import json as jsonlib
+
+    import pyspark.sql.types as T
+
+    from bunsen_spark.streaming.ingest import stream_near_dup_filter
+
+    src = tmp_path / "doc_stream"
+    src.mkdir()
+    d1 = "the quick brown fox jumps over the lazy dog near the river bank today"
+    d2 = "the quick brown fox jumps over the lazy dog near the river bank now"  # near-dup of d1
+    d3 = "completely different text about spark distributed query planning engines"
+    with open(src / "b0.jsonl", "w") as f:
+        f.write(jsonlib.dumps({"doc_id": 1, "text": d1}) + "\n")
+        f.write(jsonlib.dumps({"doc_id": 2, "text": d3}) + "\n")
+    with open(src / "b1.jsonl", "w") as f:
+        f.write(jsonlib.dumps({"doc_id": 3, "text": d2}) + "\n")  # must drop vs state
+        f.write(jsonlib.dumps({"doc_id": 4, "text": "another unrelated parquet shuffle story"}) + "\n")
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    state = str(tmp_path / "state")
+    out = str(tmp_path / "kept")
+    q = stream_near_dup_filter(
+        stream, state, str(tmp_path / "ckpt"), out_path=out, threshold=0.5
+    )
+    q.awaitTermination(180)
+
+    kept_ids = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    # d2 (id 3) is a near-dup of state doc 1 and must be dropped; file
+    # order of the two micro-batches is lexicographic (b0 then b1)
+    assert kept_ids == [1, 2, 4]
+    state_ids = sorted(r.doc_id for r in spark.read.parquet(state).collect())
+    assert state_ids == [1, 2, 4]
+    assert set(spark.read.parquet(state).columns) == {"doc_id", "hs", "sig"}
