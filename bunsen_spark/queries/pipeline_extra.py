@@ -126,7 +126,12 @@ def dedup_incremental_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import incremental_near_dup, minhash_state
 
     docs = load(spark, sf_dir, "documents")
-    state = minhash_state(docs.where(F.col("doc_id") < 250))
+    # the state feeds both the bucket join and the verify join inside
+    # the operator; a real deployment reads it from parquet (one scan
+    # per consumer), but here it is computed — materialize it once
+    state = minhash_state(docs.where(F.col("doc_id") < 250)).localCheckpoint(
+        eager=False
+    )
     batch = docs.where(F.col("doc_id") >= 250)
     kept = incremental_near_dup(batch, state, threshold=0.5)
     return kept.select("doc_id", F.size("hs").cast("long").alias("n_shingles"))
