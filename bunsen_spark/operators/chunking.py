@@ -13,7 +13,9 @@ engines), `posexplode(sequence(...))` to one row per chunk, `slice` +
 operator is one map stage, so it scales as a pure scan and pipelines
 into whatever shuffle follows (dedup, packing, ...).
 
-Chunk-count contract: ``n_chunks = 1`` when ``n_tokens <= chunk_size``
+Chunk-count contract: zero rows when the document is empty or
+whitespace-only (no phantom-token chunks); ``n_chunks = 1`` when
+``0 < n_tokens <= chunk_size``
 else ``1 + ceil((n_tokens - chunk_size) / stride)`` with
 ``stride = chunk_size - overlap`` — every token is covered, the last
 chunk may be shorter than ``chunk_size``, and consecutive chunks share
@@ -38,14 +40,19 @@ def chunk_documents(
     if not 0 <= overlap < chunk_size:
         raise ValueError("require 0 <= overlap < chunk_size")
     stride = chunk_size - overlap
+    # split('') yields [''] — drop empty tokens so empty/whitespace-only
+    # docs emit ZERO chunks (not one phantom-token chunk) and declared
+    # token counts stay honest for downstream packing budgets
     toks = docs.select(
         F.col(id_col),
-        F.split(F.trim(F.col(text_col)), r"\s+").alias("_toks"),
+        F.array_remove(
+            F.split(F.trim(F.col(text_col)), r"\s+"), ""
+        ).alias("_toks"),
     ).select(
         id_col,
         "_toks",
         F.size("_toks").alias("_n"),
-    )
+    ).where(F.col("_n") > 0)
     # integer ceiling: 1 + (n - chunk_size + stride - 1) div stride
     n_chunks = F.when(F.col("_n") <= chunk_size, F.lit(1)).otherwise(
         F.lit(1) + F.expr(f"(_n - {chunk_size} + {stride - 1}) div {stride}")
@@ -86,7 +93,8 @@ def chunk_documents_sql(
     return f"""
 WITH toks AS (
   SELECT {id_col},
-         regexp_split_to_array(trim({text_col}), '\\s+') AS t
+         list_filter(regexp_split_to_array(trim({text_col}), '\\s+'),
+                     x -> x <> '') AS t
   FROM {table}
 ), meta AS (
   SELECT {id_col}, t, len(t) AS n,
@@ -94,6 +102,7 @@ WITH toks AS (
               ELSE 1 + (n - {chunk_size} + {stride - 1}) // {stride}
          END AS n_chunks
   FROM toks
+  WHERE len(t) > 0
 )
 , chunks AS (
   SELECT {id_col}, t, n_chunks,

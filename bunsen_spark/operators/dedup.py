@@ -36,6 +36,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .text_analysis import MERSENNE31, md5int, md5int_sql
+from ..persist import materialize, materialize_eager
 
 #: word n-gram order used by the similarity-family dedup operators —
 #: unigram word sets are non-discriminative on low-vocabulary corpora
@@ -139,7 +140,7 @@ def jaccard_pairs(
         .where(F.size("ds") <= max_df)
         # consumed twice (sizes + pair expansion); checkpoint lazily so
         # the shingling scan and the grouping shuffle run once
-        .localCheckpoint(eager=False)
+        .transform(materialize)
     )
     sizes = (
         grouped.select(F.explode("ds").alias("doc_id"))
@@ -271,7 +272,7 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     # permutation mins) feeds three consumers (buckets, both verify
     # sides); a lazy checkpoint materializes it once instead of three
     # times — state is (doc_id, hs, sig), far smaller than the text
-    sigs = minhash_signature(docs).localCheckpoint(eager=False)
+    sigs = minhash_signature(docs).transform(materialize)
     buckets = sigs.select("doc_id", F.explode(_band_keys()).alias("bk"))
     cand = (
         buckets.alias("x")
@@ -419,7 +420,7 @@ def near_dup_clusters(
         pairs.select(F.col("a_id").alias("u"), F.col("b_id").alias("v"))
         .union(pairs.select(F.col("b_id").alias("u"), F.col("a_id").alias("v")))
         .distinct()
-        .localCheckpoint()
+        .transform(materialize_eager)
     )
     if algorithm == "star":
         labels = _star_components(edges, max_iterations)
@@ -467,7 +468,7 @@ def _label_propagation(edges: DataFrame, max_rounds: int) -> DataFrame | None:
                 F.least(F.col("label"), F.coalesce("nl", F.col("label"))).alias("label"),
                 (F.coalesce("nl", F.col("label")) < F.col("label")).alias("__changed"),
             )
-            .localCheckpoint(eager=False)
+            .transform(materialize)
         )
         changed = new_labels.agg(
             F.coalesce(F.sum(F.col("__changed").cast("long")), F.lit(0))
@@ -485,7 +486,7 @@ def _star_components(edges: DataFrame, max_iterations: int) -> DataFrame:
     O(|E|), chains halve per alternation → O(log n) rounds. Returns
     (u, label) for every node of ``edges``; raises on budget overrun
     (star's bound makes that a genuine anomaly, not a tuning issue)."""
-    nodes = edges.select("u").distinct().localCheckpoint()
+    nodes = edges.select("u").distinct().transform(materialize_eager)
 
     def star(e: DataFrame, large: bool) -> DataFrame:
         mins = e.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
@@ -502,7 +503,7 @@ def _star_components(edges: DataFrame, max_iterations: int) -> DataFrame:
             sym.union(sym.select(F.col("b").alias("a"), F.col("a").alias("b")))
             .select(F.col("a").alias("u"), F.col("b").alias("v"))
             .distinct()
-            .localCheckpoint(eager=False)
+            .transform(materialize)
         )
 
     def signature(e: DataFrame):
@@ -528,7 +529,7 @@ def _star_components(edges: DataFrame, max_iterations: int) -> DataFrame:
     # fixpoint: every edge links a node to its component minimum
     final_min = edges.groupBy("u").agg(
         F.least(F.min("v"), F.first("u")).alias("label")
-    ).localCheckpoint(eager=False)
+    ).transform(materialize)
     # Post-fixpoint invariant (ADVICE r3): the signature fixpoint must
     # be a star forest centered at component minima — every remaining
     # edge joins a leaf to its own label or a label to its own leaf.
@@ -611,7 +612,7 @@ def simhash_pairs(docs: DataFrame, hamming_max: int = HAMMING_MAX) -> DataFrame:
     ``hamming_max``. Output: (a_id, b_id, hamming)."""
     # the 32-bit-count signature scan feeds both sides of the bucket
     # self-join; materialize it once (state: doc_id + one long)
-    sigs = simhash_signature(docs).localCheckpoint(eager=False)
+    sigs = simhash_signature(docs).transform(materialize)
     band_keys = F.array(
         *[
             F.concat_ws(
@@ -928,7 +929,7 @@ def incremental_near_dup(
     only on candidates. A warehouse that stores the exploded state
     buckets bucketed by ``bk`` (sources/warehouse.py) makes the
     candidate join bucket-local."""
-    batch = minhash_signature(new_docs).localCheckpoint(eager=False)
+    batch = minhash_signature(new_docs).transform(materialize)
     bb = batch.select(F.col("doc_id").alias("b_id"), F.explode(_band_keys()).alias("bk"))
     sb = state.select(F.col("doc_id").alias("s_id"), F.explode(_band_keys()).alias("bk"))
     cand = bb.join(sb, "bk").select("b_id", "s_id").distinct()

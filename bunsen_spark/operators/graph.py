@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from ..persist import materialize, materialize_eager
 
 #: integer units per 1.0 of rank mass; 1e12 keeps sums far below 2^63
 SCALE = 10**12
@@ -56,14 +57,14 @@ def pagerank(edges: DataFrame, iters: int = 3) -> DataFrame:
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(materialize)
     )
     ncount = nodes.agg(F.count("*").alias("n"))
     outdeg = edges.groupBy("src").agg(F.count("*").alias("deg"))
     ed = (
         edges.join(outdeg, "src")
         .select("src", "dst", "deg")
-        .localCheckpoint(eager=False)
+        .transform(materialize)
     )
 
     # init: rank_q = SCALE div N

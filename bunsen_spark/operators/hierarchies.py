@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from ..persist import materialize, materialize_eager
 
 LOINC_CODE_SYSTEM = "http://loinc.org"
 SNOMED_CODE_SYSTEM = "http://snomed.info/sct"
@@ -89,7 +90,7 @@ def transitive_closure(edges: DataFrame, max_iterations: int = 40) -> DataFrame:
             "descendantSystem", "descendantValue", "ancestorSystem", "ancestorValue"
         )
         .distinct()
-        .localCheckpoint()
+        .transform(materialize_eager)
     )
     n = closure.count()
     for _ in range(max_iterations):
@@ -108,7 +109,7 @@ def transitive_closure(edges: DataFrame, max_iterations: int = 40) -> DataFrame:
                 F.col("b.ancestorValue").alias("ancestorValue"),
             )
         )
-        new_closure = closure.union(extended).distinct().localCheckpoint()
+        new_closure = closure.union(extended).distinct().transform(materialize_eager)
         new_n = new_closure.count()
         if new_n == n:
             break

@@ -31,6 +31,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .text_analysis import md5int_sql
+from ..persist import materialize, materialize_eager
 
 EMBED_DIM = 64
 NUM_PLANES = 16
@@ -275,7 +276,7 @@ def kmeans_codebook(
     exact integer-sum averages (see :func:`_quantized`)."""
     # the quantized corpus is re-read by every Lloyd iteration's
     # assignment join; materialize it once (state: id + int vector)
-    base = _quantized(embeddings).localCheckpoint(eager=False)
+    base = _quantized(embeddings).transform(materialize)
     from .text_analysis import md5int
 
     cents = (
@@ -331,9 +332,7 @@ def ivf_kmeans_topk(
     # Lloyd training and the corpus-wide scoring window to one
     # execution each. The ranking state is pruned to rn <= n_probe
     # before materializing — O(n × n_probe) rows of four scalars.
-    cents = kmeans_codebook(embeddings, n_centroids, n_iters).localCheckpoint(
-        eager=False
-    )
+    cents = kmeans_codebook(embeddings, n_centroids, n_iters).transform(materialize)
     quant = _quantized(embeddings)
     scored = quant.join(F.broadcast(cents)).select(
         "vec_id",
@@ -344,7 +343,7 @@ def ivf_kmeans_topk(
     ranked = (
         scored.withColumn("rn", F.row_number().over(aw))
         .where(F.col("rn") <= max(n_probe, 1))
-        .localCheckpoint(eager=False)
+        .transform(materialize)
     )
     assigned = ranked.where(F.col("rn") == 1).select("vec_id", "cid")
     probes = (

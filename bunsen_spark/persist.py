@@ -1,0 +1,71 @@
+"""Materialization policy for reused / iterated subplans.
+
+Iterative operators (connected components, PageRank, k-means, transitive
+closure) and signature tables reused by multiple joins (MinHash/SimHash)
+must cut re-computation of an expensive subplan. Spark offers two
+mechanisms with different failure semantics:
+
+- ``localCheckpoint``: writes partition blocks to executor-local
+  storage and TRUNCATES lineage. Fastest (no replication, no lineage
+  growth across fixpoint rounds), but the blocks are unreplicated —
+  losing an executor makes the job unrecoverable. The right default on
+  a single-JVM ``local[*]`` master, where "executor loss" is process
+  death anyway.
+- ``persist(MEMORY_AND_DISK)``: keeps lineage, so lost partitions are
+  recomputed on executor failure. The right default on a multi-node
+  cluster, where executor churn is routine (spot instances,
+  preemption) and an unrecoverable 100 TB job is far more expensive
+  than re-derivable cache blocks.
+
+``materialize`` picks per the ``spark.bunsen.materialize.mode`` conf:
+``checkpoint`` | ``persist`` | ``auto`` (default). ``auto`` resolves to
+``checkpoint`` on ``local``/``local[...]`` masters and ``persist``
+otherwise. Set the conf explicitly to override either way — e.g.
+``persist`` on local[*] to exercise cluster behavior in tests, or
+``checkpoint`` on a cluster whose executors are stable and whose
+fixpoint rounds are deep enough for lineage growth to hurt.
+"""
+
+from __future__ import annotations
+
+from pyspark import StorageLevel
+from pyspark.sql import DataFrame
+
+MODE_CONF = "spark.bunsen.materialize.mode"
+
+
+def _mode(df: DataFrame) -> str:
+    spark = df.sparkSession
+    mode = spark.conf.get(MODE_CONF, "auto")
+    if mode not in ("auto", "checkpoint", "persist"):
+        raise ValueError(
+            f"{MODE_CONF} must be auto|checkpoint|persist, got {mode!r}"
+        )
+    if mode == "auto":
+        master = spark.sparkContext.master or ""
+        mode = "checkpoint" if master.startswith("local") else "persist"
+    return mode
+
+
+def materialize(df: DataFrame, eager: bool = False) -> DataFrame:
+    """Return a frame whose subplan will be computed (at most) once.
+
+    ``eager=False`` defers materialization to first use (the common
+    case: a signature table consumed by two downstream joins).
+    ``eager=True`` forces computation NOW — used as a read-before-write
+    barrier (e.g. streaming state update) or to pin a fixpoint round's
+    result before the next round mutates inputs.
+    """
+    if _mode(df) == "persist":
+        out = df.persist(StorageLevel.MEMORY_AND_DISK)
+        if eager:
+            out.count()
+        return out
+    return df.localCheckpoint(eager=eager)
+
+
+def materialize_eager(df: DataFrame) -> DataFrame:
+    """`materialize(df, eager=True)` in `.transform()`-friendly form —
+    for fixpoint rounds that must pin THIS round's result before the
+    next round re-derives from it."""
+    return materialize(df, eager=True)

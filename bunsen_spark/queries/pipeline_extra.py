@@ -9,6 +9,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import load
+from ..persist import materialize, materialize_eager
 
 
 def bloom_prefilter_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -96,8 +97,11 @@ def _countmin_sql() -> str:
     probe_cols = ", ".join(
         f"{cm_pos_sql('user_id', r, CM_WIDTH)} AS col_{r}" for r in range(CM_DEPTH)
     )
+    # COALESCE mirrors countmin_estimate's 0 for missing cells; DuckDB's
+    # least() ignores NULLs, so a bare scalar subquery would diverge from
+    # Spark for probes absent from the build set (advisor r4 finding)
     mins = ", ".join(
-        f"(SELECT cnt FROM cells WHERE row = {r} AND col = p.col_{r})"
+        f"COALESCE((SELECT cnt FROM cells WHERE row = {r} AND col = p.col_{r}), 0)"
         for r in range(CM_DEPTH)
     )
     return f"""
@@ -129,9 +133,7 @@ def dedup_incremental_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the state feeds both the bucket join and the verify join inside
     # the operator; a real deployment reads it from parquet (one scan
     # per consumer), but here it is computed — materialize it once
-    state = minhash_state(docs.where(F.col("doc_id") < 250)).localCheckpoint(
-        eager=False
-    )
+    state = minhash_state(docs.where(F.col("doc_id") < 250)).transform(materialize)
     batch = docs.where(F.col("doc_id") >= 250)
     kept = incremental_near_dup(batch, state, threshold=0.5)
     return kept.select("doc_id", F.size("hs").cast("long").alias("n_shingles"))

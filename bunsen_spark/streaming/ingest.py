@@ -118,37 +118,61 @@ def stream_near_dup_filter(
     everything kept before them — the batch incremental operator
     lifted into ``foreachBatch``.
 
-    The state lives as a parquet table (doc_id, hs, sig), NOT in the
-    streaming state store: near-dup state is *join* state probed by
-    LSH band keys, which the per-key state-store API cannot express;
-    a parquet table also stays readable by the batch operator, so
-    batch and streaming ingestion can share one state. The kept rows
-    are eagerly materialized BEFORE the append so the read and the
-    write of the same path never overlap. On a replayed batch (retry
-    after a crash mid-append) state rows can duplicate — harmless for
-    filtering (a doc present twice drops the same near-dups), and a
-    periodic compaction (`dropDuplicates(["doc_id"])` rewrite) restores
-    minimality. ``out_path``, when given, receives the surviving
-    documents themselves."""
+    The state lives as a parquet table (doc_id, hs, sig) partitioned by
+    ``batch_id``, NOT in the streaming state store: near-dup state is
+    *join* state probed by LSH band keys, which the per-key state-store
+    API cannot express; a parquet table also stays readable by the batch
+    operator, so batch and streaming ingestion can share one state
+    (`incremental_near_dup` selects only (doc_id, hs, sig) and ignores
+    the partition column). Both writes are IDEMPOTENT per micro-batch:
+    each batch dynamic-partition-overwrites exactly its own
+    ``batch_id=N`` partition of the state and of ``out_path``, and the
+    state read excludes ``batch_id >= N`` — so a replayed batch (retry
+    after a crash between the two writes, or mid-write) filters against
+    exactly the pre-batch state (no self-matching against its own
+    partial output, which would empty ``kept`` and permanently lose the
+    survivors) and simply rewrites its own partitions. The kept rows
+    are eagerly materialized BEFORE the overwrite so the read and the
+    write of the same path never overlap. ``out_path``, when given,
+    receives the surviving documents themselves."""
     from ..operators.dedup import incremental_near_dup, minhash_state
+
+    def _state_exists(spark: SparkSession) -> bool:
+        # explicit FS check — a transient read failure (permissions, fs
+        # hiccup, corrupt footer) must surface, not be mistaken for
+        # "first batch" and silently bypass dedup
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(state_path)
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        return bool(fs.exists(hpath))
+
+    def _overwrite_batch_partition(df: DataFrame, path: str) -> None:
+        (
+            df.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(path)
+        )
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        try:
-            state = spark.read.parquet(state_path)
-        except Exception:  # first batch: no state yet
-            state = None
-        if state is None:
-            kept = minhash_state(batch_df)
-        else:
+        if _state_exists(spark):
+            state = spark.read.parquet(state_path).where(
+                F.col("batch_id") < F.lit(batch_id)
+            )
             kept = incremental_near_dup(batch_df, state, threshold)
-        kept = kept.localCheckpoint()  # eager: finish reading state first
-        kept.write.mode("append").parquet(state_path)
+        else:
+            kept = minhash_state(batch_df)
+        from ..persist import materialize
+
+        kept = kept.withColumn("batch_id", F.lit(batch_id))
+        kept = materialize(kept, eager=True)  # finish reading state first
+        _overwrite_batch_partition(kept, state_path)
         if out_path:
-            (
+            _overwrite_batch_partition(
                 batch_df.join(kept.select("doc_id"), "doc_id", "left_semi")
-                .write.mode("append")
-                .parquet(out_path)
+                .withColumn("batch_id", F.lit(batch_id)),
+                out_path,
             )
 
     writer = docs_stream.writeStream.foreachBatch(_process).option(

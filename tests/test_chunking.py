@@ -109,12 +109,23 @@ def test_chunking_invariants_property(spark):
             key=lambda r: r.chunk_id,
         )
         stride = size - overlap
+        if n == 0:
+            assert rows == [], (size, overlap)  # empty doc: zero chunks
+            continue
         assert rows[0].n_chunks == len(rows)
         rebuilt = []
         for r in rows[:-1]:
             assert r.chunk_tokens == size
             rebuilt.extend(r.chunk_text.split(" ")[:stride])
-        last = rows[-1].chunk_text
-        rebuilt.extend(last.split(" ") if last else [""] if n == 0 else last.split(" "))
-        expected = words if n > 0 else [""]
-        assert rebuilt == expected, (n, size, overlap)
+        rebuilt.extend(rows[-1].chunk_text.split(" "))
+        assert rebuilt == words, (n, size, overlap)
+
+
+def test_empty_and_whitespace_docs_emit_no_chunks(spark):
+    """Empty / whitespace-only docs must produce ZERO chunk rows, not a
+    phantom one-token chunk (advisor r4 finding); real docs alongside
+    them are unaffected."""
+    by_doc = _chunks(spark, ["", "   ", "\t\n ", "real text here"], size=4, overlap=1)
+    assert set(by_doc) == {3}
+    assert by_doc[3][0].chunk_text == "real text here"
+    assert by_doc[3][0].chunk_tokens == 3

@@ -388,4 +388,92 @@ def test_stream_near_dup_filter(spark, tmp_path):
     assert kept_ids == [1, 2, 4]
     state_ids = sorted(r.doc_id for r in spark.read.parquet(state).collect())
     assert state_ids == [1, 2, 4]
-    assert set(spark.read.parquet(state).columns) == {"doc_id", "hs", "sig"}
+    assert set(spark.read.parquet(state).columns) == {
+        "doc_id", "hs", "sig", "batch_id"
+    }
+    # the batch operator can probe the streaming-written state directly
+    # (shared-state contract): a near-dup of doc 4 is dropped
+    from bunsen_spark.operators.dedup import incremental_near_dup
+
+    probe = spark.createDataFrame(
+        [(9, "another unrelated parquet shuffle story again")], schema
+    )
+    kept2 = incremental_near_dup(probe, spark.read.parquet(state), 0.5)
+    assert kept2.count() == 0
+
+
+def test_stream_near_dup_replay_idempotent(spark, tmp_path):
+    """A crashed-and-replayed micro-batch must not lose survivors or
+    duplicate state: the foreachBatch body overwrites only its own
+    batch_id partition and filters against strictly-earlier state, so
+    re-running the same (batch_df, batch_id) — including after a crash
+    between the state write and the out_path write — converges to the
+    same state and survivor sets."""
+    import pyspark.sql.types as T
+
+    from bunsen_spark.streaming import ingest as ing
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    b0 = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog near the river bank today"),
+            (2, "completely different text about spark distributed query planning engines"),
+        ],
+        schema,
+    )
+    b1 = spark.createDataFrame(
+        [
+            (3, "the quick brown fox jumps over the lazy dog near the river bank now"),
+            (4, "another unrelated parquet shuffle story"),
+        ],
+        schema,
+    )
+    state = str(tmp_path / "state")
+    out = str(tmp_path / "kept")
+
+    # reach into the operator: build the same _process closure the sink uses
+    captured = {}
+
+    class _FakeStream:
+        class writeStream:  # noqa: N801 — mimic the attribute chain
+            @staticmethod
+            def foreachBatch(fn):
+                captured["fn"] = fn
+
+                class _W:
+                    @staticmethod
+                    def option(*a, **k):
+                        return _W
+
+                    @staticmethod
+                    def trigger(**k):
+                        return _W
+
+                    @staticmethod
+                    def start():
+                        return None
+
+                return _W
+
+    ing.stream_near_dup_filter(_FakeStream, state, str(tmp_path / "ck"), out_path=out)
+    process = captured["fn"]
+
+    def snapshot():
+        s = sorted(r.doc_id for r in spark.read.parquet(state).collect())
+        o = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+        return s, o
+
+    process(b0, 0)
+    process(b1, 1)
+    want = snapshot()
+    assert want == ([1, 2, 4], [1, 2, 4])
+    # replay batch 1 (as after a crash post-state-write, pre-out-write):
+    # state already contains batch 1's own signatures — they must be
+    # excluded from the filter, not self-match
+    process(b1, 1)
+    assert snapshot() == want
+    # replay batch 0 too (both partitions already present)
+    process(b0, 0)
+    assert snapshot() == want
