@@ -35,7 +35,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .text_analysis import MERSENNE31, md5int, md5int_sql
+from .text_analysis import MERSENNE31, hash31, md5int, md5int_sql
 from ..persist import materialize, materialize_eager
 
 #: word n-gram order used by the similarity-family dedup operators —
@@ -115,7 +115,11 @@ def _with_shingles(docs: DataFrame, n: int = SHINGLE_N) -> DataFrame:
 
 
 def jaccard_pairs(
-    docs: DataFrame, n: int = SHINGLE_N, threshold: float = 0.5, max_df: int = 1000
+    docs: DataFrame,
+    n: int = SHINGLE_N,
+    threshold: float = 0.5,
+    max_df: int = 1000,
+    portable: bool = False,
 ) -> DataFrame:
     """Exact Jaccard near-dup pairs over word ``n``-gram shingle sets,
     via posting-list self-join; shingles with document frequency >
@@ -128,7 +132,9 @@ def jaccard_pairs(
     which also affect both engines' set sizes the same way)."""
     postings = _with_shingles(docs, n).select(
         "doc_id",
-        F.explode(F.array_distinct(_shingle_hashes(F.col("shingles")))).alias("s"),
+        F.explode(
+            F.array_distinct(_shingle_hashes(F.col("shingles"), portable))
+        ).alias("s"),
     )
     # one aggregation per shingle replaces the classic posting-list
     # SELF-JOIN: the doc list is collected once, df-pruning is a filter
@@ -216,11 +222,13 @@ ROWS_PER_BAND = NUM_HASHES // BANDS
 MINHASH_A = [((k + 1) * 2654435761) % MERSENNE31 for k in range(NUM_HASHES)]
 MINHASH_B = [(k * k * 912367 + 7) % MERSENNE31 for k in range(NUM_HASHES)]
 
-def _shingle_hashes(col: Column) -> Column:
-    return F.transform(col, lambda s: md5int(s) % MERSENNE31)
+def _shingle_hashes(col: Column, portable: bool = False) -> Column:
+    # hash31: xxhash64 fast path by default; md5 family when a DuckDB
+    # twin needs bit-exact parity (gate queries pin portable=True)
+    return F.transform(col, lambda s: hash31(s, portable))
 
 
-def minhash_signature(docs: DataFrame) -> DataFrame:
+def minhash_signature(docs: DataFrame, portable: bool = False) -> DataFrame:
     """(doc_id, hs array<long>, sig array<long>): the distinct hashed
     shingle set and the ``NUM_HASHES``-wide MinHash signature over it.
 
@@ -230,7 +238,7 @@ def minhash_signature(docs: DataFrame) -> DataFrame:
     word n-gram strings (~an order of magnitude smaller)."""
     base = _with_shingles(docs).select(
         "doc_id",
-        F.array_distinct(_shingle_hashes(F.col("shingles"))).alias("hs"),
+        F.array_distinct(_shingle_hashes(F.col("shingles"), portable)).alias("hs"),
     )
     def perm(a: int, b: int):
         return lambda h: (F.lit(a) * h + F.lit(b)) % MERSENNE31
@@ -262,7 +270,9 @@ def _band_keys() -> Column:
     )
 
 
-def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
+def minhash_lsh_pairs(
+    docs: DataFrame, threshold: float = 0.5, portable: bool = False
+) -> DataFrame:
     """Near-dup pairs: LSH banding proposes candidates (docs agreeing
     on all ``ROWS_PER_BAND`` signature slots of some band), exact
     Jaccard over the hashed shingle sets verifies (the oracle hashes
@@ -272,7 +282,7 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     # permutation mins) feeds three consumers (buckets, both verify
     # sides); a lazy checkpoint materializes it once instead of three
     # times — state is (doc_id, hs, sig), far smaller than the text
-    sigs = minhash_signature(docs).transform(materialize)
+    sigs = minhash_signature(docs, portable).transform(materialize)
     buckets = sigs.select("doc_id", F.explode(_band_keys()).alias("bk"))
     cand = (
         buckets.alias("x")
@@ -583,12 +593,12 @@ SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS
 HAMMING_MAX = 3
 
 
-def simhash_signature(docs: DataFrame) -> DataFrame:
+def simhash_signature(docs: DataFrame, portable: bool = False) -> DataFrame:
     """(doc_id, sig long): 32-bit SimHash over the shingle md5
     hashes — bit b is 1 iff more word hashes have bit b set than not."""
     base = _with_shingles(docs).select(
         "doc_id",
-        _shingle_hashes(F.col("shingles")).alias("hs"),
+        _shingle_hashes(F.col("shingles"), portable).alias("hs"),
         F.size("shingles").alias("n"),
     )
     def bit_set(b: int):
@@ -606,13 +616,15 @@ def simhash_signature(docs: DataFrame) -> DataFrame:
     return base.select("doc_id", sig.alias("sig"))
 
 
-def simhash_pairs(docs: DataFrame, hamming_max: int = HAMMING_MAX) -> DataFrame:
+def simhash_pairs(
+    docs: DataFrame, hamming_max: int = HAMMING_MAX, portable: bool = False
+) -> DataFrame:
     """Near-dup pairs by SimHash: candidates share one of the 4
     signature bytes (LSH on bands), verified by Hamming distance ≤
     ``hamming_max``. Output: (a_id, b_id, hamming)."""
     # the 32-bit-count signature scan feeds both sides of the bucket
     # self-join; materialize it once (state: doc_id + one long)
-    sigs = simhash_signature(docs).transform(materialize)
+    sigs = simhash_signature(docs, portable).transform(materialize)
     band_keys = F.array(
         *[
             F.concat_ws(
@@ -897,17 +909,20 @@ def incremental_dedup(new_docs: DataFrame, seen: DataFrame) -> DataFrame:
     )
 
 
-def minhash_state(docs: DataFrame) -> DataFrame:
+def minhash_state(docs: DataFrame, portable: bool = False) -> DataFrame:
     """Persistable near-dup state for :func:`incremental_near_dup`:
     ``(doc_id, hs, sig)`` — hashed shingle sets + MinHash signatures,
     no text. State size is O(tokens) longs per doc (~10× smaller than
     text); at warehouse scale persist it range- or bucket-partitioned
     and append each batch's kept rows."""
-    return minhash_signature(docs)
+    return minhash_signature(docs, portable)
 
 
 def incremental_near_dup(
-    new_docs: DataFrame, state: DataFrame, threshold: float = 0.5
+    new_docs: DataFrame,
+    state: DataFrame,
+    threshold: float = 0.5,
+    portable: bool = False,
 ) -> DataFrame:
     """Incremental near-dup filter: the new-batch docs that are NOT
     MinHash-near-duplicates of any doc in ``state`` (rows from
@@ -928,8 +943,13 @@ def incremental_near_dup(
     |batch| × |state|. Exact-Jaccard verification (precision 1) runs
     only on candidates. A warehouse that stores the exploded state
     buckets bucketed by ``bk`` (sources/warehouse.py) makes the
-    candidate join bucket-local."""
-    batch = minhash_signature(new_docs).transform(materialize)
+    candidate join bucket-local.
+
+    ``portable`` MUST match the family ``state`` was built with
+    (`minhash_state(..., portable=...)`): signatures from different
+    hash families never collide, so a mismatch silently keeps
+    everything."""
+    batch = minhash_signature(new_docs, portable).transform(materialize)
     bb = batch.select(F.col("doc_id").alias("b_id"), F.explode(_band_keys()).alias("bk"))
     sb = state.select(F.col("doc_id").alias("s_id"), F.explode(_band_keys()).alias("bk"))
     cand = bb.join(sb, "bk").select("b_id", "s_id").distinct()

@@ -36,6 +36,22 @@ def md5int_sql(expr: str) -> str:
     return f"CAST(('0x' || substring(md5({expr}), 1, 13)) AS BIGINT)"
 
 
+def hash31(col: Column, portable: bool = False) -> Column:
+    """Non-negative integer hash in ``[0, MERSENNE31)`` of a string
+    column — THE hash family switch for the shingle/gram hot loops
+    (same pattern as `sketches._cm_pos`). Default is ``xxhash64``:
+    whole-stage-codegen JVM hashing, ~5-10× faster per call than md5 —
+    the production path, since gram hashing dominates CPU at corpus
+    scale. ``portable=True`` selects the md5 family reproducible
+    bit-for-bit in DuckDB; the oracle gate entries pin it. Both
+    families yield the same uniform [0, 2^31-1) domain, so every
+    downstream decision (MinHash permutations, SimHash bits, LSH bands,
+    Jaccard on hashed sets, winnowing minima) is family-agnostic."""
+    if portable:
+        return md5int(col) % MERSENNE31
+    return F.pmod(F.xxhash64(col), F.lit(MERSENNE31))
+
+
 def words_col(text: Column) -> Column:
     """Lowercased alphanumeric word tokens."""
     return F.regexp_extract_all(F.lower(text), F.lit("[a-z0-9]+"), 0)
@@ -225,20 +241,22 @@ FP_K = 8  #: fingerprint k-gram length (characters)
 FP_WINDOW = 16  #: winnowing window (k-grams per window)
 
 
-def fingerprint(docs: DataFrame) -> DataFrame:
+def fingerprint(docs: DataFrame, portable: bool = False) -> DataFrame:
     """Rolling-hash document fingerprint (winnowing-style): hash every
     ``FP_K``-char gram of the lowercased text, then keep the minimum
     hash of each ``FP_WINDOW``-wide window; the distinct window minima
     form the fingerprint set. Output: (doc_id, n_grams, fp_min,
     fp_size) where fp_min is the global minimum gram hash and fp_size
-    the winnowed-set size."""
+    the winnowed-set size. Per-gram hashing dominates this operator's
+    CPU; ``portable`` selects the :func:`hash31` family (xxhash64
+    default; md5 for the DuckDB-twin gate)."""
     # lower(text) is materialized first: substr-ing lower(text) inside
     # the lambda would re-lower the whole text per gram position
     grams = F.expr(
         f"transform(sequence(1, greatest(char_length(__t) - {FP_K - 1}, 1)),"
         f" i -> substr(__t, i, {FP_K}))"
     )
-    hashes = F.transform(grams, lambda g: md5int(g) % MERSENNE31)
+    hashes = F.transform(grams, lambda g: hash31(g, portable))
     windows = F.expr(
         f"transform(sequence(1, greatest(size(__hashes) - {FP_WINDOW - 1}, 1)),"
         f" i -> array_min(slice(__hashes, i, {FP_WINDOW})))"

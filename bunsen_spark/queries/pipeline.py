@@ -36,7 +36,7 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.text_analysis import fingerprint
 
-    return fingerprint(load(spark, sf_dir, "documents"))
+    return fingerprint(load(spark, sf_dir, "documents"), portable=True)
 
 
 def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -54,19 +54,19 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import jaccard_pairs
 
-    return jaccard_pairs(load(spark, sf_dir, "documents"))
+    return jaccard_pairs(load(spark, sf_dir, "documents"), portable=True)
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import minhash_lsh_pairs
 
-    return minhash_lsh_pairs(load(spark, sf_dir, "documents"))
+    return minhash_lsh_pairs(load(spark, sf_dir, "documents"), portable=True)
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import simhash_pairs
 
-    return simhash_pairs(load(spark, sf_dir, "documents"))
+    return simhash_pairs(load(spark, sf_dir, "documents"), portable=True)
 
 
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -182,7 +182,9 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     a WITH RECURSIVE reachability oracle)."""
     from ..operators.dedup import minhash_lsh_pairs, near_dup_clusters
 
-    return near_dup_clusters(minhash_lsh_pairs(load(spark, sf_dir, "documents")))
+    return near_dup_clusters(
+        minhash_lsh_pairs(load(spark, sf_dir, "documents"), portable=True)
+    )
 
 
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

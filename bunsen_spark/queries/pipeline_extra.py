@@ -133,9 +133,11 @@ def dedup_incremental_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the state feeds both the bucket join and the verify join inside
     # the operator; a real deployment reads it from parquet (one scan
     # per consumer), but here it is computed — materialize it once
-    state = minhash_state(docs.where(F.col("doc_id") < 250)).transform(materialize)
+    state = minhash_state(
+        docs.where(F.col("doc_id") < 250), portable=True
+    ).transform(materialize)
     batch = docs.where(F.col("doc_id") >= 250)
-    kept = incremental_near_dup(batch, state, threshold=0.5)
+    kept = incremental_near_dup(batch, state, threshold=0.5, portable=True)
     return kept.select("doc_id", F.size("hs").cast("long").alias("n_shingles"))
 
 

@@ -110,6 +110,7 @@ def stream_near_dup_filter(
     out_path: str | None = None,
     threshold: float = 0.5,
     trigger_available_now: bool = True,
+    portable: bool = False,
 ):
     """Streaming near-dup decontamination: every micro-batch is
     filtered against the persistent MinHash state
@@ -134,7 +135,10 @@ def stream_near_dup_filter(
     survivors) and simply rewrites its own partitions. The kept rows
     are eagerly materialized BEFORE the overwrite so the read and the
     write of the same path never overlap. ``out_path``, when given,
-    receives the surviving documents themselves."""
+    receives the surviving documents themselves. ``portable`` selects
+    the shingle hash family (`text_analysis.hash31`) and MUST stay
+    constant for the lifetime of one state table — signatures from
+    different families never match."""
     from ..operators.dedup import incremental_near_dup, minhash_state
 
     def _state_exists(spark: SparkSession) -> bool:
@@ -160,9 +164,9 @@ def stream_near_dup_filter(
             state = spark.read.parquet(state_path).where(
                 F.col("batch_id") < F.lit(batch_id)
             )
-            kept = incremental_near_dup(batch_df, state, threshold)
+            kept = incremental_near_dup(batch_df, state, threshold, portable)
         else:
-            kept = minhash_state(batch_df)
+            kept = minhash_state(batch_df, portable)
         from ..persist import materialize
 
         kept = kept.withColumn("batch_id", F.lit(batch_id))
