@@ -79,6 +79,18 @@ def bloom_words(
     )
 
 
+def bloom_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Merge two word tables built with identical (num_bits,
+    num_hashes): the filter of the UNION of the two key sets. Bitwise
+    OR per word — the warehouse pattern: persist per-partition /
+    per-day word tables, roll up later without re-reading keys."""
+    return (
+        a.unionByName(b)
+        .groupBy("word_idx")
+        .agg(F.bit_or("word").alias("word"))
+    )
+
+
 def bloom_prefilter(
     fact: DataFrame,
     key_col: str,
