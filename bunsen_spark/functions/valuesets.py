@@ -90,7 +90,9 @@ def build_valuesets(
         if isinstance(spec, HierarchyDescendants):
             if hierarchies is None:
                 raise ValueError(f"valueset {ref!r} needs a Hierarchies store for isa_* resolution")
-            rows = hierarchies.descendants_of(spec.system, spec.code).collect()
+            rows = hierarchies.descendants_of(
+                spec.system, spec.code, uri=spec.hierarchy_uri, version=spec.version
+            ).collect()
             for r in rows:
                 systems.setdefault(r["system"], set()).add(r["value"])
         elif isinstance(spec, ValueSetReference):

@@ -166,11 +166,35 @@ class Hierarchies:
             F.max("version").alias("version")
         )
 
-    def descendants_of(self, system: str, value: str) -> DataFrame:
+    def descendants_of(
+        self,
+        system: str,
+        value: str,
+        uri: str | None = None,
+        version: str | None = None,
+    ) -> DataFrame:
         """(system, value) rows for all descendants of a code, including
-        the code itself (self-membership, BroadcastableValueSets.java:318-324)."""
+        the code itself (self-membership, BroadcastableValueSets.java:318-324).
+
+        Version semantics match the reference
+        (`BroadcastableValueSets.java:209-230` / `addDescendantsOf`
+        overloads at :144-180): an explicit ``version`` pins that
+        hierarchy version; ``version=None`` resolves to the LATEST
+        version per uri (lexicographic max), so loading a newer
+        hierarchy version changes unpinned valuesets but never pinned
+        ones. ``uri`` optionally restricts to one hierarchy."""
+        df = self.ancestors
+        if uri is not None:
+            df = df.where(F.col("uri") == uri)
+        if version is not None:
+            df = df.where(F.col("version") == version)
+        else:
+            latest = self.latest_versions()
+            if uri is not None:
+                latest = latest.where(F.col("uri") == uri)
+            df = df.join(F.broadcast(latest), ["uri", "version"], "left_semi")
         hits = (
-            self.ancestors.where(
+            df.where(
                 (F.col("ancestorSystem") == system) & (F.col("ancestorValue") == value)
             )
             .select(

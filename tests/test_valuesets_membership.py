@@ -115,3 +115,85 @@ def test_push_pop_stack(spark, loinc, pushed):
 def test_semi_join_form(observations, pushed):
     bp = in_valueset_join(observations, "code", "blood_pressure")
     assert bp.count() == 14
+
+
+# -- multi-version hierarchies: pin vs latest (VERDICT r4 #5) ---------------
+# Reference semantics: BroadcastableValueSets.java:144-180 (addDescendantsOf
+# overloads) + :209-230 (unversioned ancestors resolve to the hierarchy's
+# latest version). Two LOINC hierarchy versions are loaded; an unpinned
+# isa_loinc must follow the NEWER tree, a pinned one must not move.
+
+
+@pytest.fixture(scope="module")
+def loinc_two_versions(spark, loinc):
+    """v2.56 = the fixture tree; v2.60 = a revision where 5000-5 was
+    re-parented OUT of the leukocyte panel (to LP200-2) and a new code
+    7000-7 added under LP110-1."""
+    edges_v2 = spark.createDataFrame(
+        [
+            ("http://loinc.org", "LP000-9", "http://loinc.org", "LP100-0"),
+            ("http://loinc.org", "LP100-0", "http://loinc.org", "LP110-1"),
+            ("http://loinc.org", "LP110-1", "http://loinc.org", "7000-7"),
+            ("http://loinc.org", "LP000-9", "http://loinc.org", "LP200-2"),
+            ("http://loinc.org", "LP200-2", "http://loinc.org", "5000-5"),
+            ("http://loinc.org", "LP200-2", "http://loinc.org", "6000-6"),
+        ],
+        "ancestorSystem string, ancestorValue string, "
+        "descendantSystem string, descendantValue string",
+    )
+    newer = Hierarchies.from_edges(
+        spark, edges_v2, "urn:bunsen-spark:hierarchy:loinc", "2.60"
+    )
+    return loinc.with_hierarchy(newer)
+
+
+def test_descendants_pinned_version(loinc_two_versions):
+    got = {
+        r["value"]
+        for r in loinc_two_versions.descendants_of(
+            "http://loinc.org", "LP100-0", version="2.56"
+        ).collect()
+    }
+    assert got == {"LP100-0", "LP110-1", "5000-5"}
+
+
+def test_descendants_unpinned_follows_latest(loinc_two_versions):
+    got = {
+        r["value"]
+        for r in loinc_two_versions.descendants_of(
+            "http://loinc.org", "LP100-0"
+        ).collect()
+    }
+    # 5000-5 moved out in 2.60; 7000-7 moved in
+    assert got == {"LP100-0", "LP110-1", "7000-7"}
+
+
+def test_membership_pinned_vs_latest(spark, observations, loinc_two_versions):
+    from bunsen_spark.functions.valuesets import build_valuesets
+
+    vs = build_valuesets(
+        spark,
+        {
+            "leuk_latest": isa_loinc("LP100-0"),
+            "leuk_2_56": isa_loinc("LP100-0", "2.56"),
+        },
+        hierarchies=loinc_two_versions,
+    )
+    # the 3 leukocyte observations carry code 5000-5: still members
+    # under the pinned 2.56 tree, no longer members under latest (2.60)
+    n_latest = observations.where(
+        in_valueset(F.col("code"), "leuk_latest", vs)
+    ).count()
+    n_pinned = observations.where(
+        in_valueset(F.col("code"), "leuk_2_56", vs)
+    ).count()
+    assert n_pinned == 3
+    assert n_latest == 0
+
+
+def test_latest_versions_lexicographic(loinc_two_versions):
+    rows = {
+        (r["uri"], r["version"])
+        for r in loinc_two_versions.latest_versions().collect()
+    }
+    assert rows == {("urn:bunsen-spark:hierarchy:loinc", "2.60")}
