@@ -276,3 +276,73 @@ def test_spec_auto_load_base_definition_wins_fallback_alias(
     reg = default_registry()
     assert reg.get("CarePlan") is reg.get("http://hl7.org/fhir/StructureDefinition/CarePlan")
     assert reg.get("CarePlan") is not reg.get("us-core-careplan")
+
+
+def test_fetch_spec_tool_validates_and_self_checks(tmp_path):
+    """`tools/fetch_spec.py` (VERDICT r4 #3): the one manual drop-in
+    step is self-checking — given a publish-format Bundle it minimizes,
+    installs, and proves the check types schema-compile; given a wrong
+    artifact it exits non-zero with a actionable message."""
+    import subprocess
+    import sys as _sys
+
+    repo = Path(__file__).resolve().parent.parent
+    src = tmp_path / "profiles-resources.json"
+    src.write_text(
+        json.dumps(
+            {
+                "resourceType": "Bundle",
+                "entry": [{"resource": _claim_structure_definition()}],
+            }
+        )
+    )
+    dest = tmp_path / "spec_out"
+    r = subprocess.run(
+        [
+            _sys.executable,
+            str(repo / "tools" / "fetch_spec.py"),
+            str(src),
+            "--dest",
+            str(dest),
+            "--check",
+            "Claim",
+        ],
+        capture_output=True,
+        text=True,
+        cwd=str(tmp_path),  # NOT the repo root: the convention dir must not leak in
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "OK  Claim" in r.stdout
+    assert "self-check passed" in r.stdout
+    assert (dest / "profiles-resources.min.json").exists()
+
+    # an unknown check type fails loudly
+    r2 = subprocess.run(
+        [
+            _sys.executable,
+            str(repo / "tools" / "fetch_spec.py"),
+            str(src),
+            "--dest",
+            str(tmp_path / "o2"),
+            "--check",
+            "Claim",
+            "NoSuchResource",
+        ],
+        capture_output=True,
+        text=True,
+        cwd=str(tmp_path),
+    )
+    assert r2.returncode == 1
+    assert "FAIL NoSuchResource" in r2.stdout
+
+    # a non-Bundle file is rejected with guidance
+    bad = tmp_path / "bad.json"
+    bad.write_text(json.dumps({"resourceType": "Patient"}))
+    r3 = subprocess.run(
+        [_sys.executable, str(repo / "tools" / "fetch_spec.py"), str(bad)],
+        capture_output=True,
+        text=True,
+        cwd=str(tmp_path),
+    )
+    assert r3.returncode != 0
+    assert "expected a Bundle" in r3.stderr
