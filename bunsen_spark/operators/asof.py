@@ -32,6 +32,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..persist import materialize
+
 
 def as_of_join(
     left: DataFrame,
@@ -122,7 +124,12 @@ def as_of_join(
         # hot-key guard: window per (key, time bucket); requires a
         # numeric ts (epoch micros/millis — the engine convention)
         bkt = "__bkt"
-        unioned = unioned.withColumn(bkt, F.floor(F.col(ts) / F.lit(time_bucket)))
+        # consumed three times below (intra window, per-bucket summary,
+        # carry key-set); materialize once so the input subplans are
+        # not re-derived per consumer
+        unioned = unioned.withColumn(
+            bkt, F.floor(F.col(ts) / F.lit(time_bucket))
+        ).transform(materialize)
         wb = (
             Window.partitionBy(*on, bkt)
             .orderBy(ts_order, side_order)

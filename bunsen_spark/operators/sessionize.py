@@ -33,6 +33,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..persist import materialize
+
 
 def sessionize(
     df: DataFrame,
@@ -42,14 +44,43 @@ def sessionize(
     order_cols: list[str] | None = None,
     time_bucket: int | float | None = None,
     session_col: str = "session_id",
+    hot_key_threshold: int | None = None,
 ) -> DataFrame:
     """Append ``session_col``: a per-``keys`` session number (1-based,
     in time order) where a new session starts whenever the gap from
     the previous event exceeds ``gap``. ``ts`` must be numeric (epoch
     micros by engine convention); ``order_cols`` break timestamp ties
     deterministically. ``time_bucket`` (same units as ``ts``) bounds
-    per-task input for skewed keys — see module docstring."""
+    per-task input for skewed keys — see module docstring.
+
+    ``hot_key_threshold`` (requires ``time_bucket``) confines the
+    guard to the keys that need it: one map-side-combined per-key
+    count feeds a broadcast hot-key flag, keys with ≥ threshold rows
+    take the bucketed path, the rest the plain single-window path, and
+    the union is exact (keys are independent). This removes the
+    guard's fixed overhead from the cold majority — measured at 2M
+    rows / 10k keys with one 50%-hot key: plain 4.6 s (straggler),
+    all-bucketed 8-12 s, hot-only ~3.5 s (see PERF.md r5)."""
     order_cols = order_cols or []
+    if hot_key_threshold is not None:
+        if time_bucket is None:
+            raise ValueError("hot_key_threshold requires time_bucket")
+        hot = (
+            df.groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("__kn"))
+            .where(F.col("__kn") >= hot_key_threshold)
+            .select(*keys, F.lit(True).alias("__hot"))
+        )
+        tagged = df.join(F.broadcast(hot), keys, "left")
+        cold = sessionize(
+            tagged.where(F.col("__hot").isNull()).drop("__hot"),
+            keys, ts, gap, order_cols, None, session_col,
+        )
+        hotd = sessionize(
+            tagged.where(F.col("__hot")).drop("__hot"),
+            keys, ts, gap, order_cols, time_bucket, session_col,
+        )
+        return cold.unionByName(hotd)
     if time_bucket is None:
         w = Window.partitionBy(*keys).orderBy(ts, *order_cols)
         wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -77,6 +108,9 @@ def sessionize(
         bdf.groupBy(*keys, bkt)
         .agg(F.max(ts).alias("__bkt_max_ts"))
         .select(*keys, bkt, F.last("__bkt_max_ts").over(wprev).alias("__prev_ts"))
+        # consumed by BOTH flagged copies below; one row per (key,
+        # bucket), so materializing is cheap and halves the agg+window
+        .transform(materialize)
     )
     flagged = (
         bdf.join(prev_ts, [*keys, bkt], "left")
@@ -90,6 +124,10 @@ def sessionize(
             .when(F.col("__prev").isNull(), 1)
             .otherwise(0),
         )
+        # consumed twice (offset aggregate + final join): without this,
+        # the whole join+window subtree over the BIG frame runs twice —
+        # measured 36 s vs 8 s at 2M rows / 1.2M (key, bucket) groups
+        .transform(materialize)
     )
     # per-bucket session-start counts, prefix-summed EXCLUSIVELY across
     # buckets -> each bucket's session-id offset (tiny frame again)

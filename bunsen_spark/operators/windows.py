@@ -32,14 +32,37 @@ def prefix_sum(
     order_cols: list[str] | None = None,
     time_bucket: int | float | None = None,
     out_col: str = "running",
+    hot_key_threshold: int | None = None,
 ) -> DataFrame:
     """Append ``out_col``: the running total of ``value`` per ``keys``
     in ``(ts, *order_cols)`` order, inclusive of the current row.
     ``ts`` must be numeric when ``time_bucket`` is set (epoch micros by
     engine convention). ``value`` may be a column name or Column; it
-    must be an exactly-summable type (see module docstring)."""
+    must be an exactly-summable type (see module docstring).
+    ``hot_key_threshold`` (requires ``time_bucket``) routes only keys
+    with ≥ threshold rows through the bucketed guard — same split as
+    ``sessionize``; the per-key union is exact."""
     order_cols = order_cols or []
     val = F.col(value) if isinstance(value, str) else value
+    if hot_key_threshold is not None:
+        if time_bucket is None:
+            raise ValueError("hot_key_threshold requires time_bucket")
+        hot = (
+            df.groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("__kn"))
+            .where(F.col("__kn") >= hot_key_threshold)
+            .select(*keys, F.lit(True).alias("__hot"))
+        )
+        tagged = df.join(F.broadcast(hot), keys, "left")
+        cold = prefix_sum(
+            tagged.where(F.col("__hot").isNull()).drop("__hot"),
+            keys, ts, value, order_cols, None, out_col,
+        )
+        hotd = prefix_sum(
+            tagged.where(F.col("__hot")).drop("__hot"),
+            keys, ts, value, order_cols, time_bucket, out_col,
+        )
+        return cold.unionByName(hotd)
     if time_bucket is None:
         w = (
             Window.partitionBy(*keys)

@@ -234,3 +234,63 @@ def test_asof_bucketed_exhaustive_boundary_sweep(spark):
                 strict=strict, direction=direction, time_bucket=2,
             ).collect()
             assert _key(base, cols) == _key(guarded, cols), (direction, strict)
+
+
+def test_sessionize_hot_key_threshold_exact(spark):
+    """hot_key_threshold split (cold plain / hot bucketed) must produce
+    exactly the plain result — keys are independent, so the routed
+    union is not an approximation."""
+    import random
+
+    from bunsen_spark.operators.sessionize import sessionize
+
+    rng = random.Random(5)
+    rows = []
+    for u in range(40):
+        n = 400 if u == 0 else rng.randrange(3, 25)  # user 0 is hot
+        t = 0
+        for _ in range(n):
+            t += rng.randrange(1, 120)
+            rows.append((u, t))
+    df = spark.createDataFrame(rows, "user_id long, us long")
+    plain = sessionize(df, ["user_id"], "us", gap=40)
+    routed = sessionize(
+        df, ["user_id"], "us", gap=40, time_bucket=200, hot_key_threshold=100
+    )
+    key = lambda d: sorted((r.user_id, r.us, r.session_id) for r in d.collect())
+    assert key(routed) == key(plain)
+
+
+def test_prefix_sum_hot_key_threshold_exact(spark):
+    import random
+
+    from bunsen_spark.operators.windows import prefix_sum
+
+    rng = random.Random(6)
+    rows = []
+    for u in range(30):
+        n = 300 if u < 2 else rng.randrange(2, 20)
+        t = 0
+        for _ in range(n):
+            t += rng.randrange(1, 50)
+            rows.append((u, t, rng.randrange(-5, 10)))
+    df = spark.createDataFrame(rows, "user_id long, us long, v long")
+    plain = prefix_sum(df, ["user_id"], "us", "v")
+    routed = prefix_sum(
+        df, ["user_id"], "us", "v", time_bucket=77, hot_key_threshold=150
+    )
+    key = lambda d: sorted((r.user_id, r.us, r.running) for r in d.collect())
+    assert key(routed) == key(plain)
+
+
+def test_hot_key_threshold_requires_bucket(spark):
+    import pytest as _pytest
+
+    from bunsen_spark.operators.sessionize import sessionize
+    from bunsen_spark.operators.windows import prefix_sum
+
+    df = spark.createDataFrame([(1, 1)], "user_id long, us long")
+    with _pytest.raises(ValueError, match="requires time_bucket"):
+        sessionize(df, ["user_id"], "us", 10, hot_key_threshold=5)
+    with _pytest.raises(ValueError, match="requires time_bucket"):
+        prefix_sum(df, ["user_id"], "us", "us", hot_key_threshold=5)
