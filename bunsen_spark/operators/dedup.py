@@ -1014,3 +1014,94 @@ SELECT doc_id, CAST(len(hs) AS BIGINT) AS n_shingles
 FROM sigs
 WHERE NOT in_state AND doc_id NOT IN (SELECT b_id FROM dropped)
 """
+
+
+# -- cross-corpus fuzzy join (record linkage) --------------------------------
+
+
+def fuzzy_text_join(
+    left: DataFrame,
+    right: DataFrame,
+    threshold: float = 0.5,
+    portable: bool = False,
+) -> DataFrame:
+    """Near-duplicate pairs ACROSS two corpora (record linkage /
+    cross-corpus decontamination with witness pairs): every
+    (left.doc_id, right.doc_id) whose word-shingle Jaccard ≥
+    ``threshold``. Output: (l_id, r_id, jaccard rounded 6).
+
+    Same MinHash-LSH machinery as :func:`minhash_lsh_pairs`, but the
+    band join is left-buckets ⋈ right-buckets, so candidates are
+    linear in cross-bucket collisions and the corpora are never
+    cross-joined. Exact-Jaccard verification on the hashed shingle
+    sets keeps precision 1 (family-agnostic decisions, like the
+    in-corpus operator). Both sides' signature scans materialize once.
+
+    Unlike :func:`ngram_contamination` (which broadcasts a SMALL probe
+    set and returns only overlap counts), this form handles two LARGE
+    corpora — neither side is collected or broadcast — and names the
+    matching pairs, which decontamination audits need."""
+    ls = minhash_signature(left, portable).transform(materialize)
+    rs = minhash_signature(right, portable).transform(materialize)
+    lb = ls.select(F.col("doc_id").alias("l_id"), F.explode(_band_keys()).alias("bk"))
+    rb = rs.select(F.col("doc_id").alias("r_id"), F.explode(_band_keys()).alias("bk"))
+    cand = lb.join(rb, "bk").select("l_id", "r_id").distinct()
+    ha = ls.select(F.col("doc_id").alias("l_id"), F.col("hs").alias("ha"))
+    hb = rs.select(F.col("doc_id").alias("r_id"), F.col("hs").alias("hb"))
+    return (
+        cand.join(ha, "l_id")
+        .join(hb, "r_id")
+        .withColumn("i", F.size(F.array_intersect("ha", "hb")))
+        .select(
+            "l_id",
+            "r_id",
+            (F.col("i") / (F.size("ha") + F.size("hb") - F.col("i"))).alias("j"),
+        )
+        .where(F.col("j") >= threshold)
+        .select("l_id", "r_id", F.round("j", 6).alias("jaccard"))
+    )
+
+
+def fuzzy_text_join_sql(
+    table: str = "documents",
+    left_filter: str = "doc_id % 2 = 0",
+    threshold: float = 0.5,
+) -> str:
+    """DuckDB twin of one :func:`fuzzy_text_join` over ``table`` split
+    by ``left_filter`` (left side) vs its complement (right side)."""
+    shingle_hash = f"{md5int_sql('s')} % {MERSENNE31}"
+    mins = ", ".join(
+        f"list_min(list_transform(hs, h -> ({MINHASH_A[k]} * h + {MINHASH_B[k]}) % {MERSENNE31}))"
+        for k in range(NUM_HASHES)
+    )
+    band_keys = ", ".join(
+        "concat_ws('-', "
+        + f"{i}, "
+        + ", ".join(f"sig[{i * ROWS_PER_BAND + r + 1}]" for r in range(ROWS_PER_BAND))
+        + ")"
+        for i in range(BANDS)
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         list_distinct(list_transform({shingles_sql(SHINGLE_N)}, s -> {shingle_hash})) AS hs,
+         ({left_filter}) AS is_left
+  FROM {table}
+), sigs AS (
+  SELECT doc_id, hs, is_left, [{mins}] AS sig FROM base
+), buckets AS (
+  SELECT doc_id, is_left, unnest([{band_keys}]) AS bk FROM sigs
+), cand AS (
+  SELECT DISTINCT l.doc_id AS l_id, r.doc_id AS r_id
+  FROM buckets l JOIN buckets r USING (bk)
+  WHERE l.is_left AND NOT r.is_left
+)
+SELECT l_id, r_id, round(j, 6) AS jaccard FROM (
+  SELECT l_id, r_id,
+         len(list_intersect(sa.hs, sb.hs))
+           / (len(sa.hs) + len(sb.hs) - len(list_intersect(sa.hs, sb.hs))) AS j
+  FROM cand
+  JOIN sigs sa ON sa.doc_id = l_id
+  JOIN sigs sb ON sb.doc_id = r_id
+) WHERE j >= {threshold}
+"""

@@ -13,7 +13,7 @@ This is the horizontally-scalable replacement for ``randomSplit`` /
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .text_analysis import md5int, md5int_sql
@@ -191,4 +191,51 @@ SELECT d.*
 FROM {table} d
 JOIN rates r USING ({strata_col})
 WHERE {_bucket_sql(f'd.{key}')} < r._cutoff
+"""
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    cap: int,
+    score_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep at most ``cap`` rows per group, best-first by
+    ``(score_col DESC, id_col ASC)`` — the per-domain cap policy of
+    web-crawl curation ("no source may contribute more than N
+    documents, keep its highest-quality ones"). The deterministic
+    tie-break makes the kept set identical across runs and engines.
+
+    One window ``row_number`` per group: the shuffle is on
+    ``group_col`` and each group is sorted once. A pathologically hot
+    group becomes one large sort task — for crawl-scale skew (one
+    domain holding >~10⁷ rows) pre-filter that group with a score
+    threshold from `approx_quantiles`, or bound it the way
+    `keep_best`'s docstring discusses; for typical per-source caps the
+    single window is the right plan."""
+    if cap < 1:
+        raise ValueError("cap must be >= 1")
+    w = Window.partitionBy(group_col).orderBy(
+        F.desc(score_col), F.asc(id_col)
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= cap)
+        .drop("__rn")
+    )
+
+
+def cap_per_group_sql(
+    table: str, group_col: str, cap: int, score_col: str, id_col: str = "doc_id"
+) -> str:
+    """DuckDB twin of :func:`cap_per_group`."""
+    return f"""
+SELECT * EXCLUDE (__rn) FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY {group_col} ORDER BY {score_col} DESC, {id_col} ASC
+  ) AS __rn
+  FROM {table}
+)
+WHERE __rn <= {cap}
 """

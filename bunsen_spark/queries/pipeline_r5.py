@@ -1,0 +1,140 @@
+"""Gate queries for the round-5 additions: per-source caps, cross-corpus
+fuzzy join, and snapshot diff."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import load
+
+
+def source_cap_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source curation cap (`operators/sampling.py:cap_per_group`):
+    keep each source's 40 longest documents (ties broken by doc_id),
+    report per-source kept counts + total kept chars. One window on the
+    source key + one aggregate."""
+    from ..operators.sampling import cap_per_group
+
+    docs = load(spark, sf_dir, "documents")
+    kept = cap_per_group(docs, "source", cap=40, score_col="n_chars")
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum(F.col("n_chars").cast("long")).alias("kept_chars"),
+            F.min("doc_id").alias("min_kept_id"),
+        )
+        .orderBy("source")
+    )
+
+
+SOURCE_CAP_SQL = """
+WITH kept AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY source ORDER BY n_chars DESC, doc_id ASC
+    ) AS __rn
+    FROM documents
+  ) WHERE __rn <= 40
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(sum(CAST(n_chars AS BIGINT)) AS BIGINT) AS kept_chars,
+       min(doc_id) AS min_kept_id
+FROM kept
+GROUP BY source
+ORDER BY source
+"""
+
+
+def fuzzy_join_even_odd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus record linkage (`operators/dedup.py:
+    fuzzy_text_join`): even-doc_id documents vs odd-doc_id documents,
+    MinHash-LSH candidates + exact-Jaccard verify. The two "corpora"
+    stand in for e.g. this-crawl vs last-crawl."""
+    from ..operators.dedup import fuzzy_text_join
+
+    docs = load(spark, sf_dir, "documents")
+    return fuzzy_text_join(
+        docs.where(F.col("doc_id") % 2 == 0),
+        docs.where(F.col("doc_id") % 2 == 1),
+        threshold=0.5,
+        portable=True,
+    )
+
+
+def _fuzzy_sql() -> str:
+    from ..operators.dedup import fuzzy_text_join_sql
+
+    return fuzzy_text_join_sql("documents", "doc_id % 2 = 0", 0.5)
+
+
+def snapshot_diff_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Release-to-release delta (`operators/snapshot.py`): snapshot B
+    simulates the next corpus release — every 97th doc dropped, every
+    89th re-scrubbed (text suffixed), every 101st doc re-ingested under
+    a new id. The diff returns exactly the touched keys with their
+    status; one full outer join on doc_id."""
+    from ..operators.snapshot import snapshot_diff
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    dropped = F.col("doc_id") % 97 == 0
+    edited = F.col("doc_id") % 89 == 0
+    readded = F.col("doc_id") % 101 == 0
+    new = (
+        docs.where(~dropped)
+        .withColumn(
+            "text",
+            F.when(edited, F.concat(F.col("text"), F.lit(" [rev2]"))).otherwise(
+                F.col("text")
+            ),
+        )
+        .unionByName(
+            docs.where(readded).select(
+                (F.col("doc_id") + 1_000_000).alias("doc_id"), "text", "lang"
+            )
+        )
+    )
+    return (
+        snapshot_diff(docs, new, "doc_id", ["text", "lang"])
+        .orderBy("doc_id")
+    )
+
+
+SNAPSHOT_DIFF_SQL = """
+WITH o AS (
+  SELECT doc_id, text, lang FROM documents
+), n AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 89 = 0 THEN text || ' [rev2]' ELSE text END AS text,
+         lang
+  FROM documents WHERE doc_id % 97 <> 0
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text, lang
+  FROM documents WHERE doc_id % 101 = 0
+)
+SELECT * FROM (
+  SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+         CASE WHEN o.doc_id IS NULL THEN 'added'
+              WHEN n.doc_id IS NULL THEN 'removed'
+              WHEN NOT ((o.text IS NOT DISTINCT FROM n.text)
+                        AND (o.lang IS NOT DISTINCT FROM n.lang)) THEN 'changed'
+         END AS status
+  FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+) WHERE status IS NOT NULL
+ORDER BY doc_id
+"""
+
+
+QUERIES = {
+    "source_cap_kept": source_cap_kept,
+    "fuzzy_join_even_odd": fuzzy_join_even_odd,
+    "snapshot_diff_documents": snapshot_diff_documents,
+}
+
+ORACLES = {
+    "source_cap_kept": SOURCE_CAP_SQL,
+    "fuzzy_join_even_odd": _fuzzy_sql(),
+    "snapshot_diff_documents": SNAPSHOT_DIFF_SQL,
+}
