@@ -61,6 +61,23 @@ def main() -> None:
     spark.range(1).count()
     spark.createDataFrame([(1, "warm")], "a int, b string").count()
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    # Global JVM warm-up: registry order now leads with the HEAVY
+    # queries (driver-coverage reordering), so without this the first
+    # few absorb all of C2-JIT-compiling Spark's shuffle/window/codegen
+    # machinery (measured: ann_ivf_kmeans 11.5 s cold-head vs ~3 s on a
+    # warm JVM). Run one untimed representative of each execution path
+    # (agg+join codegen, window, shuffle-heavy dedup, Arrow/Python).
+    for wname in (
+        "q1_pricing_summary",
+        "window_order_rank",
+        "dedup_minhash_lsh",
+        "multimodal_image_features",
+    ):
+        if wname in qs:
+            try:
+                qs[wname](spark, sf_dir).collect()
+            except Exception:  # noqa: BLE001 — warm-up only
+                pass
     for name, fn in qs.items():
         try:
             # Untimed warm-up: builds the plan, loads classes, primes

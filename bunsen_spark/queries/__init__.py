@@ -101,8 +101,10 @@ _DRIVER_ORDER = [
 
 def _reorder(out: dict) -> dict:
     rank = {n: i for i, n in enumerate(_DRIVER_ORDER)}
-    # unknown names (new this round) sort first, preserving their own order
-    names = sorted(out, key=lambda n: (n in rank, rank.get(n, 0)))
+    # unknown names (new this round) sort first, alphabetically — the
+    # QUERIES and ORACLES dicts may register them in different module
+    # order, and the two registries must align exactly
+    names = sorted(out, key=lambda n: (n in rank, rank.get(n, 0), n))
     return {n: out[n] for n in names}
 
 

@@ -212,7 +212,10 @@ WHERE rn <= 3
 # ---------------------------------------------------------------------------
 
 def window_running_value(
-    spark: SparkSession, sf_dir: str, time_bucket: int | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    time_bucket: int | None = None,
+    hot_key_threshold: int | None = None,
 ) -> DataFrame:
     """Per-user running total via ``operators.windows.prefix_sum``;
     decimal accumulation (exact, order-insensitive) cast back to
@@ -229,6 +232,7 @@ def window_running_value(
     return prefix_sum(
         e, ["user_id"], "us", "v", order_cols=["event_id"],
         time_bucket=time_bucket, out_col="running",
+        hot_key_threshold=hot_key_threshold,
     ).select(
         "user_id", "event_id", F.col("running").cast("double").alias("running_value")
     )
@@ -371,7 +375,10 @@ FROM events
 # ---------------------------------------------------------------------------
 
 def sessionize_events(
-    spark: SparkSession, sf_dir: str, time_bucket: int | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    time_bucket: int | None = None,
+    hot_key_threshold: int | None = None,
 ) -> DataFrame:
     from ..operators.sessionize import sessionize
 
@@ -382,7 +389,8 @@ def sessionize_events(
     gap = 30 * 60 * 1_000_000
     return (
         sessionize(e, ["user_id"], "us", gap, order_cols=["event_id"],
-                   time_bucket=time_bucket)
+                   time_bucket=time_bucket,
+                   hot_key_threshold=hot_key_threshold)
         .groupBy("user_id", "session_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
@@ -1219,6 +1227,19 @@ QUERIES = {
             spark, sf_dir, time_bucket=3_600_000_000
         )
     ),
+    # hot-key ROUTED variant (r5): only keys with >=500 events take the
+    # bucketed path, the rest the plain window; same oracle — the
+    # routed union must be exactly the plain result
+    "sessionize_events_hotkey": (
+        lambda spark, sf_dir: sessionize_events(
+            spark, sf_dir, time_bucket=3_600_000_000, hot_key_threshold=500
+        )
+    ),
+    "window_running_value_hotkey": (
+        lambda spark, sf_dir: window_running_value(
+            spark, sf_dir, time_bucket=3_600_000_000, hot_key_threshold=500
+        )
+    ),
     "rollup_returns": rollup_returns,
     "cube_revenue": cube_revenue,
     "tumbling_window_counts": tumbling_window_counts,
@@ -1250,8 +1271,10 @@ ORACLES = {
     "window_order_rank": WINDOW_RANK_SQL,
     "window_running_value": WINDOW_RUNNING_SQL,
     "window_running_value_bucketed": WINDOW_RUNNING_SQL,
+    "window_running_value_hotkey": WINDOW_RUNNING_SQL,
     "sessionize_events": SESSIONIZE_SQL,
     "sessionize_events_bucketed": SESSIONIZE_SQL,
+    "sessionize_events_hotkey": SESSIONIZE_SQL,
     "rollup_returns": ROLLUP_SQL,
     "cube_revenue": CUBE_SQL,
     "tumbling_window_counts": TUMBLING_WINDOW_SQL,
