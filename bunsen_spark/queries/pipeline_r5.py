@@ -127,14 +127,44 @@ ORDER BY doc_id
 """
 
 
+def split_leakage_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test contamination audit: deterministic 90/10 split
+    (`split_assign`, md5-bucket on doc_id) followed by a cross-corpus
+    near-dup join (`fuzzy_text_join`) — every (train doc, test doc)
+    pair whose shingle Jaccard ≥ 0.5 is a leak a benchmark score would
+    silently inherit. The composition every eval pipeline needs before
+    trusting held-out numbers."""
+    from ..operators.dedup import fuzzy_text_join
+    from ..operators.sampling import split_assign
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    tagged = split_assign(docs, "doc_id", {"train": 0.9, "test": 0.1})
+    return fuzzy_text_join(
+        tagged.where(F.col("split") == "train").drop("split"),
+        tagged.where(F.col("split") == "test").drop("split"),
+        threshold=0.5,
+        portable=True,
+    )
+
+
+def _leakage_sql() -> str:
+    from ..operators.dedup import fuzzy_text_join_sql
+    from ..operators.sampling import BUCKETS, _bucket_sql
+
+    train = f"{_bucket_sql('doc_id')} < {int(round(0.9 * BUCKETS))}"
+    return fuzzy_text_join_sql("documents", train, 0.5)
+
+
 QUERIES = {
     "source_cap_kept": source_cap_kept,
     "fuzzy_join_even_odd": fuzzy_join_even_odd,
     "snapshot_diff_documents": snapshot_diff_documents,
+    "split_leakage_pairs": split_leakage_pairs,
 }
 
 ORACLES = {
     "source_cap_kept": SOURCE_CAP_SQL,
     "fuzzy_join_even_odd": _fuzzy_sql(),
     "snapshot_diff_documents": SNAPSHOT_DIFF_SQL,
+    "split_leakage_pairs": _leakage_sql(),
 }
