@@ -53,12 +53,12 @@ def fuzzy_join_even_odd(spark: SparkSession, sf_dir: str) -> DataFrame:
     fuzzy_text_join`): even-doc_id documents vs odd-doc_id documents,
     MinHash-LSH candidates + exact-Jaccard verify. The two "corpora"
     stand in for e.g. this-crawl vs last-crawl."""
-    from ..operators.dedup import fuzzy_text_join
+    from ..operators.dedup import fuzzy_text_join_split
 
     docs = load(spark, sf_dir, "documents")
-    return fuzzy_text_join(
-        docs.where(F.col("doc_id") % 2 == 0),
-        docs.where(F.col("doc_id") % 2 == 1),
+    return fuzzy_text_join_split(
+        docs.select("doc_id", "text"),
+        F.col("doc_id") % 2 == 0,
         threshold=0.5,
         portable=True,
     )
@@ -134,14 +134,14 @@ def split_leakage_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair whose shingle Jaccard ≥ 0.5 is a leak a benchmark score would
     silently inherit. The composition every eval pipeline needs before
     trusting held-out numbers."""
-    from ..operators.dedup import fuzzy_text_join
+    from ..operators.dedup import fuzzy_text_join_split
     from ..operators.sampling import split_assign
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     tagged = split_assign(docs, "doc_id", {"train": 0.9, "test": 0.1})
-    return fuzzy_text_join(
-        tagged.where(F.col("split") == "train").drop("split"),
-        tagged.where(F.col("split") == "test").drop("split"),
+    return fuzzy_text_join_split(
+        tagged,
+        F.col("split") == "train",
         threshold=0.5,
         portable=True,
     )

@@ -109,3 +109,24 @@ def test_snapshot_diff_validates(spark):
     df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
     with pytest.raises(ValueError, match="compare_cols"):
         snapshot_diff(df, df, "doc_id", [])
+
+
+def test_fuzzy_join_split_equals_two_frame_form(spark):
+    """The single-scan split form must return exactly the two-frame
+    form's pairs (it is the same algorithm with the signature stage
+    shared)."""
+    from bunsen_spark.operators.dedup import fuzzy_text_join, fuzzy_text_join_split
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    cond = F.col("doc_id") % 2 == 0
+    two = {
+        (r.l_id, r.r_id, r.jaccard)
+        for r in fuzzy_text_join(docs.where(cond), docs.where(~cond), 0.5).collect()
+    }
+    one = {
+        (r.l_id, r.r_id, r.jaccard)
+        for r in fuzzy_text_join_split(docs, cond, 0.5).collect()
+    }
+    assert one == two and one
