@@ -67,3 +67,30 @@ def test_pagerank_rejects_zero_iters(spark):
     edges = spark.createDataFrame([(1, 2)], ["src", "dst"])
     with pytest.raises(ValueError):
         pagerank(edges, iters=0)
+
+
+def test_triangle_count_known_graph(spark):
+    """K4 minus one edge has exactly 2 triangles; nodes on the missing
+    edge sit in 1 each, the shared diagonal nodes in 2 each. Dirty
+    input (reversed duplicates, self-loops) must not change counts."""
+    from bunsen_spark.operators.graph import triangle_count
+
+    edges = spark.createDataFrame(
+        [
+            (1, 2), (2, 3), (3, 1),          # triangle 1-2-3
+            (2, 4), (4, 3),                  # triangle 2-3-4 via 2-3
+            (3, 2),                          # reversed duplicate
+            (4, 4),                          # self-loop: ignored
+            (5, 6),                          # edge in no triangle
+        ],
+        "u long, v long",
+    )
+    got = {r.node: r.n_triangles for r in triangle_count(edges).collect()}
+    assert got == {1: 1, 2: 2, 3: 2, 4: 1}
+
+
+def test_triangle_count_no_triangles(spark):
+    from bunsen_spark.operators.graph import triangle_count
+
+    path = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "u long, v long")
+    assert triangle_count(path).count() == 0
