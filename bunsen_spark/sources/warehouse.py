@@ -14,7 +14,7 @@ warehouse layout controls. Spark buckets require ``saveAsTable``
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 
 
 def write_bucketed(
@@ -92,4 +92,61 @@ def file_ranges(spark: SparkSession, path: str, col: str) -> DataFrame:
             F.max(col).alias("hi"),
             F.count(F.lit(1)).alias("n"),
         )
+    )
+
+
+def zorder_value(
+    df: DataFrame, cols: list[str], bits: int = 8, rel_err: float = 0.001
+) -> Column:
+    """Z-order (Morton) value Column over numeric ``cols``: each
+    column is quantile-bucketed into ``2^bits`` ranks (boundaries from
+    one driver-side ``approxQuantile`` pass, so skewed distributions
+    still fill all buckets), then the per-column bucket bits are
+    interleaved. Sorting by this value clusters rows that are close in
+    EVERY dimension."""
+    from pyspark.sql import functions as F
+
+    if not 1 <= bits <= 16:
+        raise ValueError("bits must be in [1, 16]")
+    nb = 1 << bits
+    probs = [i / nb for i in range(1, nb)]
+    z: Column = F.lit(0).cast("long")
+    ndim = len(cols)
+    for d, c in enumerate(cols):
+        cuts = df.stat.approxQuantile(c, probs, rel_err)
+        arr = F.array(*[F.lit(float(b)).cast("double") for b in cuts])
+        bucket = F.size(
+            F.filter(arr, lambda b: b <= F.col(c).cast("double"))
+        ).cast("long")
+        for i in range(bits):
+            z = z + F.shiftleft(
+                F.shiftright(bucket, i).bitwiseAND(F.lit(1)), i * ndim + d
+            )
+    return z
+
+
+def write_zorder(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    bits: int = 8,
+    num_files: int | None = None,
+) -> None:
+    """Write a multi-dimension scan-pruning parquet layout: rows are
+    range-partitioned and sorted by their :func:`zorder_value`, so
+    each file covers a small hyper-rectangle of the key space and
+    parquet footer min/max statistics prune files for predicates on
+    ANY of ``cols`` — the multi-column generalization of
+    :func:`write_range_sorted`, which prunes only its leading sort
+    key. The standard layout for a 100 TB event table queried by both
+    time range and entity id."""
+    z = zorder_value(df, cols, bits)
+    parts = num_files or df.sparkSession.sparkContext.defaultParallelism
+    (
+        df.withColumn("__z", z)
+        .repartitionByRange(parts, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(path)
     )

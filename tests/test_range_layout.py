@@ -44,3 +44,58 @@ def test_range_filter_pushed_to_scan(spark, sf_dir):
         assert "PushedFilters" in plan and "l_quantity" in plan.split("PushedFilters")[1][:200]
         expected = li.where(F.col("l_quantity") <= 2.0).count()
         assert q.count() == expected
+
+
+def test_zorder_layout_prunes_both_dimensions(spark, tmp_path, sf_dir):
+    """A z-ordered (user_id, ts) events layout must give SMALL per-file
+    spans on BOTH columns, where a user_id-range-sorted layout leaves
+    ts spanning ~the full range in every file. Span is measured from
+    exactly the per-file min/max parquet footer statistics would hold."""
+    from pyspark.sql import functions as F
+
+    from bunsen_spark.queries import load, ts_us
+    from bunsen_spark.sources.warehouse import write_range_sorted, write_zorder
+
+    e = load(spark, str(sf_dir), "events")
+    e = e.select("user_id", ts_us(e).alias("us"))
+    lo_u, hi_u, lo_t, hi_t = e.agg(
+        F.min("user_id"), F.max("user_id"), F.min("us"), F.max("us")
+    ).collect()[0]
+    span_u, span_t = max(hi_u - lo_u, 1), max(hi_t - lo_t, 1)
+
+    def file_spans(path):
+        df = spark.read.parquet(path).withColumn("f", F.input_file_name())
+        rows = (
+            df.groupBy("f")
+            .agg(
+                ((F.max("user_id") - F.min("user_id")) / span_u).alias("su"),
+                ((F.max("us") - F.min("us")) / span_t).alias("st"),
+            )
+            .collect()
+        )
+        n = len(rows)
+        return sum(r.su for r in rows) / n, sum(r.st for r in rows) / n, n
+
+    zpath, upath = str(tmp_path / "z"), str(tmp_path / "u")
+    write_zorder(e, zpath, ["user_id", "us"], bits=6, num_files=16)
+    write_range_sorted(e, upath, "user_id", num_files=16)
+    zu, zt, zn = file_spans(zpath)
+    uu, ut, un = file_spans(upath)
+    assert zn >= 8 and un >= 8  # both actually split into many files
+    # user-sorted: ts unsorted -> every file spans ~the whole ts range
+    assert ut > 0.9
+    # z-order: BOTH dims bounded well below full range per file
+    assert zt < 0.5 * ut, (zt, ut)
+    assert zu < 0.5, (zu,)
+
+
+def test_zorder_value_validates_bits(spark):
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from bunsen_spark.sources.warehouse import zorder_value
+
+    df = spark.range(10).withColumn("a", F.col("id") * 1.0)
+    with _pytest.raises(ValueError, match="bits"):
+        zorder_value(df, ["a"], bits=0)
