@@ -36,7 +36,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .text_analysis import MERSENNE31, hash31, md5int, md5int_sql
-from ..persist import materialize, materialize_eager
+from ..persist import materialize, materialize_eager, release
 
 #: word n-gram order used by the similarity-family dedup operators —
 #: unigram word sets are non-discriminative on low-vocabulary corpora
@@ -270,6 +270,36 @@ def _band_keys() -> Column:
     )
 
 
+
+def _verify_jaccard_pairs(
+    cand: DataFrame,
+    ha_src: DataFrame,
+    hb_src: DataFrame,
+    a_col: str,
+    b_col: str,
+    threshold: float,
+) -> DataFrame:
+    """Exact-Jaccard verification shared by every LSH-candidate
+    operator: join the candidates' hashed shingle sets, keep pairs with
+    Jaccard ≥ threshold, emit (a_col, b_col, jaccard rounded 6). One
+    place owns the threshold/rounding semantics the DuckDB twins
+    mirror."""
+    ha = ha_src.select(F.col("doc_id").alias(a_col), F.col("hs").alias("ha"))
+    hb = hb_src.select(F.col("doc_id").alias(b_col), F.col("hs").alias("hb"))
+    return (
+        cand.join(ha, a_col)
+        .join(hb, b_col)
+        .withColumn("i", F.size(F.array_intersect("ha", "hb")))
+        .select(
+            a_col,
+            b_col,
+            (F.col("i") / (F.size("ha") + F.size("hb") - F.col("i"))).alias("j"),
+        )
+        .where(F.col("j") >= threshold)
+        .select(a_col, b_col, F.round("j", 6).alias("jaccard"))
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame, threshold: float = 0.5, portable: bool = False
 ) -> DataFrame:
@@ -293,21 +323,7 @@ def minhash_lsh_pairs(
         )
         .distinct()
     )
-    ha = sigs.select(F.col("doc_id").alias("a_id"), F.col("hs").alias("ha"))
-    hb = sigs.select(F.col("doc_id").alias("b_id"), F.col("hs").alias("hb"))
-    verified = (
-        cand.join(ha, "a_id")
-        .join(hb, "b_id")
-        # intersect computed once, then the Jaccard identity on sizes
-        .withColumn("i", F.size(F.array_intersect("ha", "hb")))
-        .select(
-            "a_id",
-            "b_id",
-            (F.col("i") / (F.size("ha") + F.size("hb") - F.col("i"))).alias("j"),
-        )
-        .where(F.col("j") >= threshold)
-    )
-    return verified.select("a_id", "b_id", F.round("j", 6).alias("jaccard"))
+    return _verify_jaccard_pairs(cand, sigs, sigs, "a_id", "b_id", threshold)
 
 
 def minhash_lsh_pairs_sql(table: str = "documents", threshold: float = 0.5) -> str:
@@ -462,6 +478,7 @@ def _label_propagation(edges: DataFrame, max_rounds: int) -> DataFrame | None:
     both answers convergence and materializes the checkpoint — no
     separate eager-checkpoint job, no second compare-join job."""
     labels = edges.select("u").distinct().withColumn("label", F.col("u"))
+    prev: DataFrame | None = None
     for _ in range(max_rounds):
         nbr_min = (
             edges.join(
@@ -483,6 +500,9 @@ def _label_propagation(edges: DataFrame, max_rounds: int) -> DataFrame | None:
         changed = new_labels.agg(
             F.coalesce(F.sum(F.col("__changed").cast("long")), F.lit(0))
         ).first()[0]
+        if prev is not None:
+            release(prev)  # persist mode: free the superseded round
+        prev = new_labels
         labels = new_labels.drop("__changed")
         if changed == 0:
             return labels
@@ -527,8 +547,11 @@ def _star_components(edges: DataFrame, max_iterations: int) -> DataFrame:
 
     sig = signature(edges)
     for _ in range(max_iterations):
+        prev_edges = edges
         edges = star(star(edges, large=True), large=False)
-        new_sig = signature(edges)
+        new_sig = signature(edges)  # materializes the round
+        if prev_edges is not edges:
+            release(prev_edges)  # persist mode: free the superseded round
         if new_sig == sig:
             break
         sig = new_sig
@@ -1046,20 +1069,7 @@ def fuzzy_text_join(
     lb = ls.select(F.col("doc_id").alias("l_id"), F.explode(_band_keys()).alias("bk"))
     rb = rs.select(F.col("doc_id").alias("r_id"), F.explode(_band_keys()).alias("bk"))
     cand = lb.join(rb, "bk").select("l_id", "r_id").distinct()
-    ha = ls.select(F.col("doc_id").alias("l_id"), F.col("hs").alias("ha"))
-    hb = rs.select(F.col("doc_id").alias("r_id"), F.col("hs").alias("hb"))
-    return (
-        cand.join(ha, "l_id")
-        .join(hb, "r_id")
-        .withColumn("i", F.size(F.array_intersect("ha", "hb")))
-        .select(
-            "l_id",
-            "r_id",
-            (F.col("i") / (F.size("ha") + F.size("hb") - F.col("i"))).alias("j"),
-        )
-        .where(F.col("j") >= threshold)
-        .select("l_id", "r_id", F.round("j", 6).alias("jaccard"))
-    )
+    return _verify_jaccard_pairs(cand, ls, rs, "l_id", "r_id", threshold)
 
 
 def fuzzy_text_join_sql(
@@ -1133,17 +1143,4 @@ def fuzzy_text_join_split(
         F.col("doc_id").alias("r_id"), F.explode(_band_keys()).alias("bk")
     )
     cand = lb.join(rb, "bk").select("l_id", "r_id").distinct()
-    ha = sigs.select(F.col("doc_id").alias("l_id"), F.col("hs").alias("ha"))
-    hb = sigs.select(F.col("doc_id").alias("r_id"), F.col("hs").alias("hb"))
-    return (
-        cand.join(ha, "l_id")
-        .join(hb, "r_id")
-        .withColumn("i", F.size(F.array_intersect("ha", "hb")))
-        .select(
-            "l_id",
-            "r_id",
-            (F.col("i") / (F.size("ha") + F.size("hb") - F.col("i"))).alias("j"),
-        )
-        .where(F.col("j") >= threshold)
-        .select("l_id", "r_id", F.round("j", 6).alias("jaccard"))
-    )
+    return _verify_jaccard_pairs(cand, sigs, sigs, "l_id", "r_id", threshold)

@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from ..persist import materialize, materialize_eager
+from ..persist import materialize
 
 #: integer units per 1.0 of rank mass; 1e12 keeps sums far below 2^63
 SCALE = 10**12

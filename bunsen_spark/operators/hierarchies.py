@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from ..persist import materialize, materialize_eager
+from ..persist import materialize_eager, release
 
 LOINC_CODE_SYSTEM = "http://loinc.org"
 SNOMED_CODE_SYSTEM = "http://snomed.info/sct"
@@ -112,7 +112,9 @@ def transitive_closure(edges: DataFrame, max_iterations: int = 40) -> DataFrame:
         new_closure = closure.union(extended).distinct().transform(materialize_eager)
         new_n = new_closure.count()
         if new_n == n:
+            release(new_closure)  # keep the equal, already-pinned round
             break
+        release(closure)  # persist mode: CacheManager holds rounds strongly
         closure, n = new_closure, new_n
     return closure.where(
         (F.col("descendantSystem") != F.col("ancestorSystem"))

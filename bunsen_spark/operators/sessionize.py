@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..persist import materialize
+from .routing import route_hot_keys
 
 
 def sessionize(
@@ -65,22 +66,15 @@ def sessionize(
     if hot_key_threshold is not None:
         if time_bucket is None:
             raise ValueError("hot_key_threshold requires time_bucket")
-        hot = (
-            df.groupBy(*keys)
-            .agg(F.count(F.lit(1)).alias("__kn"))
-            .where(F.col("__kn") >= hot_key_threshold)
-            .select(*keys, F.lit(True).alias("__hot"))
+        return route_hot_keys(
+            df,
+            keys,
+            hot_key_threshold,
+            lambda d: sessionize(d, keys, ts, gap, order_cols, None, session_col),
+            lambda d: sessionize(
+                d, keys, ts, gap, order_cols, time_bucket, session_col
+            ),
         )
-        tagged = df.join(F.broadcast(hot), keys, "left")
-        cold = sessionize(
-            tagged.where(F.col("__hot").isNull()).drop("__hot"),
-            keys, ts, gap, order_cols, None, session_col,
-        )
-        hotd = sessionize(
-            tagged.where(F.col("__hot")).drop("__hot"),
-            keys, ts, gap, order_cols, time_bucket, session_col,
-        )
-        return cold.unionByName(hotd)
     if time_bucket is None:
         w = Window.partitionBy(*keys).orderBy(ts, *order_cols)
         wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)

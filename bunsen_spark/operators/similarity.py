@@ -31,7 +31,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .text_analysis import md5int_sql
-from ..persist import materialize, materialize_eager
+from ..persist import materialize
 
 EMBED_DIM = 64
 NUM_PLANES = 16

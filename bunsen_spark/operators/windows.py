@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .routing import route_hot_keys
+
 
 def prefix_sum(
     df: DataFrame,
@@ -47,22 +49,15 @@ def prefix_sum(
     if hot_key_threshold is not None:
         if time_bucket is None:
             raise ValueError("hot_key_threshold requires time_bucket")
-        hot = (
-            df.groupBy(*keys)
-            .agg(F.count(F.lit(1)).alias("__kn"))
-            .where(F.col("__kn") >= hot_key_threshold)
-            .select(*keys, F.lit(True).alias("__hot"))
+        return route_hot_keys(
+            df,
+            keys,
+            hot_key_threshold,
+            lambda d: prefix_sum(d, keys, ts, value, order_cols, None, out_col),
+            lambda d: prefix_sum(
+                d, keys, ts, value, order_cols, time_bucket, out_col
+            ),
         )
-        tagged = df.join(F.broadcast(hot), keys, "left")
-        cold = prefix_sum(
-            tagged.where(F.col("__hot").isNull()).drop("__hot"),
-            keys, ts, value, order_cols, None, out_col,
-        )
-        hotd = prefix_sum(
-            tagged.where(F.col("__hot")).drop("__hot"),
-            keys, ts, value, order_cols, time_bucket, out_col,
-        )
-        return cold.unionByName(hotd)
     if time_bucket is None:
         w = (
             Window.partitionBy(*keys)

@@ -69,3 +69,25 @@ def materialize_eager(df: DataFrame) -> DataFrame:
     for fixpoint rounds that must pin THIS round's result before the
     next round re-derives from it."""
     return materialize(df, eager=True)
+
+
+def release(df: DataFrame) -> None:
+    """Free a frame previously returned by :func:`materialize`.
+
+    In persist mode this matters: ``DataFrame.persist`` registers the
+    plan with the CacheManager, which holds it STRONGLY — unlike
+    localCheckpoint blocks (freed by the ContextCleaner when the RDD is
+    GC'd), cached plans leak for the application lifetime unless
+    explicitly unpersisted. Fixpoint loops and per-micro-batch
+    streaming bodies MUST release each round's frame once the next
+    round is pinned. ``unpersist`` on a never-persisted /
+    checkpoint-mode frame is a harmless no-op, so callers don't branch
+    on the mode. One-shot operator calls (a signature table consumed
+    within one query) may skip release — they leak at most one cache
+    entry per invocation; long-lived persist-mode applications should
+    either call release via this function where they can or run
+    ``spark.catalog.clearCache()`` between queries."""
+    try:
+        df.unpersist()
+    except Exception:  # pragma: no cover — session already stopped
+        pass

@@ -9,7 +9,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import load
-from ..persist import materialize, materialize_eager
+from ..persist import materialize
 
 
 def bloom_prefilter_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:

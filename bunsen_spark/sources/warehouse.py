@@ -108,12 +108,23 @@ def zorder_value(
 
     if not 1 <= bits <= 16:
         raise ValueError("bits must be in [1, 16]")
+    ndim = len(cols)
+    if not cols:
+        raise ValueError("cols must be non-empty")
+    if bits * ndim > 63:
+        # bit 63 is the long's sign bit: an interleaved bit landing
+        # there makes those rows sort FIRST (negative z), silently
+        # scattering each hyper-rectangle across distant files
+        raise ValueError(
+            f"bits*len(cols) = {bits * ndim} exceeds 63 — reduce bits "
+            f"(e.g. {63 // ndim}) or the column count"
+        )
     nb = 1 << bits
     probs = [i / nb for i in range(1, nb)]
+    # one scan computes every column's cut list (list overload)
+    all_cuts = df.stat.approxQuantile(list(cols), probs, rel_err)
     z: Column = F.lit(0).cast("long")
-    ndim = len(cols)
-    for d, c in enumerate(cols):
-        cuts = df.stat.approxQuantile(c, probs, rel_err)
+    for d, (c, cuts) in enumerate(zip(cols, all_cuts)):
         arr = F.array(*[F.lit(float(b)).cast("double") for b in cuts])
         bucket = F.size(
             F.filter(arr, lambda b: b <= F.col(c).cast("double"))

@@ -144,11 +144,23 @@ def stream_near_dup_filter(
     def _state_exists(spark: SparkSession) -> bool:
         # explicit FS check — a transient read failure (permissions, fs
         # hiccup, corrupt footer) must surface, not be mistaken for
-        # "first batch" and silently bypass dedup
+        # "first batch" and silently bypass dedup. The check requires a
+        # COMMITTED partition file, not just the directory: a crash
+        # mid-write of batch 0 leaves state_path holding only
+        # _temporary/_SUCCESS debris, and a bare exists() would wedge
+        # every replay on "Unable to infer schema" from the empty read.
+        # Task commit is what moves files out of _temporary, so
+        # glob-visible parquet == committed data.
         jvm = spark._jvm
         hpath = jvm.org.apache.hadoop.fs.Path(state_path)
         fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
-        return bool(fs.exists(hpath))
+        if not fs.exists(hpath):
+            return False
+        glob = jvm.org.apache.hadoop.fs.Path(
+            state_path + "/batch_id=*/*.parquet"
+        )
+        committed = fs.globStatus(glob)
+        return committed is not None and len(committed) > 0
 
     def _overwrite_batch_partition(df: DataFrame, path: str) -> None:
         (
@@ -167,17 +179,22 @@ def stream_near_dup_filter(
             kept = incremental_near_dup(batch_df, state, threshold, portable)
         else:
             kept = minhash_state(batch_df, portable)
-        from ..persist import materialize
+        from ..persist import materialize, release
 
         kept = kept.withColumn("batch_id", F.lit(batch_id))
         kept = materialize(kept, eager=True)  # finish reading state first
-        _overwrite_batch_partition(kept, state_path)
-        if out_path:
-            _overwrite_batch_partition(
-                batch_df.join(kept.select("doc_id"), "doc_id", "left_semi")
-                .withColumn("batch_id", F.lit(batch_id)),
-                out_path,
-            )
+        try:
+            _overwrite_batch_partition(kept, state_path)
+            if out_path:
+                _overwrite_batch_partition(
+                    batch_df.join(kept.select("doc_id"), "doc_id", "left_semi")
+                    .withColumn("batch_id", F.lit(batch_id)),
+                    out_path,
+                )
+        finally:
+            # persist mode would otherwise leak one cached plan PER
+            # MICRO-BATCH for the stream's lifetime
+            release(kept)
 
     writer = docs_stream.writeStream.foreachBatch(_process).option(
         "checkpointLocation", checkpoint

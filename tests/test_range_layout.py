@@ -99,3 +99,17 @@ def test_zorder_value_validates_bits(spark):
     df = spark.range(10).withColumn("a", F.col("id") * 1.0)
     with _pytest.raises(ValueError, match="bits"):
         zorder_value(df, ["a"], bits=0)
+
+
+def test_zorder_value_rejects_sign_bit_overflow(spark):
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from bunsen_spark.sources.warehouse import zorder_value
+
+    df = spark.range(10).select(*[(F.col("id") * 1.0).alias(f"c{i}") for i in range(4)])
+    with pytest.raises(ValueError, match="exceeds 63"):
+        zorder_value(df, [f"c{i}" for i in range(4)], bits=16)
+    # 4 dims at 15 bits = 60 interleaved bits: fine
+    assert zorder_value(df, [f"c{i}" for i in range(4)], bits=15) is not None
