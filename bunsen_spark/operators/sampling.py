@@ -239,3 +239,34 @@ SELECT * EXCLUDE (__rn) FROM (
 )
 WHERE __rn <= {cap}
 """
+
+
+def weighted_sample(
+    df: DataFrame, key: str, weight: Column
+) -> DataFrame:
+    """Deterministic importance sampling: keep each row with
+    probability ``weight`` (a per-row Column in [0, 1] — e.g. a quality
+    score, or a per-source temperature), decided by the same md5-bucket
+    coin as :func:`deterministic_sample` so the kept set is stable
+    across runs, engines, partitionings, and re-ingestions of the same
+    keys. The training-data use: quality-weighted downsampling where
+    better documents survive with higher probability, without an RNG
+    whose seed/ordering would make the corpus irreproducible.
+
+    Zero shuffle — one codegen'd filter; rows with weight ≥ 1 always
+    survive, ≤ 0 never do."""
+    cutoff = F.floor(
+        F.greatest(F.lit(0.0), F.least(F.lit(1.0), weight.cast("double")))
+        * F.lit(BUCKETS)
+    ).cast("long")
+    return df.where(_bucket(F.col(key)) < cutoff)
+
+
+def weighted_sample_sql(table: str, key: str, weight_sql: str) -> str:
+    """DuckDB twin of :func:`weighted_sample` (same floor/bucket
+    arithmetic and clamp order)."""
+    cutoff = (
+        f"CAST(floor(greatest(CAST(0.0 AS DOUBLE), "
+        f"least(CAST(1.0 AS DOUBLE), CAST({weight_sql} AS DOUBLE))) * {BUCKETS}) AS BIGINT)"
+    )
+    return f"SELECT * FROM {table} WHERE {_bucket_sql(key)} < {cutoff}"

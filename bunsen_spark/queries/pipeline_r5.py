@@ -205,12 +205,48 @@ LIMIT 25
 """
 
 
+def weighted_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted importance sampling
+    (`operators/sampling.py:weighted_sample`): each document survives
+    with probability n_chars/2000 (clamped to [0,1]) decided by the
+    deterministic md5 coin — longer (better-for-this-demo) docs are
+    favored, no RNG. Reported per language: survivors and their char
+    mass. Zero-shuffle filter + one aggregate."""
+    from ..operators.sampling import weighted_sample
+
+    docs = load(spark, sf_dir, "documents")
+    kept = weighted_sample(docs, "doc_id", F.col("n_chars") / 2000.0)
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum(F.col("n_chars").cast("long")).alias("kept_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _weighted_sql() -> str:
+    from ..operators.sampling import weighted_sample_sql
+
+    inner = weighted_sample_sql("documents", "doc_id", "n_chars / 2000.0")
+    return f"""
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(sum(CAST(n_chars AS BIGINT)) AS BIGINT) AS kept_chars
+FROM ({inner})
+GROUP BY lang
+ORDER BY lang
+"""
+
+
 QUERIES = {
     "source_cap_kept": source_cap_kept,
     "fuzzy_join_even_odd": fuzzy_join_even_odd,
     "snapshot_diff_documents": snapshot_diff_documents,
     "split_leakage_pairs": split_leakage_pairs,
     "part_basket_triangles": part_basket_triangles,
+    "weighted_sample_counts": weighted_sample_counts,
 }
 
 ORACLES = {
@@ -219,4 +255,5 @@ ORACLES = {
     "snapshot_diff_documents": SNAPSHOT_DIFF_SQL,
     "split_leakage_pairs": _leakage_sql(),
     "part_basket_triangles": _triangles_sql(),
+    "weighted_sample_counts": _weighted_sql(),
 }

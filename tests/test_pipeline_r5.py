@@ -130,3 +130,20 @@ def test_fuzzy_join_split_equals_two_frame_form(spark):
         for r in fuzzy_text_join_split(docs, cond, 0.5).collect()
     }
     assert one == two and one
+
+
+def test_weighted_sample_extremes_and_monotone(spark):
+    """weight>=1 always survives, <=0 never; raising a row's weight
+    never flips it from kept to dropped (same coin, higher cutoff)."""
+    from bunsen_spark.operators.sampling import weighted_sample
+
+    df = spark.range(500).select(F.col("id").alias("doc_id"))
+    all_kept = weighted_sample(df, "doc_id", F.lit(1.5))
+    assert all_kept.count() == 500
+    none_kept = weighted_sample(df, "doc_id", F.lit(-0.2))
+    assert none_kept.count() == 0
+    half = {r.doc_id for r in weighted_sample(df, "doc_id", F.lit(0.5)).collect()}
+    more = {r.doc_id for r in weighted_sample(df, "doc_id", F.lit(0.8)).collect()}
+    assert half <= more
+    # roughly proportional (md5 uniformity): 0.5 => ~250 +- wide margin
+    assert 175 <= len(half) <= 325
