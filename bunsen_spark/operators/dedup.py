@@ -130,6 +130,29 @@ def jaccard_pairs(
     string — the grouping shuffle moves longs instead of word n-grams
     (the oracle hashes identically, so parity holds under collisions,
     which also affect both engines' set sizes the same way)."""
+    inter, sizes = _posting_intersections(docs, n, max_df, portable)
+    j = (
+        inter.join(sizes.withColumnsRenamed({"doc_id": "a_id", "sz": "sza"}), "a_id")
+        .join(sizes.withColumnsRenamed({"doc_id": "b_id", "sz": "szb"}), "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            (F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter"))).alias("j"),
+        )
+        .where(F.col("j") >= threshold)
+    )
+    return j.select("a_id", "b_id", F.round("j", 6).alias("jaccard"))
+
+
+def _posting_intersections(
+    docs: DataFrame, n: int, max_df: int, portable: bool
+) -> tuple[DataFrame, DataFrame]:
+    """Shared inverted-index core of the exact set-overlap operators:
+    returns ``(inter, sizes)`` where ``inter`` is (a_id, b_id, inter) —
+    the pairwise shingle-set intersection counts for a_id < b_id — and
+    ``sizes`` is (doc_id, sz), the per-doc df-pruned shingle-set size.
+    Both are derived from ONE shingling scan and one grouping shuffle
+    (the grouped posting lists are materialized once)."""
     postings = _with_shingles(docs, n).select(
         "doc_id",
         F.explode(
@@ -166,17 +189,90 @@ def jaccard_pairs(
         .groupBy("p.a_id", "p.b_id")
         .agg(F.count("*").alias("inter"))
     )
-    j = (
+    return inter, sizes
+
+
+def containment_pairs(
+    docs: DataFrame,
+    n: int = SHINGLE_N,
+    threshold: float = 0.8,
+    max_df: int = 1000,
+    portable: bool = False,
+) -> DataFrame:
+    """Asymmetric containment near-dup pairs: C(A→B) = |A∩B| / |A| over
+    word ``n``-gram shingle sets. Catches the doc-inside-doc cases that
+    symmetric Jaccard misses — a short document quoted verbatim inside
+    a much longer one has C ≈ 1 while J ≈ |A|/|B| ≈ 0, so a Jaccard
+    threshold never fires. Real crawl pipelines dedup boilerplate and
+    quotation inclusions this way.
+
+    Output: (contained_id, container_id, containment) — one row per
+    direction that clears ``threshold``, so a pair of equal sets yields
+    two rows. Same inverted-index core as :func:`jaccard_pairs`
+    (``max_df`` stop-shingle pruning applies to both the intersection
+    and the denominators, keeping the measure self-consistent), so the
+    candidate set is bounded by posting-list sizes, never all-pairs.
+    The division is a single IEEE-exact op on integer-valued doubles,
+    so the DuckDB oracle reproduces it bit-for-bit."""
+    inter, sizes = _posting_intersections(docs, n, max_df, portable)
+    both = (
         inter.join(sizes.withColumnsRenamed({"doc_id": "a_id", "sz": "sza"}), "a_id")
         .join(sizes.withColumnsRenamed({"doc_id": "b_id", "sz": "szb"}), "b_id")
-        .select(
-            "a_id",
-            "b_id",
-            (F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter"))).alias("j"),
-        )
-        .where(F.col("j") >= threshold)
     )
-    return j.select("a_id", "b_id", F.round("j", 6).alias("jaccard"))
+    directed = both.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("a_id").alias("contained_id"),
+                    F.col("b_id").alias("container_id"),
+                    (F.col("inter") / F.col("sza")).alias("c"),
+                ),
+                F.struct(
+                    F.col("b_id").alias("contained_id"),
+                    F.col("a_id").alias("container_id"),
+                    (F.col("inter") / F.col("szb")).alias("c"),
+                ),
+            )
+        ).alias("d")
+    ).select("d.*")
+    return directed.where(F.col("c") >= threshold).select(
+        "contained_id", "container_id", F.round("c", 6).alias("containment")
+    )
+
+
+def containment_pairs_sql(
+    table: str = "documents", n: int = SHINGLE_N, threshold: float = 0.8, max_df: int = 1000
+) -> str:
+    shingle_hash = f"{md5int_sql('s')} % {MERSENNE31}"
+    return f"""
+WITH postings AS (
+  SELECT doc_id, unnest(list_distinct(
+    list_transform({shingles_sql(n)}, s -> {shingle_hash}))) AS s
+  FROM {table}
+), kept AS (
+  SELECT s FROM postings GROUP BY s HAVING count(*) <= {max_df}
+), pruned AS (
+  SELECT p.doc_id, p.s FROM postings p JOIN kept USING (s)
+), sizes AS (
+  SELECT doc_id, count(*) AS sz FROM pruned GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+  FROM pruned a JOIN pruned b USING (s)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+), both_sizes AS (
+  SELECT a_id, b_id, inter, sa.sz AS sza, sb.sz AS szb
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = a_id
+  JOIN sizes sb ON sb.doc_id = b_id
+), directed AS (
+  SELECT a_id AS contained_id, b_id AS container_id, inter / sza AS c FROM both_sizes
+  UNION ALL
+  SELECT b_id AS contained_id, a_id AS container_id, inter / szb AS c FROM both_sizes
+)
+SELECT contained_id, container_id, round(c, 6) AS containment
+FROM directed WHERE c >= {threshold}
+"""
 
 
 def jaccard_pairs_sql(

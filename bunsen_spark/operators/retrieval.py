@@ -1,0 +1,178 @@
+"""Full-text retrieval scoring: BM25 top-k over an inverted term view.
+
+Beyond-reference scale extension (SURVEY §7 M7) — the ranking half of a
+training-data pipeline's search/inspection tooling (the dedup half lives
+in :mod:`dedup`). Design for 100 TB:
+
+- **one corpus scan**: the per-doc (dl, tf per query term) projection is
+  computed in a single map stage over the tokenized text and
+  materialized once; it feeds both the corpus-statistics aggregate
+  (N, Σdl, per-term df — map-side combined, one 1-row result) and the
+  scoring pass. The corpus is never shuffled.
+- **broadcast stats**: the 1-row statistics frame is broadcast-joined
+  (a literal cross join of one row), so scoring stays a zero-shuffle
+  map stage.
+- **global top-k without a full sort**: ``orderBy(...).limit(k)``
+  compiles to ``TakeOrderedAndProject`` — per-partition heaps plus a
+  driver merge of k·partitions rows, not a total sort.
+- **small query sets only**: terms become columns, so this form is for
+  interactive-scale queries (≲ tens of terms). A large query *table*
+  should instead join an exploded (doc_id, term, tf) posting table —
+  that variant is the same first scan with ``explode`` and a broadcast
+  terms join, and is trivially derivable from this module.
+
+Determinism / oracle parity: the classic BM25 idf uses ``ln``, whose
+last-ulp behavior is libm-implementation-defined, so cross-engine
+bit-parity cannot be promised. This operator uses the log-free rational
+idf ``(N - df + 0.5) / (df + 0.5)`` instead (the raw odds the Robertson
+idf is the log of — same ordering for a single term, always positive).
+Every remaining operation is IEEE-754 +,-,*,/ on doubles, which SQL
+engines must round exactly, and the per-term summation is folded in
+sorted-term order with one fixed parenthesization — the *same generated
+expression text* runs on Spark and DuckDB, so scores match bit-for-bit
+and ``round(score, 6)`` is cosmetic, not a tolerance.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..persist import materialize
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+_TERM_RE = re.compile(r"^[a-z0-9]+$")
+
+
+def _check_terms(terms: list[str]) -> list[str]:
+    """Validated, sorted, de-duplicated query terms. Terms are embedded
+    in generated expressions, so anything outside the tokenizer's
+    [a-z0-9]+ alphabet is rejected (it could never match a token
+    anyway)."""
+    if not terms:
+        raise ValueError("bm25: empty query term list")
+    for t in terms:
+        if not _TERM_RE.match(t):
+            raise ValueError(f"bm25: invalid query term {t!r} (want [a-z0-9]+)")
+    return sorted(set(terms))
+
+
+def _dbl(x: float) -> str:
+    """A double literal rendered identically for Spark SQL and DuckDB —
+    CAST of the decimal literal, so neither parser keeps it as DECIMAL
+    arithmetic (both would: bare 0.5 is DECIMAL(1,1) in each)."""
+    return f"CAST({x!r} AS DOUBLE)"
+
+
+def bm25_score_expr(terms: list[str], k1: float = BM25_K1, b: float = BM25_B) -> str:
+    """The BM25 score as one expression string over columns
+    ``dl, n_docs, sumdl, tf_<term>, df_<term>`` — valid, and evaluated
+    through the identical exactly-rounded IEEE op sequence, in BOTH
+    Spark SQL and DuckDB. Terms are folded in sorted order with fixed
+    left-nested parentheses so the summation order is pinned."""
+    parts = []
+    for t in _check_terms(terms):
+        idf = f"(((n_docs - df_{t}) + {_dbl(0.5)}) / (df_{t} + {_dbl(0.5)}))"
+        num = f"(tf_{t} * {_dbl(k1 + 1.0)})"
+        den = (
+            f"(tf_{t} + {_dbl(k1)} * ({_dbl(1.0 - b)} + {_dbl(b)}"
+            f" * (dl / (sumdl / n_docs))))"
+        )
+        parts.append(f"({idf} * ({num} / {den}))")
+    expr = parts[0]
+    for p in parts[1:]:
+        expr = f"({expr} + {p})"
+    return expr
+
+
+def bm25_topk(
+    docs: DataFrame,
+    terms: list[str],
+    k: int = 15,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``k`` documents by BM25 (rational-idf variant, module doc)
+    for a literal query term set. Output: (``id_col``, bm25) ordered by
+    (score desc, id) — ties are broken by id so the cut is
+    deterministic; zero-scoring docs (no query term present) are
+    dropped before the top-k."""
+    terms = _check_terms(terms)
+    words = F.regexp_extract_all(F.lower(text_col), F.lit("[a-z0-9]+"), 0)
+    proj = (
+        docs.select(F.col(id_col), words.alias("__w"))
+        .select(
+            id_col,
+            F.size("__w").alias("dl"),
+            *[
+                F.expr(f"size(filter(__w, x -> x = '{t}'))").alias(f"tf_{t}")
+                for t in terms
+            ],
+        )
+        # consumed twice: corpus stats + scoring; one tokenize scan
+        .transform(materialize)
+    )
+    stats = proj.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("dl").cast("long")).alias("sumdl"),
+        *[
+            F.sum(F.when(F.col(f"tf_{t}") > 0, 1).otherwise(0)).alias(f"df_{t}")
+            for t in terms
+        ],
+    )
+    scored = proj.crossJoin(F.broadcast(stats)).select(
+        id_col, F.expr(bm25_score_expr(terms, k1, b)).alias("score")
+    )
+    return (
+        scored.where(F.col("score") > 0)
+        .orderBy(F.col("score").desc(), F.col(id_col))
+        .limit(k)
+        .select(id_col, F.round("score", 6).alias("bm25"))
+    )
+
+
+def bm25_topk_sql(
+    table: str,
+    terms: list[str],
+    k: int = 15,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`bm25_topk` — shares the generated score
+    expression verbatim (see module doc for why that yields bit
+    parity)."""
+    terms = _check_terms(terms)
+    tf_cols = ",\n         ".join(
+        f"len(list_filter(w, x -> x = '{t}')) AS tf_{t}" for t in terms
+    )
+    df_cols = ",\n         ".join(
+        f"CAST(sum(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_{t}"
+        for t in terms
+    )
+    return f"""
+WITH toks AS (
+  SELECT {id_col}, len(w) AS dl,
+         {tf_cols}
+  FROM (SELECT {id_col}, regexp_extract_all(lower({text_col}), '[a-z0-9]+') AS w
+        FROM {table})
+), stats AS (
+  SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sumdl,
+         {df_cols}
+  FROM toks
+), scored AS (
+  SELECT {id_col}, {bm25_score_expr(terms, k1, b)} AS score
+  FROM toks, stats
+)
+SELECT {id_col}, round(score, 6) AS bm25
+FROM scored WHERE score > 0
+ORDER BY score DESC, {id_col}
+LIMIT {k}
+"""

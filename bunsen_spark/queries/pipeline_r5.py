@@ -240,7 +240,50 @@ ORDER BY lang
 """
 
 
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment near-dup pairs
+    (`operators/dedup.py:containment_pairs`): C(A→B) = |A∩B|/|A| over
+    3-gram shingle sets via the shared inverted-index core — the
+    doc-inside-doc / boilerplate-inclusion cases a symmetric Jaccard
+    threshold never fires on. One direction row per clearing side."""
+    from ..operators.dedup import containment_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    return containment_pairs(docs, threshold=0.8, portable=True)
+
+
+def _containment_sql() -> str:
+    from ..operators.dedup import containment_pairs_sql
+
+    return containment_pairs_sql("documents", threshold=0.8)
+
+
+#: fixed demo query for the BM25 gate — terms from the fixture vocab
+BM25_TERMS = ["hash", "merge", "spark", "window"]
+
+
+def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-15 retrieval (`operators/retrieval.py:bm25_topk`) for a
+    4-term query: one tokenize scan feeding both the corpus-stats
+    aggregate and the zero-shuffle scoring map, broadcast 1-row stats,
+    TakeOrderedAndProject top-k. Log-free rational idf + fixed-order
+    folded summation make the double-precision scores bit-exact vs the
+    DuckDB twin (same generated expression text runs in both)."""
+    from ..operators.retrieval import bm25_topk
+
+    docs = load(spark, sf_dir, "documents")
+    return bm25_topk(docs, BM25_TERMS, k=15)
+
+
+def _bm25_sql() -> str:
+    from ..operators.retrieval import bm25_topk_sql
+
+    return bm25_topk_sql("documents", BM25_TERMS, k=15)
+
+
 QUERIES = {
+    "dedup_containment": dedup_containment,
+    "bm25_search_topk": bm25_search_topk,
     "source_cap_kept": source_cap_kept,
     "fuzzy_join_even_odd": fuzzy_join_even_odd,
     "snapshot_diff_documents": snapshot_diff_documents,
@@ -250,6 +293,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "dedup_containment": _containment_sql(),
+    "bm25_search_topk": _bm25_sql(),
     "source_cap_kept": SOURCE_CAP_SQL,
     "fuzzy_join_even_odd": _fuzzy_sql(),
     "snapshot_diff_documents": SNAPSHOT_DIFF_SQL,

@@ -1,0 +1,133 @@
+"""Containment near-dup pairs and BM25 retrieval."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+SUB = "alpha beta gamma delta epsilon"  # 3 distinct 3-gram shingles
+SUPER = (
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+    "lam mu nu omicron pi rho"
+)  # contains all of SUB's shingles as a prefix, plus 11 more
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_containment_catches_subset_jaccard_misses(spark):
+    """A doc quoted verbatim inside a much longer one: containment fires
+    at 1.0 while the symmetric Jaccard is far below any threshold —
+    the operator's reason to exist."""
+    from bunsen_spark.operators.dedup import containment_pairs, jaccard_pairs
+
+    df = _docs(
+        spark,
+        [(1, SUB), (2, SUPER), (3, "unrelated words entirely different story here")],
+    )
+    got = {
+        (r.contained_id, r.container_id): r.containment
+        for r in containment_pairs(df, threshold=0.8).collect()
+    }
+    assert got == {(1, 2): 1.0}
+    # the same pair is invisible to symmetric Jaccard at 0.5:
+    # J = 3 shared shingles / 14 total ≈ 0.214
+    assert jaccard_pairs(df, threshold=0.5).count() == 0
+
+
+def test_containment_equal_sets_emit_both_directions(spark):
+    from bunsen_spark.operators.dedup import containment_pairs
+
+    df = _docs(spark, [(1, SUB), (2, SUB + " "), (3, "other thing")])
+    got = {
+        (r.contained_id, r.container_id): r.containment
+        for r in containment_pairs(df, threshold=0.8).collect()
+    }
+    assert got == {(1, 2): 1.0, (2, 1): 1.0}
+
+
+def test_containment_portable_and_fast_hash_agree(spark):
+    """The xxhash64 fast path and the md5 portable family must make the
+    same pair decisions (hash choice only relabels shingles)."""
+    from bunsen_spark.operators.dedup import containment_pairs
+
+    df = _docs(spark, [(1, SUB), (2, SUPER), (4, SUB + " extra tail words here")])
+    fast = {
+        (r.contained_id, r.container_id)
+        for r in containment_pairs(df, threshold=0.6).collect()
+    }
+    portable = {
+        (r.contained_id, r.container_id)
+        for r in containment_pairs(df, threshold=0.6, portable=True).collect()
+    }
+    assert fast == portable and (1, 2) in fast
+
+
+def _py_bm25(terms, tf, dl, n, sumdl, df, k1=1.2, b=0.75):
+    """The score re-derived in Python floats with the generated
+    expression's exact operation order (left-fold over sorted terms)."""
+    s = None
+    for t in sorted(terms):
+        idf = ((n - df[t]) + 0.5) / (df[t] + 0.5)
+        part = idf * ((tf[t] * (k1 + 1.0)) / (tf[t] + k1 * ((1.0 - b) + b * (dl / (sumdl / n)))))
+        s = part if s is None else s + part
+    return s
+
+
+def test_bm25_hand_computed_scores(spark):
+    from bunsen_spark.operators.retrieval import bm25_topk
+
+    rows = [
+        (1, "spark hash spark join"),        # tf(spark)=2 tf(hash)=1 dl=4
+        (2, "hash table scan scan"),         # tf(hash)=1 dl=4
+        (3, "sort merge sort merge limit"),  # dl=5, no query terms
+    ]
+    df = _docs(spark, rows)
+    terms = ["spark", "hash"]
+    got = {r.doc_id: r.bm25 for r in bm25_topk(df, terms, k=10).collect()}
+    n, sumdl = 3, 13
+    dfreq = {"spark": 1, "hash": 2}
+    want1 = _py_bm25(terms, {"spark": 2, "hash": 1}, 4, n, sumdl, dfreq)
+    want2 = _py_bm25(terms, {"spark": 0, "hash": 1}, 4, n, sumdl, dfreq)
+    assert set(got) == {1, 2}  # doc 3 has no query term -> excluded
+    # output is round(score, 6) — compare at that precision
+    assert got[1] == pytest.approx(want1, abs=5e-7)
+    assert got[2] == pytest.approx(want2, abs=5e-7)
+    assert got[1] > got[2]
+
+
+def test_bm25_rare_term_outranks_common(spark):
+    """idf: matching a corpus-rare term beats matching a ubiquitous one
+    at equal tf and dl."""
+    from bunsen_spark.operators.retrieval import bm25_topk
+
+    rows = [
+        (1, "rare filler filler filler"),
+        (2, "common filler filler filler"),
+        (3, "common filler pad pad"),
+        (4, "common pad pad filler"),
+    ]
+    got = [r.doc_id for r in bm25_topk(_docs(spark, rows), ["rare", "common"], k=4).collect()]
+    assert got[0] == 1
+
+
+def test_bm25_k_bound_and_order(spark):
+    from bunsen_spark.operators.retrieval import bm25_topk
+
+    rows = [(i, "term pad") for i in range(10)]
+    out = bm25_topk(_docs(spark, rows), ["term"], k=4).collect()
+    # all scores tie -> the cut is by doc_id, deterministically
+    assert [r.doc_id for r in out] == [0, 1, 2, 3]
+
+
+def test_bm25_rejects_bad_terms(spark):
+    from bunsen_spark.operators.retrieval import bm25_topk
+
+    df = _docs(spark, [(1, "x")])
+    with pytest.raises(ValueError, match="invalid query term"):
+        bm25_topk(df, ["ok", "bad term'"])
+    with pytest.raises(ValueError, match="empty query"):
+        bm25_topk(df, [])
