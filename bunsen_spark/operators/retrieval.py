@@ -15,11 +15,15 @@ in :mod:`dedup`). Design for 100 TB:
 - **global top-k without a full sort**: ``orderBy(...).limit(k)``
   compiles to ``TakeOrderedAndProject`` — per-partition heaps plus a
   driver merge of k·partitions rows, not a total sort.
-- **small query sets only**: terms become columns, so this form is for
-  interactive-scale queries (≲ tens of terms). A large query *table*
-  should instead join an exploded (doc_id, term, tf) posting table —
-  that variant is the same first scan with ``explode`` and a broadcast
-  terms join, and is trivially derivable from this module.
+- **two forms**: :func:`bm25_topk` turns a small literal term set into
+  columns (interactive-scale, ≲ tens of terms, zero shuffle);
+  :func:`bm25_topk_by_query` takes a (query_id, term) *DataFrame* and
+  builds a real posting-table plan — tokens are filtered against the
+  broadcast query vocabulary BEFORE the (doc, term) aggregation
+  shuffle, so the shuffle is bounded by matching tokens, not corpus
+  tokens, and the per-query top-k is a bounded window. That is the
+  batch-retrieval shape (benchmark-query mining, eval-set lookup) that
+  scales with the query set.
 
 Determinism / oracle parity: the classic BM25 idf uses ``ln``, whose
 last-ulp behavior is libm-implementation-defined, so cross-engine
@@ -135,6 +139,141 @@ def bm25_topk(
         .limit(k)
         .select(id_col, F.round("score", 6).alias("bm25"))
     )
+
+
+#: the per-(doc, term) BM25 contribution over columns
+#: ``tf, df, dl, n_docs, sumdl`` — same text for both engines.
+def _term_score_expr(k1: float, b: float) -> str:
+    idf = f"(((n_docs - df) + {_dbl(0.5)}) / (df + {_dbl(0.5)}))"
+    num = f"(tf * {_dbl(k1 + 1.0)})"
+    den = (
+        f"(tf + {_dbl(k1)} * ({_dbl(1.0 - b)} + {_dbl(b)}"
+        f" * (dl / (sumdl / n_docs))))"
+    )
+    return f"({idf} * ({num} / {den}))"
+
+
+def bm25_topk_by_query(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 15,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Batch BM25: top-``k`` documents per query for a (query_id, term)
+    DataFrame of queries. Output: (query_id, ``id_col``, rank, bm25),
+    rank 1..k by (score desc, id) within each query.
+
+    Plan (the scale path — see module doc): one tokenize scan explodes
+    to (doc, dl, term) rows that are semi-joined against the BROADCAST
+    distinct query vocabulary before anything shuffles — the (doc,
+    term) tf aggregation then only sees tokens that can score. Corpus
+    stats (N, Σdl) are one separate map-side-combined aggregate on the
+    raw corpus (docs with zero query terms never reach the posting
+    path but still count in N and avgdl, exactly as in
+    :func:`bm25_topk`). Per-term df falls out of the tf table. The
+    per-(query, doc) summation folds the per-term contributions in
+    sorted-term order from an explicit 0.0 accumulator, so the result
+    is the same exactly-rounded IEEE sequence in Spark and DuckDB."""
+    from pyspark.sql import Window
+
+    words = F.regexp_extract_all(F.lower(text_col), F.lit("[a-z0-9]+"), 0)
+    base = docs.select(
+        F.col(id_col), F.size(words).alias("dl"), F.explode(words).alias("term")
+    )
+    vocab = queries.select("term").distinct()
+    tf = (
+        base.join(F.broadcast(vocab), "term")
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl"))
+        # feeds df_term and the scoring join: aggregate once
+        .transform(materialize)
+    )
+    df_term = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(words).cast("long")).alias("sumdl"),
+    )
+    contrib = (
+        tf.join(F.broadcast(df_term), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            id_col, "term", F.expr(_term_score_expr(k1, b)).alias("s")
+        )
+    )
+    scored = (
+        contrib.join(F.broadcast(queries), "term")
+        .groupBy("query_id", id_col)
+        .agg(
+            F.expr(
+                "aggregate(sort_array(collect_list(struct(term, s))),"
+                " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.s)"
+            ).alias("score")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id", id_col, "rank", F.round("score", 6).alias("bm25")
+        )
+    )
+
+
+def bm25_topk_by_query_sql(
+    table: str,
+    queries_sql: str,
+    k: int = 15,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`bm25_topk_by_query`; ``queries_sql`` must
+    select (query_id, term). The per-(query, doc) fold prepends the 0.0
+    accumulator and reduces in sorted-term order, mirroring Spark's
+    ``aggregate`` init + left fold."""
+    return f"""
+WITH q AS ({queries_sql}),
+toks AS (
+  SELECT {id_col}, len(w) AS dl, unnest(w) AS term
+  FROM (SELECT {id_col}, regexp_extract_all(lower({text_col}), '[a-z0-9]+') AS w
+        FROM {table})
+), tf AS (
+  SELECT t.{id_col}, t.term,
+         CAST(count(*) AS BIGINT) AS tf, CAST(max(t.dl) AS BIGINT) AS dl
+  FROM toks t JOIN (SELECT DISTINCT term FROM q) v USING (term)
+  GROUP BY t.{id_col}, t.term
+), df_term AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+), stats AS (
+  SELECT count(*) AS n_docs,
+         CAST(sum(len(regexp_extract_all(lower({text_col}), '[a-z0-9]+'))) AS BIGINT)
+           AS sumdl
+  FROM {table}
+), contrib AS (
+  SELECT tf.{id_col}, tf.term, {_term_score_expr(k1, b)} AS s
+  FROM tf JOIN df_term USING (term), stats
+), scored AS (
+  SELECT q.query_id, c.{id_col},
+         list_reduce(
+           list_prepend(CAST(0.0 AS DOUBLE), list(c.s ORDER BY c.term)),
+           (acc, x) -> acc + x) AS score
+  FROM contrib c JOIN q USING (term)
+  GROUP BY q.query_id, c.{id_col}
+), ranked AS (
+  SELECT query_id, {id_col},
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, {id_col}) AS rank,
+         score
+  FROM scored
+)
+SELECT query_id, {id_col}, CAST(rank AS INT) AS rank, round(score, 6) AS bm25
+FROM ranked WHERE rank <= {k}
+"""
 
 
 def bm25_topk_sql(

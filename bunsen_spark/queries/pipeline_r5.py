@@ -281,9 +281,39 @@ def _bm25_sql() -> str:
     return bm25_topk_sql("documents", BM25_TERMS, k=15)
 
 
+#: fixed query table for the batch-BM25 gate — three queries over the
+#: fixture vocab, exercising shared and disjoint terms
+BM25_QUERY_ROWS = [
+    ("q1", "hash"), ("q1", "table"), ("q2", "spark"), ("q2", "merge"),
+    ("q3", "window"), ("q3", "sort"), ("q3", "scan"),
+]
+
+
+def bm25_multiquery_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch BM25 (`operators/retrieval.py:bm25_topk_by_query`): top-10
+    docs for each of three queries given as a (query_id, term) table —
+    the posting-table scale path (broadcast query vocabulary filters
+    tokens BEFORE the tf shuffle, per-query window top-k). Ordered-fold
+    summation keeps the double scores bit-exact vs DuckDB."""
+    from ..operators.retrieval import bm25_topk_by_query
+
+    docs = load(spark, sf_dir, "documents")
+    qdf = spark.createDataFrame(BM25_QUERY_ROWS, "query_id string, term string")
+    return bm25_topk_by_query(docs, qdf, k=10)
+
+
+def _bm25_multi_sql() -> str:
+    from ..operators.retrieval import bm25_topk_by_query_sql
+
+    values = ", ".join(f"('{q}', '{t}')" for q, t in BM25_QUERY_ROWS)
+    qsql = f"SELECT * FROM (VALUES {values}) AS t(query_id, term)"
+    return bm25_topk_by_query_sql("documents", qsql, k=10)
+
+
 QUERIES = {
     "dedup_containment": dedup_containment,
     "bm25_search_topk": bm25_search_topk,
+    "bm25_multiquery_topk": bm25_multiquery_topk,
     "source_cap_kept": source_cap_kept,
     "fuzzy_join_even_odd": fuzzy_join_even_odd,
     "snapshot_diff_documents": snapshot_diff_documents,
@@ -295,6 +325,7 @@ QUERIES = {
 ORACLES = {
     "dedup_containment": _containment_sql(),
     "bm25_search_topk": _bm25_sql(),
+    "bm25_multiquery_topk": _bm25_multi_sql(),
     "source_cap_kept": SOURCE_CAP_SQL,
     "fuzzy_join_even_odd": _fuzzy_sql(),
     "snapshot_diff_documents": SNAPSHOT_DIFF_SQL,

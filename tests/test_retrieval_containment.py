@@ -123,6 +123,43 @@ def test_bm25_k_bound_and_order(spark):
     assert [r.doc_id for r in out] == [0, 1, 2, 3]
 
 
+def test_bm25_by_query_matches_single_query_form(spark):
+    """The posting-table batch form must score identically to the
+    literal-column form when given one query with the same terms —
+    same stats, same formula, same summation order."""
+    from bunsen_spark.operators.retrieval import bm25_topk, bm25_topk_by_query
+
+    rows = [
+        (1, "spark hash spark join"),
+        (2, "hash table scan scan"),
+        (3, "sort merge sort merge limit"),
+        (4, "spark spark spark hash hash table"),
+    ]
+    df = _docs(spark, rows)
+    terms = ["spark", "hash"]
+    single = {r.doc_id: r.bm25 for r in bm25_topk(df, terms, k=10).collect()}
+    qdf = spark.createDataFrame(
+        [("q", t) for t in terms], "query_id string, term string"
+    )
+    batch = {
+        r.doc_id: r.bm25 for r in bm25_topk_by_query(df, qdf, k=10).collect()
+    }
+    assert batch == single
+
+
+def test_bm25_by_query_ranks_and_k_per_query(spark):
+    from bunsen_spark.operators.retrieval import bm25_topk_by_query
+
+    rows = [(i, "alpha pad") for i in range(5)] + [(10, "beta only here")]
+    qdf = spark.createDataFrame(
+        [("qa", "alpha"), ("qb", "beta")], "query_id string, term string"
+    )
+    out = bm25_topk_by_query(_docs(spark, rows), qdf, k=3).collect()
+    got = {(r.query_id, r.rank): r.doc_id for r in out}
+    # qa: 5 tied docs cut at k=3 by doc_id; qb: the one beta doc
+    assert got == {("qa", 1): 0, ("qa", 2): 1, ("qa", 3): 2, ("qb", 1): 10}
+
+
 def test_bm25_rejects_bad_terms(spark):
     from bunsen_spark.operators.retrieval import bm25_topk
 
