@@ -1002,6 +1002,62 @@ GROUP BY {group_col}
 """
 
 
+def cluster_keep_best(
+    pairs: DataFrame,
+    scores: DataFrame,
+    score_col: str = "quality_score",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Quality-aware canonical selection over near-dup clusters: the
+    curation step AFTER pair finding where real pipelines keep the
+    *best* member of each duplicate cluster, not an arbitrary one.
+    ``pairs`` is any (a_id, b_id, …) near-dup pair frame
+    (:func:`minhash_lsh_pairs`, :func:`jaccard_pairs`, …); ``scores``
+    maps doc_id → ``score_col`` (e.g. :func:`~bunsen_spark.operators.
+    text_analysis.quality_score`). Output: one row per cluster —
+    (cluster_id, keep_id, best_score, n_members), keeper = the member
+    maximizing the score, ties broken by minimum doc_id.
+
+    Plan: :func:`near_dup_clusters` labels the pair graph, one inner
+    join attaches scores, and the selection is a single
+    ``max(struct(score, -doc_id))`` aggregate — the same map-side
+    partial-max shape as :func:`keep_best`, so the shuffle carries one
+    struct per (partition × cluster), never member rows, and a giant
+    boilerplate cluster (the 100 TB skew case) needs no sort."""
+    labels = near_dup_clusters(pairs, max_iterations=max_iterations)
+    members = labels.join(
+        scores.select("doc_id", F.col(score_col).alias("__s")), "doc_id"
+    )
+    best = F.max(F.struct(F.col("__s"), (-F.col("doc_id")).alias("neg_id")))
+    return members.groupBy("cluster_id").agg(
+        (-best.getField("neg_id")).alias("keep_id"),
+        F.max("__s").alias("best_score"),
+        F.count("*").alias("n_members"),
+    )
+
+
+def cluster_keep_best_sql(pairs_sql: str, scores_sql: str) -> str:
+    """DuckDB twin of :func:`cluster_keep_best`; ``scores_sql`` must
+    select (doc_id, quality_score). Same argmax semantics via a
+    per-cluster max window + FILTER min-id tie-break."""
+    return f"""
+WITH labels AS ({near_dup_clusters_sql(pairs_sql)}),
+scores AS (SELECT doc_id, quality_score AS s FROM ({scores_sql}) __q),
+members AS (
+  SELECT l.doc_id, l.cluster_id, sc.s
+  FROM labels l JOIN scores sc USING (doc_id)
+), ranked AS (
+  SELECT *, max(s) OVER (PARTITION BY cluster_id) AS mx FROM members
+)
+SELECT cluster_id,
+       min(doc_id) FILTER (WHERE s = mx) AS keep_id,
+       max(s) AS best_score,
+       CAST(count(*) AS BIGINT) AS n_members
+FROM ranked
+GROUP BY cluster_id
+"""
+
+
 # -- incremental dedup -------------------------------------------------------
 
 

@@ -241,6 +241,70 @@ WHERE __rn <= {cap}
 """
 
 
+def quantile_filter(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    q: float,
+    exact: bool = True,
+) -> DataFrame:
+    """Per-group relative-threshold filter: keep rows whose
+    ``score_col`` clears the group's ``q``-quantile — "keep the top
+    30% of documents *per language*", the adaptive form of quality
+    filtering (a fixed global threshold over- or under-prunes
+    strata with different score distributions). Returns the input
+    rows unchanged (no helper columns).
+
+    ``exact=True``: one ``cume_dist`` window per group — keep rows
+    with ``cume_dist > q``. Ties share a cume_dist, so a boundary
+    cohort is kept or dropped atomically (deterministic across
+    engines; the division is a single exactly-rounded IEEE op). The
+    shuffle is on ``group_col`` and each group is sorted once; like
+    :func:`cap_per_group`, a pathologically hot group becomes one
+    large sort task.
+
+    ``exact=False``: the 100 TB path — per-group thresholds from one
+    map-side-combined ``percentile_approx`` aggregate, broadcast back
+    as a join, then a streaming ``score > threshold`` filter. No sort,
+    no per-group buffering; the kept fraction is approximate within
+    the sketch's rank error (no cross-engine oracle — tested by
+    bound in pytest instead)."""
+    if not 0.0 <= q < 1.0:
+        raise ValueError("q must be in [0, 1)")
+    if exact:
+        w = Window.partitionBy(group_col).orderBy(F.asc(score_col))
+        return (
+            df.withColumn("__cd", F.cume_dist().over(w))
+            .where(F.col("__cd") > q)
+            .drop("__cd")
+        )
+    thresholds = df.groupBy(group_col).agg(
+        F.percentile_approx(score_col, q).alias("__thr")
+    )
+    return (
+        df.join(F.broadcast(thresholds), group_col)
+        .where(F.col(score_col) > F.col("__thr"))
+        .drop("__thr")
+    )
+
+
+def quantile_filter_sql(
+    table: str, group_col: str, score_col: str, q: float
+) -> str:
+    """DuckDB twin of :func:`quantile_filter` (exact form): same
+    ``cume_dist`` tie semantics (rows preceding or peer / total) and
+    the same single-division comparison."""
+    return f"""
+SELECT * EXCLUDE (__cd) FROM (
+  SELECT *, cume_dist() OVER (
+      PARTITION BY {group_col} ORDER BY {score_col} ASC
+  ) AS __cd
+  FROM {table}
+)
+WHERE __cd > {q}
+"""
+
+
 def weighted_sample(
     df: DataFrame, key: str, weight: Column
 ) -> DataFrame:

@@ -310,10 +310,67 @@ def _bm25_multi_sql() -> str:
     return bm25_topk_by_query_sql("documents", qsql, k=10)
 
 
+def quality_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language relative quality bar
+    (`operators/sampling.py:quantile_filter`, exact form): keep each
+    language's top half by quality score (cume_dist > 0.5, boundary
+    ties move atomically) and return the kept (doc_id, lang,
+    quality_score) rows — the adaptive filter a multi-lingual corpus
+    needs where a global threshold over-prunes low-resource strata."""
+    from ..operators.sampling import quantile_filter
+    from ..operators.text_analysis import quality_score
+
+    docs = load(spark, sf_dir, "documents")
+    scored = quality_score(docs).select("doc_id", "quality_score").join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    return quantile_filter(scored, "lang", "quality_score", q=0.5).select(
+        "doc_id", "lang", "quality_score"
+    )
+
+
+def _quantile_filter_sql() -> str:
+    from ..operators.sampling import quantile_filter_sql
+    from ..operators.text_analysis import quality_score_sql
+
+    scored = (
+        "SELECT q.doc_id, d.lang, q.quality_score "
+        f"FROM ({quality_score_sql('documents')}) q "
+        "JOIN documents d USING (doc_id)"
+    )
+    return quantile_filter_sql(f"({scored})", "lang", "quality_score", 0.5)
+
+
+def dedup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical selection
+    (`operators/dedup.py:cluster_keep_best`): MinHash-LSH near-dup
+    pairs → connected components → per cluster keep the member
+    maximizing the quality score (ties → min doc_id), via the
+    map-side partial-max struct aggregate (no per-cluster sort)."""
+    from ..operators.dedup import cluster_keep_best, minhash_lsh_pairs
+    from ..operators.text_analysis import quality_score
+
+    docs = load(spark, sf_dir, "documents")
+    return cluster_keep_best(
+        minhash_lsh_pairs(docs, portable=True), quality_score(docs)
+    )
+
+
+def _cluster_keep_best_sql() -> str:
+    from ..operators.dedup import cluster_keep_best_sql, minhash_lsh_pairs_sql
+    from ..operators.text_analysis import quality_score_sql
+
+    return cluster_keep_best_sql(
+        minhash_lsh_pairs_sql(), quality_score_sql("documents")
+    )
+
+
 QUERIES = {
     "dedup_containment": dedup_containment,
     "bm25_search_topk": bm25_search_topk,
     "bm25_multiquery_topk": bm25_multiquery_topk,
+    "quality_quantile_filter": quality_quantile_filter,
+    "dedup_cluster_keep_best": dedup_cluster_keep_best,
     "source_cap_kept": source_cap_kept,
     "fuzzy_join_even_odd": fuzzy_join_even_odd,
     "snapshot_diff_documents": snapshot_diff_documents,
@@ -326,6 +383,8 @@ ORACLES = {
     "dedup_containment": _containment_sql(),
     "bm25_search_topk": _bm25_sql(),
     "bm25_multiquery_topk": _bm25_multi_sql(),
+    "quality_quantile_filter": _quantile_filter_sql(),
+    "dedup_cluster_keep_best": _cluster_keep_best_sql(),
     "source_cap_kept": SOURCE_CAP_SQL,
     "fuzzy_join_even_odd": _fuzzy_sql(),
     "snapshot_diff_documents": SNAPSHOT_DIFF_SQL,
