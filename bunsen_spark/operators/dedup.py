@@ -1058,6 +1058,40 @@ GROUP BY cluster_id
 """
 
 
+def near_dup_filter_best(
+    docs: DataFrame,
+    pairs: DataFrame,
+    score_col: str = "quality_score",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """The filtering form of :func:`cluster_keep_best`: return ``docs``
+    minus every near-dup cluster member except the cluster's best
+    (max ``score_col``, ties → min doc_id). Documents in no pair pass
+    through untouched — so this slots directly into a curation chain
+    (`docs.transform(...)` keeps all columns).
+
+    The cluster labels are materialized once and feed both the argmax
+    and the loser list; the final subtraction is a LEFT ANTI join
+    against the (small) loser id set, so the corpus itself is scanned
+    once and never shuffled on anything but doc_id."""
+    labels = near_dup_clusters(pairs, max_iterations=max_iterations).transform(
+        materialize
+    )
+    members = labels.join(
+        docs.select("doc_id", F.col(score_col).alias("__s")), "doc_id"
+    )
+    best = F.max(F.struct(F.col("__s"), (-F.col("doc_id")).alias("neg_id")))
+    keepers = members.groupBy("cluster_id").agg(
+        (-best.getField("neg_id")).alias("keep_id")
+    )
+    losers = (
+        labels.join(keepers, "cluster_id")
+        .where(F.col("doc_id") != F.col("keep_id"))
+        .select("doc_id")
+    )
+    return docs.join(losers, "doc_id", "left_anti")
+
+
 # -- incremental dedup -------------------------------------------------------
 
 

@@ -365,7 +365,114 @@ def _cluster_keep_best_sql() -> str:
     )
 
 
+#: end-to-end curation parameters (shared by query + oracle)
+CURATION_QUANTILE = 0.4  # keep each language's top 60% by quality
+CURATION_SOURCE_CAP = 10  # max docs any single source may contribute
+CURATION_SPLITS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def curation_pipeline_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE curation chain as one composed query — the proof the
+    operator families slot together the way a real training-data
+    pipeline uses them: quality scoring → per-language relative quality
+    bar (`quantile_filter`) → exact dedup (keep min doc_id per distinct
+    text) → near-dup keep-best (`near_dup_filter_best` over MinHash-LSH
+    pairs) → per-source cap (`cap_per_group`) → deterministic split
+    assignment (`split_assign`), reported as per-(lang, split) counts,
+    total chars, and the min/max surviving quality (order-insensitive
+    extremes — never a float sum whose order could differ across
+    engines)."""
+    from ..operators.dedup import (
+        exact_dedup,
+        minhash_lsh_pairs,
+        near_dup_filter_best,
+    )
+    from ..operators.sampling import cap_per_group, quantile_filter, split_assign
+    from ..operators.text_analysis import quality_score
+
+    docs = load(spark, sf_dir, "documents")
+    scored = docs.join(
+        quality_score(docs).select("doc_id", "quality_score"), "doc_id"
+    )
+    bar = quantile_filter(scored, "lang", "quality_score", q=CURATION_QUANTILE)
+    exact = bar.join(
+        exact_dedup(bar).select(F.col("keep_id").alias("doc_id")), "doc_id"
+    )
+    near = near_dup_filter_best(
+        exact, minhash_lsh_pairs(exact, portable=True), "quality_score"
+    )
+    capped = cap_per_group(
+        near, "source", cap=CURATION_SOURCE_CAP, score_col="quality_score"
+    )
+    split = split_assign(capped, "doc_id", CURATION_SPLITS)
+    return (
+        split.groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("n_chars").cast("long")).alias("sum_chars"),
+            F.min("quality_score").alias("min_q"),
+            F.max("quality_score").alias("max_q"),
+        )
+        .orderBy("lang", "split")
+    )
+
+
+def _curation_sql() -> str:
+    from ..operators.dedup import minhash_lsh_pairs_sql, near_dup_clusters_sql
+    from ..operators.sampling import (
+        cap_per_group_sql,
+        quantile_filter_sql,
+        split_assign_sql,
+    )
+    from ..operators.text_analysis import quality_score_sql
+
+    labels = near_dup_clusters_sql(minhash_lsh_pairs_sql("stage_exact"))
+    return f"""
+WITH scored AS (
+  SELECT d.*, q.quality_score
+  FROM documents d JOIN ({quality_score_sql("documents")}) q USING (doc_id)
+), stage_bar AS (
+  {quantile_filter_sql("scored", "lang", "quality_score", CURATION_QUANTILE)}
+), exact_keep AS (
+  SELECT min(doc_id) AS doc_id FROM stage_bar GROUP BY md5(text)
+), stage_exact AS (
+  SELECT s.* FROM stage_bar s JOIN exact_keep USING (doc_id)
+), labels AS (
+  {labels}
+), best AS (
+  SELECT cluster_id, min(doc_id) FILTER (WHERE __s = mx) AS keep_id
+  FROM (
+    SELECT m.*, max(__s) OVER (PARTITION BY cluster_id) AS mx
+    FROM (
+      SELECT l.doc_id, l.cluster_id, s.quality_score AS __s
+      FROM labels l JOIN stage_exact s USING (doc_id)
+    ) m
+  )
+  GROUP BY cluster_id
+), losers AS (
+  SELECT l.doc_id FROM labels l JOIN best USING (cluster_id)
+  WHERE l.doc_id != best.keep_id
+), stage_near AS (
+  SELECT * FROM stage_exact
+  WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+), stage_cap AS (
+  {cap_per_group_sql("stage_near", "source", CURATION_SOURCE_CAP, "quality_score")}
+), stage_split AS (
+  {split_assign_sql("stage_cap", "doc_id", CURATION_SPLITS)}
+)
+SELECT lang, split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CAST(n_chars AS BIGINT)) AS BIGINT) AS sum_chars,
+       min(quality_score) AS min_q,
+       max(quality_score) AS max_q
+FROM stage_split
+GROUP BY lang, split
+ORDER BY lang, split
+"""
+
+
 QUERIES = {
+    "curation_pipeline_counts": curation_pipeline_counts,
     "dedup_containment": dedup_containment,
     "bm25_search_topk": bm25_search_topk,
     "bm25_multiquery_topk": bm25_multiquery_topk,
@@ -380,6 +487,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "curation_pipeline_counts": _curation_sql(),
     "dedup_containment": _containment_sql(),
     "bm25_search_topk": _bm25_sql(),
     "bm25_multiquery_topk": _bm25_multi_sql(),

@@ -90,6 +90,40 @@ def test_cluster_keep_best_tie_breaks_min_id(spark):
     assert (row.cluster_id, row.keep_id, row.n_members) == (4, 4, 3)
 
 
+def test_near_dup_filter_best_drops_losers_keeps_singletons(spark):
+    """Filtering form: cluster losers go, the best member and all
+    unpaired docs stay, columns untouched."""
+    from bunsen_spark.operators.dedup import near_dup_filter_best
+
+    docs = spark.createDataFrame(
+        [(1, "en", 0.2), (2, "en", 0.9), (3, "en", 0.5), (9, "de", 0.1)],
+        "doc_id long, lang string, quality_score double",
+    )
+    pairs = _pairs(spark, [(1, 2), (2, 3)])
+    out = near_dup_filter_best(docs, pairs).collect()
+    assert sorted(r.doc_id for r in out) == [2, 9]
+    assert set(out[0].asDict()) == {"doc_id", "lang", "quality_score"}
+
+
+def test_near_dup_filter_best_agrees_with_cluster_keep_best(spark):
+    """The kept ids are exactly the keep_ids cluster_keep_best reports
+    plus the unpaired docs."""
+    from bunsen_spark.operators.dedup import cluster_keep_best, near_dup_filter_best
+
+    docs = spark.createDataFrame(
+        [(i, float((i * 37) % 11)) for i in range(12)],
+        "doc_id long, quality_score double",
+    )
+    pairs = _pairs(spark, [(0, 1), (1, 2), (4, 5), (7, 8), (8, 9), (9, 10)])
+    kept = {r.doc_id for r in near_dup_filter_best(docs, pairs).collect()}
+    keep_ids = {
+        r.keep_id
+        for r in cluster_keep_best(pairs, docs).collect()
+    }
+    paired = {0, 1, 2, 4, 5, 7, 8, 9, 10}
+    assert kept == keep_ids | (set(range(12)) - paired)
+
+
 def test_cluster_keep_best_matches_duckdb_twin(spark):
     """Operator vs its SQL twin on a corpus with real near-dup text —
     the full composition (minhash pairs → components → argmax)."""
