@@ -203,3 +203,54 @@ def countmin_estimate(
     return out.withColumn("cm_estimate", est.cast("long")).drop(
         *[c for r in range(depth) for c in (f"_cm_col_{r}", f"_cm_cnt_{r}")]
     )
+
+
+def heavy_hitters(
+    df: DataFrame,
+    value_col: str,
+    min_count: int,
+    width: int = DEFAULT_CM_WIDTH,
+    depth: int = DEFAULT_CM_DEPTH,
+    portable: bool = False,
+) -> DataFrame:
+    """EXACT heavy hitters — every value occurring at least
+    ``min_count`` times, with its exact count — via a count-min
+    prefilter. Output: (value, n).
+
+    The naive plan (groupBy all values, HAVING) shuffles every
+    occurrence of every value; on a long-tailed 100 TB column almost
+    all of that shuffle is tail keys that can never clear the
+    threshold. This plan builds the bounded count-min cell table
+    (shuffle ≤ depth × width cells), broadcast-probes it back onto the
+    rows, and drops sub-threshold rows MAP-SIDE before the exact
+    aggregation — the exact groupBy then only sees occurrences of
+    candidate values. Count-min never underestimates, so the prefilter
+    has no false negatives and the final HAVING makes collisions
+    harmless: the result is exactly the naive plan's, which is also
+    why the DuckDB oracle is the plain GROUP BY/HAVING."""
+    if min_count < 1:
+        raise ValueError("min_count must be >= 1")
+    from ..persist import materialize
+
+    # the cell table feeds one broadcast join per depth level; one-shot
+    # call, so no release (persist.py's documented convention)
+    cm = countmin_table(df, value_col, width, depth, portable).transform(
+        materialize
+    )
+    candidates = countmin_estimate(
+        df.select(value_col), value_col, cm, width, depth, portable
+    ).where(F.col("cm_estimate") >= min_count)
+    return (
+        candidates.groupBy(F.col(value_col).alias("value"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= min_count)
+    )
+
+
+def heavy_hitters_sql(table: str, value_col: str, min_count: int) -> str:
+    """DuckDB twin of :func:`heavy_hitters` — the plain exact
+    aggregation the prefilter provably reduces to."""
+    return f"""
+SELECT {value_col} AS value, CAST(count(*) AS BIGINT) AS n
+FROM {table} GROUP BY {value_col} HAVING count(*) >= {min_count}
+"""

@@ -471,8 +471,32 @@ ORDER BY lang, split
 """
 
 
+#: exact heavy-hitter threshold for the gate query (binding at sf0.01:
+#: ~150 users averaging ~66 events, so only the heavy fifth clears 75)
+HH_MIN_COUNT = 75
+
+
+def heavy_hitter_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters (`operators/sketches.py:heavy_hitters`):
+    users with >= 75 events, found by count-min prefilter (bounded cell
+    shuffle + broadcast probe drops the tail map-side) then an exact
+    count of the survivors — provably identical to the naive GROUP
+    BY/HAVING the oracle runs, because count-min never underestimates."""
+    from ..operators.sketches import heavy_hitters
+
+    events = load(spark, sf_dir, "events")
+    return heavy_hitters(events, "user_id", HH_MIN_COUNT, portable=True)
+
+
+def _hh_sql() -> str:
+    from ..operators.sketches import heavy_hitters_sql
+
+    return heavy_hitters_sql("events", "user_id", HH_MIN_COUNT)
+
+
 QUERIES = {
     "curation_pipeline_counts": curation_pipeline_counts,
+    "heavy_hitter_users": heavy_hitter_users,
     "dedup_containment": dedup_containment,
     "bm25_search_topk": bm25_search_topk,
     "bm25_multiquery_topk": bm25_multiquery_topk,
@@ -488,6 +512,7 @@ QUERIES = {
 
 ORACLES = {
     "curation_pipeline_counts": _curation_sql(),
+    "heavy_hitter_users": _hh_sql(),
     "dedup_containment": _containment_sql(),
     "bm25_search_topk": _bm25_sql(),
     "bm25_multiquery_topk": _bm25_multi_sql(),

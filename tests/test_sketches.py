@@ -127,3 +127,43 @@ def test_countmin_bounded_cells(spark):
     df = spark.range(0, 5000).selectExpr("id as v")
     t = countmin_table(df, "v", width=64, depth=2)
     assert t.count() <= 64 * 2
+
+
+def test_heavy_hitters_exact_with_prefilter(spark):
+    """The CM-prefiltered plan must equal the naive GROUP BY/HAVING:
+    no false negatives (CM never underestimates), collisions cleaned
+    by the exact HAVING."""
+    from bunsen_spark.operators.sketches import heavy_hitters
+
+    rows = (
+        [(i, "hot_a") for i in range(30)]
+        + [(100 + i, "hot_b") for i in range(10)]
+        + [(1000 + i, f"tail_{i}") for i in range(50)]
+    )
+    df = spark.createDataFrame(rows, "event_id long, k string")
+    got = {(r.value, r.n) for r in heavy_hitters(df, "k", 10).collect()}
+    assert got == {("hot_a", 30), ("hot_b", 10)}
+
+
+def test_heavy_hitters_tiny_width_still_exact(spark):
+    """Deliberately collision-heavy sketch (width 2): the prefilter
+    passes extra tail candidates through, and the exact count still
+    removes every one of them."""
+    from bunsen_spark.operators.sketches import heavy_hitters
+
+    rows = [(i, "hh") for i in range(20)] + [
+        (100 + i, f"t{i}") for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "event_id long, k string")
+    got = {(r.value, r.n) for r in heavy_hitters(df, "k", 5, width=2, depth=2).collect()}
+    assert got == {("hh", 20)}
+
+
+def test_heavy_hitters_rejects_bad_threshold(spark):
+    import pytest
+
+    from bunsen_spark.operators.sketches import heavy_hitters
+
+    df = spark.createDataFrame([(1, "x")], "event_id long, k string")
+    with pytest.raises(ValueError):
+        heavy_hitters(df, "k", 0)
