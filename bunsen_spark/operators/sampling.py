@@ -194,6 +194,92 @@ WHERE {_bucket_sql(f'd.{key}')} < r._cutoff
 """
 
 
+def temperature_sample(
+    df: DataFrame,
+    key: str,
+    strata_col: str,
+    size_col: str,
+    tau: float = 2.0,
+) -> DataFrame:
+    """Temperature-flattened stratum rebalancing — the multilingual
+    sampling rule of mT5/XLM-class pipelines: target shares
+    ∝ (observed share)^(1/τ), so τ=1 keeps the natural mix and larger
+    τ flattens toward uniform, boosting low-resource strata *without
+    upsampling* (the smallest stratum keeps everything; bigger strata
+    are deterministically down-sampled by the same md5-bucket coin as
+    :func:`deterministic_sample`).
+
+    No normalization pass is needed: with p_s = (sz_s/N)^(1/τ), the
+    kept fraction ``min(1, T·p_s/sz_s)`` where ``T = min_j(sz_j/p_j)``
+    is invariant under scaling all p by a constant, so the only
+    cross-strata reductions are an exact integer total and an
+    order-independent min — no float summation whose order could
+    differ across engines. For τ=2 the power is ``sqrt``, which IEEE
+    754 requires exactly rounded, so the whole rate computation is
+    bit-reproducible in DuckDB (the gate pins τ=2); other τ go through
+    ``pow``, whose last-ulp is libm-defined (documented caveat, same
+    as the BM25 module's ``ln`` note).
+
+    Plan: tiny per-stratum aggregate → broadcast rate table → one
+    codegen'd filter; the corpus is never shuffled."""
+    if tau < 1.0:
+        raise ValueError("tau must be >= 1 (tau=1 keeps the natural mix)")
+
+    def _pow(x: Column) -> Column:
+        return F.sqrt(x) if tau == 2.0 else F.pow(x, F.lit(1.0 / tau))
+
+    per = df.groupBy(strata_col).agg(
+        F.sum(F.col(size_col).cast("long")).alias("_sz")
+    )
+    tot = per.agg(F.sum("_sz").alias("_n"))
+    p = per.crossJoin(F.broadcast(tot)).withColumn(
+        "_p", _pow(F.col("_sz") / F.col("_n"))
+    )
+    t = p.agg(F.min(F.col("_sz") / F.col("_p")).alias("_t"))
+    rates = p.crossJoin(F.broadcast(t)).select(
+        strata_col,
+        F.floor(
+            F.least(F.lit(1.0), F.col("_t") * F.col("_p") / F.col("_sz"))
+            * F.lit(BUCKETS)
+        ).cast("long").alias("_cutoff"),
+    )
+    return (
+        df.join(F.broadcast(rates), strata_col)
+        .where(_bucket(F.col(key)) < F.col("_cutoff"))
+        .drop("_cutoff")
+    )
+
+
+def temperature_sample_sql(
+    table: str, key: str, strata_col: str, size_col: str, tau: float = 2.0
+) -> str:
+    """DuckDB twin of :func:`temperature_sample` (same expression
+    order; τ=2 uses sqrt for exact-rounding parity)."""
+    x = "_sz / _n"
+    pexpr = f"sqrt({x})" if tau == 2.0 else f"pow({x}, CAST({1.0 / tau!r} AS DOUBLE))"
+    return f"""
+WITH per AS (
+  SELECT {strata_col}, CAST(SUM(CAST({size_col} AS BIGINT)) AS BIGINT) AS _sz
+  FROM {table} GROUP BY {strata_col}
+), tot AS (
+  SELECT CAST(SUM(_sz) AS BIGINT) AS _n FROM per
+), p AS (
+  SELECT {strata_col}, _sz, {pexpr} AS _p FROM per, tot
+), t AS (
+  SELECT MIN(_sz / _p) AS _t FROM p
+), rates AS (
+  SELECT {strata_col},
+         CAST(floor(least(CAST(1.0 AS DOUBLE), _t * _p / _sz) * {BUCKETS}) AS BIGINT)
+           AS _cutoff
+  FROM p, t
+)
+SELECT d.*
+FROM {table} d
+JOIN rates r USING ({strata_col})
+WHERE {_bucket_sql(f'd.{key}')} < r._cutoff
+"""
+
+
 def cap_per_group(
     df: DataFrame,
     group_col: str,

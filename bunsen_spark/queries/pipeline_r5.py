@@ -494,9 +494,42 @@ def _hh_sql() -> str:
     return heavy_hitters_sql("events", "user_id", HH_MIN_COUNT)
 
 
+def temperature_mix_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened language rebalancing
+    (`operators/sampling.py:temperature_sample`, τ=2): per-language
+    kept counts and kept char mass after down-sampling toward
+    share^(1/2) proportions — low-resource languages keep everything,
+    the dominant one is thinned, nothing is upsampled."""
+    from ..operators.sampling import temperature_sample
+
+    docs = load(spark, sf_dir, "documents")
+    kept = temperature_sample(docs, "doc_id", "lang", "n_chars", tau=2.0)
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum(F.col("n_chars").cast("long")).alias("kept_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _temperature_sql() -> str:
+    from ..operators.sampling import temperature_sample_sql
+
+    inner = temperature_sample_sql("documents", "doc_id", "lang", "n_chars", 2.0)
+    return f"""
+SELECT lang, CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(sum(CAST(n_chars AS BIGINT)) AS BIGINT) AS kept_chars
+FROM ({inner}) __k
+GROUP BY lang ORDER BY lang
+"""
+
+
 QUERIES = {
     "curation_pipeline_counts": curation_pipeline_counts,
     "heavy_hitter_users": heavy_hitter_users,
+    "temperature_mix_counts": temperature_mix_counts,
     "dedup_containment": dedup_containment,
     "bm25_search_topk": bm25_search_topk,
     "bm25_multiquery_topk": bm25_multiquery_topk,
@@ -513,6 +546,7 @@ QUERIES = {
 ORACLES = {
     "curation_pipeline_counts": _curation_sql(),
     "heavy_hitter_users": _hh_sql(),
+    "temperature_mix_counts": _temperature_sql(),
     "dedup_containment": _containment_sql(),
     "bm25_search_topk": _bm25_sql(),
     "bm25_multiquery_topk": _bm25_multi_sql(),

@@ -59,3 +59,49 @@ def test_mix_deterministic_and_validates(spark):
         mix_to_proportions(docs, "doc_id", "lang", "n_chars", {})
     with pytest.raises(ValueError):
         mix_to_proportions(docs, "doc_id", "lang", "n_chars", {"en": -1.0})
+
+
+def test_temperature_sample_smallest_stratum_keeps_all(spark):
+    """With tau=2 the achievable total is pinned by the smallest
+    stratum (min of sz/sqrt(sz/N) = sqrt(sz*N)), so it keeps every
+    row while larger strata are thinned toward sqrt-share."""
+    from pyspark.sql import functions as F
+
+    from bunsen_spark.operators.sampling import temperature_sample
+
+    rows = [(i, "en", 100) for i in range(900)] + [
+        (10_000 + i, "is", 100) for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_chars long")
+    kept = temperature_sample(df, "doc_id", "lang", "n_chars", tau=2.0)
+    counts = {r.lang: r.n for r in kept.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert counts["is"] == 100  # smallest stratum: rate 1, nothing dropped
+    # en target mass = T*p_en = sqrt(90000*100000) ~ 94868 chars -> ~1/3 of en
+    assert 250 <= counts["en"] <= 350
+    # flattening: en share fell from 90% toward sqrt-balanced ~75%
+    assert counts["en"] / (counts["en"] + counts["is"]) < 0.80
+
+
+def test_temperature_tau1_keeps_natural_mix(spark):
+    """tau=1: p_s = share, T*p_s = sz_s * (T/N) and T = N, so every
+    rate is exactly 1 — the operator is the identity."""
+    from bunsen_spark.operators.sampling import temperature_sample
+
+    rows = [(i, "en" if i % 3 else "de", 10 + i % 7) for i in range(120)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_chars long")
+    kept = temperature_sample(df, "doc_id", "lang", "n_chars", tau=1.0)
+    assert kept.count() == 120
+
+
+def test_temperature_sample_deterministic_and_validated(spark):
+    import pytest
+
+    from bunsen_spark.operators.sampling import temperature_sample
+
+    rows = [(i, "en" if i % 4 else "fr", 50) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_chars long")
+    a = sorted(r.doc_id for r in temperature_sample(df, "doc_id", "lang", "n_chars").collect())
+    b = sorted(r.doc_id for r in temperature_sample(df, "doc_id", "lang", "n_chars").collect())
+    assert a == b and len(a) > 0
+    with pytest.raises(ValueError):
+        temperature_sample(df, "doc_id", "lang", "n_chars", tau=0.5)
