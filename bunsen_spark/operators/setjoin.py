@@ -1,0 +1,173 @@
+"""Prefix-filtered EXACT Jaccard set-similarity self-join — the
+lossless counterpart of the LSH/banding family in `operators/dedup.py`.
+
+Beyond-reference scale extension (SURVEY §7 M7 family). MinHash-LSH
+(`dedup.py:minhash_lsh_pairs`) is probabilistic: pairs can be missed.
+When the pipeline needs EVERY pair above a Jaccard threshold (legal
+dedup audits, recall measurement for the LSH path), the classic
+scalable exact algorithm is prefix filtering (PPJoin's core): order
+each record's token set by ascending global token frequency and index
+only its first ``|s| - ceil(t*|s|) + 1`` tokens. Two sets with Jaccard
+``>= t`` MUST share at least one prefix token (pigeonhole on the
+required overlap), so joining on prefix tokens alone is lossless —
+and prefixes are built from the RAREST tokens, so the candidate join
+avoids the stop-token blowup that forces the inverted-index path
+(`dedup.py:jaccard_pairs`) to prune frequent shingles lossily.
+
+Plan shape (pure Catalyst):
+
+1. token explode + global document-frequency aggregate (map-side
+   partial agg; shuffle bounded by distinct tokens per partition).
+2. per-doc frequency ordering via one window on ``doc_id`` (unique
+   key, no skew) — rank tokens by ``(df ASC, tok ASC)``; keep ranks
+   ``<= prefix_len``.
+3. candidate generation: self-join of the PREFIX index on the token,
+   with the size filter ``t*|a| <= |b| <= |a|/t`` applied inside the
+   join. Join key frequency is bounded by construction — a token this
+   common would not be in prefixes — so no salting is needed.
+4. exact verification: join candidates back to the full token sets and
+   count the intersection; keep pairs with ``den*inter >= num*union``
+   where ``t = num/den`` exactly (integer cross-multiplication — no
+   float threshold anywhere, so the DuckDB brute-force twin matches
+   bit-for-bit).
+
+At 100 TB: step 1 is the only corpus-wide aggregate; steps 3-4 shuffle
+token/candidate rows whose volume prefix filtering keeps near-linear
+in the matching pairs. Tokens are joined as strings (short words), not
+hashes: a hash collision would merge two tokens and silently change
+EXACT results, which this operator exists to guarantee.
+"""
+
+from __future__ import annotations
+
+from fractions import Fraction
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text_analysis import WORDS_SQL, words_col
+
+
+def _threshold_fraction(threshold: float) -> Fraction:
+    frac = Fraction(threshold).limit_denominator(1000)
+    if not 0 < frac <= 1:
+        raise ValueError("threshold must be in (0, 1]")
+    return frac
+
+
+def prefix_jaccard_pairs(
+    docs: DataFrame, threshold: float = 0.5, shingle_n: int = 0
+) -> DataFrame:
+    """ALL pairs of documents whose set-Jaccard similarity is
+    ``>= threshold`` — exact, no probabilistic misses. The set is the
+    distinct words (``shingle_n=0``) or the distinct word n-gram
+    shingles (``shingle_n>=2``, the same sets the MinHash family
+    banding approximates). Returns ``(doc_a, doc_b, inter, uni)``
+    with ``doc_a < doc_b`` and exact intersection / union sizes.
+    """
+    frac = _threshold_fraction(threshold)
+    num, den = frac.numerator, frac.denominator
+    if shingle_n >= 2:
+        from .dedup import _with_shingles
+
+        sets = _with_shingles(docs, shingle_n).select(
+            "doc_id", F.col("shingles").alias("__s")
+        )
+    else:
+        sets = docs.select(
+            "doc_id", F.array_distinct(words_col(F.col("text"))).alias("__s")
+        )
+    toks = sets.select("doc_id", F.explode("__s").alias("tok"))
+    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    df = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    ranked = (
+        toks.join(df, "tok")
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy(
+                    F.col("df").asc(), F.col("tok").asc()
+                )
+            ),
+        )
+        .join(sizes, "doc_id")
+    )
+    # prefix_len = sz - ceil(t*sz) + 1; ceil(num*sz/den) in integers
+    prefix_len = (
+        F.col("sz") - ((F.col("sz") * num + (den - 1)) / den).cast("long") + 1
+    )
+    prefix = ranked.where(F.col("rnk") <= prefix_len).select(
+        "doc_id", "tok", "sz"
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            # size filter: t*|a| <= |b| and |b| <= |a|/t, integer form
+            & (F.col("b.sz") * den >= F.col("a.sz") * num)
+            & (F.col("b.sz") * num <= F.col("a.sz") * den),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    ta = toks.withColumnRenamed("doc_id", "doc_a")
+    tb = toks.withColumnRenamed("doc_id", "doc_b")
+    inter = (
+        cands.join(ta, "doc_a")
+        .join(tb, ["doc_b", "tok"])  # equi-join: only shared tokens survive
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sza")
+    sb = sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "szb")
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("uni", F.col("sza") + F.col("szb") - F.col("inter"))
+        .where(F.col("inter") * den >= F.col("uni") * num)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("inter").cast("long").alias("inter"),
+            F.col("uni").cast("long").alias("uni"),
+        )
+    )
+
+
+def prefix_jaccard_pairs_sql(
+    table: str = "documents", threshold: float = 0.5, shingle_n: int = 0
+) -> str:
+    """DuckDB twin: BRUTE-FORCE all-pairs exact Jaccard — deliberately
+    a different algorithm, so the gate also proves the prefix filter
+    loses no pair."""
+    frac = _threshold_fraction(threshold)
+    num, den = frac.numerator, frac.denominator
+    if shingle_n >= 2:
+        from .dedup import shingles_sql
+
+        set_sql = shingles_sql(shingle_n)
+    else:
+        set_sql = f"list_distinct({WORDS_SQL})"
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({set_sql}) AS tok FROM {table}
+), sz AS (
+  SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       CAST(inter AS BIGINT) AS inter,
+       CAST(sa.sz + sb.sz - inter AS BIGINT) AS uni
+FROM inter
+JOIN sz sa ON sa.doc_id = doc_a
+JOIN sz sb ON sb.doc_id = doc_b
+WHERE inter * {den} >= (sa.sz + sb.sz - inter) * {num}
+"""

@@ -627,3 +627,67 @@ SELECT vec_id,
              6) AS max_abs_err
 FROM qv
 """
+
+
+# -- single-pass Gram matrix (PCA / whitening input) --------------------------
+
+
+def gram_matrix(embeddings: DataFrame, scale: int = 1024) -> DataFrame:
+    """Distributed Gram matrix ``G = sum_r x_r x_r^T`` over the
+    embedding column — the one corpus-wide statistic PCA, whitening,
+    and OPQ rotation training need before any of them can run. For
+    d-dimensional vectors the result is d(d+1)/2 numbers, so the
+    right 100 TB plan is a single scan with map-side partial
+    aggregation into at most d**2/2 cells per partition and one tiny
+    final shuffle — never a driver collect, never a Python stage.
+
+    Components are fixed-point quantized (``round(x*scale)`` as
+    int64) so the aggregate is INTEGER-exact: the float sum order
+    Spark and DuckDB would each pick is irrelevant, and the gate can
+    hash-compare. With |x| <= ~1 and the default scale, each product
+    is < 2^22, leaving ~2^41 rows of headroom in int64 per cell —
+    raise to DECIMAL(38,0) sums beyond that corpus size.
+
+    Output: one row per upper-triangle cell ``(i, j, g)`` with
+    1-based indices, ``i <= j``.
+    """
+    q = embeddings.select(
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: F.round(x * scale, 0).cast("long"),
+        ).alias("q")
+    )
+    left = q.select(F.posexplode("q").alias("i0", "qi"), "q")
+    cells = left.select(
+        "i0", "qi", F.posexplode("q").alias("j0", "qj")
+    ).where(F.col("j0") >= F.col("i0"))
+    return (
+        cells.groupBy("i0", "j0")
+        .agg(F.sum(F.col("qi") * F.col("qj")).alias("g"))
+        .select(
+            (F.col("i0") + 1).cast("long").alias("i"),
+            (F.col("j0") + 1).cast("long").alias("j"),
+            F.col("g").cast("long").alias("g"),
+        )
+    )
+
+
+def gram_matrix_sql(table: str = "embeddings", scale: int = 1024) -> str:
+    """DuckDB twin of :func:`gram_matrix` (lateral generate_series
+    double-unnest instead of posexplode; same quantization)."""
+    return f"""
+WITH q AS (
+  SELECT list_transform(embedding::DOUBLE[],
+                        x -> CAST(round(x * {scale}) AS BIGINT)) AS q
+  FROM {table}
+), cells AS (
+  SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+         q[CAST(i AS INTEGER)] * q[CAST(j AS INTEGER)] AS prod
+  FROM q,
+       unnest(generate_series(1, len(q))) u(i),
+       unnest(generate_series(1, len(q))) v(j)
+  WHERE j >= i
+)
+SELECT i, j, CAST(sum(prod) AS BIGINT) AS g
+FROM cells GROUP BY i, j
+"""

@@ -428,3 +428,85 @@ SELECT doc_id,
          AS scrubbed_chars
 FROM {table}
 """
+
+
+def surprisal_score(docs: DataFrame) -> DataFrame:
+    """Corpus-conditioned unigram surprisal quality score — the
+    "perplexity-ish" doc filter of training pipelines, made
+    integer-exact so a DuckDB oracle reproduces it bit-for-bit.
+
+    A token occurring ``cnt`` times in a corpus of ``N`` tokens
+    carries ``floor(log2(N div cnt))`` whole BITS of surprisal —
+    computed as ``length(bin(N div cnt)) - 1``, i.e. pure integer bit
+    arithmetic, never a float ``log`` (whose last-ulp rounding is not
+    guaranteed identical across engines). A document's score is the
+    sum of its tokens' bit-surprisals (with multiplicity): template/
+    boilerplate docs full of stop-tokens score near 0 bits/token;
+    rare-vocabulary docs score high; the downstream quantile filter
+    (`queries/pipeline_r5.py:quality_quantile_filter` pattern) picks
+    the band to keep.
+
+    Plan shape: one token explode feeding (a) the corpus vocab
+    aggregate and (b) the per-doc sum — the vocab (distinct tokens,
+    Zipf-bounded) is broadcast back onto the token stream, and the
+    corpus-total ``N`` is a 1-row scalar broadcast, so the only
+    corpus-wide shuffle is the vocab aggregate's map-side-combined
+    ``groupBy(tok)``. Output is one row per doc, integer columns only.
+    """
+    toks = docs.select("doc_id", F.explode(words_col(F.col("text"))).alias("tok"))
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    total = vocab.agg(F.sum("cnt").cast("long").alias("n_total"))
+    # floor(log2(N div cnt)) via binary-string length: exact integers
+    surpr = vocab.crossJoin(F.broadcast(total)).select(
+        "tok",
+        (
+            F.length(F.bin(F.expr("n_total div cnt"))) - 1
+        ).cast("long").alias("bits"),
+    )
+    per_doc = (
+        toks.join(F.broadcast(surpr), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("bits").cast("long").alias("surprisal_bits"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_tokens"), F.lit(0).cast("long")).alias("n_tokens"),
+            F.coalesce(F.col("surprisal_bits"), F.lit(0).cast("long")).alias(
+                "surprisal_bits"
+            ),
+        )
+    )
+
+
+def surprisal_score_sql(table: str = "documents") -> str:
+    """DuckDB twin of :func:`surprisal_score` — ``printf('%b', x)``
+    is the engine's exact binary rendering, the twin of Spark's
+    ``bin()``; integer division before the log keeps both sides in
+    integer arithmetic end to end."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({WORDS_SQL}) AS tok FROM {table}
+), vocab AS (
+  SELECT tok, count(*) AS cnt FROM toks GROUP BY tok
+), total AS (
+  SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM vocab
+), surpr AS (
+  SELECT tok,
+         CAST(length(printf('%b', n_total // cnt)) - 1 AS BIGINT) AS bits
+  FROM vocab, total
+), per_doc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(bits) AS BIGINT) AS surprisal_bits
+  FROM toks JOIN surpr USING (tok) GROUP BY doc_id
+)
+SELECT t.doc_id,
+       COALESCE(p.n_tokens, 0) AS n_tokens,
+       COALESCE(p.surprisal_bits, 0) AS surprisal_bits
+FROM {table} t LEFT JOIN per_doc p USING (doc_id)
+"""
