@@ -1,0 +1,163 @@
+"""Event-stream engagement analytics: exact time-decayed scoring and
+session path mining.
+
+Beyond-reference scale extensions (SURVEY §7 M7 family — the reference
+has no event analytics). Both operators are single-aggregation /
+single-window plans over the events table.
+
+The decay operator solves the usual impossibility of hash-gating an
+exponentially-decayed score (``sum(v * exp(-age/τ))`` depends on float
+summation order) by quantizing TIME instead of the weight: age is
+bucketed into whole half-lives, so every weight is an exact power of
+two ``2^(B - bucket)`` representable as an int64, and the aggregate is
+pure integer arithmetic — bit-identical in any engine, any partition
+order, any corpus size. The classic streaming trick (decay = shift) at
+Spark scale: one map-side-combined ``groupBy`` and nothing else.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def decayed_counts(
+    events: DataFrame,
+    key: str,
+    ts_us: str,
+    ref_us: int,
+    half_life_us: int,
+    value_cents: str | None = None,
+    max_half_lives: int = 30,
+) -> DataFrame:
+    """Per-``key`` exact half-life-decayed engagement: each event at
+    age ``a`` contributes weight ``2^(B - (a div half_life))`` (0 once
+    older than ``B = max_half_lives`` half-lives; a weight of ``2^B``
+    means "now"). Returns ``(key, n_events, decayed_weight[, decayed_value])``
+    — all int64.
+
+    Headroom: the largest weight is ``2^B``; with the default B=30 an
+    int64 sum holds ~2^33 fresh events per key (scale ``B`` down, or
+    cast the sum to decimal(38,0), for hotter keys). Events from the
+    future of ``ref_us`` are clamped into bucket 0 rather than
+    amplified.
+    """
+    if not 0 < max_half_lives < 62:
+        raise ValueError("max_half_lives must be in (0, 62)")
+    if half_life_us <= 0:
+        raise ValueError("half_life_us must be positive")
+    # integer division, not float floor: (x div y) semantics
+    b = F.greatest(
+        F.expr(f"({ref_us} - {ts_us}) div {half_life_us}"), F.lit(0).cast("long")
+    )
+    w = F.when(b >= max_half_lives, F.lit(0).cast("long")).otherwise(
+        F.expr(f"shiftleft(1L, cast({max_half_lives} - "
+               f"greatest(({ref_us} - {ts_us}) div {half_life_us}, 0L) as int))")
+    )
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(w).cast("long").alias("decayed_weight"),
+    ]
+    if value_cents is not None:
+        aggs.append(
+            F.sum(w * F.col(value_cents).cast("long"))
+            .cast("long")
+            .alias("decayed_value")
+        )
+    return events.groupBy(key).agg(*aggs)
+
+
+def decayed_counts_sql(
+    events_sql: str,
+    key: str,
+    ts_us: str,
+    ref_us: int,
+    half_life_us: int,
+    value_cents: str | None = None,
+    max_half_lives: int = 30,
+) -> str:
+    """DuckDB twin of :func:`decayed_counts` over a SELECT body that
+    yields ``(key, ts_us[, value_cents])``."""
+    b = f"greatest(({ref_us} - {ts_us}) // {half_life_us}, 0)"
+    w = (
+        f"CASE WHEN {b} >= {max_half_lives} THEN CAST(0 AS BIGINT) "
+        f"ELSE (CAST(1 AS BIGINT) << CAST({max_half_lives} - {b} AS INTEGER)) END"
+    )
+    val = (
+        f", CAST(sum(({w}) * CAST({value_cents} AS BIGINT)) AS BIGINT)"
+        f" AS decayed_value"
+        if value_cents is not None
+        else ""
+    )
+    return f"""
+SELECT {key}, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum({w}) AS BIGINT) AS decayed_weight{val}
+FROM ({events_sql}) __e
+GROUP BY {key}
+"""
+
+
+def session_path_counts(
+    events: DataFrame,
+    key: str,
+    ts_us: str,
+    session_col: str,
+    step_col: str,
+    depth: int = 3,
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """Frequent ``depth``-step paths across sessionized events: for
+    every consecutive window of ``depth`` steps inside one session,
+    count the path string ``a>b>c``. Compose with
+    `sessionize.sessionize` to build ``session_col`` first.
+
+    One window (partitioned by the session key — same shuffle the
+    sessionizer already produced, so back-to-back the exchange is
+    reused) + one map-side-combined count. The output is the path
+    distribution, bounded by the distinct step-type ** depth — tiny.
+    """
+    if depth < 2:
+        raise ValueError("depth must be >= 2")
+    order_cols = order_cols or []
+    w = Window.partitionBy(key, session_col).orderBy(ts_us, *order_cols)
+    steps = [F.col(step_col)] + [
+        F.lead(step_col, i).over(w) for i in range(1, depth)
+    ]
+    path = F.concat_ws(">", *steps)
+    complete = F.lead(step_col, depth - 1).over(w).isNotNull()
+    return (
+        events.select(path.alias("path"), complete.alias("__c"))
+        .where(F.col("__c"))
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_paths"))
+    )
+
+
+def session_path_counts_sql(
+    events_sql: str,
+    key: str,
+    ts_us: str,
+    session_col: str,
+    step_col: str,
+    depth: int = 3,
+    order_cols: list[str] | None = None,
+) -> str:
+    """DuckDB twin of :func:`session_path_counts` over a SELECT body
+    already carrying ``session_col``."""
+    if depth < 2:
+        raise ValueError("depth must be >= 2")
+    order = ", ".join([ts_us] + (order_cols or []))
+    over = f"OVER (PARTITION BY {key}, {session_col} ORDER BY {order})"
+    parts = [step_col] + [
+        f"lead({step_col}, {i}) {over}" for i in range(1, depth)
+    ]
+    concat = " || '>' || ".join(parts)
+    last = f"lead({step_col}, {depth - 1}) {over}"
+    return f"""
+WITH __s AS ({events_sql}),
+__p AS (
+  SELECT ({concat}) AS path, ({last}) IS NOT NULL AS __c FROM __s
+)
+SELECT path, CAST(count(*) AS BIGINT) AS n_paths
+FROM __p WHERE __c GROUP BY path
+"""

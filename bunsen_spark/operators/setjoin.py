@@ -45,6 +45,7 @@ from fractions import Fraction
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..persist import materialize
 from .text_analysis import WORDS_SQL, words_col
 
 
@@ -77,7 +78,11 @@ def prefix_jaccard_pairs(
         sets = docs.select(
             "doc_id", F.array_distinct(words_col(F.col("text"))).alias("__s")
         )
-    toks = sets.select("doc_id", F.explode("__s").alias("tok"))
+    # the token stream feeds FOUR consumers (global df aggregate, the
+    # per-doc ranking, and both sides of the intersection count);
+    # materialize it once — recomputing the tokenize+shingle explode
+    # four times dominated the runtime (15.8 s -> see PERF.md)
+    toks = materialize(sets.select("doc_id", F.explode("__s").alias("tok")))
     sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     df = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     ranked = (

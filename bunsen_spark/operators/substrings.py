@@ -18,14 +18,14 @@ Plan shape (all pure Catalyst — no Python anywhere):
    ``1..L-k+1`` with the 31-bit hash of the k-gram starting there.
    Map-only; the gram string itself is hashed immediately so the
    shuffle rows are ``(doc_id, pos, gh)`` — 20 bytes, never the text.
-2. duplicate-gram selection: ``groupBy(gh).count() HAVING >= min_df``.
-   Partial (map-side) aggregation bounds the shuffle by the number of
-   DISTINCT grams per partition, not gram occurrences.
-3. one shuffle join back on ``gh`` keeps only duplicated positions.
-   The duplicate-gram table is usually far smaller than the gram
-   stream but unbounded in adversarial corpora, so this stays a shuffle
-   join and AQE may broadcast it when it turns out small.
-4. interval merge per doc (gaps-and-islands): a window ordered by
+2. duplicate-gram selection: ONE shuffle on ``gh`` with a window
+   ``count() >= min_df`` — the gram stream is computed and hashed
+   exactly once (a groupBy + join-back formulation recomputes the
+   whole explode on the probe side). Window partitions are per
+   distinct gram; a pathological corpus-wide hot gram bounds at the
+   occurrence count of one gram, the same bound the join formulation
+   has on its probe side.
+3. interval merge per doc (gaps-and-islands): a window ordered by
    ``pos`` computes the running ``max(pos + k)`` of preceding rows; a
    position starts a new island when it clears that running end. Sum of
    ``max(end) - min(pos)`` over islands = duplicated chars. Window
@@ -36,7 +36,7 @@ Plan shape (all pure Catalyst — no Python anywhere):
 
 At 100 TB the dominant cost is step 1's explode (L rows per doc);
 raising ``k`` both shrinks matches and is free at explode time, and
-steps 2-4 only carry 8-byte hashes. The output is one row per document
+steps 2-3 only carry 8-byte hashes. The output is one row per document
 — integer columns only, so the DuckDB twin is bit-exact.
 
 ``portable=True`` pins the md5 hash family for cross-engine gates
@@ -72,29 +72,31 @@ def substring_dup_spans(
     if min_df < 2:
         raise ValueError("min_df must be >= 2")
     base = docs.select("doc_id", F.length("text").alias("n_chars"), "text")
+    # the gram array is built INSIDE one projection (transform over the
+    # position sequence) and posexploded: the exploded rows carry only
+    # the k-char gram, never the full document text (k bytes/row vs
+    # document-length bytes/row), and the gram stream is computed
+    # exactly once — the duplicate-gram count is a window over the
+    # same shuffle instead of a groupBy + join back onto a recomputed
+    # gram stream (which doubled both the explode and the hashing)
+    gram_arr = F.expr(
+        f"transform(sequence(1, length(text) - {k - 1}),"
+        f" p -> substring(text, p, {k}))"
+    )
     grams = (
         base.where(F.col("n_chars") >= k)
+        .select("doc_id", F.posexplode(gram_arr).alias("pos0", "g"))
         .select(
             "doc_id",
-            F.explode(
-                F.sequence(F.lit(1), F.col("n_chars") - F.lit(k - 1))
-            ).alias("pos"),
-            "text",
-        )
-        .select(
-            "doc_id",
-            "pos",
-            hash31(F.expr(f"substring(text, pos, {k})"), portable).alias("gh"),
+            (F.col("pos0") + 1).alias("pos"),
+            hash31(F.col("g"), portable).alias("gh"),
         )
     )
-    dup_grams = (
-        grams.groupBy("gh")
-        .agg(F.count(F.lit(1)).alias("__df"))
+    w_gh = Window.partitionBy("gh")
+    hits = (
+        grams.withColumn("__df", F.count(F.lit(1)).over(w_gh))
         .where(F.col("__df") >= min_df)
-        .select("gh")
-    )
-    hits = grams.join(dup_grams, "gh").select(
-        "doc_id", "pos", (F.col("pos") + F.lit(k)).alias("end")
+        .select("doc_id", "pos", (F.col("pos") + F.lit(k)).alias("end"))
     )
     w = Window.partitionBy("doc_id").orderBy("pos")
     prev_end = F.max("end").over(

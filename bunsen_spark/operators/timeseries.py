@@ -1,0 +1,102 @@
+"""Per-key time-series resampling with gap fill — the feature-pipeline
+primitive that turns an irregular event stream into a dense regular
+grid (one row per key per bucket, zeros where nothing happened), which
+downstream windowed models and anomaly detectors require.
+
+Beyond-reference scale extension (SURVEY §7 M7 family). Plan shape:
+
+1. one map-side-combined aggregate to (key, bucket) — the only
+   corpus-wide shuffle, already partial-aggregated per partition;
+2. per-key span aggregate (min/max bucket — tiny, same shuffle key);
+3. ``sequence()`` explode of each key's span to the dense grid;
+4. one left join of grid onto the sparse counts (same key, AQE
+   broadcasts the smaller side when it fits).
+
+The explode in step 3 is bounded by ``span_cap`` buckets per key:
+at 100 TB a single pathological key spanning years at second
+resolution would otherwise emit tens of millions of grid rows inside
+one task. Exceeding keys raise rather than silently truncate —
+resampling a multi-year key at seconds is a caller bug, not data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def resample_counts(
+    events: DataFrame,
+    key: str,
+    ts_us: str,
+    bucket_us: int,
+    value_col: str | None = None,
+    span_cap: int = 1_000_000,
+) -> DataFrame:
+    """Dense per-``key`` bucket grid between each key's first and last
+    event: ``(key, bucket, n_events[, value_sum])`` with gap buckets
+    zero-filled. ``bucket = ts div bucket_us``; ``value_col`` must be
+    integer (quantize first) so the sums are hash-exact.
+    """
+    if bucket_us <= 0:
+        raise ValueError("bucket_us must be positive")
+    b = F.expr(f"{ts_us} div {bucket_us}")
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_events")]
+    if value_col is not None:
+        aggs.append(
+            F.sum(F.col(value_col).cast("long")).alias("value_sum")
+        )
+    sparse = events.groupBy(F.col(key), b.alias("bucket")).agg(*aggs)
+    spans = sparse.groupBy(key).agg(
+        F.min("bucket").alias("__b0"), F.max("bucket").alias("__b1")
+    )
+    # the guard is IN the plan (raise_error), not an eager count job at
+    # call time — operators must stay job-free until the caller acts
+    guarded = F.expr(
+        f"CASE WHEN __b1 - __b0 < {span_cap} THEN sequence(__b0, __b1) "
+        f"ELSE cast(raise_error('resample_counts: a key spans >= {span_cap}"
+        f" buckets; raise bucket_us or span_cap') AS array<bigint>) END"
+    )
+    grid = spans.select(key, F.explode(guarded).alias("bucket"))
+    zeros = {"n_events": F.lit(0).cast("long")}
+    if value_col is not None:
+        zeros["value_sum"] = F.lit(0).cast("long")
+    out = grid.join(sparse, [key, "bucket"], "left")
+    for c, z in zeros.items():
+        out = out.withColumn(c, F.coalesce(F.col(c), z))
+    return out
+
+
+def resample_counts_sql(
+    events_sql: str,
+    key: str,
+    ts_us: str,
+    bucket_us: int,
+    value_col: str | None = None,
+) -> str:
+    """DuckDB twin of :func:`resample_counts` over a SELECT body
+    yielding ``(key, ts_us[, value_col])``."""
+    val_agg = (
+        f", CAST(sum(CAST({value_col} AS BIGINT)) AS BIGINT) AS value_sum"
+        if value_col is not None
+        else ""
+    )
+    val_fill = (
+        ", COALESCE(s.value_sum, 0) AS value_sum" if value_col is not None else ""
+    )
+    return f"""
+WITH sparse AS (
+  SELECT {key}, {ts_us} // {bucket_us} AS bucket,
+         CAST(count(*) AS BIGINT) AS n_events{val_agg}
+  FROM ({events_sql}) __e GROUP BY 1, 2
+), spans AS (
+  SELECT {key}, min(bucket) AS b0, max(bucket) AS b1 FROM sparse GROUP BY 1
+), grid AS (
+  SELECT {key}, CAST(g AS BIGINT) AS bucket
+  FROM spans, unnest(generate_series(b0, b1)) u(g)
+)
+SELECT grid.{key}, grid.bucket,
+       COALESCE(s.n_events, 0) AS n_events{val_fill}
+FROM grid LEFT JOIN sparse s
+  ON s.{key} = grid.{key} AND s.bucket = grid.bucket
+"""

@@ -7,7 +7,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from . import load
+from . import load, ts_us
 
 SCD2_TS = 100
 
@@ -162,12 +162,259 @@ def _gram_sql() -> str:
     return gram_matrix_sql("embeddings") + " ORDER BY i, j"
 
 
+_DECAY_REF_US = 1707955200000000  # 2024-02-15T00:00:00Z
+_DECAY_HALF_LIFE_US = 3 * 24 * 3600 * 1_000_000  # 3 days
+
+
+def decayed_user_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact half-life-decayed per-user engagement
+    (`operators/engagement.py:decayed_counts`): weights are whole
+    powers of two from integer half-life buckets, so the decayed sums
+    are int64-exact in any partition order — the hash-gateable form of
+    exponential decay scoring. One map-side-combined groupBy."""
+    from ..operators.engagement import decayed_counts
+
+    e = load(spark, sf_dir, "events")
+    e = e.select(
+        "user_id",
+        ts_us(e).alias("us"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    return decayed_counts(
+        e,
+        "user_id",
+        "us",
+        ref_us=_DECAY_REF_US,
+        half_life_us=_DECAY_HALF_LIFE_US,
+        value_cents="cents",
+    ).orderBy("user_id")
+
+
+def _decay_sql() -> str:
+    from ..operators.engagement import decayed_counts_sql
+
+    inner = (
+        "SELECT user_id, epoch_us(ts) AS us, "
+        "CAST(round(value * 100) AS BIGINT) AS cents FROM events"
+    )
+    return (
+        decayed_counts_sql(
+            inner,
+            "user_id",
+            "us",
+            ref_us=_DECAY_REF_US,
+            half_life_us=_DECAY_HALF_LIFE_US,
+            value_cents="cents",
+        )
+        + " ORDER BY user_id"
+    )
+
+
+def session_path_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session path mining (`operators/engagement.py:
+    session_path_counts`): 3-step event-type paths inside 30-minute
+    sessions — the sessionizer's shuffle is reused by the path window
+    (same partition key), then one map-side-combined count."""
+    from ..operators.engagement import session_path_counts
+    from ..operators.sessionize import sessionize
+
+    e = load(spark, sf_dir, "events")
+    e = e.select("user_id", "event_id", "event_type", ts_us(e).alias("us"))
+    gap = 30 * 60 * 1_000_000
+    sessions = sessionize(
+        e, ["user_id"], "us", gap, order_cols=["event_id"]
+    )
+    return session_path_counts(
+        sessions,
+        "user_id",
+        "us",
+        "session_id",
+        "event_type",
+        depth=3,
+        order_cols=["event_id"],
+    ).orderBy("path")
+
+
+def _session_path_sql() -> str:
+    from ..operators.engagement import session_path_counts_sql
+
+    sessions = """
+SELECT user_id, event_id, event_type, us,
+       CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS session_id
+FROM (
+  SELECT user_id, event_id, event_type, us,
+         CASE WHEN us - LAG(us) OVER w > 1800000000 THEN 1
+              WHEN LAG(us) OVER w IS NULL THEN 1
+              ELSE 0 END AS is_new
+  FROM (SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events) e
+  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+) flagged
+"""
+    return (
+        session_path_counts_sql(
+            sessions,
+            "user_id",
+            "us",
+            "session_id",
+            "event_type",
+            depth=3,
+            order_cols=["event_id"],
+        )
+        + " ORDER BY path"
+    )
+
+
+def compaction_plan_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planning
+    (`sources/warehouse.py:plan_compaction`): documents stand in for a
+    per-source file listing (doc_id = file, n_chars = bytes); files
+    are packed into ~5000-byte bins with one window cumulative sum and
+    the plan is summarized per (source, bin)."""
+    from ..sources.warehouse import plan_compaction
+
+    docs = load(spark, sf_dir, "documents")
+    files = docs.select("source", "doc_id", F.col("n_chars").alias("bytes"))
+    plan = plan_compaction(
+        files,
+        "bytes",
+        target_bytes=5000,
+        partition_cols=["source"],
+        order_cols=["doc_id"],
+    )
+    return (
+        plan.groupBy("source", "bin_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_files"),
+            F.sum(F.col("bytes").cast("long")).alias("bin_bytes"),
+            F.min("doc_id").alias("first_file"),
+        )
+        .orderBy("source", "bin_id")
+    )
+
+
+def _compaction_sql() -> str:
+    from ..sources.warehouse import plan_compaction_sql
+
+    inner = plan_compaction_sql(
+        "SELECT source, doc_id, n_chars AS bytes FROM documents",
+        "bytes",
+        target_bytes=5000,
+        partition_cols=["source"],
+        order_cols=["doc_id"],
+    )
+    return f"""
+SELECT source, bin_id, CAST(count(*) AS BIGINT) AS n_files,
+       CAST(sum(CAST(bytes AS BIGINT)) AS BIGINT) AS bin_bytes,
+       min(doc_id) AS first_file
+FROM ({inner}) __p
+GROUP BY source, bin_id ORDER BY source, bin_id
+"""
+
+
+def resample_user_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled per-user daily resample
+    (`operators/timeseries.py:resample_counts`): dense (user, day)
+    grid between each user's first and last event, zero-filled — one
+    aggregate, one span explode, one left join."""
+    from ..operators.timeseries import resample_counts
+
+    e = load(spark, sf_dir, "events")
+    e = e.select(
+        "user_id",
+        ts_us(e).alias("us"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    day_us = 24 * 3600 * 1_000_000
+    return resample_counts(
+        e, "user_id", "us", day_us, value_col="cents"
+    ).orderBy("user_id", "bucket")
+
+
+def _resample_sql() -> str:
+    from ..operators.timeseries import resample_counts_sql
+
+    inner = (
+        "SELECT user_id, epoch_us(ts) AS us, "
+        "CAST(round(value * 100) AS BIGINT) AS cents FROM events"
+    )
+    body = resample_counts_sql(
+        inner, "user_id", "us", 24 * 3600 * 1_000_000, value_col="cents"
+    )
+    # wrap: the twin's final select has user_id visible from both join
+    # sides, so a bare ORDER BY user_id is ambiguous in DuckDB
+    return f"SELECT * FROM ({body}) __r ORDER BY user_id, bucket"
+
+
+def vocab_encode_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast-vocab tokenization (`operators/vocab.py`): top-64
+    frequency-ranked vocab, id-encode every document, then emit the
+    position-weighted id checksum (the gate-safe scalar form of the id
+    array — same convention as the quantization stats)."""
+    from ..operators.vocab import build_vocab, encode_docs
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    enc = encode_docs(docs, build_vocab(docs, max_size=64))
+    idx = F.sequence(F.lit(1), F.size("ids"))
+    checksum = F.aggregate(
+        F.zip_with(F.col("ids"), idx, lambda x, i: x * i),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return enc.select(
+        "doc_id", "n_tokens", "n_oov", checksum.alias("ids_checksum")
+    ).orderBy("doc_id")
+
+
+def _vocab_sql() -> str:
+    from ..operators.vocab import encode_docs_sql
+
+    inner = encode_docs_sql("documents", max_size=64)
+    return f"""
+SELECT doc_id, n_tokens, n_oov,
+       CAST(COALESCE(list_sum(list_transform(range(1, len(ids) + 1),
+                i -> ids[CAST(i AS INTEGER)] * i)), 0) AS BIGINT)
+           AS ids_checksum
+FROM ({inner}) __e
+ORDER BY doc_id
+"""
+
+
+def negative_pairs_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic contrastive negative sampling
+    (`operators/contrastive.py:negative_pairs`): 4 hash-bucket
+    negatives per anchor via two broadcast joins — no global index, no
+    cartesian, bit-reproducible from the seed."""
+    from ..operators.contrastive import negative_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    return negative_pairs(
+        docs, "doc_id", k=4, n_buckets=64, seed=7
+    ).orderBy("anchor_id", "slot")
+
+
+def _negative_sql() -> str:
+    from ..operators.contrastive import negative_pairs_sql
+
+    return (
+        negative_pairs_sql("documents", "doc_id", k=4, n_buckets=64, seed=7)
+        + " ORDER BY anchor_id, slot"
+    )
+
+
 QUERIES = {
     "dedup_substring_spans": dedup_substring_spans,
     "dedup_prefix_jaccard": dedup_prefix_jaccard,
     "text_surprisal_score": text_surprisal_score,
     "scd2_documents": scd2_documents,
     "embedding_gram_matrix": embedding_gram_matrix,
+    "decayed_user_engagement": decayed_user_engagement,
+    "session_path_top": session_path_top,
+    "compaction_plan_bins": compaction_plan_bins,
+    "resample_user_days": resample_user_days,
+    "vocab_encode_checksums": vocab_encode_checksums,
+    "negative_pairs_sample": negative_pairs_sample,
 }
 
 ORACLES = {
@@ -176,4 +423,10 @@ ORACLES = {
     "text_surprisal_score": _surprisal_sql(),
     "scd2_documents": _scd2_sql(),
     "embedding_gram_matrix": _gram_sql(),
+    "decayed_user_engagement": _decay_sql(),
+    "session_path_top": _session_path_sql(),
+    "compaction_plan_bins": _compaction_sql(),
+    "resample_user_days": _resample_sql(),
+    "vocab_encode_checksums": _vocab_sql(),
+    "negative_pairs_sample": _negative_sql(),
 }

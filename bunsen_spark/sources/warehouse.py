@@ -14,7 +14,8 @@ warehouse layout controls. Spark buckets require ``saveAsTable``
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
 
 def write_bucketed(
@@ -161,3 +162,71 @@ def write_zorder(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def plan_compaction(
+    files: DataFrame,
+    size_col: str,
+    target_bytes: int,
+    partition_cols: list[str] | None = None,
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """Deterministic small-file compaction plan — the maintenance pass
+    a 100 TB parquet warehouse runs continuously: group existing files
+    into output bins of ~``target_bytes`` so a rewrite job can
+    ``coalesce`` each bin into one right-sized file.
+
+    Sequential packing per partition: files are ordered by
+    ``order_cols`` (so the plan is stable run-to-run — CRITICAL for an
+    idempotent maintenance job), the running byte total is computed
+    with one window cumulative sum, and a file's bin is
+    ``prev_cumsum div target_bytes``. Every bin lands within one
+    max-file-size of the target on either side (except the final
+    partial bin) — bounded deviation without driver-side bin-packing
+    state, in ONE window per partition (no iterative first-fit, no
+    collect). Output: the input plus ``bin_id``.
+
+    The plan is computed entirely from the file listing (thousands of
+    rows per partition, not data rows), so it costs nothing at any
+    data scale; the expensive part — the rewrite — reads each bin's
+    files once and writes one file, embarrassingly parallel over bins.
+    """
+    if target_bytes <= 0:
+        raise ValueError("target_bytes must be positive")
+    partition_cols = partition_cols or []
+    order_cols = order_cols or [size_col]
+    w = (
+        Window.partitionBy(*partition_cols)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_cum = F.coalesce(F.sum(F.col(size_col)).over(w), F.lit(0)).cast("long")
+    return files.withColumn("__prev_cum", prev_cum).withColumn(
+        "bin_id", F.expr(f"__prev_cum div {target_bytes}")
+    ).drop("__prev_cum")
+
+
+def plan_compaction_sql(
+    files_sql: str,
+    size_col: str,
+    target_bytes: int,
+    partition_cols: list[str] | None = None,
+    order_cols: list[str] | None = None,
+) -> str:
+    """DuckDB twin of :func:`plan_compaction`."""
+    partition_cols = partition_cols or []
+    order_cols = order_cols or [size_col]
+    part = (
+        "PARTITION BY " + ", ".join(partition_cols) + " "
+        if partition_cols
+        else ""
+    )
+    order = ", ".join(order_cols)
+    return f"""
+SELECT *,
+       CAST(COALESCE(sum({size_col}) OVER (
+           {part}ORDER BY {order}
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+       ), 0) // {target_bytes} AS BIGINT) AS bin_id
+FROM ({files_sql}) __f
+"""

@@ -1,0 +1,149 @@
+"""Unit tests for exact time-decayed engagement scoring and session
+path mining."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+HL = 100  # half-life in "us" for tests
+REF = 1000
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(rows, "user_id long, us long, cents long")
+
+
+def test_decay_weights_are_powers_of_two(spark):
+    from bunsen_spark.operators.engagement import decayed_counts
+
+    # ages: 0 -> bucket 0 -> 2^30; 150 -> bucket 1 -> 2^29;
+    # 250 -> bucket 2 -> 2^28
+    e = _events(
+        spark, [(1, REF, 10), (1, REF - 150, 10), (1, REF - 250, 10)]
+    )
+    [r] = decayed_counts(
+        e, "user_id", "us", REF, HL, value_cents="cents"
+    ).collect()
+    assert r.n_events == 3
+    assert r.decayed_weight == 2**30 + 2**29 + 2**28
+    assert r.decayed_value == 10 * (2**30 + 2**29 + 2**28)
+
+
+def test_decay_old_events_contribute_zero(spark):
+    from bunsen_spark.operators.engagement import decayed_counts
+
+    e = _events(spark, [(1, REF - 31 * HL, 5), (1, REF, 5)])
+    [r] = decayed_counts(e, "user_id", "us", REF, HL).collect()
+    assert r.n_events == 2
+    assert r.decayed_weight == 2**30  # only the fresh event
+
+
+def test_decay_future_events_clamped_to_now(spark):
+    from bunsen_spark.operators.engagement import decayed_counts
+
+    e = _events(spark, [(1, REF + 500, 5)])
+    [r] = decayed_counts(e, "user_id", "us", REF, HL).collect()
+    assert r.decayed_weight == 2**30  # clamped, not amplified
+
+
+def test_decay_partition_order_invariant(spark):
+    from bunsen_spark.operators.engagement import decayed_counts
+
+    rows = [(1, REF - 13 * i, (i % 7) + 1) for i in range(500)]
+    e1 = _events(spark, rows).repartition(1)
+    e2 = _events(spark, rows[::-1]).repartition(16)
+    r1 = decayed_counts(e1, "user_id", "us", REF, HL, "cents").collect()[0]
+    r2 = decayed_counts(e2, "user_id", "us", REF, HL, "cents").collect()[0]
+    assert (r1.decayed_weight, r1.decayed_value) == (
+        r2.decayed_weight,
+        r2.decayed_value,
+    )
+
+
+def test_decay_rejects_bad_args(spark):
+    from bunsen_spark.operators.engagement import decayed_counts
+
+    e = _events(spark, [(1, 1, 1)])
+    with pytest.raises(ValueError):
+        decayed_counts(e, "user_id", "us", REF, 0)
+    with pytest.raises(ValueError):
+        decayed_counts(e, "user_id", "us", REF, HL, max_half_lives=64)
+
+
+def _sessions(spark, rows):
+    return spark.createDataFrame(
+        rows, "user_id long, session_id long, us long, step string"
+    )
+
+
+def test_session_paths_basic(spark):
+    from bunsen_spark.operators.engagement import session_path_counts
+
+    e = _sessions(
+        spark,
+        [
+            (1, 1, 10, "view"),
+            (1, 1, 20, "click"),
+            (1, 1, 30, "buy"),
+            (1, 1, 40, "view"),
+            (2, 1, 10, "view"),
+            (2, 1, 20, "click"),
+            (2, 1, 30, "buy"),
+        ],
+    )
+    got = {
+        r.path: r.n_paths
+        for r in session_path_counts(
+            e, "user_id", "us", "session_id", "step", depth=3
+        ).collect()
+    }
+    assert got == {"view>click>buy": 2, "click>buy>view": 1}
+
+
+def test_session_paths_do_not_cross_sessions(spark):
+    from bunsen_spark.operators.engagement import session_path_counts
+
+    e = _sessions(
+        spark,
+        [
+            (1, 1, 10, "a"),
+            (1, 1, 20, "b"),
+            (1, 2, 30, "c"),  # new session: no a>b>c path
+            (1, 2, 40, "d"),
+            (1, 2, 50, "e"),
+        ],
+    )
+    got = {
+        r.path: r.n_paths
+        for r in session_path_counts(
+            e, "user_id", "us", "session_id", "step", depth=3
+        ).collect()
+    }
+    assert got == {"c>d>e": 1}
+
+
+def test_session_paths_depth_two(spark):
+    from bunsen_spark.operators.engagement import session_path_counts
+
+    e = _sessions(spark, [(1, 1, 10, "a"), (1, 1, 20, "b"), (1, 1, 30, "a")])
+    got = {
+        r.path: r.n_paths
+        for r in session_path_counts(
+            e, "user_id", "us", "session_id", "step", depth=2
+        ).collect()
+    }
+    assert got == {"a>b": 1, "b>a": 1}
+
+
+def test_session_paths_rejects_depth_one(spark):
+    from bunsen_spark.operators.engagement import (
+        session_path_counts,
+        session_path_counts_sql,
+    )
+
+    e = _sessions(spark, [(1, 1, 10, "a")])
+    with pytest.raises(ValueError):
+        session_path_counts(e, "user_id", "us", "session_id", "step", depth=1)
+    with pytest.raises(ValueError):
+        session_path_counts_sql("x", "user_id", "us", "session_id", "step", 1)

@@ -1,0 +1,172 @@
+"""Unit tests for the third round-5 batch: time-series resample,
+vocab encoding, negative sampling."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# -- resample_counts ----------------------------------------------------------
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(rows, "k long, us long, v long")
+
+
+def test_resample_fills_gaps_with_zeros(spark):
+    from bunsen_spark.operators.timeseries import resample_counts
+
+    # key 1: events in buckets 0 and 3 -> grid 0..3 with zeros at 1, 2
+    e = _ev(spark, [(1, 5, 10), (1, 8, 10), (1, 35, 30)])
+    out = resample_counts(e, "k", "us", 10, value_col="v").collect()
+    got = {r.bucket: (r.n_events, r.value_sum) for r in out}
+    assert got == {0: (2, 20), 1: (0, 0), 2: (0, 0), 3: (1, 30)}
+
+
+def test_resample_keys_have_independent_spans(spark):
+    from bunsen_spark.operators.timeseries import resample_counts
+
+    e = _ev(spark, [(1, 0, 1), (1, 25, 1), (2, 100, 1)])
+    out = resample_counts(e, "k", "us", 10).collect()
+    got = {(r.k, r.bucket): r.n_events for r in out}
+    assert got == {
+        (1, 0): 1, (1, 1): 0, (1, 2): 1,
+        (2, 10): 1,
+    }
+
+
+def test_resample_span_cap_raises_in_plan(spark):
+    from bunsen_spark.operators.timeseries import resample_counts
+
+    e = _ev(spark, [(1, 0, 1), (1, 10_000, 1)])
+    out = resample_counts(e, "k", "us", 1, span_cap=100)
+    with pytest.raises(Exception, match="span"):
+        out.collect()
+
+
+def test_resample_rejects_bad_bucket(spark):
+    from bunsen_spark.operators.timeseries import resample_counts
+
+    with pytest.raises(ValueError):
+        resample_counts(_ev(spark, [(1, 0, 1)]), "k", "us", 0)
+
+
+# -- vocab --------------------------------------------------------------------
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_vocab_ranking_and_ids(spark):
+    from bunsen_spark.operators.vocab import build_vocab
+
+    d = _docs(spark, [(1, "b b b a a c"), (2, "a c c")])
+    # counts: a=3, b=3, c=3 -> all tie, broken by token asc
+    v = {r.tok: (r.tok_id, r.cnt) for r in build_vocab(d).collect()}
+    assert v == {"a": (1, 3), "b": (2, 3), "c": (3, 3)}
+
+
+def test_vocab_max_size_truncates(spark):
+    from bunsen_spark.operators.vocab import build_vocab
+
+    d = _docs(spark, [(1, "x x x y y z")])
+    v = {r.tok: r.tok_id for r in build_vocab(d, max_size=2).collect()}
+    assert v == {"x": 1, "y": 2}
+
+
+def test_encode_preserves_order_and_marks_oov(spark):
+    from bunsen_spark.operators.vocab import build_vocab, encode_docs
+
+    d = _docs(spark, [(1, "x y x z y x")])
+    vocab = build_vocab(d, max_size=2)  # x=1, y=2; z is OOV
+    [r] = encode_docs(d, vocab).collect()
+    assert r.n_tokens == 6
+    assert r.n_oov == 1
+    assert list(r.ids) == [1, 2, 1, 0, 2, 1]
+
+
+def test_encode_empty_doc(spark):
+    from bunsen_spark.operators.vocab import build_vocab, encode_docs
+
+    d = _docs(spark, [(1, "a b"), (2, "")])
+    out = {r.doc_id: r for r in encode_docs(d, build_vocab(d)).collect()}
+    assert out[2].n_tokens == 0
+    assert out[2].n_oov == 0
+    assert list(out[2].ids) == []
+
+
+def test_encode_order_stable_across_partitioning(spark):
+    from bunsen_spark.operators.vocab import build_vocab, encode_docs
+
+    rows = [(i, " ".join(f"t{(i * j) % 13}" for j in range(50))) for i in range(40)]
+    d1 = _docs(spark, rows).repartition(1)
+    d2 = _docs(spark, rows).repartition(16)
+    v = build_vocab(_docs(spark, rows), max_size=8)
+    e1 = {r.doc_id: list(r.ids) for r in encode_docs(d1, v).collect()}
+    e2 = {r.doc_id: list(r.ids) for r in encode_docs(d2, v).collect()}
+    assert e1 == e2
+
+
+# -- negative_pairs -----------------------------------------------------------
+
+
+def test_negative_pairs_shape_and_determinism(spark):
+    from bunsen_spark.operators.contrastive import negative_pairs
+
+    d = _docs(spark, [(i, "x") for i in range(100)])
+    p1 = sorted(
+        (r.anchor_id, r.slot, r.neg_id)
+        for r in negative_pairs(d, k=3, n_buckets=16, seed=1).collect()
+    )
+    p2 = sorted(
+        (r.anchor_id, r.slot, r.neg_id)
+        for r in negative_pairs(d, k=3, n_buckets=16, seed=1).collect()
+    )
+    assert p1 == p2
+    # at most k per anchor, no self pairs
+    per_anchor = {}
+    for a, s, n in p1:
+        per_anchor.setdefault(a, []).append(n)
+        assert n != a
+    assert all(len(v) <= 3 for v in per_anchor.values())
+    assert len(per_anchor) == 100  # every anchor drew something
+
+
+def test_negative_pairs_seed_changes_draws(spark):
+    from bunsen_spark.operators.contrastive import negative_pairs
+
+    d = _docs(spark, [(i, "x") for i in range(100)])
+    p1 = sorted(
+        (r.anchor_id, r.slot, r.neg_id)
+        for r in negative_pairs(d, k=2, n_buckets=16, seed=1).collect()
+    )
+    p2 = sorted(
+        (r.anchor_id, r.slot, r.neg_id)
+        for r in negative_pairs(d, k=2, n_buckets=16, seed=2).collect()
+    )
+    assert p1 != p2
+
+
+def test_negative_pairs_partner_pool_spreads(spark):
+    from bunsen_spark.operators.contrastive import negative_pairs
+
+    d = _docs(spark, [(i, "x") for i in range(200)])
+    negs = {
+        r.neg_id
+        for r in negative_pairs(d, k=4, n_buckets=64, seed=3).collect()
+    }
+    # the pool is the bucket representatives; with 64 buckets and 200
+    # docs we expect most buckets populated and drawn at least once
+    assert len(negs) > 30
+
+
+def test_negative_pairs_rejects_bad_args(spark):
+    from bunsen_spark.operators.contrastive import negative_pairs
+
+    d = _docs(spark, [(1, "x")])
+    with pytest.raises(ValueError):
+        negative_pairs(d, k=0)
+    with pytest.raises(ValueError):
+        negative_pairs(d, n_buckets=1)
