@@ -24,7 +24,7 @@ exactly ``overlap`` tokens (except possibly the final pair).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -117,4 +117,47 @@ SELECT {id_col},
        array_to_string(t[i * {stride} + 1 : i * {stride} + {chunk_size}], ' ')
          AS chunk_text
 FROM chunks
+"""
+
+
+def adjacent_chunk_pairs(chunks: DataFrame) -> DataFrame:
+    """Positive pairs for contrastive training: consecutive chunks of
+    the same document (the standard "adjacent spans agree" positive
+    signal, the counterpart of `contrastive.negative_pairs`). One
+    window per document over the chunker's own (doc_id, chunk_id)
+    output — zero extra shuffles when run right after
+    :func:`chunk_documents` (same partition key), map-bounded state.
+
+    Output: ``(doc_id, chunk_a, chunk_b, pair_tokens)`` for each
+    consecutive (chunk_id, chunk_id+1) pair; single-chunk documents
+    emit nothing.
+    """
+    w = Window.partitionBy("doc_id").orderBy("chunk_id")
+    nxt_id = F.lead("chunk_id").over(w)
+    nxt_tokens = F.lead("chunk_tokens").over(w)
+    return (
+        chunks.select(
+            "doc_id",
+            F.col("chunk_id").alias("chunk_a"),
+            nxt_id.alias("chunk_b"),
+            (F.col("chunk_tokens") + nxt_tokens).cast("long").alias(
+                "pair_tokens"
+            ),
+        )
+        .where(F.col("chunk_b").isNotNull())
+    )
+
+
+def adjacent_chunk_pairs_sql(chunks_sql: str) -> str:
+    """DuckDB twin of :func:`adjacent_chunk_pairs` over a SELECT body
+    yielding (doc_id, chunk_id, chunk_tokens)."""
+    return f"""
+SELECT doc_id, chunk_a, chunk_b, pair_tokens FROM (
+  SELECT doc_id, chunk_id AS chunk_a,
+         lead(chunk_id) OVER w AS chunk_b,
+         CAST(chunk_tokens + lead(chunk_tokens) OVER w AS BIGINT)
+             AS pair_tokens
+  FROM ({chunks_sql}) __c
+  WINDOW w AS (PARTITION BY doc_id ORDER BY chunk_id)
+) WHERE chunk_b IS NOT NULL
 """

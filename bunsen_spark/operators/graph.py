@@ -191,3 +191,75 @@ FROM (
 )
 GROUP BY node
 """
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Nodes of the k-core (the maximal subgraph where every node has
+    degree >= ``k``), with their core-subgraph degree — the standard
+    graph-cleaning pass before community/link analysis (strip leaf
+    chains and weak tendrils so PageRank/triangles run on the dense
+    part).
+
+    Iterative peeling as a Spark fixpoint, the same discipline as the
+    other fixpoints here (`dedup.py:_star_components`,
+    `hierarchies.py:transitive_closure`): each round is ONE map-side-
+    combined degree aggregate + one semi join filtering edges whose
+    endpoints survive; the round's edge set is materialized once
+    (`persist.materialize`) and the loop stops when the surviving-edge
+    count is stable — one count job per round, mirroring the
+    connected-components loop's one-job-per-round contract. Rounds are
+    bounded by ``max_iterations`` (peeling depth is the graph's
+    degeneracy ordering length; 50 covers any realistic web/link
+    graph — it raises rather than silently returning a non-core).
+
+    Input edges are treated as UNDIRECTED and are symmetrized +
+    dedup'd internally; self-loops are dropped (they inflate degree
+    without connecting anything).
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    from ..persist import release
+
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .unionByName(
+            edges.select(F.col(dst).alias("a"), F.col(src).alias("b")).where(
+                F.col("a") != F.col("b")
+            )
+        )
+        .distinct()
+    )
+    e = materialize(e)
+    n_edges = e.count()
+    for _ in range(max_iterations):
+        if n_edges == 0:
+            break
+        deg = e.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+        keep = deg.where(F.col("deg") >= k).select("a")
+        e_next = materialize(
+            e.join(keep, "a", "left_semi").join(
+                keep.withColumnRenamed("a", "b"), "b", "left_semi"
+            )
+        )
+        n_next = e_next.count()  # the round's ONE job
+        release(e)
+        e = e_next
+        if n_next == n_edges:
+            break
+        n_edges = n_next
+    else:
+        release(e)
+        raise RuntimeError(
+            f"k_core did not converge within {max_iterations} rounds"
+        )
+    out = e.groupBy(F.col("a").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("core_degree")
+    )
+    return out

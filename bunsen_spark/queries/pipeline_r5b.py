@@ -403,6 +403,66 @@ def _negative_sql() -> str:
     )
 
 
+def chunk_positive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive positive pairs from adjacent chunks
+    (`operators/chunking.py:adjacent_chunk_pairs`) — the positive
+    counterpart of `negative_pairs_sample`, one lead-window over the
+    chunker's own partitioning."""
+    from ..operators.chunking import adjacent_chunk_pairs, chunk_documents
+
+    docs = load(spark, sf_dir, "documents")
+    chunks = chunk_documents(docs, chunk_size=64, overlap=16)
+    return adjacent_chunk_pairs(chunks).orderBy("doc_id", "chunk_a")
+
+
+def _chunk_pairs_sql() -> str:
+    from ..operators.chunking import adjacent_chunk_pairs_sql, chunk_documents_sql
+
+    inner = chunk_documents_sql(chunk_size=64, overlap=16)
+    return (
+        adjacent_chunk_pairs_sql(inner) + " ORDER BY doc_id, chunk_a"
+    )
+
+
+def daily_top_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed top-k per group: each day's 3 most frequent event
+    types (ties broken by type name) — partial-aggregated count +
+    one rank window per day partition."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events")
+    day_us = 24 * 3600 * 1_000_000
+    counts = (
+        e.select(ts_us(e).alias("us"), "event_type")
+        .select(F.expr(f"us div {day_us}").alias("day"), "event_type")
+        .groupBy("day", "event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    w = Window.partitionBy("day").orderBy(
+        F.col("n").desc(), F.col("event_type").asc()
+    )
+    return (
+        counts.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= 3)
+        .orderBy("day", "rnk")
+    )
+
+
+_DAILY_TOP_SQL = """
+SELECT day, event_type, n, rnk FROM (
+  SELECT day, event_type, n,
+         CAST(row_number() OVER (
+             PARTITION BY day ORDER BY n DESC, event_type ASC
+         ) AS BIGINT) AS rnk
+  FROM (
+    SELECT epoch_us(ts) // 86400000000 AS day, event_type,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY 1, 2
+  ) __c
+) WHERE rnk <= 3 ORDER BY day, rnk
+"""
+
+
 QUERIES = {
     "dedup_substring_spans": dedup_substring_spans,
     "dedup_prefix_jaccard": dedup_prefix_jaccard,
@@ -415,6 +475,8 @@ QUERIES = {
     "resample_user_days": resample_user_days,
     "vocab_encode_checksums": vocab_encode_checksums,
     "negative_pairs_sample": negative_pairs_sample,
+    "chunk_positive_pairs": chunk_positive_pairs,
+    "daily_top_event_types": daily_top_event_types,
 }
 
 ORACLES = {
@@ -429,4 +491,6 @@ ORACLES = {
     "resample_user_days": _resample_sql(),
     "vocab_encode_checksums": _vocab_sql(),
     "negative_pairs_sample": _negative_sql(),
+    "chunk_positive_pairs": _chunk_pairs_sql(),
+    "daily_top_event_types": _DAILY_TOP_SQL,
 }

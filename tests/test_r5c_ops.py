@@ -170,3 +170,24 @@ def test_negative_pairs_rejects_bad_args(spark):
         negative_pairs(d, k=0)
     with pytest.raises(ValueError):
         negative_pairs(d, n_buckets=1)
+
+
+# -- adjacent_chunk_pairs -----------------------------------------------------
+
+
+def test_adjacent_chunk_pairs_basic(spark):
+    from bunsen_spark.operators.chunking import (
+        adjacent_chunk_pairs,
+        chunk_documents,
+    )
+
+    d = _docs(spark, [(1, " ".join(f"w{i}" for i in range(10))), (2, "a b")])
+    chunks = chunk_documents(d, chunk_size=4, overlap=0)
+    pairs = adjacent_chunk_pairs(chunks).collect()
+    by_doc = {}
+    for r in pairs:
+        by_doc.setdefault(r.doc_id, []).append((r.chunk_a, r.chunk_b, r.pair_tokens))
+    # doc 1: chunks 0(4),1(4),2(2) -> pairs (0,1,8), (1,2,6)
+    assert sorted(by_doc[1]) == [(0, 1, 8), (1, 2, 6)]
+    # doc 2: single chunk -> no pairs
+    assert 2 not in by_doc
