@@ -1,0 +1,140 @@
+"""Corpus drift and cross-source contamination observability.
+
+Beyond-reference scale extensions (SURVEY §7 M7 family): the
+monitoring passes a managed corpus runs between releases — which
+tokens shifted distribution (crawl drift, scraper regressions) and
+which sources share identical documents (mirror detection, licensing
+audits).
+
+Both are integer-exact by construction:
+
+- ``vocab_shift`` ranks tokens by ``|cnt_a * N_b - cnt_b * N_a|`` —
+  the cross-multiplied form of ``|p_a - p_b|`` that needs no division
+  and no float; the sign tells direction. At gate scale the product is
+  far inside int64 (cnt <= 1e12-ish corpora need decimal(38) — noted
+  in the docstring, the comparison itself is the same expression).
+- ``source_overlap_matrix`` counts, per unordered source pair, the
+  distinct document digests present in both — built from the
+  exact-dup digest, one distinct projection, and a per-digest
+  self-join bounded by the number of DISTINCT SOURCES per digest
+  (<= |sources|, a catalog-sized constant), never by document count.
+
+Plan shapes: vocab_shift is two map-side-combined token counts + one
+full-outer join on the token + two scalar broadcasts; the overlap
+matrix is one digest projection + one bounded self-join + one count
+aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text_analysis import words_col, WORDS_SQL
+
+
+def vocab_shift(
+    docs: DataFrame,
+    split_col,
+    top_k: int = 50,
+) -> DataFrame:
+    """Top-``top_k`` tokens by absolute frequency shift between the
+    two halves of ``docs`` defined by boolean column/expression
+    ``split_col`` (True = corpus A, False = corpus B). Output:
+    ``(tok, cnt_a, cnt_b, shift)`` with
+    ``shift = cnt_a*N_b - cnt_b*N_a`` (positive = over-represented in
+    A), ordered by ``|shift|`` desc then token.
+    """
+    if top_k < 1:
+        raise ValueError("top_k must be >= 1")
+    toks = docs.select(
+        F.when(split_col, F.lit(1)).otherwise(F.lit(0)).alias("__a"),
+        F.explode(words_col(F.col("text"))).alias("tok"),
+    )
+    counts = toks.groupBy("tok").agg(
+        F.sum("__a").cast("long").alias("cnt_a"),
+        F.sum(1 - F.col("__a")).cast("long").alias("cnt_b"),
+    )
+    totals = counts.agg(
+        F.sum("cnt_a").cast("long").alias("__na"),
+        F.sum("cnt_b").cast("long").alias("__nb"),
+    )
+    shifted = counts.crossJoin(F.broadcast(totals)).select(
+        "tok",
+        "cnt_a",
+        "cnt_b",
+        (F.col("cnt_a") * F.col("__nb") - F.col("cnt_b") * F.col("__na"))
+        .cast("long")
+        .alias("shift"),
+    )
+    return (
+        shifted.orderBy(F.abs(F.col("shift")).desc(), F.col("tok").asc())
+        .limit(top_k)
+    )
+
+
+def vocab_shift_sql(
+    table: str = "documents",
+    split_sql: str = "doc_id % 2 = 0",
+    top_k: int = 50,
+) -> str:
+    """DuckDB twin of :func:`vocab_shift`."""
+    return f"""
+WITH toks AS (
+  SELECT CASE WHEN {split_sql} THEN 1 ELSE 0 END AS a,
+         unnest({WORDS_SQL}) AS tok
+  FROM {table}
+), counts AS (
+  SELECT tok, CAST(sum(a) AS BIGINT) AS cnt_a,
+         CAST(sum(1 - a) AS BIGINT) AS cnt_b
+  FROM toks GROUP BY tok
+), totals AS (
+  SELECT CAST(sum(cnt_a) AS BIGINT) AS na,
+         CAST(sum(cnt_b) AS BIGINT) AS nb
+  FROM counts
+)
+SELECT tok, cnt_a, cnt_b,
+       CAST(cnt_a * nb - cnt_b * na AS BIGINT) AS shift
+FROM counts, totals
+ORDER BY abs(cnt_a * nb - cnt_b * na) DESC, tok ASC
+LIMIT {top_k}
+"""
+
+
+def source_overlap_matrix(
+    docs: DataFrame, source_col: str = "source", text_col: str = "text"
+) -> DataFrame:
+    """Unordered source-pair overlap counts: how many distinct
+    document digests appear in BOTH sources of each pair (mirror /
+    shared-feed detection). Diagonal pairs are excluded; pairs with
+    zero overlap are omitted."""
+    digests = docs.select(
+        F.md5(F.col(text_col)).alias("__d"), F.col(source_col).alias("__s")
+    ).distinct()
+    a, b = digests.alias("a"), digests.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.__d") == F.col("b.__d"))
+            & (F.col("a.__s") < F.col("b.__s")),
+        )
+        .groupBy(
+            F.col("a.__s").alias("source_a"), F.col("b.__s").alias("source_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+
+
+def source_overlap_matrix_sql(
+    table: str = "documents", source_col: str = "source", text_col: str = "text"
+) -> str:
+    """DuckDB twin of :func:`source_overlap_matrix`."""
+    return f"""
+WITH d AS (
+  SELECT DISTINCT md5({text_col}) AS dg, {source_col} AS s FROM {table}
+)
+SELECT a.s AS source_a, b.s AS source_b,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM d a JOIN d b ON a.dg = b.dg AND a.s < b.s
+GROUP BY 1, 2
+"""

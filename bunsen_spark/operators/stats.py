@@ -1,0 +1,100 @@
+"""Grouped order statistics and feature scaling, integer-exact.
+
+Beyond-reference scale extensions (SURVEY §7 M7 family): the feature-
+engineering passes a training pipeline runs over metric columns —
+robust centers (median) and bounded scaling (min-max) — expressed so
+every emitted number is integer arithmetic and therefore
+hash-gateable against an independent DuckDB formulation.
+
+The median trick: an exact grouped median over integers is emitted as
+``median2 = lower_middle + upper_middle`` (twice the median) — an
+integer for both odd and even group sizes, avoiding the float ``.5``
+that an averaged even-count median would introduce. The oracle
+computes it from DuckDB's own ``median()`` (a DIFFERENT algorithm —
+order-statistics interpolation vs this operator's two-window rank
+selection), so a green gate row checks the semantics, not a shared
+implementation.
+
+Plan shapes: the median is one rank window + one filtered aggregate
+per group (state bounded by group size; use the hot-key guards'
+bucketing pattern if a group is pathological); min-max normalization
+is one grouped min/max aggregate broadcast back onto the rows — at
+100 TB the row side never shuffles (broadcast join), the aggregate is
+map-side combined.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def grouped_median2(df: DataFrame, key: str, col: str) -> DataFrame:
+    """Per-``key`` exact ``(n, median2)`` where ``median2`` is twice
+    the median of the integer column ``col`` (lower+upper middle)."""
+    ranked = df.select(
+        key,
+        F.col(col).cast("long").alias("__v"),
+        F.row_number().over(
+            Window.partitionBy(key).orderBy(F.col(col).asc())
+        ).alias("__rn"),
+        F.count(F.lit(1)).over(Window.partitionBy(key)).alias("__n"),
+    )
+    # middle selection: rn == floor((n+1)/2) or rn == ceil((n+1)/2)
+    middles = ranked.where(
+        (F.col("__rn") == F.expr("(__n + 1) div 2"))
+        | (F.col("__rn") == F.expr("(__n + 2) div 2"))
+    )
+    return middles.groupBy(key).agg(
+        F.max("__n").cast("long").alias("n"),
+        # odd n: both predicates hit the SAME row -> double it;
+        # even n: two distinct rows -> their sum
+        F.when(F.max("__n") % 2 == 1, F.sum("__v") * 2)
+        .otherwise(F.sum("__v"))
+        .cast("long")
+        .alias("median2"),
+    )
+
+
+def grouped_median2_sql(table_sql: str, key: str, col: str) -> str:
+    """DuckDB twin via the engine's own ``median()`` — an independent
+    algorithm; ``2*median`` of integers is exactly representable."""
+    return f"""
+SELECT {key}, CAST(count(*) AS BIGINT) AS n,
+       CAST(round(2 * median({col})) AS BIGINT) AS median2
+FROM ({table_sql}) __t
+GROUP BY {key}
+"""
+
+
+def minmax_normalize(df: DataFrame, key: str, col: str) -> DataFrame:
+    """Append exact min-max scaling terms per group: ``num = x - min``
+    and ``den = max - min`` (the normalized value is ``num/den``;
+    emitting the rational pair keeps the gate float-free, and callers
+    divide at the edge). Constant groups get ``den = 0`` — the caller
+    decides the convention (the usual one: treat as 0.5 or drop).
+
+    One map-side-combined aggregate + one broadcast join back: the
+    data rows never shuffle.
+    """
+    stats = df.groupBy(key).agg(
+        F.min(F.col(col).cast("long")).alias("__mn"),
+        F.max(F.col(col).cast("long")).alias("__mx"),
+    )
+    return df.join(F.broadcast(stats), key).select(
+        *df.columns,
+        (F.col(col).cast("long") - F.col("__mn")).alias("num"),
+        (F.col("__mx") - F.col("__mn")).alias("den"),
+    )
+
+
+def minmax_normalize_sql(table_sql: str, key: str, col: str, cols: str) -> str:
+    """DuckDB twin (window formulation — independent of the
+    aggregate+join plan)."""
+    return f"""
+SELECT {cols},
+       CAST({col} - min({col}) OVER (PARTITION BY {key}) AS BIGINT) AS num,
+       CAST(max({col}) OVER (PARTITION BY {key})
+            - min({col}) OVER (PARTITION BY {key}) AS BIGINT) AS den
+FROM ({table_sql}) __t
+"""

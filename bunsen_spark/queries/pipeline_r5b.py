@@ -463,6 +463,112 @@ SELECT day, event_type, n, rnk FROM (
 """
 
 
+def median_quantity_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact grouped median (`operators/stats.py:grouped_median2`):
+    per return flag, twice-the-median of l_quantity as an integer
+    (lower+upper middle) — rank-window selection here, DuckDB's own
+    median() in the oracle: two independent algorithms, one answer."""
+    from ..operators.stats import grouped_median2
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.col("l_quantity").cast("long").alias("qty")
+    )
+    return grouped_median2(li, "l_returnflag", "qty").orderBy("l_returnflag")
+
+
+def _median_sql() -> str:
+    from ..operators.stats import grouped_median2_sql
+
+    inner = "SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty FROM lineitem"
+    return (
+        grouped_median2_sql(inner, "l_returnflag", "qty")
+        + " ORDER BY l_returnflag"
+    )
+
+
+def minmax_order_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact min-max feature scaling (`operators/stats.py:
+    minmax_normalize`): per order priority, each order's price as the
+    rational (num, den) scaling pair — aggregate+broadcast-join here,
+    a window formulation in the oracle."""
+    from ..operators.stats import minmax_normalize
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    return minmax_normalize(o, "o_orderpriority", "cents").orderBy("o_orderkey")
+
+
+def _minmax_sql() -> str:
+    from ..operators.stats import minmax_normalize_sql
+
+    inner = (
+        "SELECT o_orderkey, o_orderpriority, "
+        "CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders"
+    )
+    return (
+        minmax_normalize_sql(
+            inner,
+            "o_orderpriority",
+            "cents",
+            "o_orderkey, o_orderpriority, cents",
+        )
+        + " ORDER BY o_orderkey"
+    )
+
+
+def vocab_shift_even_odd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus drift report (`operators/drift.py:vocab_shift`): top-50
+    tokens by cross-multiplied frequency shift between even- and
+    odd-doc_id halves — division-free, so the ranking is exact."""
+    from ..operators.drift import vocab_shift
+
+    docs = load(spark, sf_dir, "documents")
+    return vocab_shift(docs, F.col("doc_id") % 2 == 0, top_k=50)
+
+
+def _vocab_shift_sql() -> str:
+    from ..operators.drift import vocab_shift_sql
+
+    return vocab_shift_sql("documents", "doc_id % 2 = 0", top_k=50)
+
+
+def source_overlap_mirror(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix (`operators/drift.py:
+    source_overlap_matrix`): the fixture corpus has no exact dups, so
+    the gate unions a deterministic 'mirror' feed (every 3rd doc
+    re-attributed) and counts shared digests per source pair."""
+    from ..operators.drift import source_overlap_matrix
+
+    docs = load(spark, sf_dir, "documents").select("source", "text")
+    mirror = (
+        load(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 3 == 0)
+        .select(F.lit("mirror").alias("source"), "text")
+    )
+    return source_overlap_matrix(docs.unionByName(mirror)).orderBy(
+        "source_a", "source_b"
+    )
+
+
+_SOURCE_OVERLAP_SQL = """
+WITH corpus AS (
+  SELECT source, text FROM documents
+  UNION ALL
+  SELECT 'mirror' AS source, text FROM documents WHERE doc_id % 3 = 0
+), d AS (
+  SELECT DISTINCT md5(text) AS dg, source AS s FROM corpus
+)
+SELECT a.s AS source_a, b.s AS source_b,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM d a JOIN d b ON a.dg = b.dg AND a.s < b.s
+GROUP BY 1, 2
+ORDER BY source_a, source_b
+"""
+
+
 QUERIES = {
     "dedup_substring_spans": dedup_substring_spans,
     "dedup_prefix_jaccard": dedup_prefix_jaccard,
@@ -477,6 +583,10 @@ QUERIES = {
     "negative_pairs_sample": negative_pairs_sample,
     "chunk_positive_pairs": chunk_positive_pairs,
     "daily_top_event_types": daily_top_event_types,
+    "median_quantity_by_flag": median_quantity_by_flag,
+    "minmax_order_prices": minmax_order_prices,
+    "vocab_shift_even_odd": vocab_shift_even_odd,
+    "source_overlap_mirror": source_overlap_mirror,
 }
 
 ORACLES = {
@@ -493,4 +603,8 @@ ORACLES = {
     "negative_pairs_sample": _negative_sql(),
     "chunk_positive_pairs": _chunk_pairs_sql(),
     "daily_top_event_types": _DAILY_TOP_SQL,
+    "median_quantity_by_flag": _median_sql(),
+    "minmax_order_prices": _minmax_sql(),
+    "vocab_shift_even_odd": _vocab_shift_sql(),
+    "source_overlap_mirror": _SOURCE_OVERLAP_SQL,
 }

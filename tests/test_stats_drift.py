@@ -1,0 +1,128 @@
+"""Unit tests for grouped order statistics, min-max scaling, vocab
+drift, and the source-overlap matrix."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _vals(spark, rows):
+    return spark.createDataFrame(rows, "g string, v long")
+
+
+def test_median2_odd_and_even_groups(spark):
+    from bunsen_spark.operators.stats import grouped_median2
+
+    df = _vals(
+        spark,
+        [("odd", 1), ("odd", 9), ("odd", 5),
+         ("even", 1), ("even", 3), ("even", 7), ("even", 100)],
+    )
+    got = {r.g: (r.n, r.median2) for r in grouped_median2(df, "g", "v").collect()}
+    assert got == {"odd": (3, 10), "even": (4, 10)}  # med 5 and (3+7)/2
+
+
+def test_median2_single_row_group(spark):
+    from bunsen_spark.operators.stats import grouped_median2
+
+    got = {
+        r.g: r.median2
+        for r in grouped_median2(_vals(spark, [("a", 42)]), "g", "v").collect()
+    }
+    assert got == {"a": 84}
+
+
+def test_median2_with_ties(spark):
+    from bunsen_spark.operators.stats import grouped_median2
+
+    df = _vals(spark, [("t", 2), ("t", 2), ("t", 2), ("t", 8)])
+    [r] = grouped_median2(df, "g", "v").collect()
+    assert (r.n, r.median2) == (4, 4)  # middles 2 and 2
+
+
+def test_median2_matches_statistics_median(spark):
+    import random
+    import statistics
+
+    from bunsen_spark.operators.stats import grouped_median2
+
+    rng = random.Random(5)
+    rows = [("g", rng.randint(0, 1000)) for _ in range(257)]
+    [r] = grouped_median2(_vals(spark, rows), "g", "v").collect()
+    assert r.median2 == 2 * statistics.median(v for _, v in rows)
+
+
+def test_minmax_normalize_basic(spark):
+    from bunsen_spark.operators.stats import minmax_normalize
+
+    df = _vals(spark, [("a", 10), ("a", 20), ("a", 30), ("b", 5)])
+    got = {
+        (r.g, r.v): (r.num, r.den)
+        for r in minmax_normalize(df, "g", "v").collect()
+    }
+    assert got == {
+        ("a", 10): (0, 20),
+        ("a", 20): (10, 20),
+        ("a", 30): (20, 20),
+        ("b", 5): (0, 0),  # constant group: den 0, caller's convention
+    }
+
+
+def test_vocab_shift_directions(spark):
+    from bunsen_spark.operators.drift import vocab_shift
+
+    docs = spark.createDataFrame(
+        [
+            (0, "aaa aaa aaa common"),
+            (2, "aaa common zzz"),
+            (1, "bbb bbb common"),
+            (3, "bbb common zzz"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.tok: r for r in vocab_shift(docs, F.col("doc_id") % 2 == 0).collect()}
+    assert out["aaa"].shift > 0      # A-heavy token
+    assert out["bbb"].shift < 0      # B-heavy token
+    assert out["aaa"].cnt_a == 4 and out["aaa"].cnt_b == 0
+    # equal-share token has near-zero shift relative to the heavy ones
+    assert abs(out["zzz"].shift) < abs(out["aaa"].shift)
+
+
+def test_vocab_shift_top_k_bounds_output(spark):
+    from bunsen_spark.operators.drift import vocab_shift
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"t{j}" for j in range(i, i + 20))) for i in range(30)],
+        "doc_id long, text string",
+    )
+    assert vocab_shift(docs, F.col("doc_id") % 2 == 0, top_k=7).count() == 7
+    with pytest.raises(ValueError):
+        vocab_shift(docs, F.col("doc_id") % 2 == 0, top_k=0)
+
+
+def test_source_overlap_matrix(spark):
+    from bunsen_spark.operators.drift import source_overlap_matrix
+
+    docs = spark.createDataFrame(
+        [
+            ("s1", "shared-one"),
+            ("s2", "shared-one"),
+            ("s3", "shared-one"),
+            ("s1", "shared-two"),
+            ("s2", "shared-two"),
+            ("s1", "only-here"),
+            ("s1", "dup-within-source"),
+            ("s1", "dup-within-source"),  # same source twice: no pair
+        ],
+        "source string, text string",
+    )
+    got = {
+        (r.source_a, r.source_b): r.n_shared
+        for r in source_overlap_matrix(docs).collect()
+    }
+    assert got == {
+        ("s1", "s2"): 2,
+        ("s1", "s3"): 1,
+        ("s2", "s3"): 1,
+    }
