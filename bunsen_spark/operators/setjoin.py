@@ -176,3 +176,68 @@ JOIN sz sa ON sa.doc_id = doc_a
 JOIN sz sb ON sb.doc_id = doc_b
 WHERE inter * {den} >= (sa.sz + sb.sz - inter) * {num}
 """
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    id_col: str,
+    block_col: str,
+    sort_col: str,
+    window: int = 3,
+) -> DataFrame:
+    """Sorted-neighborhood candidate generation — the classic record-
+    linkage blocking method: within each block, sort by ``sort_col``
+    and emit every pair at most ``window-1`` positions apart. The
+    quadratic all-pairs comparison collapses to ``O(n·window)``
+    candidates; a verify stage (exact Jaccard, edit distance, a
+    model) runs after.
+
+    One window per block (lead at ``1..window-1`` — no self-join at
+    all), so the plan is a single shuffle on the block key; per-task
+    state is bounded by block size. Blocks are the scale contract: a
+    degenerate single-block input serializes into one task, exactly
+    like running classic SNM on one machine — pick blocking keys with
+    bounded cardinality skew (or pre-salt hot blocks).
+
+    Output: ``(id_a, id_b, gap)`` with ``gap`` = rank distance,
+    deterministic under ties via the id tiebreak.
+    """
+    if window < 2:
+        raise ValueError("window must be >= 2")
+    w = Window.partitionBy(block_col).orderBy(
+        F.col(sort_col).asc(), F.col(id_col).asc()
+    )
+    pairs = None
+    base = df.select(block_col, id_col, sort_col)
+    for gap in range(1, window):
+        nxt = base.select(
+            F.col(id_col).alias("id_a"),
+            F.lead(id_col, gap).over(w).alias("id_b"),
+            F.lit(gap).cast("long").alias("gap"),
+        ).where(F.col("id_b").isNotNull())
+        pairs = nxt if pairs is None else pairs.unionByName(nxt)
+    return pairs
+
+
+def sorted_neighborhood_pairs_sql(
+    table_sql: str,
+    id_col: str,
+    block_col: str,
+    sort_col: str,
+    window: int = 3,
+) -> str:
+    """DuckDB twin of :func:`sorted_neighborhood_pairs`."""
+    over = (
+        f"OVER (PARTITION BY {block_col} "
+        f"ORDER BY {sort_col} ASC, {id_col} ASC)"
+    )
+    parts = [
+        f"""
+SELECT {id_col} AS id_a, lead({id_col}, {gap}) {over} AS id_b,
+       CAST({gap} AS BIGINT) AS gap
+FROM ({table_sql}) __t{gap}
+"""
+        for gap in range(1, window)
+    ]
+    union = " UNION ALL ".join(f"({p})" for p in parts)
+    return f"SELECT id_a, id_b, gap FROM ({union}) __u WHERE id_b IS NOT NULL"

@@ -569,6 +569,39 @@ ORDER BY source_a, source_b
 """
 
 
+def linkage_candidates_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood record-linkage blocking
+    (`operators/setjoin.py:sorted_neighborhood_pairs`): customers
+    blocked by nation, sorted by account balance, candidates within a
+    3-wide neighborhood — O(n*w) pairs from one window per block, no
+    self-join."""
+    from ..operators.setjoin import sorted_neighborhood_pairs
+
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        F.round(F.col("c_acctbal") * 100, 0).cast("long").alias("bal_cents"),
+    )
+    return sorted_neighborhood_pairs(
+        c, "c_custkey", "c_nationkey", "bal_cents", window=3
+    ).orderBy("id_a", "gap", "id_b")
+
+
+def _linkage_sql() -> str:
+    from ..operators.setjoin import sorted_neighborhood_pairs_sql
+
+    inner = (
+        "SELECT c_custkey, c_nationkey, "
+        "CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents FROM customer"
+    )
+    return (
+        sorted_neighborhood_pairs_sql(
+            inner, "c_custkey", "c_nationkey", "bal_cents", window=3
+        )
+        + " ORDER BY id_a, gap, id_b"
+    )
+
+
 QUERIES = {
     "dedup_substring_spans": dedup_substring_spans,
     "dedup_prefix_jaccard": dedup_prefix_jaccard,
@@ -587,6 +620,7 @@ QUERIES = {
     "minmax_order_prices": minmax_order_prices,
     "vocab_shift_even_odd": vocab_shift_even_odd,
     "source_overlap_mirror": source_overlap_mirror,
+    "linkage_candidates_customers": linkage_candidates_customers,
 }
 
 ORACLES = {
@@ -607,4 +641,5 @@ ORACLES = {
     "minmax_order_prices": _minmax_sql(),
     "vocab_shift_even_odd": _vocab_shift_sql(),
     "source_overlap_mirror": _SOURCE_OVERLAP_SQL,
+    "linkage_candidates_customers": _linkage_sql(),
 }

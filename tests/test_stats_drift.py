@@ -126,3 +126,57 @@ def test_source_overlap_matrix(spark):
         ("s1", "s3"): 1,
         ("s2", "s3"): 1,
     }
+
+
+def test_sorted_neighborhood_pairs(spark):
+    from bunsen_spark.operators.setjoin import sorted_neighborhood_pairs
+
+    df = spark.createDataFrame(
+        [
+            ("b1", 1, 10), ("b1", 2, 20), ("b1", 3, 30), ("b1", 4, 40),
+            ("b2", 5, 10), ("b2", 6, 20),
+            ("b3", 7, 10),
+        ],
+        "blk string, id long, v long",
+    )
+    got = sorted(
+        (r.id_a, r.id_b, r.gap)
+        for r in sorted_neighborhood_pairs(df, "id", "blk", "v", window=3).collect()
+    )
+    assert got == [
+        (1, 2, 1), (1, 3, 2),
+        (2, 3, 1), (2, 4, 2),
+        (3, 4, 1),
+        (5, 6, 1),
+    ]
+
+
+def test_sorted_neighborhood_tie_break_deterministic(spark):
+    from bunsen_spark.operators.setjoin import sorted_neighborhood_pairs
+
+    rows = [("b", i, 7) for i in range(6)]  # all sort values tie
+    a = sorted(
+        (r.id_a, r.id_b, r.gap)
+        for r in sorted_neighborhood_pairs(
+            spark.createDataFrame(rows, "blk string, id long, v long").repartition(1),
+            "id", "blk", "v", window=2,
+        ).collect()
+    )
+    b = sorted(
+        (r.id_a, r.id_b, r.gap)
+        for r in sorted_neighborhood_pairs(
+            spark.createDataFrame(rows[::-1], "blk string, id long, v long").repartition(8),
+            "id", "blk", "v", window=2,
+        ).collect()
+    )
+    assert a == b == [(0, 1, 1), (1, 2, 1), (2, 3, 1), (3, 4, 1), (4, 5, 1)]
+
+
+def test_sorted_neighborhood_rejects_window_one(spark):
+    import pytest as _pytest
+
+    from bunsen_spark.operators.setjoin import sorted_neighborhood_pairs
+
+    df = spark.createDataFrame([("b", 1, 1)], "blk string, id long, v long")
+    with _pytest.raises(ValueError):
+        sorted_neighborhood_pairs(df, "id", "blk", "v", window=1)
