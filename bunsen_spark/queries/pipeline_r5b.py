@@ -602,6 +602,66 @@ def _linkage_sql() -> str:
     )
 
 
+def corpus_report_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus report card — the dataset-card numbers a
+    release pipeline publishes: volume, language spread, exact-dup
+    exposure, and the exact median document length
+    (`operators/stats.py:grouped_median2` composed with plain
+    aggregates; one scan feeds everything)."""
+    from ..operators.stats import grouped_median2
+
+    docs = load(spark, sf_dir, "documents")
+    base = docs.select(
+        "source", "lang", F.col("n_chars").cast("long").alias("n_chars"),
+        F.md5("text").alias("__d"),
+    )
+    dup_digests = (
+        base.groupBy("__d")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .where(F.col("__c") > 1)
+        .select("__d")
+    )
+    flagged = base.join(
+        F.broadcast(dup_digests).withColumn("__dup", F.lit(1)), "__d", "left"
+    )
+    agg = flagged.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.sum(F.coalesce(F.col("__dup"), F.lit(0)).cast("long")).alias(
+            "n_dup_docs"
+        ),
+    )
+    med = grouped_median2(
+        base.select("source", "n_chars"), "source", "n_chars"
+    ).select("source", F.col("median2").alias("len_median2"))
+    return agg.join(med, "source").orderBy("source")
+
+
+_CORPUS_REPORT_SQL = """
+WITH base AS (
+  SELECT source, lang, CAST(n_chars AS BIGINT) AS n_chars, md5(text) AS d
+  FROM documents
+), dups AS (
+  SELECT d FROM base GROUP BY d HAVING count(*) > 1
+), agg AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS total_chars,
+         CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+         CAST(sum(CASE WHEN d IN (SELECT d FROM dups) THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_dup_docs
+  FROM base GROUP BY source
+), med AS (
+  SELECT source, CAST(round(2 * median(n_chars)) AS BIGINT) AS len_median2
+  FROM base GROUP BY source
+)
+SELECT agg.source, n_docs, total_chars, n_langs, n_dup_docs, len_median2
+FROM agg JOIN med ON agg.source = med.source
+ORDER BY agg.source
+"""
+
+
 QUERIES = {
     "dedup_substring_spans": dedup_substring_spans,
     "dedup_prefix_jaccard": dedup_prefix_jaccard,
@@ -621,6 +681,7 @@ QUERIES = {
     "vocab_shift_even_odd": vocab_shift_even_odd,
     "source_overlap_mirror": source_overlap_mirror,
     "linkage_candidates_customers": linkage_candidates_customers,
+    "corpus_report_by_source": corpus_report_by_source,
 }
 
 ORACLES = {
@@ -642,4 +703,5 @@ ORACLES = {
     "vocab_shift_even_odd": _vocab_shift_sql(),
     "source_overlap_mirror": _SOURCE_OVERLAP_SQL,
     "linkage_candidates_customers": _linkage_sql(),
+    "corpus_report_by_source": _CORPUS_REPORT_SQL,
 }
