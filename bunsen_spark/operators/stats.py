@@ -81,7 +81,11 @@ def minmax_normalize(df: DataFrame, key: str, col: str) -> DataFrame:
         F.min(F.col(col).cast("long")).alias("__mn"),
         F.max(F.col(col).cast("long")).alias("__mx"),
     )
-    return df.join(F.broadcast(stats), key).select(
+    # no forced broadcast: group cardinality is caller-controlled — AQE
+    # broadcasts the stats when they fit (the usual case: row side
+    # never shuffles) and degrades to a shuffle join on million-group
+    # keys instead of blowing the broadcast limit
+    return df.join(stats, key).select(
         *df.columns,
         (F.col(col).cast("long") - F.col("__mn")).alias("num"),
         (F.col("__mx") - F.col("__mn")).alias("den"),

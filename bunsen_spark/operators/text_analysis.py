@@ -463,8 +463,12 @@ def surprisal_score(docs: DataFrame) -> DataFrame:
             F.length(F.bin(F.expr("n_total div cnt"))) - 1
         ).cast("long").alias("bits"),
     )
+    # no forced broadcast: the vocab is Zipf-SMALL on natural corpora
+    # but corpus-dependent, not budget-bounded — AQE broadcasts it when
+    # it fits and falls back to a shuffle join when a pathological
+    # corpus (random strings) blows the vocab up
     per_doc = (
-        toks.join(F.broadcast(surpr), "tok")
+        toks.join(surpr, "tok")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_tokens"),

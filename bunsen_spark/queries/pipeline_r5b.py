@@ -621,8 +621,10 @@ def corpus_report_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("__c") > 1)
         .select("__d")
     )
+    # dup_digests is corpus-dependent (could be huge in a mirror-heavy
+    # corpus) — let AQE pick broadcast vs shuffle
     flagged = base.join(
-        F.broadcast(dup_digests).withColumn("__dup", F.lit(1)), "__d", "left"
+        dup_digests.withColumn("__dup", F.lit(1)), "__d", "left"
     )
     agg = flagged.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
