@@ -420,3 +420,65 @@ def weighted_sample_sql(table: str, key: str, weight_sql: str) -> str:
         f"least(CAST(1.0 AS DOUBLE), CAST({weight_sql} AS DOUBLE))) * {BUCKETS}) AS BIGINT)"
     )
     return f"SELECT * FROM {table} WHERE {_bucket_sql(key)} < {cutoff}"
+
+
+def budget_select(
+    df: DataFrame,
+    group_col: str,
+    cost_col: str,
+    score_col: str,
+    budget: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Budget-constrained greedy selection per group — the curation
+    endgame: each group (language, source, domain) gets a COST budget
+    (tokens, chars, bytes) and keeps its highest-``score_col`` rows
+    until the budget is spent. The greedy-by-score rule is the
+    standard corpus-assembly policy (exact knapsack is NP-hard and
+    pointless at this granularity).
+
+    One rank window per group (score desc, id asc — deterministic
+    ties) computing the running cost INCLUSIVE of the current row; a
+    row is kept while the cost spent BEFORE it is under budget, so
+    the first overflowing row is still taken (budgets are targets,
+    not hard ceilings — matching how training-token budgets are
+    specified; pass ``budget - max_cost`` for a hard ceiling).
+    Per-task state is bounded by group size; groups are independent —
+    the same partition-independence contract as `cap_per_group`.
+    """
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(F.col(score_col).desc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    spent_before = F.coalesce(
+        F.sum(F.col(cost_col).cast("long")).over(w), F.lit(0)
+    )
+    return (
+        df.withColumn("__spent", spent_before)
+        .where(F.col("__spent") < budget)
+        .drop("__spent")
+    )
+
+
+def budget_select_sql(
+    table_sql: str,
+    group_col: str,
+    cost_col: str,
+    score_col: str,
+    budget: int,
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of :func:`budget_select`."""
+    return f"""
+SELECT * EXCLUDE (__spent) FROM (
+  SELECT *, COALESCE(sum(CAST({cost_col} AS BIGINT)) OVER (
+      PARTITION BY {group_col}
+      ORDER BY {score_col} DESC, {id_col} ASC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+  ), 0) AS __spent
+  FROM ({table_sql}) __t
+) WHERE __spent < {budget}
+"""

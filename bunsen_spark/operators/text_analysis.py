@@ -514,3 +514,90 @@ SELECT t.doc_id,
        COALESCE(p.surprisal_bits, 0) AS surprisal_bits
 FROM {table} t LEFT JOIN per_doc p USING (doc_id)
 """
+
+
+def bigram_surprisal_score(docs: DataFrame) -> DataFrame:
+    """Bigram extension of :func:`surprisal_score` — the next step up
+    the n-gram-LM quality ladder: a document whose ADJACENT token
+    pairs are corpus-frequent (boilerplate, templates) scores low
+    bits/bigram even when its unigrams are unremarkable, and
+    word-salad (rare pairs of common words) scores high. Same
+    integer-bits contract: ``floor(log2(N_bigrams div cnt))`` per
+    bigram, summed with multiplicity; no float log anywhere.
+
+    Plan shape mirrors the unigram form: one bigram explode feeding
+    the corpus bigram-count aggregate and the per-doc sum; the bigram
+    table joins back WITHOUT a forced broadcast (bigram vocab grows
+    faster than unigram — quadratic in principle, Zipf-tempered in
+    practice — so AQE must keep the right to shuffle-join it).
+    """
+    words = words_col(F.col("text"))
+    # CASE guard: sequence(1, 0) is DESCENDING in Spark ([1, 0]), so a
+    # 0/1-token doc would index past the array — emit no bigrams instead
+    bigrams = F.expr(
+        "CASE WHEN size(__w) >= 2 THEN transform(sequence(1, size(__w) - 1),"
+        " i -> concat(__w[i - 1], ' ', __w[i]))"
+        " ELSE cast(array() AS array<string>) END"
+    )
+    toks = (
+        docs.select("doc_id", words.alias("__w"))
+        .select("doc_id", F.explode(bigrams).alias("bg"))
+    )
+    vocab = toks.groupBy("bg").agg(F.count(F.lit(1)).alias("cnt"))
+    total = vocab.agg(F.sum("cnt").cast("long").alias("n_total"))
+    surpr = vocab.crossJoin(F.broadcast(total)).select(
+        "bg",
+        (F.length(F.bin(F.expr("n_total div cnt"))) - 1)
+        .cast("long")
+        .alias("bits"),
+    )
+    per_doc = (
+        toks.join(surpr, "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum("bits").cast("long").alias("surprisal_bits"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_bigrams"), F.lit(0).cast("long")).alias(
+                "n_bigrams"
+            ),
+            F.coalesce(F.col("surprisal_bits"), F.lit(0).cast("long")).alias(
+                "surprisal_bits"
+            ),
+        )
+    )
+
+
+def bigram_surprisal_score_sql(table: str = "documents") -> str:
+    """DuckDB twin of :func:`bigram_surprisal_score`."""
+    return f"""
+WITH src AS (
+  SELECT doc_id, {WORDS_SQL} AS ws FROM {table}
+), toks AS (
+  SELECT doc_id,
+         ws[CAST(i AS INTEGER)] || ' ' || ws[CAST(i + 1 AS INTEGER)] AS bg
+  FROM src, unnest(generate_series(1, len(ws) - 1)) u(i)
+), vocab AS (
+  SELECT bg, count(*) AS cnt FROM toks GROUP BY bg
+), total AS (
+  SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM vocab
+), surpr AS (
+  SELECT bg,
+         CAST(length(printf('%b', n_total // cnt)) - 1 AS BIGINT) AS bits
+  FROM vocab, total
+), per_doc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         CAST(sum(bits) AS BIGINT) AS surprisal_bits
+  FROM toks JOIN surpr USING (bg) GROUP BY doc_id
+)
+SELECT t.doc_id,
+       COALESCE(p.n_bigrams, 0) AS n_bigrams,
+       COALESCE(p.surprisal_bits, 0) AS surprisal_bits
+FROM {table} t LEFT JOIN per_doc p USING (doc_id)
+"""

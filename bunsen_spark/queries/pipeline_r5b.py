@@ -664,6 +664,71 @@ ORDER BY agg.source
 """
 
 
+def budget_select_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budget-constrained curation (`operators/sampling.py:
+    budget_select`) composed with the surprisal scorer: each language
+    keeps its highest-surprisal documents until a 20k-char budget is
+    spent; reports per-language kept mass."""
+    from ..operators.sampling import budget_select
+    from ..operators.text_analysis import surprisal_score
+
+    docs = load(spark, sf_dir, "documents")
+    scored = docs.select("doc_id", "lang", "n_chars").join(
+        surprisal_score(docs.select("doc_id", "text")), "doc_id"
+    )
+    kept = budget_select(
+        scored, "lang", "n_chars", "surprisal_bits", budget=20_000
+    )
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_kept"),
+            F.sum(F.col("n_chars").cast("long")).alias("kept_chars"),
+            F.sum("surprisal_bits").cast("long").alias("kept_bits"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _budget_sql() -> str:
+    from ..operators.sampling import budget_select_sql
+    from ..operators.text_analysis import surprisal_score_sql
+
+    scored = f"""
+SELECT d.doc_id, d.lang, d.n_chars, s.surprisal_bits
+FROM documents d JOIN ({surprisal_score_sql("documents")}) s USING (doc_id)
+"""
+    inner = budget_select_sql(
+        scored, "lang", "n_chars", "surprisal_bits", budget=20_000
+    )
+    return f"""
+SELECT lang, CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(sum(CAST(n_chars AS BIGINT)) AS BIGINT) AS kept_chars,
+       CAST(sum(surprisal_bits) AS BIGINT) AS kept_bits
+FROM ({inner}) __k
+GROUP BY lang ORDER BY lang
+"""
+
+
+def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM quality scoring
+    (`operators/text_analysis.py:bigram_surprisal_score`): integer-bit
+    surprisal over adjacent token pairs — boilerplate scores low even
+    when its unigrams look normal."""
+    from ..operators.text_analysis import bigram_surprisal_score
+
+    docs = load(spark, sf_dir, "documents")
+    return bigram_surprisal_score(docs.select("doc_id", "text")).orderBy(
+        "doc_id"
+    )
+
+
+def _bigram_sql() -> str:
+    from ..operators.text_analysis import bigram_surprisal_score_sql
+
+    return bigram_surprisal_score_sql("documents") + " ORDER BY doc_id"
+
+
 QUERIES = {
     "dedup_substring_spans": dedup_substring_spans,
     "dedup_prefix_jaccard": dedup_prefix_jaccard,
@@ -684,6 +749,8 @@ QUERIES = {
     "source_overlap_mirror": source_overlap_mirror,
     "linkage_candidates_customers": linkage_candidates_customers,
     "corpus_report_by_source": corpus_report_by_source,
+    "budget_select_per_lang": budget_select_per_lang,
+    "text_bigram_surprisal": text_bigram_surprisal,
 }
 
 ORACLES = {
@@ -706,4 +773,6 @@ ORACLES = {
     "source_overlap_mirror": _SOURCE_OVERLAP_SQL,
     "linkage_candidates_customers": _linkage_sql(),
     "corpus_report_by_source": _CORPUS_REPORT_SQL,
+    "budget_select_per_lang": _budget_sql(),
+    "text_bigram_surprisal": _bigram_sql(),
 }

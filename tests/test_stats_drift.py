@@ -180,3 +180,94 @@ def test_sorted_neighborhood_rejects_window_one(spark):
     df = spark.createDataFrame([("b", 1, 1)], "blk string, id long, v long")
     with _pytest.raises(ValueError):
         sorted_neighborhood_pairs(df, "id", "blk", "v", window=1)
+
+
+def test_budget_select_greedy_semantics(spark):
+    from bunsen_spark.operators.sampling import budget_select
+
+    df = spark.createDataFrame(
+        [
+            # g1: scores 9 > 7 > 5; costs 40, 50, 10; budget 60
+            ("g1", 1, 40, 9),
+            ("g1", 2, 50, 7),
+            ("g1", 3, 10, 5),
+            # g2: one giant row still taken (budget is a target)
+            ("g2", 4, 999, 1),
+        ],
+        "g string, doc_id long, cost long, score long",
+    )
+    kept = {
+        r.doc_id
+        for r in budget_select(df, "g", "cost", "score", budget=60).collect()
+    }
+    # g1: doc 1 (spent_before 0) kept, doc 2 (spent_before 40 < 60)
+    # kept, doc 3 (spent_before 90 >= 60) dropped; g2: doc 4 kept
+    assert kept == {1, 2, 4}
+
+
+def test_budget_select_deterministic_ties(spark):
+    from bunsen_spark.operators.sampling import budget_select
+
+    rows = [("g", i, 10, 5) for i in range(10)]  # all scores tie
+    a = {
+        r.doc_id
+        for r in budget_select(
+            spark.createDataFrame(rows, "g string, doc_id long, cost long, score long").repartition(1),
+            "g", "cost", "score", budget=35,
+        ).collect()
+    }
+    b = {
+        r.doc_id
+        for r in budget_select(
+            spark.createDataFrame(rows[::-1], "g string, doc_id long, cost long, score long").repartition(8),
+            "g", "cost", "score", budget=35,
+        ).collect()
+    }
+    assert a == b == {0, 1, 2, 3}  # id tiebreak, 4th row overflows the target
+
+
+def test_budget_select_rejects_bad_budget(spark):
+    import pytest as _pytest
+
+    from bunsen_spark.operators.sampling import budget_select
+
+    df = spark.createDataFrame([("g", 1, 1, 1)], "g string, doc_id long, cost long, score long")
+    with _pytest.raises(ValueError):
+        budget_select(df, "g", "cost", "score", budget=0)
+
+
+def test_bigram_surprisal_known_counts(spark):
+    from bunsen_spark.operators.text_analysis import bigram_surprisal_score
+
+    # bigrams: "a b" x2, "b a" x1, "b c" x1  -> N=4
+    # bits: "a b" -> floor(log2(4//2))=1; others floor(log2(4))=2
+    df = spark.createDataFrame(
+        [(1, "a b a b c")], "doc_id long, text string"
+    )
+    [r] = bigram_surprisal_score(df).collect()
+    assert r.n_bigrams == 4
+    assert r.surprisal_bits == 1 + 2 + 1 + 2  # a-b, b-a, a-b, b-c
+
+
+def test_bigram_surprisal_short_docs_zero(spark):
+    from bunsen_spark.operators.text_analysis import bigram_surprisal_score
+
+    df = spark.createDataFrame(
+        [(1, "single"), (2, "")], "doc_id long, text string"
+    )
+    got = {r.doc_id: (r.n_bigrams, r.surprisal_bits) for r in bigram_surprisal_score(df).collect()}
+    assert got == {1: (0, 0), 2: (0, 0)}
+
+
+def test_bigram_flags_boilerplate_below_salad(spark):
+    from bunsen_spark.operators.text_analysis import bigram_surprisal_score
+
+    template = " ".join(["click here to subscribe"] * 10)
+    salad = "quantum sandwich theorem purple engine rotates nine vivid"
+    df = spark.createDataFrame(
+        [(1, template), (2, salad)], "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in bigram_surprisal_score(df).collect()}
+    per1 = got[1].surprisal_bits / got[1].n_bigrams
+    per2 = got[2].surprisal_bits / got[2].n_bigrams
+    assert per2 > per1
