@@ -102,3 +102,79 @@ SELECT {cols},
             - min({col}) OVER (PARTITION BY {key}) AS BIGINT) AS den
 FROM ({table_sql}) __t
 """
+
+
+def grouped_winsorize(
+    df: DataFrame,
+    key: str,
+    col: str,
+    lo_num: int,
+    hi_num: int,
+    den: int = 100,
+) -> DataFrame:
+    """Winsorize (clip) an integer column at per-group discrete
+    percentiles — the outlier-taming pass feature pipelines run before
+    scaling. Thresholds are DISCRETE order statistics (the value at
+    rank ``ceil(p*n)``, DuckDB ``quantile_disc`` semantics) computed
+    with the integer rank formula ``(num*n + den - 1) div den`` — no
+    float percentile anywhere, so the result is hash-exact.
+
+    Appends ``clipped`` (the winsorized value), ``lo_val`` and
+    ``hi_val`` (the group's thresholds). One rank window per group +
+    one threshold aggregate joined back (AQE broadcasts the per-group
+    threshold table when it fits).
+    """
+    if not (0 < lo_num <= hi_num <= den):
+        raise ValueError("need 0 < lo_num <= hi_num <= den")
+    v = F.col(col).cast("long")
+    ranked = df.select(
+        "*",
+        F.row_number()
+        .over(Window.partitionBy(key).orderBy(v.asc()))
+        .alias("__rn"),
+        F.count(F.lit(1)).over(Window.partitionBy(key)).alias("__n"),
+    )
+    lo_rank = F.expr(f"({lo_num} * __n + {den - 1}) div {den}")
+    hi_rank = F.expr(f"({hi_num} * __n + {den - 1}) div {den}")
+    thresholds = (
+        ranked.groupBy(key)
+        .agg(
+            F.max(F.when(F.col("__rn") == lo_rank, v)).alias("lo_val"),
+            F.max(F.when(F.col("__rn") == hi_rank, v)).alias("hi_val"),
+        )
+    )
+    return (
+        df.join(thresholds, key)
+        .select(
+            "*",
+            F.greatest(
+                F.col("lo_val"), F.least(F.col("hi_val"), v)
+            ).alias("clipped"),
+        )
+    )
+
+
+def grouped_winsorize_sql(
+    table_sql: str,
+    key: str,
+    col: str,
+    lo_num: int,
+    hi_num: int,
+    den: int = 100,
+    cols: str = "*",
+) -> str:
+    """DuckDB twin via the engine's own ``quantile_disc`` — an
+    independent order-statistics implementation."""
+    lo = lo_num / den
+    hi = hi_num / den
+    return f"""
+WITH src AS ({table_sql}), th AS (
+  SELECT {key},
+         CAST(quantile_disc({col}, {lo}) AS BIGINT) AS lo_val,
+         CAST(quantile_disc({col}, {hi}) AS BIGINT) AS hi_val
+  FROM src GROUP BY {key}
+)
+SELECT {cols}, lo_val, hi_val,
+       greatest(lo_val, least(hi_val, CAST({col} AS BIGINT))) AS clipped
+FROM src JOIN th USING ({key})
+"""

@@ -729,6 +729,61 @@ def _bigram_sql() -> str:
     return bigram_surprisal_score_sql("documents") + " ORDER BY doc_id"
 
 
+def winsorized_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group winsorization (`operators/stats.py:grouped_winsorize`):
+    order prices clipped at the priority group's [5th, 95th] discrete
+    percentiles — integer rank thresholds here, DuckDB's own
+    quantile_disc in the oracle."""
+    from ..operators.stats import grouped_winsorize
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    w = grouped_winsorize(o, "o_orderpriority", "cents", 5, 95)
+    return (
+        w.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("clipped").cast("long").alias("sum_clipped"),
+            F.max("lo_val").cast("long").alias("lo_val"),
+            F.max("hi_val").cast("long").alias("hi_val"),
+            F.sum((F.col("cents") < F.col("lo_val")).cast("long")).alias(
+                "n_lo_clipped"
+            ),
+            F.sum((F.col("cents") > F.col("hi_val")).cast("long")).alias(
+                "n_hi_clipped"
+            ),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+def _winsorize_sql() -> str:
+    from ..operators.stats import grouped_winsorize_sql
+
+    inner = (
+        "SELECT o_orderkey, o_orderpriority, "
+        "CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders"
+    )
+    wz = grouped_winsorize_sql(
+        inner, "o_orderpriority", "cents", 5, 95,
+        cols="o_orderkey, o_orderpriority, cents",
+    )
+    return f"""
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(clipped) AS BIGINT) AS sum_clipped,
+       max(lo_val) AS lo_val, max(hi_val) AS hi_val,
+       CAST(sum(CASE WHEN cents < lo_val THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_lo_clipped,
+       CAST(sum(CASE WHEN cents > hi_val THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_hi_clipped
+FROM ({wz}) __w
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
 QUERIES = {
     "dedup_substring_spans": dedup_substring_spans,
     "dedup_prefix_jaccard": dedup_prefix_jaccard,
@@ -751,6 +806,7 @@ QUERIES = {
     "corpus_report_by_source": corpus_report_by_source,
     "budget_select_per_lang": budget_select_per_lang,
     "text_bigram_surprisal": text_bigram_surprisal,
+    "winsorized_price_stats": winsorized_price_stats,
 }
 
 ORACLES = {
@@ -775,4 +831,5 @@ ORACLES = {
     "corpus_report_by_source": _CORPUS_REPORT_SQL,
     "budget_select_per_lang": _budget_sql(),
     "text_bigram_surprisal": _bigram_sql(),
+    "winsorized_price_stats": _winsorize_sql(),
 }

@@ -271,3 +271,37 @@ def test_bigram_flags_boilerplate_below_salad(spark):
     per1 = got[1].surprisal_bits / got[1].n_bigrams
     per2 = got[2].surprisal_bits / got[2].n_bigrams
     assert per2 > per1
+
+
+def test_winsorize_clips_both_tails(spark):
+    from bunsen_spark.operators.stats import grouped_winsorize
+
+    rows = [("g", i, v) for i, v in enumerate([1, 10, 20, 30, 40, 50, 60, 70, 80, 1000])]
+    df = spark.createDataFrame(rows, "g string, rid long, v long")
+    out = grouped_winsorize(df, "g", "v", 10, 90)
+    got = {r.rid: r.clipped for r in out.collect()}
+    # n=10: lo rank ceil(0.1*10)=1 -> lo_val=1; hi rank ceil(0.9*10)=9 -> 80
+    assert got[0] == 1          # at lo threshold, unchanged
+    assert got[9] == 80         # 1000 clipped down to hi_val
+    assert got[5] == 50         # interior untouched
+
+
+def test_winsorize_ties_deterministic(spark):
+    from bunsen_spark.operators.stats import grouped_winsorize
+
+    rows = [("g", i, 7) for i in range(20)]
+    df = spark.createDataFrame(rows, "g string, rid long, v long")
+    out = grouped_winsorize(df, "g", "v", 5, 95).collect()
+    assert all(r.clipped == 7 and r.lo_val == 7 and r.hi_val == 7 for r in out)
+
+
+def test_winsorize_rejects_bad_bounds(spark):
+    import pytest as _pytest
+
+    from bunsen_spark.operators.stats import grouped_winsorize
+
+    df = spark.createDataFrame([("g", 1, 1)], "g string, rid long, v long")
+    with _pytest.raises(ValueError):
+        grouped_winsorize(df, "g", "v", 0, 95)
+    with _pytest.raises(ValueError):
+        grouped_winsorize(df, "g", "v", 50, 40)
