@@ -178,3 +178,74 @@ SELECT {cols}, lo_val, hi_val,
        greatest(lo_val, least(hi_val, CAST({col} AS BIGINT))) AS clipped
 FROM src JOIN th USING ({key})
 """
+
+
+def flag_outliers(
+    df: DataFrame,
+    key: str,
+    col: str,
+    k_num: int = 3,
+    k_den: int = 1,
+) -> DataFrame:
+    """Per-group k-sigma outlier flag, INTEGER-exact: a row is flagged
+    when ``(x - mean)^2 > k^2 * variance`` — evaluated as the
+    cross-multiplied integer predicate
+
+        den^2 * (n*x - sum)^2  >  num^2 * (n*sumsq - sum^2)
+
+    (both sides are the k-sigma test multiplied by ``n^2``), so no
+    division, no sqrt, no
+    float — the flag is hash-exact and partition-order-invariant.
+    ``k = k_num/k_den`` (defaults to the classic 3 sigma).
+
+    Plan: one map-side-combined (sum, sumsq, n) aggregate per group
+    joined back (AQE broadcast when it fits) + a map-stage predicate.
+    Overflow headroom: ``(n*x)^2`` must fit int64 — fine for
+    quantized metrics in the 1e4 range up to ~1e6-row groups; quantize
+    coarser (or lift to decimal) beyond that, the predicate is
+    unchanged.
+    """
+    if k_num <= 0 or k_den <= 0:
+        raise ValueError("k_num and k_den must be positive")
+    v = F.col(col).cast("long")
+    stats = df.groupBy(key).agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.sum(v).alias("__s"),
+        F.sum(v * v).alias("__ss"),
+    )
+    dev = F.col("__n") * v - F.col("__s")          # n*(x - mean)
+    nvar = F.col("__n") * F.col("__ss") - F.col("__s") * F.col("__s")  # n^2*var
+    flagged = (F.lit(k_den * k_den) * dev * dev) > (
+        F.lit(k_num * k_num) * nvar
+    )
+    return df.join(stats, key).select(
+        *df.columns, flagged.alias("is_outlier")
+    )
+
+
+def flag_outliers_sql(
+    table_sql: str,
+    key: str,
+    col: str,
+    k_num: int = 3,
+    k_den: int = 1,
+    cols: str = "*",
+) -> str:
+    """DuckDB twin of :func:`flag_outliers` (window formulation)."""
+    n = f"count(*) OVER (PARTITION BY {key})"
+    s = f"sum(CAST({col} AS BIGINT)) OVER (PARTITION BY {key})"
+    ss = (
+        f"sum(CAST({col} AS BIGINT) * CAST({col} AS BIGINT))"
+        f" OVER (PARTITION BY {key})"
+    )
+    return f"""
+SELECT {cols},
+       ({k_den * k_den} * (__n * CAST({col} AS BIGINT) - __s)
+            * (__n * CAST({col} AS BIGINT) - __s))
+       > ({k_num * k_num} * (__n * __ss - __s * __s)) AS is_outlier
+FROM (
+  SELECT *, CAST({n} AS BIGINT) AS __n, CAST({s} AS BIGINT) AS __s,
+         CAST({ss} AS BIGINT) AS __ss
+  FROM ({table_sql}) __t
+) __w
+"""

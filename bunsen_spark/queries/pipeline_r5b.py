@@ -1,6 +1,11 @@
-"""Gate queries for the second round-5 batch: exact substring-dup
-spans, lossless prefix-filtered Jaccard join, integer-bit surprisal
-scoring, SCD2 dimension merge, and the single-pass Gram matrix."""
+"""Gate queries for the round-5 operator batches: exact substring-dup
+spans, lossless prefix-filtered Jaccard join, surprisal scoring
+(unigram + bigram), SCD2 dimension merge, Gram matrix, decayed
+engagement, session paths, compaction planning, time-series resample,
+vocab encoding, contrastive negative/positive pairs, daily top-k,
+grouped median / min-max / winsorization, vocab drift, source
+overlap, linkage blocking, budget-constrained selection, and the
+per-source corpus report."""
 
 from __future__ import annotations
 
@@ -784,6 +789,48 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
 
 
+def outlier_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact k-sigma outlier detection
+    (`operators/stats.py:flag_outliers`): per event type, count values
+    failing the cross-multiplied 3-sigma test — no division, sqrt, or
+    float anywhere, so the flags are hash-exact."""
+    from ..operators.stats import flag_outliers
+
+    e = load(spark, sf_dir, "events")
+    e = e.select(
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    flagged = flag_outliers(e, "event_type", "cents", k_num=3, k_den=1)
+    return (
+        flagged.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col("is_outlier").cast("long")).alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def _outlier_sql() -> str:
+    from ..operators.stats import flag_outliers_sql
+
+    inner = (
+        "SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents "
+        "FROM events"
+    )
+    wz = flag_outliers_sql(
+        inner, "event_type", "cents", 3, 1, cols="event_type, cents"
+    )
+    return f"""
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN is_outlier THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_outliers
+FROM ({wz}) __f
+GROUP BY event_type ORDER BY event_type
+"""
+
+
 QUERIES = {
     "dedup_substring_spans": dedup_substring_spans,
     "dedup_prefix_jaccard": dedup_prefix_jaccard,
@@ -807,6 +854,7 @@ QUERIES = {
     "budget_select_per_lang": budget_select_per_lang,
     "text_bigram_surprisal": text_bigram_surprisal,
     "winsorized_price_stats": winsorized_price_stats,
+    "outlier_event_values": outlier_event_values,
 }
 
 ORACLES = {
@@ -832,4 +880,5 @@ ORACLES = {
     "budget_select_per_lang": _budget_sql(),
     "text_bigram_surprisal": _bigram_sql(),
     "winsorized_price_stats": _winsorize_sql(),
+    "outlier_event_values": _outlier_sql(),
 }

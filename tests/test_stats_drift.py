@@ -305,3 +305,54 @@ def test_winsorize_rejects_bad_bounds(spark):
         grouped_winsorize(df, "g", "v", 0, 95)
     with _pytest.raises(ValueError):
         grouped_winsorize(df, "g", "v", 50, 40)
+
+
+def test_flag_outliers_detects_spike(spark):
+    from bunsen_spark.operators.stats import flag_outliers
+
+    rows = [("g", i, 10 + (i % 3)) for i in range(50)] + [("g", 99, 500)]
+    df = spark.createDataFrame(rows, "g string, rid long, v long")
+    got = {r.rid: r.is_outlier for r in flag_outliers(df, "g", "v").collect()}
+    assert got[99] is True
+    assert sum(got.values()) == 1  # only the spike
+
+
+def test_flag_outliers_constant_group_has_none(spark):
+    from bunsen_spark.operators.stats import flag_outliers
+
+    df = spark.createDataFrame(
+        [("g", i, 7) for i in range(10)], "g string, rid long, v long"
+    )
+    assert all(
+        not r.is_outlier for r in flag_outliers(df, "g", "v").collect()
+    )
+
+
+def test_flag_outliers_matches_float_zscore(spark):
+    import statistics
+
+    from bunsen_spark.operators.stats import flag_outliers
+
+    import random
+    rng = random.Random(31)
+    rows = [("g", i, rng.randint(0, 1000)) for i in range(200)]
+    vals = [v for _, _, v in rows]
+    mu = statistics.fmean(vals)
+    sigma2 = statistics.pvariance(vals)
+    expect = {i: (v - mu) ** 2 > 4 * sigma2 for _, i, v in rows}
+    df = spark.createDataFrame(rows, "g string, rid long, v long")
+    got = {
+        r.rid: r.is_outlier
+        for r in flag_outliers(df, "g", "v", k_num=2, k_den=1).collect()
+    }
+    assert got == expect
+
+
+def test_flag_outliers_rejects_bad_k(spark):
+    import pytest as _pytest
+
+    from bunsen_spark.operators.stats import flag_outliers
+
+    df = spark.createDataFrame([("g", 1, 1)], "g string, rid long, v long")
+    with _pytest.raises(ValueError):
+        flag_outliers(df, "g", "v", k_num=0)
