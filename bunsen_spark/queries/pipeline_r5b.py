@@ -831,6 +831,93 @@ GROUP BY event_type ORDER BY event_type
 """
 
 
+def engagement_pipeline_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events-side capstone — the engagement chain composed as one
+    query, mirroring `curation_pipeline_counts` on the documents side:
+    sessionize (30-min gap) → per-user session/event/value rollup →
+    exact power-of-two decay weighting → integer-exact 3-sigma outlier
+    flag on per-user event counts. One row per user, every column
+    integer or boolean."""
+    from ..operators.engagement import decayed_counts
+    from ..operators.sessionize import sessionize
+    from ..operators.stats import flag_outliers
+
+    e = load(spark, sf_dir, "events")
+    e = e.select(
+        "user_id",
+        "event_id",
+        ts_us(e).alias("us"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    gap = 30 * 60 * 1_000_000
+    sessions = sessionize(e, ["user_id"], "us", gap, order_cols=["event_id"])
+    per_user = sessions.groupBy("user_id").agg(
+        F.countDistinct("session_id").cast("long").alias("n_sessions"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum("cents").cast("long").alias("sum_cents"),
+    )
+    decayed = decayed_counts(
+        e, "user_id", "us",
+        ref_us=_DECAY_REF_US, half_life_us=_DECAY_HALF_LIFE_US,
+    ).select("user_id", "decayed_weight")
+    joined = per_user.join(decayed, "user_id").withColumn(
+        "__g", F.lit(1)
+    )
+    flagged = flag_outliers(joined, "__g", "n_events", k_num=3, k_den=1)
+    return flagged.select(
+        "user_id", "n_sessions", "n_events", "sum_cents",
+        "decayed_weight", "is_outlier",
+    ).orderBy("user_id")
+
+
+def _engagement_pipeline_sql() -> str:
+    from ..operators.engagement import decayed_counts_sql
+
+    sessions = """
+SELECT user_id, us, cents,
+       CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS session_id
+FROM (
+  SELECT user_id, event_id, us, cents,
+         CASE WHEN us - LAG(us) OVER w > 1800000000 THEN 1
+              WHEN LAG(us) OVER w IS NULL THEN 1
+              ELSE 0 END AS is_new
+  FROM (SELECT user_id, event_id, epoch_us(ts) AS us,
+               CAST(round(value * 100) AS BIGINT) AS cents FROM events) e
+  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+) flagged
+"""
+    decay = decayed_counts_sql(
+        "SELECT user_id, epoch_us(ts) AS us FROM events",
+        "user_id", "us",
+        ref_us=_DECAY_REF_US, half_life_us=_DECAY_HALF_LIFE_US,
+    )
+    return f"""
+WITH sess AS ({sessions}), per_user AS (
+  SELECT user_id,
+         CAST(count(DISTINCT session_id) AS BIGINT) AS n_sessions,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(sum(cents) AS BIGINT) AS sum_cents
+  FROM sess GROUP BY user_id
+), decay AS (
+  SELECT user_id, decayed_weight FROM ({decay}) __d
+), joined AS (
+  SELECT p.*, d.decayed_weight FROM per_user p JOIN decay d USING (user_id)
+), stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS __n,
+         CAST(sum(n_events) AS BIGINT) AS __s,
+         CAST(sum(n_events * n_events) AS BIGINT) AS __ss
+  FROM joined
+)
+SELECT user_id, n_sessions, n_events, sum_cents, decayed_weight,
+       ((__n * n_events - __s) * (__n * n_events - __s))
+           > (9 * (__n * __ss - __s * __s)) AS is_outlier
+FROM joined, stats
+ORDER BY user_id
+"""
+
+
 QUERIES = {
     "dedup_substring_spans": dedup_substring_spans,
     "dedup_prefix_jaccard": dedup_prefix_jaccard,
@@ -855,6 +942,7 @@ QUERIES = {
     "text_bigram_surprisal": text_bigram_surprisal,
     "winsorized_price_stats": winsorized_price_stats,
     "outlier_event_values": outlier_event_values,
+    "engagement_pipeline_users": engagement_pipeline_users,
 }
 
 ORACLES = {
@@ -881,4 +969,5 @@ ORACLES = {
     "text_bigram_surprisal": _bigram_sql(),
     "winsorized_price_stats": _winsorize_sql(),
     "outlier_event_values": _outlier_sql(),
+    "engagement_pipeline_users": _engagement_pipeline_sql(),
 }
