@@ -99,12 +99,29 @@ _DRIVER_ORDER = [
 ]
 
 
+_NEVER_DRIVER_CHECKED = 15  # prefix of _DRIVER_ORDER with no driver row yet
+
+
 def _reorder(out: dict) -> dict:
     rank = {n: i for i, n in enumerate(_DRIVER_ORDER)}
-    # unknown names (new this round) sort first, alphabetically — the
-    # QUERIES and ORACLES dicts may register them in different module
-    # order, and the two registries must align exactly
-    names = sorted(out, key=lambda n: (n in rank, rank.get(n, 0), n))
+    # Priority groups for the driver's prefix-sampled gate:
+    #   0: entries that existed in round 4 but have NEVER had a driver
+    #      row (the gate sampled exactly a registration-order prefix
+    #      every round, and these sat past it) — they have waited the
+    #      longest, so they go absolutely first;
+    #   1: brand-new entries (not in _DRIVER_ORDER), alphabetically —
+    #      the QUERIES and ORACLES dicts may register them in
+    #      different module order, and the two registries must align;
+    #   2: everything else, oldest-driver-check first.
+    def key(n: str):
+        r = rank.get(n)
+        if r is not None and r < _NEVER_DRIVER_CHECKED:
+            return (0, r, n)
+        if r is None:
+            return (1, 0, n)
+        return (2, r, n)
+
+    names = sorted(out, key=key)
     return {n: out[n] for n in names}
 
 
