@@ -1,0 +1,74 @@
+"""Streaming sketch maintenance — continuous frequency monitoring over
+an event stream without ever storing raw events: each micro-batch
+writes ITS OWN count-min cell table as one ``batch_id`` partition, and
+readers merge cells by summation (count-min's mergeability makes the
+merged sketch EXACTLY the sketch of the concatenated stream — not an
+approximation of an approximation).
+
+Replay contract (same as `streaming/ingest.py` and `streaming/scd2.py`):
+a batch dynamic-partition-overwrites only its own ``batch_id=N``
+partition, so crash-and-retry converges; there is no read-before-write
+dependency at all here — sketch building is per-batch pure — which
+makes this the simplest member of the foreachBatch family.
+
+At scale: per batch the shuffle is bounded by depth × width cells
+(KiBs) regardless of event volume; the log grows one tiny partition
+per batch and compaction is just `read_countmin` → write. The merged
+sketch feeds `operators/sketches.py:countmin_estimate` /
+`heavy_hitters` unchanged — batch and streaming share one sketch
+format, the same shared-state contract the near-dup stream proved.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.sketches import (
+    DEFAULT_CM_DEPTH,
+    DEFAULT_CM_WIDTH,
+    countmin_table,
+)
+
+
+def read_countmin(spark: SparkSession, sketch_path: str) -> DataFrame:
+    """Merge all per-batch cell partitions into one sketch table."""
+    return (
+        spark.read.parquet(sketch_path)
+        .groupBy("row", "col")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def stream_countmin(
+    events_stream: DataFrame,
+    value_col: str,
+    sketch_path: str,
+    checkpoint: str,
+    width: int = DEFAULT_CM_WIDTH,
+    depth: int = DEFAULT_CM_DEPTH,
+    portable: bool = False,
+    trigger_available_now: bool = True,
+):
+    """Maintain a count-min sketch of ``value_col`` over a stream:
+    one bounded cell table per micro-batch, merged at read time.
+    ``(width, depth, portable)`` must stay constant for the lifetime
+    of one sketch path — cells from different geometries or hash
+    families must never be summed together."""
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            countmin_table(batch_df, value_col, width, depth, portable)
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(sketch_path)
+        )
+
+    writer = events_stream.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
