@@ -72,3 +72,52 @@ def stream_countmin(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def read_distinct_sketches(spark: SparkSession, sketch_path: str) -> DataFrame:
+    """Merge per-batch HLL partitions to one sketch + estimate per
+    group (``hll_union_agg`` — lossless for a fixed ``lg_k``)."""
+    merged = (
+        spark.read.parquet(sketch_path)
+        .groupBy("grp")
+        .agg(F.hll_union_agg(F.col("sketch")).alias("sketch"))
+    )
+    return merged.select(
+        "grp",
+        "sketch",
+        F.hll_sketch_estimate(F.col("sketch")).cast("long").alias("estimate"),
+    )
+
+
+def stream_distinct_sketches(
+    events_stream: DataFrame,
+    group_col: str,
+    value_col: str,
+    sketch_path: str,
+    checkpoint: str,
+    lg_k: int = 12,
+    trigger_available_now: bool = True,
+):
+    """Maintain per-group HLL distinct sketches over a stream: one
+    fixed-size sketch row per (group, batch), merged at read time —
+    continuous cardinality monitoring with no raw-value retention.
+    ``lg_k`` must stay constant per sketch path."""
+    from ..operators.sketches import distinct_sketches
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            distinct_sketches(batch_df, group_col, value_col, lg_k)
+            .select("grp", "sketch")
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(sketch_path)
+        )
+
+    writer = events_stream.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

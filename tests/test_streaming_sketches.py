@@ -100,3 +100,55 @@ def test_stream_countmin_replay_idempotent(spark, tmp_path):
         "v", width=16, depth=2,
     )
     assert want == _cells(batch)
+
+
+def test_stream_hll_matches_all_at_once(spark, tmp_path):
+    from bunsen_spark.operators.sketches import distinct_sketches
+    from bunsen_spark.streaming.sketches import (
+        read_distinct_sketches,
+        stream_distinct_sketches,
+    )
+
+    schema = T.StructType(
+        [T.StructField("g", T.StringType()), T.StructField("v", T.StringType())]
+    )
+    src = tmp_path / "gv"
+    src.mkdir()
+    all_rows = []
+    for b in range(3):
+        with open(src / f"b{b}.jsonl", "w") as f:
+            for i in range(60):
+                g, v = f"g{i % 2}", f"val{(b * 31 + i) % 45}"
+                all_rows.append((g, v))
+                f.write(jsonlib.dumps({"g": g, "v": v}) + "\n")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    path = str(tmp_path / "hll")
+    q = stream_distinct_sketches(
+        stream, "g", "v", path, str(tmp_path / "ckpt"), lg_k=12
+    )
+    q.awaitTermination(180)
+
+    merged = {
+        r.grp: r.estimate
+        for r in read_distinct_sketches(spark, path).collect()
+    }
+    batch = {
+        r.grp: r.estimate
+        for r in distinct_sketches(
+            spark.createDataFrame(all_rows, schema), "g", "v", 12
+        ).collect()
+    }
+    assert merged == batch
+    # sanity: estimates are near the true distinct counts
+    import collections
+
+    true = collections.defaultdict(set)
+    for g, v in all_rows:
+        true[g].add(v)
+    for g, est in merged.items():
+        assert abs(est - len(true[g])) <= max(2, 0.05 * len(true[g]))
