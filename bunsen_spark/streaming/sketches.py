@@ -121,3 +121,51 @@ def stream_distinct_sketches(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def read_bloom(spark: SparkSession, sketch_path: str) -> DataFrame:
+    """Merge per-batch Bloom word partitions by bitwise OR — the
+    filter of the union of every batch's key set."""
+    return (
+        spark.read.parquet(sketch_path)
+        .groupBy("word_idx")
+        .agg(F.bit_or("word").alias("word"))
+    )
+
+
+def stream_bloom(
+    keys_stream: DataFrame,
+    key_col: str,
+    sketch_path: str,
+    checkpoint: str,
+    num_bits: int | None = None,
+    num_hashes: int | None = None,
+    trigger_available_now: bool = True,
+):
+    """Maintain a Bloom filter of every key ever seen on a stream:
+    one bounded word table per micro-batch (<= num_bits/64 rows),
+    OR-merged at read time. `read_bloom`'s output feeds
+    `operators/bloom.py:bloom_prefilter` unchanged — e.g. continuously
+    accumulate seen-document ids and prefilter a batch backfill
+    against them. Geometry must stay constant per sketch path."""
+    from ..operators.bloom import DEFAULT_NUM_BITS, DEFAULT_NUM_HASHES, bloom_words
+
+    nb = DEFAULT_NUM_BITS if num_bits is None else num_bits
+    nh = DEFAULT_NUM_HASHES if num_hashes is None else num_hashes
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            bloom_words(batch_df, key_col, nb, nh)
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(sketch_path)
+        )
+
+    writer = keys_stream.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -152,3 +152,41 @@ def test_stream_hll_matches_all_at_once(spark, tmp_path):
         true[g].add(v)
     for g, est in merged.items():
         assert abs(est - len(true[g])) <= max(2, 0.05 * len(true[g]))
+
+
+def test_stream_bloom_matches_batch_filter(spark, tmp_path):
+    from bunsen_spark.operators.bloom import bloom_prefilter, bloom_words
+    from bunsen_spark.streaming.sketches import read_bloom, stream_bloom
+
+    src = tmp_path / "keys"
+    src.mkdir()
+    all_rows = []
+    for b in range(3):
+        with open(src / f"b{b}.jsonl", "w") as f:
+            for i in range(50):
+                v = f"key{(b * 50 + i)}"
+                all_rows.append((v,))
+                f.write(jsonlib.dumps({"v": v}) + "\n")
+
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    path = str(tmp_path / "bloom")
+    q = stream_bloom(
+        stream, "v", path, str(tmp_path / "ckpt"), num_bits=1 << 12, num_hashes=3
+    )
+    q.awaitTermination(180)
+
+    merged = read_bloom(spark, path)
+    batch = bloom_words(
+        spark.createDataFrame(all_rows, SCHEMA), "v", 1 << 12, 3
+    )
+    assert sorted((r.word_idx, r.word) for r in merged.collect()) == sorted(
+        (r.word_idx, r.word) for r in batch.collect()
+    )
+    # no false negatives: every seen key passes the streamed filter
+    probes = spark.createDataFrame(all_rows, SCHEMA)
+    kept = bloom_prefilter(probes, "v", merged, 1 << 12, 3)
+    assert kept.count() == len(all_rows)
