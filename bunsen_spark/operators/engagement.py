@@ -161,3 +161,70 @@ __p AS (
 SELECT path, CAST(count(*) AS BIGINT) AS n_paths
 FROM __p WHERE __c GROUP BY path
 """
+
+
+def rfm_segments(
+    events: DataFrame,
+    key: str,
+    ts_us: str,
+    value_cents: str,
+    n_bins: int = 5,
+) -> DataFrame:
+    """RFM (recency / frequency / monetary) segmentation — the classic
+    engagement-segmentation rollup: each key's last-activity time,
+    event count, and value mass are binned into ``n_bins`` quantile
+    buckets with ``ntile`` (SQL-standard even split, so the DuckDB twin
+    matches exactly), tie-broken by the key for determinism. Output:
+    one row per key with ``(r_bin, f_bin, m_bin)``, 1 = lowest.
+
+    Plan: one map-side-combined per-key aggregate, then three global
+    ``ntile`` windows over the (small) per-key table — per-key tables
+    are catalog-sized next to the event stream, and each window is a
+    single total order, the same scale posture as any global ranking
+    (range-partitioned sort under the hood).
+    """
+    if n_bins < 2:
+        raise ValueError("n_bins must be >= 2")
+    per_key = events.groupBy(key).agg(
+        F.max(F.col(ts_us)).cast("long").alias("last_us"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.col(value_cents).cast("long")).alias("cents"),
+    )
+    r_w = Window.orderBy(F.col("last_us").asc(), F.col(key).asc())
+    f_w = Window.orderBy(F.col("n_events").asc(), F.col(key).asc())
+    m_w = Window.orderBy(F.col("cents").asc(), F.col(key).asc())
+    return per_key.select(
+        key,
+        "last_us",
+        "n_events",
+        "cents",
+        F.ntile(n_bins).over(r_w).cast("long").alias("r_bin"),
+        F.ntile(n_bins).over(f_w).cast("long").alias("f_bin"),
+        F.ntile(n_bins).over(m_w).cast("long").alias("m_bin"),
+    )
+
+
+def rfm_segments_sql(
+    events_sql: str,
+    key: str,
+    ts_us: str,
+    value_cents: str,
+    n_bins: int = 5,
+) -> str:
+    """DuckDB twin of :func:`rfm_segments`."""
+    return f"""
+WITH per_key AS (
+  SELECT {key}, CAST(max({ts_us}) AS BIGINT) AS last_us,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(sum(CAST({value_cents} AS BIGINT)) AS BIGINT) AS cents
+  FROM ({events_sql}) __e GROUP BY {key}
+)
+SELECT {key}, last_us, n_events, cents,
+       CAST(ntile({n_bins}) OVER (ORDER BY last_us ASC, {key} ASC) AS BIGINT)
+           AS r_bin,
+       CAST(ntile({n_bins}) OVER (ORDER BY n_events ASC, {key} ASC) AS BIGINT)
+           AS f_bin,
+       CAST(ntile({n_bins}) OVER (ORDER BY cents ASC, {key} ASC) AS BIGINT)
+           AS m_bin
+FROM per_key
+"""

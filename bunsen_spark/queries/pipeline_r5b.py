@@ -918,6 +918,35 @@ ORDER BY user_id
 """
 
 
+def rfm_user_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM engagement segmentation
+    (`operators/engagement.py:rfm_segments`): per-user recency /
+    frequency / monetary quintile bins with deterministic ntile
+    tie-breaks."""
+    from ..operators.engagement import rfm_segments
+
+    e = load(spark, sf_dir, "events")
+    e = e.select(
+        "user_id",
+        ts_us(e).alias("us"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    return rfm_segments(e, "user_id", "us", "cents").orderBy("user_id")
+
+
+def _rfm_sql() -> str:
+    from ..operators.engagement import rfm_segments_sql
+
+    inner = (
+        "SELECT user_id, epoch_us(ts) AS us, "
+        "CAST(round(value * 100) AS BIGINT) AS cents FROM events"
+    )
+    return (
+        rfm_segments_sql(inner, "user_id", "us", "cents")
+        + " ORDER BY user_id"
+    )
+
+
 QUERIES = {
     "dedup_substring_spans": dedup_substring_spans,
     "dedup_prefix_jaccard": dedup_prefix_jaccard,
@@ -943,6 +972,7 @@ QUERIES = {
     "winsorized_price_stats": winsorized_price_stats,
     "outlier_event_values": outlier_event_values,
     "engagement_pipeline_users": engagement_pipeline_users,
+    "rfm_user_segments": rfm_user_segments,
 }
 
 ORACLES = {
@@ -970,4 +1000,5 @@ ORACLES = {
     "winsorized_price_stats": _winsorize_sql(),
     "outlier_event_values": _outlier_sql(),
     "engagement_pipeline_users": _engagement_pipeline_sql(),
+    "rfm_user_segments": _rfm_sql(),
 }

@@ -147,3 +147,32 @@ def test_session_paths_rejects_depth_one(spark):
         session_path_counts(e, "user_id", "us", "session_id", "step", depth=1)
     with pytest.raises(ValueError):
         session_path_counts_sql("x", "user_id", "us", "session_id", "step", 1)
+
+
+def test_rfm_bins_ordering(spark):
+    from bunsen_spark.operators.engagement import rfm_segments
+
+    rows = []
+    # 10 users: user i has last_us=i*100, i+1 events, cents sum rising
+    for u in range(10):
+        for j in range(u + 1):
+            rows.append((u, u * 100 + j, (u + 1) * 10))
+    e = _events(spark, rows)
+    out = {r.user_id: r for r in rfm_segments(e, "user_id", "us", "cents").collect()}
+    # monotone metrics -> monotone bins
+    for a in range(9):
+        assert out[a].r_bin <= out[a + 1].r_bin
+        assert out[a].f_bin <= out[a + 1].f_bin
+        assert out[a].m_bin <= out[a + 1].m_bin
+    # 10 users into 5 bins -> exactly 2 per bin
+    from collections import Counter
+
+    assert Counter(r.f_bin for r in out.values()) == {b: 2 for b in range(1, 6)}
+
+
+def test_rfm_rejects_bad_bins(spark):
+    from bunsen_spark.operators.engagement import rfm_segments
+
+    e = _events(spark, [(1, 1, 1)])
+    with pytest.raises(ValueError):
+        rfm_segments(e, "user_id", "us", "cents", n_bins=1)
