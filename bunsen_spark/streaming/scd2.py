@@ -65,6 +65,7 @@ def stream_scd2_upserts(
     checkpoint: str,
     key: str,
     payload_cols: list[str],
+    seq_col: str | None = None,
     trigger_available_now: bool = True,
 ):
     """Maintain a type-2 SCD dimension from a stream of upsert rows
@@ -73,6 +74,13 @@ def stream_scd2_upserts(
     number and open a new one; unseen keys open their first version at
     their arrival batch. Deletes are out of scope for upsert streams —
     route tombstones through a full-snapshot `scd2_apply` compaction.
+
+    ``seq_col`` (an event id / source offset, unique per key within a
+    batch) makes duplicate keys INSIDE one micro-batch resolve
+    last-writer-wins deterministically — without it the surviving row
+    is arbitrary, so the final dimension can depend on how the stream
+    happened to be cut into batches (the batch-cut-invariance property
+    test drives exactly this).
     """
     if not payload_cols:
         raise ValueError("payload_cols must be non-empty")
@@ -90,7 +98,17 @@ def stream_scd2_upserts(
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         ts = batch_id + 1  # dim seeds at valid_from=0; batch N commits at N+1
-        batch = batch_df.select(key, *payload_cols).dropDuplicates([key])
+        if seq_col is not None:
+            # last-writer-wins within the batch, deterministic by seq
+            winner = batch_df.groupBy(key).agg(
+                F.max_by(
+                    F.struct(*[F.col(c) for c in payload_cols]),
+                    F.col(seq_col),
+                ).alias("__p")
+            )
+            batch = winner.select(key, "__p.*")
+        else:
+            batch = batch_df.select(key, *payload_cols).dropDuplicates([key])
         if _dim_exists(spark):
             log = spark.read.parquet(dim_path).where(
                 F.col("batch_id") < F.lit(batch_id)

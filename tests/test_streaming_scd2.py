@@ -154,3 +154,64 @@ def test_stream_scd2_matches_batch_fold(spark, tmp_path):
         (r.k, r.payload, r.valid_from, r.valid_to) for r in folded.collect()
     )
     assert _dim_rows(spark, dim) == want
+
+
+SEQ_SCHEMA = T.StructType(
+    [
+        T.StructField("k", T.LongType()),
+        T.StructField("payload", T.StringType()),
+        T.StructField("seq", T.LongType()),
+    ]
+)
+
+
+def _apply_batches(spark, tmp_path, tag, batches):
+    from bunsen_spark.streaming import scd2 as mod
+
+    dim = str(tmp_path / f"dim_{tag}")
+    process = _capture_process(
+        lambda fake: mod.stream_scd2_upserts(
+            fake, dim, str(tmp_path / f"ck_{tag}"), "k", ["payload"],
+            seq_col="seq",
+        )
+    )
+    for i, rows in enumerate(batches):
+        process(spark.createDataFrame(rows, SEQ_SCHEMA), i)
+    return dim
+
+
+def test_stream_scd2_open_rows_invariant_to_batch_cuts(spark, tmp_path):
+    """However an upsert sequence is cut into micro-batches, the OPEN
+    rows of the resulting dimension are identical (version timestamps
+    differ — they count batches — but the final state must not)."""
+    import random
+
+    rng = random.Random(47)
+    upserts = [
+        (rng.randint(1, 6), f"v{rng.randint(0, 3)}", seq)
+        for seq in range(24)
+    ]
+
+    def cut(n_batches):
+        # contiguous cuts preserving order
+        bounds = sorted(rng.sample(range(1, len(upserts)), n_batches - 1))
+        out, prev = [], 0
+        for b in [*bounds, len(upserts)]:
+            out.append(upserts[prev:b])
+            prev = b
+        return [b for b in out if b]
+
+    def open_rows(dim):
+        from bunsen_spark.streaming.scd2 import read_scd2
+
+        rows = read_scd2(spark, dim, ["payload"], "k").collect()
+        return sorted(
+            (r.k, r.payload) for r in rows if r.valid_to is None
+        )
+
+    # per key, the LAST upsert in sequence order wins (seq_col makes
+    # intra-batch duplicates deterministic)
+    expected = sorted({k: p for k, p, _ in upserts}.items())
+    for tag, n in (("a", 2), ("b", 5), ("c", 8)):
+        dim = _apply_batches(spark, tmp_path, tag, cut(n))
+        assert open_rows(dim) == expected, f"cut into {n} batches diverged"
