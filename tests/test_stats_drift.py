@@ -356,3 +356,64 @@ def test_flag_outliers_rejects_bad_k(spark):
     df = spark.createDataFrame([("g", 1, 1)], "g string, rid long, v long")
     with _pytest.raises(ValueError):
         flag_outliers(df, "g", "v", k_num=0)
+
+
+import random as _random
+
+import pytest as _pt
+
+
+@_pt.mark.parametrize("seed", [2, 19, 53])
+def test_budget_select_matches_python_greedy(spark, seed):
+    from bunsen_spark.operators.sampling import budget_select
+
+    rng = _random.Random(seed)
+    rows = [
+        (f"g{rng.randint(0, 2)}", i, rng.randint(1, 50), rng.randint(0, 9))
+        for i in range(120)
+    ]
+    budget = 150
+    df = spark.createDataFrame(rows, "g string, doc_id long, cost long, score long")
+    got = {
+        r.doc_id
+        for r in budget_select(df, "g", "cost", "score", budget).collect()
+    }
+    expect = set()
+    by_group = {}
+    for g, i, c, s in rows:
+        by_group.setdefault(g, []).append((i, c, s))
+    for g, items in by_group.items():
+        spent = 0
+        for i, c, s in sorted(items, key=lambda t: (-t[2], t[0])):
+            if spent < budget:
+                expect.add(i)
+            spent += c
+    assert got == expect
+
+
+@_pt.mark.parametrize("seed", [7, 41])
+def test_winsorize_matches_python_order_stats(spark, seed):
+    from bunsen_spark.operators.stats import grouped_winsorize
+
+    rng = _random.Random(seed)
+    rows = [
+        (f"g{rng.randint(0, 1)}", i, rng.randint(-100, 1000))
+        for i in range(137)
+    ]
+    df = spark.createDataFrame(rows, "g string, rid long, v long")
+    out = grouped_winsorize(df, "g", "v", 10, 90).collect()
+    by_group = {}
+    for g, i, v in rows:
+        by_group.setdefault(g, []).append(v)
+    th = {}
+    for g, vs in by_group.items():
+        vs = sorted(vs)
+        n = len(vs)
+        lo = vs[(10 * n + 99) // 100 - 1]   # value at rank ceil(0.10*n)
+        hi = vs[(90 * n + 99) // 100 - 1]
+        th[g] = (lo, hi)
+    vals = {(g, i): v for g, i, v in rows}
+    for r in out:
+        lo, hi = th[r.g]
+        assert (r.lo_val, r.hi_val) == (lo, hi)
+        assert r.clipped == max(lo, min(hi, vals[(r.g, r.rid)]))
