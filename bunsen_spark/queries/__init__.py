@@ -47,24 +47,23 @@ def ts_us(df: DataFrame, col: str = "ts"):
 
 
 # The driver's per-round correctness gate samples a PREFIX of the
-# registration order (r1: first 34, r2/r3: 47, r4: 50 of 89), so queries
+# registration order (r1: first 34, r2/r3: 47, r4/r5: 50), so queries
 # registered late may never receive a driver-verified row even though they
-# pass the local oracle (tools/oracle_check.py). To guarantee every query
-# eventually gets driver coverage, registration order is: (1) queries NOT
-# in this list — i.e. brand-new this round — first, (2) then this list,
-# which front-loads the 15 entries that had no driver row through r4 and
-# orders the rest by how stale their last driver check is (oldest first).
+# pass the local oracle (tools/oracle_check.py). ``_reorder`` therefore
+# emits three priority groups:
+#   0: entries listed in the first ``_NEVER_DRIVER_CHECKED`` slots below —
+#      registered in a past round but NEVER driver-checked (they sat past
+#      every prefix); they have waited the longest and go absolutely first;
+#   1: brand-new entries (absent from this list), alphabetically;
+#   2: the rest of this list — already driver-checked at least once,
+#      ordered stalest-check-first (regenerated each round from the
+#      accumulated CORRECTNESS_r*.json artifacts).
 _DRIVER_ORDER = [
-    # never driver-checked through round 4 (verified locally green)
-    "ann_ivf_kmeans_topk", "embedding_quantize_stats",
-    "multimodal_audio_features", "multimodal_resize_means",
-    "multimodal_frame_stats", "bloom_prefilter_supplier_volume",
-    "doc_chunk_windows", "countmin_user_frequencies",
-    "dedup_incremental_near", "corpus_mix_counts",
-    "event_transition_counts", "asof_bucketed_purchase_last_view",
-    "event_funnel_counts", "cohort_retention_counts",
-    "pagerank_trade_network",
-    # previously checked, ordered oldest-driver-check first
+    # never driver-checked through round 5 (all six re-verified green in
+    # the round-5 local oracle run; registry positions 50-55 last round)
+    "text_surprisal_score", "vocab_encode_checksums",
+    "vocab_shift_even_odd", "weighted_sample_counts",
+    "window_running_value_hotkey", "winsorized_price_stats",
     "ann_brute_topk", "ann_lsh_topk", "dataset_split_counts",
     "corpus_top_ngrams", "corpus_length_quantiles", "dedup_clusters",
     "ann_ivf_topk", "stratified_sample_counts", "doc_top_terms",
@@ -81,25 +80,46 @@ _DRIVER_ORDER = [
     "q16_parts_supplier_counts", "q17_small_quantity_revenue",
     "q18_large_volume_orders", "q15_top_supplier",
     "q19_disjunctive_revenue", "q21_sole_late_shipper",
-    "q22_dormant_customers", "topk_brands_by_revenue",
-    "window_order_rank", "window_running_value",
-    "window_running_value_bucketed", "sessionize_events",
-    "sessionize_events_bucketed", "rollup_returns", "cube_revenue",
-    "tumbling_window_counts", "hopping_window_counts",
+    "q22_dormant_customers", "topk_brands_by_revenue", "window_order_rank",
+    "window_running_value", "window_running_value_bucketed",
+    "sessionize_events", "sessionize_events_bucketed", "rollup_returns",
+    "cube_revenue", "tumbling_window_counts", "hopping_window_counts",
     "skew_salted_order_totals", "customers_without_orders",
     "suppliers_with_large_shipments", "pivot_user_events",
-    "events_daily_active_users", "q6_forecast_revenue",
-    "q8_market_share", "q9_product_profit", "q11_important_parts",
-    "q12_priority_shipping", "q13_customer_distribution",
-    "q20_significant_suppliers", "text_language_id", "text_quality",
-    "text_token_stats", "text_fingerprint", "text_repetition",
-    "dedup_exact", "dedup_keep_best", "dedup_incremental",
-    "text_scrub_counts", "dedup_jaccard", "dedup_minhash_lsh",
-    "dedup_simhash", "dedup_embedding",
+    "events_daily_active_users", "q6_forecast_revenue", "q8_market_share",
+    "q9_product_profit", "q11_important_parts", "q12_priority_shipping",
+    "q13_customer_distribution", "q20_significant_suppliers",
+    "text_language_id", "text_quality", "text_token_stats",
+    "text_fingerprint", "text_repetition", "dedup_exact",
+    "dedup_keep_best", "dedup_incremental", "text_scrub_counts",
+    "dedup_jaccard", "dedup_minhash_lsh", "dedup_simhash",
+    "dedup_embedding", "ann_ivf_kmeans_topk", "embedding_quantize_stats",
+    "multimodal_audio_features", "multimodal_resize_means",
+    "multimodal_frame_stats", "bloom_prefilter_supplier_volume",
+    "doc_chunk_windows", "countmin_user_frequencies",
+    "dedup_incremental_near", "corpus_mix_counts",
+    "event_transition_counts", "asof_bucketed_purchase_last_view",
+    "event_funnel_counts", "cohort_retention_counts",
+    "pagerank_trade_network", "bm25_multiquery_topk", "bm25_search_topk",
+    "budget_select_per_lang", "chunk_positive_pairs",
+    "compaction_plan_bins", "corpus_report_by_source",
+    "curation_pipeline_counts", "daily_top_event_types",
+    "decayed_user_engagement", "dedup_cluster_keep_best",
+    "dedup_containment", "dedup_prefix_jaccard", "dedup_substring_spans",
+    "embedding_gram_matrix", "engagement_pipeline_users",
+    "fuzzy_join_even_odd", "heavy_hitter_users",
+    "linkage_candidates_customers", "median_quantity_by_flag",
+    "minmax_order_prices", "negative_pairs_sample", "outlier_event_values",
+    "part_basket_triangles", "quality_quantile_filter",
+    "resample_user_days", "rfm_user_segments", "scd2_documents",
+    "session_path_top", "sessionize_events_hotkey",
+    "snapshot_diff_documents", "source_cap_kept", "source_overlap_mirror",
+    "split_leakage_pairs", "temperature_mix_counts",
+    "text_bigram_surprisal",
 ]
 
 
-_NEVER_DRIVER_CHECKED = 15  # prefix of _DRIVER_ORDER with no driver row yet
+_NEVER_DRIVER_CHECKED = 6  # prefix of _DRIVER_ORDER with no driver row yet
 
 
 def _reorder(out: dict) -> dict:
