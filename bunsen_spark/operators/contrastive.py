@@ -42,8 +42,19 @@ def negative_pairs(
     seed: int = 0,
 ) -> DataFrame:
     """``(anchor_id, slot, neg_id)``: ``k`` deterministic negatives per
-    anchor (minus any self-collisions), drawn from per-bucket
-    representatives."""
+    anchor, drawn from per-bucket representatives.
+
+    An anchor can receive FEWER than ``k`` negatives for two reasons,
+    both deterministic: (a) a slot whose representative is the anchor
+    itself is dropped (self-collision), and (b) a slot whose draw
+    lands in an EMPTY bucket — one no document hashed into — has no
+    representative to join, so the inner join drops it silently. (b)
+    matters when the corpus is small relative to ``n_buckets``
+    (expected empty fraction ``~exp(-n_docs/n_buckets)``); size
+    ``n_buckets`` well below the corpus count if a near-``k``
+    per-anchor guarantee matters. Both engines (this operator and the
+    SQL twin) share the identical drop semantics, so the gate stays
+    exact either way."""
     if k < 1:
         raise ValueError("k must be >= 1")
     if n_buckets < 2:

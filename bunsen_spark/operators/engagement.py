@@ -115,10 +115,18 @@ def session_path_counts(
     sessionizer already produced, so back-to-back the exchange is
     reused) + one map-side-combined count. The output is the path
     distribution, bounded by the distinct step-type ** depth — tiny.
+
+    NULL steps are dropped BEFORE the window (in both this operator
+    and the SQL twin): ``concat_ws`` would silently skip a NULL in the
+    middle of a window (shortening ``a>NULL>c`` to ``a>c``) while
+    SQL's ``||`` would NULL the whole path — filtering first gives one
+    well-defined semantics (paths over the non-NULL step sequence) in
+    both engines.
     """
     if depth < 2:
         raise ValueError("depth must be >= 2")
     order_cols = order_cols or []
+    events = events.where(F.col(step_col).isNotNull())
     w = Window.partitionBy(key, session_col).orderBy(ts_us, *order_cols)
     steps = [F.col(step_col)] + [
         F.lead(step_col, i).over(w) for i in range(1, depth)
@@ -143,7 +151,8 @@ def session_path_counts_sql(
     order_cols: list[str] | None = None,
 ) -> str:
     """DuckDB twin of :func:`session_path_counts` over a SELECT body
-    already carrying ``session_col``."""
+    already carrying ``session_col``. Mirrors the operator's NULL-step
+    pre-filter so both engines path over the non-NULL step sequence."""
     if depth < 2:
         raise ValueError("depth must be >= 2")
     order = ", ".join([ts_us] + (order_cols or []))
@@ -154,7 +163,9 @@ def session_path_counts_sql(
     concat = " || '>' || ".join(parts)
     last = f"lead({step_col}, {depth - 1}) {over}"
     return f"""
-WITH __s AS ({events_sql}),
+WITH __s AS (
+  SELECT * FROM ({events_sql}) __raw WHERE {step_col} IS NOT NULL
+),
 __p AS (
   SELECT ({concat}) AS path, ({last}) IS NOT NULL AS __c FROM __s
 )

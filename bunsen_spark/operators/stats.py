@@ -67,6 +67,25 @@ GROUP BY {key}
 """
 
 
+def _join_stats_back(df: DataFrame, stats: DataFrame, key: str) -> DataFrame:
+    """Null-safe join of a per-group stats table back onto the rows.
+
+    ``groupBy`` keeps NULL keys as their own group, but a plain
+    ``df.join(stats, key)`` equi-join silently DROPS those rows — while
+    the DuckDB window twins (``PARTITION BY key``) keep them as the NULL
+    partition. ``eqNullSafe`` restores window semantics: NULL-key rows
+    join their own group's stats instead of vanishing.
+    """
+    extra = [c for c in stats.columns if c != key]
+    left, right = df.alias("__rows"), stats.alias("__stats")
+    return left.join(
+        right, F.col(f"__rows.{key}").eqNullSafe(F.col(f"__stats.{key}"))
+    ).select(
+        *[F.col(f"__rows.{c}") for c in df.columns],
+        *[F.col(f"__stats.{c}") for c in extra],
+    )
+
+
 def minmax_normalize(df: DataFrame, key: str, col: str) -> DataFrame:
     """Append exact min-max scaling terms per group: ``num = x - min``
     and ``den = max - min`` (the normalized value is ``num/den``;
@@ -85,7 +104,7 @@ def minmax_normalize(df: DataFrame, key: str, col: str) -> DataFrame:
     # broadcasts the stats when they fit (the usual case: row side
     # never shuffles) and degrades to a shuffle join on million-group
     # keys instead of blowing the broadcast limit
-    return df.join(stats, key).select(
+    return _join_stats_back(df, stats, key).select(
         *df.columns,
         (F.col(col).cast("long") - F.col("__mn")).alias("num"),
         (F.col("__mx") - F.col("__mn")).alias("den"),
@@ -143,14 +162,11 @@ def grouped_winsorize(
             F.max(F.when(F.col("__rn") == hi_rank, v)).alias("hi_val"),
         )
     )
-    return (
-        df.join(thresholds, key)
-        .select(
-            "*",
-            F.greatest(
-                F.col("lo_val"), F.least(F.col("hi_val"), v)
-            ).alias("clipped"),
-        )
+    return _join_stats_back(df, thresholds, key).select(
+        "*",
+        F.greatest(
+            F.col("lo_val"), F.least(F.col("hi_val"), v)
+        ).alias("clipped"),
     )
 
 
@@ -169,14 +185,14 @@ def grouped_winsorize_sql(
     hi = hi_num / den
     return f"""
 WITH src AS ({table_sql}), th AS (
-  SELECT {key},
+  SELECT {key} AS __key,
          CAST(quantile_disc({col}, {lo}) AS BIGINT) AS lo_val,
          CAST(quantile_disc({col}, {hi}) AS BIGINT) AS hi_val
   FROM src GROUP BY {key}
 )
 SELECT {cols}, lo_val, hi_val,
        greatest(lo_val, least(hi_val, CAST({col} AS BIGINT))) AS clipped
-FROM src JOIN th USING ({key})
+FROM src JOIN th ON src.{key} IS NOT DISTINCT FROM th.__key
 """
 
 
@@ -218,7 +234,7 @@ def flag_outliers(
     flagged = (F.lit(k_den * k_den) * dev * dev) > (
         F.lit(k_num * k_num) * nvar
     )
-    return df.join(stats, key).select(
+    return _join_stats_back(df, stats, key).select(
         *df.columns, flagged.alias("is_outlier")
     )
 

@@ -178,7 +178,12 @@ def plan_compaction(
 
     Sequential packing per partition: files are ordered by
     ``order_cols`` (so the plan is stable run-to-run — CRITICAL for an
-    idempotent maintenance job), the running byte total is computed
+    idempotent maintenance job). Because stability is the contract,
+    ``order_cols`` is REQUIRED and must be a deterministic total order
+    within each partition (e.g. include a unique file path/id):
+    ordering by size alone would leave equal-size files tied, making
+    their cumulative sums — and bin assignments — nondeterministic
+    across runs. The running byte total is computed
     with one window cumulative sum, and a file's bin is
     ``prev_cumsum div target_bytes``. Every bin lands within one
     max-file-size of the target on either side (except the final
@@ -193,8 +198,13 @@ def plan_compaction(
     """
     if target_bytes <= 0:
         raise ValueError("target_bytes must be positive")
+    if not order_cols:
+        raise ValueError(
+            "order_cols is required and must form a deterministic total "
+            "order (include a unique file path/id): ordering by size "
+            "alone ties equal-size files and makes bin_id nondeterministic"
+        )
     partition_cols = partition_cols or []
-    order_cols = order_cols or [size_col]
     w = (
         Window.partitionBy(*partition_cols)
         .orderBy(*order_cols)
@@ -214,8 +224,9 @@ def plan_compaction_sql(
     order_cols: list[str] | None = None,
 ) -> str:
     """DuckDB twin of :func:`plan_compaction`."""
+    if not order_cols:
+        raise ValueError("order_cols is required (see plan_compaction)")
     partition_cols = partition_cols or []
-    order_cols = order_cols or [size_col]
     part = (
         "PARTITION BY " + ", ".join(partition_cols) + " "
         if partition_cols

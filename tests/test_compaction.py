@@ -88,3 +88,15 @@ def test_compaction_rejects_bad_target(spark):
 
     with pytest.raises(ValueError):
         plan_compaction(_files(spark, [("a", 1, 1)]), "bytes", 0)
+
+
+def test_compaction_requires_order_cols(spark):
+    # ordering by size alone ties equal-size files -> nondeterministic
+    # bin_id across runs; the planner now refuses to run without an
+    # explicit deterministic total order (round-6 ADVICE fix)
+    from bunsen_spark.sources.warehouse import plan_compaction, plan_compaction_sql
+
+    with pytest.raises(ValueError, match="order_cols"):
+        plan_compaction(_files(spark, [("a", 1, 1)]), "bytes", 10)
+    with pytest.raises(ValueError, match="order_cols"):
+        plan_compaction_sql("SELECT 1", "bytes", 10)

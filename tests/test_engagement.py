@@ -176,3 +176,41 @@ def test_rfm_rejects_bad_bins(spark):
     e = _events(spark, [(1, 1, 1)])
     with pytest.raises(ValueError):
         rfm_segments(e, "user_id", "us", "cents", n_bins=1)
+
+
+def test_session_paths_null_steps_filtered_consistently(spark):
+    # NULL steps are dropped BEFORE the window (round-6 ADVICE fix):
+    # concat_ws would silently shorten a>NULL>c to a>c while the SQL
+    # twin's || would NULL the whole path — both engines now path over
+    # the non-NULL step sequence.
+    import duckdb
+
+    from bunsen_spark.operators.engagement import (
+        session_path_counts,
+        session_path_counts_sql,
+    )
+
+    rows = [
+        (1, 1, 10, "a"), (1, 1, 20, None), (1, 1, 30, "b"),
+        (1, 1, 40, "c"), (2, 1, 10, None), (2, 1, 20, None),
+    ]
+    e = _sessions(spark, rows)
+    got = {
+        r.path: r.n_paths
+        for r in session_path_counts(
+            e, "user_id", "us", "session_id", "step", depth=3
+        ).collect()
+    }
+    # the NULL at us=20 is removed from the sequence, so user 1's
+    # non-NULL steps a,b,c form exactly one depth-3 path
+    assert got == {"a>b>c": 1}
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE ev (user_id BIGINT, session_id BIGINT,"
+        " us BIGINT, step VARCHAR)"
+    )
+    con.executemany("INSERT INTO ev VALUES (?, ?, ?, ?)", rows)
+    sql = session_path_counts_sql(
+        "SELECT * FROM ev", "user_id", "us", "session_id", "step", depth=3
+    )
+    assert dict(con.execute(sql).fetchall()) == got

@@ -417,3 +417,79 @@ def test_winsorize_matches_python_order_stats(spark, seed):
         lo, hi = th[r.g]
         assert (r.lo_val, r.hi_val) == (lo, hi)
         assert r.clipped == max(lo, min(hi, vals[(r.g, r.rid)]))
+
+
+# --- NULL group keys (round-6 ADVICE fix): a plain equi-join back would
+# DROP NULL-key rows, while the DuckDB window twins keep them as the
+# NULL partition. The operators now use a null-safe join — NULL keys
+# form their own group, matching PARTITION BY semantics exactly.
+
+
+def test_minmax_normalize_null_key_group(spark):
+    from bunsen_spark.operators.stats import minmax_normalize
+
+    df = _vals(spark, [("a", 10), ("a", 30), (None, 5), (None, 25)])
+    rows = minmax_normalize(df, "g", "v").collect()
+    assert len(rows) == 4  # NULL-key rows NOT dropped
+    nulls = {r.v: (r.num, r.den) for r in rows if r.g is None}
+    assert nulls == {5: (0, 20), 25: (20, 20)}
+
+
+def test_grouped_winsorize_null_key_group(spark):
+    from bunsen_spark.operators.stats import grouped_winsorize
+
+    df = _vals(
+        spark,
+        [("a", 1), ("a", 100)]
+        + [(None, v) for v in (1, 2, 3, 4, 1000)],
+    )
+    rows = grouped_winsorize(df, "g", "v", 20, 80).collect()
+    assert len(rows) == 7
+    nulls = sorted(r.clipped for r in rows if r.g is None)
+    # n=5: lo rank ceil(0.2*5)=1 -> 1, hi rank ceil(0.8*5)=4 -> 4
+    assert nulls == [1, 2, 3, 4, 4]
+
+
+def test_flag_outliers_null_key_group(spark):
+    from bunsen_spark.operators.stats import flag_outliers
+
+    # a single outlier among n rows has z^2 = n-1 exactly when the rest
+    # are constant, so n must exceed k^2+1 = 10 for a strict 3-sigma
+    # flag: use 11 constant rows + 1 spike (z^2 = 11 > 9)
+    df = spark.createDataFrame(
+        [("a", 1, 10), ("a", 2, 12)]
+        + [(None, rid, 10) for rid in range(3, 14)]
+        + [(None, 14, 500)],
+        "g string, rid long, v long",
+    )
+    rows = flag_outliers(df, "g", "v", k_num=3, k_den=1).collect()
+    assert len(rows) == 14
+    got = {r.rid: r.is_outlier for r in rows if r.g is None}
+    assert got[14] is True
+    assert all(not got[i] for i in range(3, 14))
+
+
+def test_winsorize_null_key_matches_duckdb_twin(spark):
+    import duckdb
+
+    from bunsen_spark.operators.stats import (
+        grouped_winsorize,
+        grouped_winsorize_sql,
+    )
+
+    rows = [("a", 1), ("a", 50), ("a", 100), (None, 7), (None, 8),
+            (None, 9), (None, 10), (None, 9000)]
+    df = _vals(spark, rows)
+    order = lambda t: (t[0] is not None, t[0] or "", t[1:])  # noqa: E731
+    got = sorted(
+        ((r.g, r.v, r.lo_val, r.hi_val, r.clipped)
+         for r in grouped_winsorize(df, "g", "v", 20, 80).collect()),
+        key=order,
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (g VARCHAR, v BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    sql = grouped_winsorize_sql("SELECT g, v FROM t", "g", "v", 20, 80,
+                                cols="g, v")
+    want = sorted((tuple(r) for r in con.execute(sql).fetchall()), key=order)
+    assert got == want
