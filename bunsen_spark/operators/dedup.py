@@ -95,18 +95,36 @@ def shingles_sql(n: int) -> str:
 
 
 def _with_shingles(docs: DataFrame, n: int = SHINGLE_N) -> DataFrame:
-    """(doc_id, shingles array<string>): words are materialized in a
-    projection BEFORE shingling — referencing the regexp inside the
-    slice lambda would re-run it per shingle position (O(len²) regex
-    work per document, ~10× slower at sf0.1)."""
+    """(doc_id, shingles array<string>): word n-gram shingles built as
+    a chain of ``zip_with`` over n parallel slices of the word array —
+    n-1 whole-array passes per document. The naive
+    ``transform(sequence(1, L), i -> concat_ws(' ', slice(__w, i, n)))``
+    form allocates a fresh slice copy PER POSITION inside an
+    interpreted higher-order lambda, which measured 3.4× slower at
+    sf0.1 (3.3 s -> 0.97 s for the tokenize stage of
+    prefix_jaccard_pairs; PERF.md "Round-6: shingle zip_with"). A
+    window/lead formulation is ~1.8× faster still but costs a shuffle
+    of every word by doc_id — wrong trade at 100 TB, where this map-only
+    shape keeps shingling embarrassingly parallel inside the scan stage.
+
+    Documents with fewer than ``n`` words produce one shingle joining
+    all their words (the ``sequence(1, greatest(..,1))`` semantics of
+    the original form, preserved exactly — the DuckDB twins pin it)."""
     words = F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), 0)
     base = docs.select("doc_id", words.alias("__w"))
     if n == 1:
         sh = F.array_distinct(F.col("__w"))
     else:
+        length = f"(size(__w) - {n - 1})"
+        acc = f"slice(__w, 1, {length})"
+        for j in range(2, n + 1):
+            acc = (
+                f"zip_with({acc}, slice(__w, {j}, {length}),"
+                f" (x, y) -> concat(x, ' ', y))"
+            )
         sh = F.expr(
-            f"array_distinct(transform(sequence(1, greatest(size(__w) - {n - 1}, 1)),"
-            f" i -> concat_ws(' ', slice(__w, i, {n}))))"
+            f"array_distinct(CASE WHEN size(__w) < {n}"
+            f" THEN array(concat_ws(' ', __w)) ELSE {acc} END)"
         )
     return base.select("doc_id", sh.alias("shingles"))
 

@@ -63,6 +63,21 @@ def _cosine(va: Column, vb: Column, na: Column, nb: Column) -> Column:
     return _dot(va, vb) / (na * nb)
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Fan a narrow scan out to the session's parallelism before
+    per-vector scoring. A small local fixture reads as ONE parquet
+    row-group -> one partition, which serializes every cosine /
+    higher-order-function evaluation on a single core (measured: the
+    whole Lloyd training of ``kmeans_codebook`` ran single-threaded at
+    sf0.1). A cluster-scale table already scans as hundreds of
+    partitions, where the job-free partition-count guard makes this a
+    no-op — no corpus shuffle is ever added at scale."""
+    target = min(df.sparkSession.sparkContext.defaultParallelism, 32)
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def _with_norm(embeddings: DataFrame) -> DataFrame:
     v = F.col("embedding").cast("array<double>")
     return embeddings.select(
@@ -77,7 +92,7 @@ def brute_force_topk(
     ``num_queries``), the ``k`` nearest other vectors. Output:
     (query_id, neighbor_id, rank) — rank 1 = nearest, ties broken by
     neighbor_id."""
-    corpus = _with_norm(embeddings)
+    corpus = _with_norm(embeddings).transform(_spread)
     queries = corpus.where(F.col("vec_id") < num_queries).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
@@ -140,7 +155,7 @@ def ivf_topk(
     n_centroids/n_probe versus brute force."""
     from .text_analysis import md5int
 
-    base = _with_norm(embeddings)
+    base = _with_norm(embeddings).transform(_spread)
     centroids = (
         base.withColumn("h", md5int(F.col("vec_id").cast("string")))
         .orderBy("h", "vec_id")
@@ -275,8 +290,9 @@ def kmeans_codebook(
     across engines on the quantized integral vectors; the means are
     exact integer-sum averages (see :func:`_quantized`)."""
     # the quantized corpus is re-read by every Lloyd iteration's
-    # assignment join; materialize it once (state: id + int vector)
-    base = _quantized(embeddings).transform(materialize)
+    # assignment join; spread it across cores and materialize it once
+    # (state: id + int vector)
+    base = _quantized(embeddings).transform(_spread).transform(materialize)
     from .text_analysis import md5int
 
     cents = (
@@ -289,15 +305,32 @@ def kmeans_codebook(
         cent = cents.select(
             "cid", "cv", F.sqrt(_dot(F.col("cv"), F.col("cv"))).alias("cnorm")
         )
-        aw = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("cid"))
+        # argmax centroid via max-of-struct — a map-side-combined
+        # aggregate in the same ordering as the row_number window it
+        # replaces ((csim DESC, cid ASC): larger -cid == smaller cid),
+        # but WITHOUT the window's per-vector sort after the shuffle.
+        # Measured 2.27 s -> 1.78 s on the full training at sf0.1 with
+        # bit-identical codebooks (PERF.md "Round-6: kmeans argmax").
         assigned = (
             base.join(F.broadcast(cent))
-            .withColumn(
-                "csim", _cosine(F.col("q"), F.col("cv"), F.col("qnorm"), F.col("cnorm"))
+            .select(
+                "vec_id",
+                "q",
+                F.struct(
+                    _cosine(
+                        F.col("q"), F.col("cv"), F.col("qnorm"), F.col("cnorm")
+                    ).alias("csim"),
+                    (-F.col("cid")).alias("negcid"),
+                    F.col("cid").alias("cid"),
+                ).alias("s"),
             )
-            .withColumn("rn", F.row_number().over(aw))
-            .where(F.col("rn") == 1)
-            .select("cid", "q")
+            .groupBy("vec_id")
+            # q is functionally dependent on vec_id (every joined row
+            # carries the same vector), so first() is deterministic
+            # here — grouping by the id alone avoids hashing the
+            # 64-element array as a grouping key
+            .agg(F.max("s").alias("s"), F.first("q").alias("q"))
+            .select(F.col("s.cid").alias("cid"), "q")
         )
         sums = (
             assigned.select("cid", F.posexplode("q").alias("pos", "val"))
@@ -327,30 +360,39 @@ def ivf_kmeans_topk(
     Coarse assignment/probing uses cosine against the trained
     centroids on the quantized vectors; final ranking among candidates
     is exact cosine on the original vectors."""
-    # the trained codebook (tiny) and the coarse ranking both feed two
-    # consumers (assignment + probe lists); lazy checkpoints keep the
-    # Lloyd training and the corpus-wide scoring window to one
-    # execution each. The ranking state is pruned to rn <= n_probe
-    # before materializing — O(n × n_probe) rows of four scalars.
+    # the trained codebook (tiny) is checkpointed — it feeds both the
+    # corpus assignment and the probe lists. The coarse scoring itself
+    # is ONE broadcast join + map, cheap enough to compute twice, so
+    # no ranking checkpoint: corpus assignment is a map-side-combined
+    # max-of-struct argmax (same (csim DESC, cid ASC) order as the
+    # row_number window it replaces, without the per-vector sort), and
+    # the probe-list window runs only over the query vectors' scores.
     cents = kmeans_codebook(embeddings, n_centroids, n_iters).transform(materialize)
-    quant = _quantized(embeddings)
+    quant = _quantized(embeddings).transform(_spread)
     scored = quant.join(F.broadcast(cents)).select(
         "vec_id",
         "cid",
         _cosine(F.col("q"), F.col("cv"), F.col("qnorm"), F.col("cnorm")).alias("csim"),
     )
-    aw = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("cid"))
-    ranked = (
-        scored.withColumn("rn", F.row_number().over(aw))
-        .where(F.col("rn") <= max(n_probe, 1))
-        .transform(materialize)
+    best = F.struct(
+        F.col("csim").alias("csim"),
+        (-F.col("cid")).alias("negcid"),
+        F.col("cid").alias("cid"),
     )
-    assigned = ranked.where(F.col("rn") == 1).select("vec_id", "cid")
+    assigned = (
+        scored.select("vec_id", best.alias("s"))
+        .groupBy("vec_id")
+        .agg(F.max("s").alias("s"))
+        .select("vec_id", F.col("s.cid").alias("cid"))
+    )
+    aw = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("cid"))
     probes = (
-        ranked.where((F.col("vec_id") < num_queries) & (F.col("rn") <= n_probe))
+        scored.where(F.col("vec_id") < num_queries)
+        .withColumn("rn", F.row_number().over(aw))
+        .where(F.col("rn") <= n_probe)
         .select(F.col("vec_id").alias("query_id"), "cid")
     )
-    base = _with_norm(embeddings)
+    base = _with_norm(embeddings).transform(_spread)
     queries = base.select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
@@ -487,7 +529,7 @@ def lsh_topk(
     """Approximate cosine top-k: candidates must share one of the
     ``LSH_BANDS`` bucket bands with the query; exact cosine ranks the
     candidates. Output: (query_id, neighbor_id, rank)."""
-    base = _with_norm(embeddings).withColumn("bucket", _bucket_col())
+    base = _with_norm(embeddings).transform(_spread).withColumn("bucket", _bucket_col())
     band_keys = F.array(
         *[
             F.concat_ws(
