@@ -56,6 +56,13 @@ PRIMITIVES = {
     "dateTime": T.StringType(),
     "instant": T.StringType(),
     "base64Binary": T.StringType(),
+    # R4-generation primitives (absent from STU3): all string-encoded,
+    # matching the reference's R4 mapping of UrlType / CanonicalType to
+    # StringType (bunsen-r4/src/main/scala/com/cerner/bunsen/r4/
+    # R4DataTypeMappings.scala:31-49). ``uuid`` exists in both specs.
+    "canonical": T.StringType(),
+    "url": T.StringType(),
+    "uuid": T.StringType(),
     "boolean": T.BooleanType(),
     "integer": T.IntegerType(),
     "unsignedInt": T.IntegerType(),

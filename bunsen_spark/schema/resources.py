@@ -614,6 +614,23 @@ def resource_names() -> list[str]:
 
 
 def definition_for(resource_type: str) -> Complex:
+    if resource_type.startswith("r4:"):
+        # R4-generation address: resolved ONLY through the R4 registry
+        # (never the STU3 defaults), so the two spec generations can't
+        # shadow each other's type names
+        from .structdef import r4_registry
+
+        compiled = r4_registry().get(resource_type[3:])
+        if isinstance(compiled, Complex):
+            return compiled
+        raise ValueError(
+            f"unsupported R4 resource type {resource_type!r}; load the "
+            "public R4 profiles-resources.json (hl7.org/fhir/R4) via "
+            "bunsen_spark.schema.structdef.load_r4_structure_definitions "
+            f"or drop it at $BUNSEN_SPARK_FHIR_R4_SPEC_DIR / "
+            "fixtures/spec-r4/. Registered R4 profiles: "
+            f"{r4_registry().resource_profile_names()}"
+        )
     if resource_type in _PROFILES:
         return _PROFILES[resource_type][1]
     if resource_type in _RESOURCES:
@@ -641,6 +658,11 @@ def definition_for(resource_type: str) -> Complex:
 def base_resource_type(resource_type: str) -> str:
     """The FHIR resourceType a profile's rows carry (profiles are
     addressed by profile name but filter entries by base type)."""
+    if resource_type.startswith("r4:"):
+        from .structdef import r4_registry
+
+        name = resource_type[3:]
+        return r4_registry().base_type(name) or name
     if resource_type in _PROFILES:
         return _PROFILES[resource_type][0]
     if resource_type not in _RESOURCES:

@@ -100,11 +100,69 @@ DATATYPES: dict[str, Complex] = {
     },
 }
 
+#: R4-generation overrides for complex datatypes whose shape changed
+#: between spec generations: Money stopped being Quantity-derived
+#: (value + currency in R4), and Meta gained ``source``. Selected per
+#: StructureDefinition via its ``fhirVersion`` (kept by ``_minimize``);
+#: definitions missing the field compile with the STU3 shapes.
+R4_DATATYPES: dict[str, Complex] = {
+    **DATATYPES,
+    "Money": Complex(
+        "Money",
+        (
+            Field("id", "string"),
+            Field("value", "decimal"),
+            Field("currency", "code"),
+        ),
+    ),
+    "Meta": Complex(
+        "Meta",
+        tuple(
+            list(dt.META.fields)
+            + [Field("source", "uri")]
+        ),
+    ),
+}
+
+
 #: element names never surfaced as columns (reference parity:
 #: `Stu3StructureDefinitions.java` skips contained unless requested,
 #: and unsliced extension/modifierExtension arrays; SLICED modifier
 #: extensions do become columns, handled in _compile_element)
 _SKIP_NAMES = {"contained"}
+
+
+#: R4-generation snapshots spell some primitive element types as
+#: FHIRPath system types (e.g. ``Resource.id`` carries the code
+#: ``http://hl7.org/fhirpath/System.String`` instead of ``id``/
+#: ``string``). Normalize them to the FHIR primitive they encode.
+_FHIRPATH_PRIMITIVES = {
+    "http://hl7.org/fhirpath/System.String": "string",
+    "http://hl7.org/fhirpath/System.Boolean": "boolean",
+    "http://hl7.org/fhirpath/System.Integer": "integer",
+    "http://hl7.org/fhirpath/System.Decimal": "decimal",
+    "http://hl7.org/fhirpath/System.Date": "date",
+    "http://hl7.org/fhirpath/System.DateTime": "dateTime",
+    "http://hl7.org/fhirpath/System.Time": "time",
+}
+
+
+def _norm_code(code: str | None) -> str | None:
+    if code is None:
+        return None
+    return _FHIRPATH_PRIMITIVES.get(code, code)
+
+
+def _profiles(t: dict, key: str) -> list[str]:
+    """``type.profile`` / ``type.targetProfile`` values: a single URL
+    string in STU3, a LIST of URLs in R4-generation artifacts. Return
+    a list either way (empty when absent)."""
+    v = t.get(key)
+    if v is None:
+        return []
+    if isinstance(v, str):
+        return [v]
+    return [x for x in v if isinstance(x, str)]
 
 
 def _upper_first(s: str) -> str:
@@ -248,17 +306,26 @@ class StructureDefinitionRegistry:
     # -- compilation --------------------------------------------------------
 
     def _compile(self, sd: dict) -> Complex | Extension:
-        tree = _build_tree(sd["element"])
-        if sd.get("type") == "Extension":
-            return self._compile_extension_tree(tree, sd["url"])
-        backbones: dict[str, Complex] = {}
-        deferred: list[tuple[str, ...]] = []
-        fields = self._compile_children(tree, sd["type"], backbones, deferred)
-        # contentReference targets are compiled by now (FHIR defines the
-        # referenced element in the same snapshot); patch them in order.
-        while deferred:
-            raise AssertionError("unresolved contentReference")  # pragma: no cover
-        return Complex(sd["type"], tuple(fields))
+        # version-aware complex-datatype shapes (R4 Money/Meta differ);
+        # saved/restored because extension-profile resolution recurses
+        # into _compile for a possibly different-generation definition
+        prev = getattr(self, "_dts", DATATYPES)
+        is_r4 = str(sd.get("fhirVersion", "")).startswith("4")
+        self._dts = R4_DATATYPES if is_r4 else DATATYPES
+        try:
+            tree = _build_tree(sd["element"])
+            if sd.get("type") == "Extension":
+                return self._compile_extension_tree(tree, sd["url"])
+            backbones: dict[str, Complex] = {}
+            deferred: list[tuple[str, ...]] = []
+            fields = self._compile_children(tree, sd["type"], backbones, deferred)
+            # contentReference targets are compiled by now (FHIR defines
+            # the referenced element in the same snapshot); patch in order.
+            while deferred:
+                raise AssertionError("unresolved contentReference")  # pragma: no cover
+            return Complex(sd["type"], tuple(fields))
+        finally:
+            self._dts = prev
 
     def _compile_children(
         self,
@@ -288,7 +355,7 @@ class StructureDefinitionRegistry:
             return None
         many = _is_many(el)
         types = el.get("type", [])
-        codes = [t.get("code") for t in types]
+        codes = [_norm_code(t.get("code")) for t in types]
 
         if name in ("extension", "modifierExtension"):
             if "sliceName" not in el:
@@ -316,9 +383,10 @@ class StructureDefinitionRegistry:
         if code == "Reference":
             targets = tuple(
                 dict.fromkeys(
-                    self._target_name(t["targetProfile"])
+                    self._target_name(u)
                     for t in types
-                    if t.get("code") == "Reference" and t.get("targetProfile")
+                    if t.get("code") == "Reference"
+                    for u in _profiles(t, "targetProfile")
                 )
             )
             return Field(name, Reference(targets), many=many)
@@ -333,8 +401,9 @@ class StructureDefinitionRegistry:
             return None  # inline any-resource (contained-style) — not projected
         if code in PRIMITIVES:
             return Field(name, code, many=many)
-        if code in DATATYPES:
-            return Field(name, DATATYPES[code], many=many)
+        dts = getattr(self, "_dts", DATATYPES)
+        if code in dts:
+            return Field(name, dts[code], many=many)
         if code == "Extension":
             return None  # extension-typed non-'extension' path (rare)
         raise ValueError(f"unsupported type code {code!r} at {path}")
@@ -344,10 +413,11 @@ class StructureDefinitionRegistry:
         ref_targets: list[str] = []
         seen: set[str] = set()
         for t in types:
-            code = t.get("code")
+            code = _norm_code(t.get("code"))
             if code == "Reference":
-                if t.get("targetProfile"):
-                    ref_targets.append(self._target_name(t["targetProfile"]))
+                ref_targets.extend(
+                    self._target_name(u) for u in _profiles(t, "targetProfile")
+                )
                 if "reference" not in seen:
                     seen.add("reference")
                     branches.append(("reference", None))  # patched below
@@ -358,8 +428,8 @@ class StructureDefinitionRegistry:
             seen.add(bname)
             if code in PRIMITIVES:
                 branches.append((bname, code))
-            elif code in DATATYPES:
-                branches.append((bname, DATATYPES[code]))
+            elif code in getattr(self, "_dts", DATATYPES):
+                branches.append((bname, getattr(self, "_dts", DATATYPES)[code]))
         if not branches:
             return None
         patched = tuple(
@@ -378,7 +448,10 @@ class StructureDefinitionRegistry:
 
         el = node.el
         slice_name = el["sliceName"]
-        prof = next((t.get("profile") for t in el.get("type", []) if t.get("profile")), None)
+        prof = next(
+            (u for t in el.get("type", []) for u in _profiles(t, "profile")),
+            None,
+        )
         if prof is not None:
             ext = self.get(prof)
             if ext is None:
@@ -416,11 +489,12 @@ class StructureDefinitionRegistry:
             types = el.get("type", [])
             if not types:
                 continue
-            code = types[0].get("code")
+            code = _norm_code(types[0].get("code"))
             if code in PRIMITIVES:
                 return Extension(url, code)
-            if code in DATATYPES:
-                return Extension(url, DATATYPES[code])
+            dts = getattr(self, "_dts", DATATYPES)
+            if code in dts:
+                return Extension(url, dts[code])
             raise ValueError(f"unsupported extension value type {code!r} for {url}")
         raise ValueError(f"extension {url} has neither sub-extensions nor a value element")
 
@@ -428,7 +502,8 @@ class StructureDefinitionRegistry:
 def _minimize(sd: dict) -> dict:
     out = {
         k: sd[k]
-        for k in ("resourceType", "id", "url", "name", "type", "kind", "baseDefinition")
+        for k in ("resourceType", "id", "url", "name", "type", "kind",
+                  "baseDefinition", "fhirVersion")
         if k in sd
     }
     elements = []
@@ -524,6 +599,63 @@ def load_structure_definitions(path: str | Path) -> list[str]:
     urls = reg.load_dir(p) if p.is_dir() else reg.load_file(p)
     # re-registering a definition must invalidate the schema caches in
     # resources.py, which memoize per resource-type key
+    from . import resources
+
+    resources.spark_schema_for.cache_clear()
+    resources.json_schema_for.cache_clear()
+    return urls
+
+
+# ---------------------------------------------------------------------------
+# R4-generation registry (VERDICT r5 item 4 — new capability, not parity:
+# the reference's R4 module is orphaned from its build, pom.xml:40-51,
+# but documents the type decisions in R4DataTypeMappings.scala:31-49)
+# ---------------------------------------------------------------------------
+
+#: R4 spec artifacts load into their OWN registry, addressed through the
+#: ``r4:`` resource-type prefix (``extract_entry(spark, bundles,
+#: "r4:Patient")``) — never into the STU3 default registry, so the two
+#: spec generations cannot shadow each other's bare type names. Drop
+#: the public R4 ``profiles-resources.json`` (hl7.org/fhir/R4) at either
+#: conventional location; the compiler handles the R4 artifact dialect
+#: (list-valued type.profile/targetProfile, FHIRPath System.* primitive
+#: codes, canonical/url/uuid primitives, R4 Money/Meta shapes).
+_R4_SPEC_ENV = "BUNSEN_SPARK_FHIR_R4_SPEC_DIR"
+_R4_SPEC_CONVENTION = Path("fixtures") / "spec-r4"
+_r4: StructureDefinitionRegistry | None = None
+
+
+def r4_registry() -> StructureDefinitionRegistry:
+    global _r4
+    if _r4 is None:
+        reg = StructureDefinitionRegistry()
+        import os
+
+        for loc in (os.environ.get(_R4_SPEC_ENV), _R4_SPEC_CONVENTION):
+            if not loc:
+                continue
+            p = Path(loc)
+            try:
+                if p.is_dir():
+                    reg.load_dir(p)
+                elif p.is_file():
+                    reg.load_file(p)
+            except (OSError, ValueError, KeyError) as e:  # pragma: no cover
+                import warnings
+
+                warnings.warn(f"skipping R4 spec auto-load from {p}: {e}", stacklevel=2)
+        _r4 = reg
+    return _r4
+
+
+def load_r4_structure_definitions(path: str | Path) -> list[str]:
+    """Register R4-generation spec files with the R4 registry; returns
+    the canonical URLs loaded. Resources then resolve through the
+    ``r4:<TypeOrProfileName>`` address everywhere a resource type is
+    accepted (schemas, converters, bundle extraction)."""
+    reg = r4_registry()
+    p = Path(path)
+    urls = reg.load_dir(p) if p.is_dir() else reg.load_file(p)
     from . import resources
 
     resources.spark_schema_for.cache_clear()
