@@ -1,0 +1,88 @@
+"""Scale soak: run the heavy operator families at gen-sf0.1 and
+gen-sf1 (tools/make_scale_fixtures.py outputs) and report per-query
+wall times plus the observed scaling exponent
+
+    alpha = log(t_sf1 / t_sf0.1) / log(10)
+
+alpha ~ 1 means linear scaling in the input size; alpha >= 1.5 flags a
+candidate-blowup (e.g. a quadratic pair join) that sf0.1 alone cannot
+reveal. Fixed per-query job overhead deflates alpha at these sizes, so
+small alphas are expected for cheap queries; the flag threshold only
+matters for the expensive ones.
+
+Only queries whose inputs are limited to documents/events/embeddings
+run (the soak fixtures don't include the TPC-H tables).
+
+Usage: python tools/soak_scale.py [query ...]   (default: heavy list)
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+#: heavy families over documents/events/embeddings only
+HEAVY = [
+    "dedup_prefix_jaccard",
+    "dedup_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_clusters",
+    "dedup_cluster_keep_best",
+    "dedup_containment",
+    "dedup_substring_spans",
+    "dedup_embedding",
+    "text_fingerprint",
+    "text_bigram_surprisal",
+    "text_surprisal_score",
+    "bm25_search_topk",
+    "sessionize_events",
+    "sessionize_events_bucketed",
+    "ann_ivf_kmeans_topk",
+    "ann_lsh_topk",
+    "fuzzy_join_even_odd",
+]
+
+
+def main() -> None:
+    names = sys.argv[1:] or HEAVY
+    from bunsen_spark.queries import all_queries
+    from bunsen_spark.session import get_spark
+
+    spark = get_spark("soak_scale")
+    qs = all_queries()
+    lo = str(REPO / "scale_testdata" / "sf0.1")
+    hi = str(REPO / "scale_testdata" / "sf1")
+    spark.range(1).count()
+    rows = []
+    for name in names:
+        fn = qs[name]
+        try:
+            fn(spark, lo).collect()  # warm (codegen/JIT for this plan)
+            t0 = time.time()
+            n_lo = fn(spark, lo).count()
+            t_lo = time.time() - t0
+            t0 = time.time()
+            n_hi = fn(spark, hi).count()
+            t_hi = time.time() - t0
+            alpha = math.log(t_hi / t_lo) / math.log(10) if t_lo > 0 else float("nan")
+            rows.append((name, t_lo, n_lo, t_hi, n_hi, alpha))
+            print(
+                f"{name:32s} sf0.1 {t_lo:7.2f}s ({n_lo:>8} rows)  "
+                f"sf1 {t_hi:7.2f}s ({n_hi:>8} rows)  alpha={alpha:5.2f}",
+                flush=True,
+            )
+        except Exception as e:  # noqa: BLE001
+            print(f"{name:32s} ERROR {e}", flush=True)
+    bad = [r for r in rows if r[5] >= 1.5]
+    print(f"\n{len(rows)} queries; {len(bad)} with alpha >= 1.5"
+          + (": " + ", ".join(r[0] for r in bad) if bad else ""))
+
+
+if __name__ == "__main__":
+    main()
