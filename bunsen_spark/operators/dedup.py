@@ -145,16 +145,37 @@ def jaccard_pairs(
     (a_id, b_id, jaccard) with jaccard ≥ threshold, rounded to 6.
 
     Postings are keyed by the 8-byte shingle hash, not the shingle
-    string — the grouping shuffle moves longs instead of word n-grams
-    (the oracle hashes identically, so parity holds under collisions,
-    which also affect both engines' set sizes the same way)."""
-    inter, sizes = _posting_intersections(docs, n, max_df, portable)
+    string — the shuffles move longs instead of word n-grams (the
+    oracle hashes identically, so parity holds under collisions, which
+    also affect both engines' set sizes the same way).
+
+    Candidate generation is PPJoin prefix filtering (the same rarest-
+    first lossless core as :func:`setjoin.prefix_jaccard_pairs`), not a
+    posting-list pair expansion: the inverted-index form emits O(df²)
+    pair rows per shingle — measured superlinear at sf1 (soak α = 1.5,
+    4.4 s → 139 s; PERF.md "Round-7: jaccard prefix") — while prefixes
+    bound candidates by the RAREST tokens of each set. The hash is the
+    token in this operator's similarity space, so hash equality is
+    exact token equality and the positional-filter anchor argument
+    holds. The pre-filters use a rational lower bound of ``threshold``
+    (lossless — they may only relax), and the final comparison stays
+    the IEEE double ``inter/union >= threshold`` the oracle pins."""
+    from .setjoin import (
+        _lossless_fraction,
+        exact_intersections,
+        jaccard_prefix_candidates,
+        ranked_tokens,
+    )
+
+    frac = _lossless_fraction(threshold)
+    posts = materialize(_pruned_postings(docs, n, max_df, portable))
+    ranked, sizes = ranked_tokens(posts, has_df=True)
+    cands = jaccard_prefix_candidates(ranked, frac.numerator, frac.denominator)
     j = (
-        inter.join(sizes.withColumnsRenamed({"doc_id": "a_id", "sz": "sza"}), "a_id")
-        .join(sizes.withColumnsRenamed({"doc_id": "b_id", "sz": "szb"}), "b_id")
+        exact_intersections(posts.select("doc_id", "tok"), cands, sizes)
         .select(
-            "a_id",
-            "b_id",
+            F.col("doc_a").alias("a_id"),
+            F.col("doc_b").alias("b_id"),
             (F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter"))).alias("j"),
         )
         .where(F.col("j") >= threshold)
@@ -162,52 +183,28 @@ def jaccard_pairs(
     return j.select("a_id", "b_id", F.round("j", 6).alias("jaccard"))
 
 
-def _posting_intersections(
+def _pruned_postings(
     docs: DataFrame, n: int, max_df: int, portable: bool
-) -> tuple[DataFrame, DataFrame]:
-    """Shared inverted-index core of the exact set-overlap operators:
-    returns ``(inter, sizes)`` where ``inter`` is (a_id, b_id, inter) —
-    the pairwise shingle-set intersection counts for a_id < b_id — and
-    ``sizes`` is (doc_id, sz), the per-doc df-pruned shingle-set size.
-    Both are derived from ONE shingling scan and one grouping shuffle
-    (the grouped posting lists are materialized once)."""
+) -> DataFrame:
+    """Shared df-pruned inverted index of the exact set-overlap
+    operators: (doc_id, tok, df) rows over the hashed distinct shingle
+    sets, with shingles appearing in more than ``max_df`` documents
+    dropped everywhere (both the intersections and the set sizes are
+    computed downstream from THIS relation, keeping the pruned measure
+    self-consistent). One shingling scan + one df aggregate; the df
+    column rides along so the prefix ranking needn't re-aggregate."""
     postings = _with_shingles(docs, n).select(
         "doc_id",
         F.explode(
             F.array_distinct(_shingle_hashes(F.col("shingles"), portable))
-        ).alias("s"),
+        ).alias("tok"),
     )
-    # one aggregation per shingle replaces the classic posting-list
-    # SELF-JOIN: the doc list is collected once, df-pruning is a filter
-    # on its size, and the i<j pairs are expanded inline — two shuffles
-    # total instead of four, and no join of the 2×|postings| streams.
-    grouped = (
-        postings.groupBy("s")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
-        .where(F.size("ds") <= max_df)
-        # consumed twice (sizes + pair expansion); checkpoint lazily so
-        # the shingling scan and the grouping shuffle run once
-        .transform(materialize)
+    kept = (
+        postings.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") <= max_df)
     )
-    sizes = (
-        grouped.select(F.explode("ds").alias("doc_id"))
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("sz"))
-    )
-    inter = (
-        grouped.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(ds, (x, i) ->"
-                    " transform(slice(ds, i + 2, size(ds)),"
-                    " y -> struct(x AS a_id, y AS b_id))))"
-                )
-            ).alias("p")
-        )
-        .groupBy("p.a_id", "p.b_id")
-        .agg(F.count("*").alias("inter"))
-    )
-    return inter, sizes
+    return postings.join(kept, "tok").select("doc_id", "tok", "df")
 
 
 def containment_pairs(
@@ -226,17 +223,29 @@ def containment_pairs(
 
     Output: (contained_id, container_id, containment) — one row per
     direction that clears ``threshold``, so a pair of equal sets yields
-    two rows. Same inverted-index core as :func:`jaccard_pairs`
+    two rows. Same df-pruned inverted index as :func:`jaccard_pairs`
     (``max_df`` stop-shingle pruning applies to both the intersection
-    and the denominators, keeping the measure self-consistent), so the
-    candidate set is bounded by posting-list sizes, never all-pairs.
+    and the denominators, keeping the measure self-consistent);
+    candidates come from the ASYMMETRIC prefix filter
+    (:func:`setjoin.containment_prefix_candidates` — prefix of the
+    contained side probed against full posting lists, lossless for the
+    direction-either-way output), never an all-pairs posting expansion.
     The division is a single IEEE-exact op on integer-valued doubles,
     so the DuckDB oracle reproduces it bit-for-bit."""
-    inter, sizes = _posting_intersections(docs, n, max_df, portable)
-    both = (
-        inter.join(sizes.withColumnsRenamed({"doc_id": "a_id", "sz": "sza"}), "a_id")
-        .join(sizes.withColumnsRenamed({"doc_id": "b_id", "sz": "szb"}), "b_id")
+    from .setjoin import (
+        _lossless_fraction,
+        containment_prefix_candidates,
+        exact_intersections,
+        ranked_tokens,
     )
+
+    frac = _lossless_fraction(threshold)
+    posts = materialize(_pruned_postings(docs, n, max_df, portable))
+    ranked, sizes = ranked_tokens(posts, has_df=True)
+    cands = containment_prefix_candidates(ranked, frac.numerator, frac.denominator)
+    both = exact_intersections(
+        posts.select("doc_id", "tok"), cands, sizes
+    ).withColumnsRenamed({"doc_a": "a_id", "doc_b": "b_id"})
     directed = both.select(
         F.explode(
             F.array(

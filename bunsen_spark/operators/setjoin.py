@@ -60,38 +60,42 @@ def _threshold_fraction(threshold: float) -> Fraction:
     return frac
 
 
-def prefix_jaccard_pairs(
-    docs: DataFrame, threshold: float = 0.5, shingle_n: int = 0
-) -> DataFrame:
-    """ALL pairs of documents whose set-Jaccard similarity is
-    ``>= threshold`` — exact, no probabilistic misses. The set is the
-    distinct words (``shingle_n=0``) or the distinct word n-gram
-    shingles (``shingle_n>=2``, the same sets the MinHash family
-    banding approximates). Returns ``(doc_a, doc_b, inter, uni)``
-    with ``doc_a < doc_b`` and exact intersection / union sizes.
-    """
-    frac = _threshold_fraction(threshold)
-    num, den = frac.numerator, frac.denominator
-    if shingle_n >= 2:
-        from .dedup import _with_shingles
+def _lossless_fraction(threshold: float) -> Fraction:
+    """A rational ``num/den <= threshold`` with a small denominator —
+    used when the prefix/size filters must be LOSSLESS upper bounds for
+    a final float-threshold comparison that happens elsewhere (the
+    dedup-family operators pin their oracle parity on the exact IEEE
+    ``inter/union >= threshold`` double test, so every pre-filter here
+    may only relax, never tighten). Small ``den`` keeps the integer
+    cross-multiplications (``den * sz``) far from long overflow even at
+    per-doc set sizes in the billions."""
+    frac = Fraction(threshold).limit_denominator(10**6)
+    if frac > Fraction(threshold):
+        frac -= Fraction(1, 10**6)
+    if frac <= 0:
+        raise ValueError("threshold must be positive")
+    return frac
 
-        sets = _with_shingles(docs, shingle_n).select(
-            "doc_id", F.col("shingles").alias("__s")
-        )
-    else:
-        sets = docs.select(
-            "doc_id", F.array_distinct(words_col(F.col("text"))).alias("__s")
-        )
-    # the token stream feeds FOUR consumers (global df aggregate, the
-    # per-doc ranking, and both sides of the intersection count);
-    # materialize it once — recomputing the tokenize+shingle explode
-    # four times dominated the runtime (15.8 s -> see PERF.md)
-    toks = materialize(sets.select("doc_id", F.explode("__s").alias("tok")))
+
+def ranked_tokens(toks: DataFrame, has_df: bool = False) -> tuple[DataFrame, DataFrame]:
+    """Shared prefix-filter substrate: rank each document's (distinct)
+    tokens under the global ``(df ASC, tok ASC)`` total order — rarest
+    first — so prefixes are built from the least-frequent tokens.
+    ``toks`` is ``(doc_id, tok)`` with per-doc distinct tokens (any
+    orderable token type: strings or shingle hashes); pass
+    ``has_df=True`` when it already carries a ``df`` document-frequency
+    column (the dedup family's stop-token prune computes it anyway) to
+    skip the corpus-wide df aggregate+join here. Returns ``(ranked,
+    sizes)`` where ranked is ``(tok, doc_id, rnk, sz)`` and sizes is
+    ``(doc_id, sz)``. The ranking window partitions by ``doc_id``
+    (unique key, no skew); the df aggregate is the only corpus-wide
+    shuffle and is map-side combinable."""
     sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    df = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    if not has_df:
+        df = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+        toks = toks.join(df, "tok")
     ranked = (
-        toks.join(df, "tok")
-        .withColumn(
+        toks.withColumn(
             "rnk",
             F.row_number().over(
                 Window.partitionBy("doc_id").orderBy(
@@ -101,6 +105,15 @@ def prefix_jaccard_pairs(
         )
         .join(sizes, "doc_id")
     )
+    return ranked, sizes
+
+
+def jaccard_prefix_candidates(ranked: DataFrame, num: int, den: int) -> DataFrame:
+    """PPJoin candidate pairs ``(doc_a, doc_b)`` with ``doc_a < doc_b``
+    whose Jaccard CAN reach ``num/den`` — lossless by the prefix-filter
+    theorem (pigeonhole on the required overlap), tightened by the size
+    filter inside the join and the positional filter after it. See the
+    module docstring for the plan shape and proof sketches."""
     # prefix_len = sz - ceil(t*sz) + 1; ceil(num*sz/den) in integers
     prefix_len = (
         F.col("sz") - ((F.col("sz") * num + (den - 1)) / den).cast("long") + 1
@@ -131,12 +144,13 @@ def prefix_jaccard_pairs(
     # docs), so inter <= cnt + min(sza - max_pa, szb - max_pb). Pairs
     # whose bound cannot reach the threshold never enter verification
     # — measured 309,803 -> ~thousands of candidates at sf0.1. The
-    # anchor argument needs REAL token equality, which is why the
-    # candidate join keys on strings, not hashes.
+    # anchor argument needs REAL token equality in the operator's
+    # token space: strings for the lossless word join, shingle hashes
+    # for the hash-defined dedup family (there the hash IS the token).
     bound = F.col("cnt") + F.least(
         F.col("sza") - F.col("pa"), F.col("szb") - F.col("pb")
     )
-    cands = (
+    return (
         matches.groupBy("doc_a", "doc_b")
         .agg(
             F.count(F.lit(1)).alias("cnt"),
@@ -148,6 +162,50 @@ def prefix_jaccard_pairs(
         .where(bound * (den + num) >= num * (F.col("sza") + F.col("szb")))
         .select("doc_a", "doc_b")
     )
+
+
+def containment_prefix_candidates(ranked: DataFrame, num: int, den: int) -> DataFrame:
+    """Asymmetric prefix filter for containment C(A→B) = |A∩B| / |A|:
+    a directed pair with C >= t needs overlap o = ceil(t·|A|), which
+    depends only on the CONTAINED side — so index the prefix of each
+    doc as a contained-candidate (length |A| - o + 1) and probe it
+    against the FULL token lists (the container side has no set-local
+    overlap bound: a tiny doc can be contained in any superset). Every
+    qualifying directed pair must share a token between prefix(A) and
+    full(B); emitting the unordered pair and verifying BOTH directions
+    afterwards keeps the filter lossless. Candidate volume per token is
+    prefix_df × df — rare-token-biased — instead of the df² of a full
+    posting self-join. Size filter inside the join: containment needs
+    inter <= min(|A|,|B|) >= t·|A|, i.e. |B|·den >= |A|·num."""
+    prefix_len = (
+        F.col("sz") - ((F.col("sz") * num + (den - 1)) / den).cast("long") + 1
+    )
+    prefix = ranked.where(F.col("rnk") <= prefix_len).select("doc_id", "tok", "sz")
+    full = ranked.select("doc_id", "tok", "sz")
+    a, b = prefix.alias("a"), full.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.doc_id") != F.col("b.doc_id"))
+            & (F.col("b.sz") * den >= F.col("a.sz") * num),
+        )
+        .select(
+            F.least("a.doc_id", "b.doc_id").alias("doc_a"),
+            F.greatest("a.doc_id", "b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+
+
+def exact_intersections(
+    toks: DataFrame, cands: DataFrame, sizes: DataFrame
+) -> DataFrame:
+    """Verification stage shared by the prefix-filtered operators:
+    exact intersection counts for the candidate pairs. Returns
+    ``(doc_a, doc_b, inter, sza, szb)``. The candidate→token joins
+    shuffle only candidate-pair token rows, whose volume the prefix
+    filters keep near-linear in the matching pairs."""
     ta = toks.withColumnRenamed("doc_id", "doc_a")
     tb = toks.withColumnRenamed("doc_id", "doc_b")
     inter = (
@@ -158,9 +216,40 @@ def prefix_jaccard_pairs(
     )
     sa = sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sza")
     sb = sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "szb")
+    return inter.join(sa, "doc_a").join(sb, "doc_b")
+
+
+def prefix_jaccard_pairs(
+    docs: DataFrame, threshold: float = 0.5, shingle_n: int = 0
+) -> DataFrame:
+    """ALL pairs of documents whose set-Jaccard similarity is
+    ``>= threshold`` — exact, no probabilistic misses. The set is the
+    distinct words (``shingle_n=0``) or the distinct word n-gram
+    shingles (``shingle_n>=2``, the same sets the MinHash family
+    banding approximates). Returns ``(doc_a, doc_b, inter, uni)``
+    with ``doc_a < doc_b`` and exact intersection / union sizes.
+    """
+    frac = _threshold_fraction(threshold)
+    num, den = frac.numerator, frac.denominator
+    if shingle_n >= 2:
+        from .dedup import _with_shingles
+
+        sets = _with_shingles(docs, shingle_n).select(
+            "doc_id", F.col("shingles").alias("__s")
+        )
+    else:
+        sets = docs.select(
+            "doc_id", F.array_distinct(words_col(F.col("text"))).alias("__s")
+        )
+    # the token stream feeds FOUR consumers (global df aggregate, the
+    # per-doc ranking, and both sides of the intersection count);
+    # materialize it once — recomputing the tokenize+shingle explode
+    # four times dominated the runtime (15.8 s -> see PERF.md)
+    toks = materialize(sets.select("doc_id", F.explode("__s").alias("tok")))
+    ranked, sizes = ranked_tokens(toks)
+    cands = jaccard_prefix_candidates(ranked, num, den)
     return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        exact_intersections(toks, cands, sizes)
         .withColumn("uni", F.col("sza") + F.col("szb") - F.col("inter"))
         .where(F.col("inter") * den >= F.col("uni") * num)
         .select(
