@@ -184,35 +184,72 @@ def rfm_segments(
     """RFM (recency / frequency / monetary) segmentation — the classic
     engagement-segmentation rollup: each key's last-activity time,
     event count, and value mass are binned into ``n_bins`` quantile
-    buckets with ``ntile`` (SQL-standard even split, so the DuckDB twin
-    matches exactly), tie-broken by the key for determinism. Output:
-    one row per key with ``(r_bin, f_bin, m_bin)``, 1 = lowest.
+    buckets with ``ntile`` semantics (SQL-standard even split, so the
+    DuckDB twin matches exactly), tie-broken by the key for
+    determinism. Output: one row per key with ``(r_bin, f_bin,
+    m_bin)``, 1 = lowest.
 
-    Plan: one map-side-combined per-key aggregate, then three global
-    ``ntile`` windows over the (small) per-key table — per-key tables
-    are catalog-sized next to the event stream, and each window is a
-    single total order, the same scale posture as any global ranking
-    (range-partitioned sort under the hood).
+    Plan: one map-side-combined per-key aggregate, then — instead of
+    three global ``ntile`` windows, which each move the WHOLE per-key
+    table into a single ``WindowExec`` task (serial and OOM-prone when
+    the key is users over a 100 TB event stream) — three distributed
+    exact global ranks (:func:`windows.global_row_number`:
+    range-repartition + per-partition row_number + broadcast offsets)
+    with the ntile bin computed ARITHMETICALLY from (rank, N): with
+    q = N div n_bins and r = N mod n_bins, the first r bins take q+1
+    rows and the rest q, so
+
+        bin(k) = ceil(k / (q+1))                   if k <= r·(q+1)
+               = r + ceil((k - r·(q+1)) / q)        otherwise
+
+    which reproduces ``ntile`` exactly (the DuckDB twin keeps using
+    ntile, so the gate proves the identity on real data). Every stage
+    is partition-parallel; the only broadcast is P offset rows + one
+    total-count row.
     """
     if n_bins < 2:
         raise ValueError("n_bins must be >= 2")
-    per_key = events.groupBy(key).agg(
-        F.max(F.col(ts_us)).cast("long").alias("last_us"),
-        F.count(F.lit(1)).cast("long").alias("n_events"),
-        F.sum(F.col(value_cents).cast("long")).alias("cents"),
+    from ..persist import materialize
+    from .windows import global_row_number
+
+    per_key = materialize(
+        events.groupBy(key).agg(
+            F.max(F.col(ts_us)).cast("long").alias("last_us"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.col(value_cents).cast("long")).alias("cents"),
+        )
     )
-    r_w = Window.orderBy(F.col("last_us").asc(), F.col(key).asc())
-    f_w = Window.orderBy(F.col("n_events").asc(), F.col(key).asc())
-    m_w = Window.orderBy(F.col("cents").asc(), F.col(key).asc())
-    return per_key.select(
-        key,
-        "last_us",
-        "n_events",
-        "cents",
-        F.ntile(n_bins).over(r_w).cast("long").alias("r_bin"),
-        F.ntile(n_bins).over(f_w).cast("long").alias("f_bin"),
-        F.ntile(n_bins).over(m_w).cast("long").alias("m_bin"),
-    )
+    n_tot = per_key.agg(F.count(F.lit(1)).alias("__n"))
+    out = per_key
+    for metric, bin_name in (
+        ("last_us", "r_bin"),
+        ("n_events", "f_bin"),
+        ("cents", "m_bin"),
+    ):
+        ranked = global_row_number(
+            per_key.select(key, metric),
+            [F.col(metric).asc(), F.col(key).asc()],
+            out_col="__k",
+        ).crossJoin(F.broadcast(n_tot))
+        q = F.expr(f"__n div {n_bins}")
+        r = F.col("__n") - q * n_bins
+        takes = r * (q + F.lit(1))
+        k = F.col("__k")
+        # integer ceil via (x + d - 1) div d on longs — no doubles
+        bin_expr = F.when(
+            k <= takes,
+            F.expr(f"(__k + (__n div {n_bins})) div ((__n div {n_bins}) + 1)"),
+        ).otherwise(
+            r
+            + F.expr(
+                f"(__k - (__n - (__n div {n_bins}) * {n_bins})"
+                f" * ((__n div {n_bins}) + 1) + (__n div {n_bins}) - 1)"
+                f" div greatest(__n div {n_bins}, 1)"
+            )
+        )
+        bins = ranked.select(key, bin_expr.cast("long").alias(bin_name))
+        out = out.join(bins, key)
+    return out.select(key, "last_us", "n_events", "cents", "r_bin", "f_bin", "m_bin")
 
 
 def rfm_segments_sql(

@@ -94,3 +94,53 @@ def prefix_sum(
         )
         .drop(bkt, "__v", "__offset")
     )
+
+
+def global_row_number(
+    df: DataFrame,
+    order_cols: list[str | Column],
+    out_col: str = "rn",
+    partitions: int | None = None,
+) -> DataFrame:
+    """Exact 1-based global ``row_number`` over a TOTAL order, without
+    the single-partition global window (``WindowExec`` moves the whole
+    table to one task — serial and OOM-prone at scale). Plan:
+
+    1. ``repartitionByRange`` on the order columns (sampled range
+       boundaries — rank is boundary-invariant, so sampling cannot
+       change the result, only the balance);
+    2. count rows per range partition — a tiny P-row table — and turn
+       it into exclusive prefix offsets with a P² self-join (P =
+       shuffle partitions; deliberately NOT a window, so no global
+       window appears anywhere in the plan);
+    3. per-partition ``row_number`` + broadcast offset.
+
+    The range-tagged frame is materialized once: both consumers (the
+    counts and the ranking) must see the SAME sampled boundaries.
+    ``order_cols`` must be a total order (include a unique tiebreaker);
+    ascending with NULLS FIRST, matching ``orderBy`` defaults.
+    """
+    from ..persist import materialize
+
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    rp = (
+        df.repartitionByRange(partitions, *cols)
+        if partitions is not None
+        else df.repartitionByRange(*cols)
+    )
+    tagged = materialize(rp.withColumn("__pid", F.spark_partition_id()))
+    counts = tagged.groupBy("__pid").agg(F.count(F.lit(1)).alias("__c"))
+    earlier = counts.select(
+        F.col("__pid").alias("__pid2"), F.col("__c").alias("__c2")
+    )
+    offsets = (
+        counts.join(earlier, F.col("__pid2") < F.col("__pid"), "left")
+        .groupBy("__pid")
+        .agg(F.coalesce(F.sum("__c2"), F.lit(0)).alias("__off"))
+    )
+    w = Window.partitionBy("__pid").orderBy(*cols)
+    return (
+        tagged.join(F.broadcast(offsets), "__pid")
+        .withColumn(out_col, F.row_number().over(w) + F.col("__off"))
+        .drop("__pid")
+    )

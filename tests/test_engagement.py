@@ -214,3 +214,49 @@ def test_session_paths_null_steps_filtered_consistently(spark):
         "SELECT * FROM ev", "user_id", "us", "session_id", "step", depth=3
     )
     assert dict(con.execute(sql).fetchall()) == got
+
+
+def test_rfm_matches_ntile_exactly(spark):
+    """The arithmetic bin assignment must reproduce SQL ntile for
+    uneven splits (N mod n_bins != 0) and the degenerate N < n_bins
+    case — the shapes the distributed rewrite must not drift on."""
+    from bunsen_spark.operators.engagement import rfm_segments
+
+    for n_users, n_bins in [(7, 5), (3, 5), (12, 5), (5, 5), (1, 2)]:
+        rows = [(u, u * 100 + j, (u + 1) * 10)
+                for u in range(n_users) for j in range(u + 1)]
+        e = _events(spark, rows)
+        got = {
+            r.user_id: (r.r_bin, r.f_bin, r.m_bin)
+            for r in rfm_segments(e, "user_id", "us", "cents", n_bins).collect()
+        }
+        e.createOrReplaceTempView("__rfm_e")
+        want = {
+            r.user_id: (r.r_bin, r.f_bin, r.m_bin)
+            for r in spark.sql(f"""
+                WITH per_key AS (
+                  SELECT user_id, CAST(max(us) AS BIGINT) AS last_us,
+                         CAST(count(*) AS BIGINT) AS n_events,
+                         CAST(sum(CAST(cents AS BIGINT)) AS BIGINT) AS cents
+                  FROM __rfm_e GROUP BY user_id)
+                SELECT user_id,
+                  CAST(ntile({n_bins}) OVER (ORDER BY last_us, user_id) AS BIGINT) r_bin,
+                  CAST(ntile({n_bins}) OVER (ORDER BY n_events, user_id) AS BIGINT) f_bin,
+                  CAST(ntile({n_bins}) OVER (ORDER BY cents, user_id) AS BIGINT) m_bin
+                FROM per_key""").collect()
+        }
+        assert got == want, (n_users, n_bins)
+
+
+def test_global_row_number_exact(spark):
+    from bunsen_spark.operators.windows import global_row_number
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 1000).select(
+        (F.col("id") * 2654435761 % 997).alias("v"), F.col("id").alias("k")
+    ).repartition(13)
+    out = global_row_number(df, [F.col("v").asc(), F.col("k").asc()], "rn")
+    rows = sorted((r.v, r.k, r.rn) for r in out.collect())
+    expect = sorted((r.v, r.k) for r in df.collect())
+    assert [r[2] for r in rows] == list(range(1, 1001))
+    assert [(r[0], r[1]) for r in rows] == expect
