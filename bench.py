@@ -45,6 +45,37 @@ def _loadavg() -> list[float]:
         return []
 
 
+def _wait_for_idle() -> dict:
+    """Measurements taken on a contended box are worthless for
+    round-over-round comparison (the r6 driver bench was 1.5× inflated
+    by loadavg 5.65 — VERDICT r6 'Performance'). Wait for the 1-minute
+    loadavg to drop below $SPARK_GRAFT_BENCH_IDLE_LOAD (default 1.0)
+    for up to $SPARK_GRAFT_BENCH_IDLE_WAIT seconds (default 600), then
+    run REGARDLESS — refusing would leave the round with no bench at
+    all — and record the gate outcome in the JSON so a loaded run is
+    self-describing instead of silently polluting the record."""
+    thresh = float(os.environ.get("SPARK_GRAFT_BENCH_IDLE_LOAD", "1.0"))
+    max_wait = float(os.environ.get("SPARK_GRAFT_BENCH_IDLE_WAIT", "600"))
+    t0 = time.time()
+    load = _loadavg()
+    while load and load[0] >= thresh and time.time() - t0 < max_wait:
+        print(
+            f"# box busy (loadavg1 {load[0]} >= {thresh}); waiting...",
+            file=sys.stderr,
+        )
+        time.sleep(10)
+        load = _loadavg()
+    waited = round(time.time() - t0, 1)
+    satisfied = bool(load) and load[0] < thresh
+    if not satisfied:
+        print(
+            f"# WARNING: starting bench on a busy box (loadavg1 "
+            f"{load[0] if load else '?'}); timings are suspect",
+            file=sys.stderr,
+        )
+    return {"threshold": thresh, "waited_sec": waited, "idle": satisfied}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -58,6 +89,7 @@ def main() -> None:
     qs = all_queries()
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
+    load_gate = _wait_for_idle()
     load_before = _loadavg()
     # Warm the session once: a trivial JVM job, the Python->JVM
     # createDataFrame bridge (first use costs seconds of class loading
@@ -122,6 +154,7 @@ def main() -> None:
         "spread": spreads,
         "runs": runs,
         "loadavg": {"before": load_before, "after": _loadavg()},
+        "load_gate": load_gate,
     }
     # The driver's capture keeps only the last ~2 KB of output, so a
     # 130-query JSON line gets its head truncated and fails to parse
@@ -151,6 +184,7 @@ def main() -> None:
         "n_errors": len(errors),
         "runs": runs,
         "loadavg": {"before": load_before, "after": _loadavg()},
+        "load_gate": load_gate,
         "queries": worst,
         "queries_note": f"worst 10 of {len(timings)} medians; full per-query JSON in bench_full_latest.json",
     }

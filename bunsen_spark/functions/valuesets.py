@@ -167,13 +167,24 @@ def in_valueset_join(
     codes = spark.createDataFrame(
         [(s, c) for s, cs in vs[ref].items() for c in cs], "system string, code string"
     )
-    exploded = df.select("*", F.explode_outer(F.col(code)["coding"]).alias("__c"))
-    hit = exploded.join(
+    # Explode only (row-id, system, code) — never the full resource row
+    # (a wide row duplicated per coding, then de-duplicated with a
+    # full-row distinct(), was an all-columns shuffle; ADVICE/VERDICT
+    # r6). The row id is monotonically_increasing_id over the file
+    # scan, consistent across the two consumptions because file-source
+    # scans enumerate partitions deterministically; matching ids
+    # aggregate as narrow longs, and the final semi-join restores the
+    # original rows untouched.
+    tagged = df.withColumn("__rid", F.monotonically_increasing_id())
+    pairs = tagged.select(
+        "__rid", F.explode(F.col(code)["coding"]).alias("__c")
+    ).select("__rid", F.col("__c.system").alias("__s"), F.col("__c.code").alias("__k"))
+    hits = pairs.join(
         F.broadcast(codes),
-        (F.col("__c.system") == codes.system) & (F.col("__c.code") == codes.code),
+        (F.col("__s") == codes.system) & (F.col("__k") == codes.code),
         "left_semi",
-    )
-    return hit.drop("__c").distinct()
+    ).select("__rid")
+    return tagged.join(hits, "__rid", "left_semi").drop("__rid")
 
 
 # ---------------------------------------------------------------------------

@@ -63,6 +63,13 @@ def _cosine(va: Column, vb: Column, na: Column, nb: Column) -> Column:
     return _dot(va, vb) / (na * nb)
 
 
+#: (session id, plan semanticHash) -> scan partition count, so repeated
+#: _spread calls on the same logical plan (ivf_kmeans_topk builds its
+#: base four times) pay the df.rdd physical-planning probe ONCE
+#: (ADVICE r6). Bounded; cleared wholesale when full.
+_SPREAD_CACHE: dict[tuple[int, int], int] = {}
+
+
 def _spread(df: DataFrame) -> DataFrame:
     """Fan a narrow scan out to the session's parallelism before
     per-vector scoring. A small local fixture reads as ONE parquet
@@ -71,9 +78,18 @@ def _spread(df: DataFrame) -> DataFrame:
     whole Lloyd training of ``kmeans_codebook`` ran single-threaded at
     sf0.1). A cluster-scale table already scans as hundreds of
     partitions, where the job-free partition-count guard makes this a
-    no-op — no corpus shuffle is ever added at scale."""
+    no-op — no corpus shuffle is ever added at scale. The partition
+    probe (``df.rdd`` forces physical planning, no job) is memoized per
+    logical plan via ``semanticHash``."""
     target = min(df.sparkSession.sparkContext.defaultParallelism, 32)
-    if df.rdd.getNumPartitions() < target:
+    key = (id(df.sparkSession), df.semanticHash())
+    n = _SPREAD_CACHE.get(key)
+    if n is None:
+        n = df.rdd.getNumPartitions()
+        if len(_SPREAD_CACHE) >= 256:
+            _SPREAD_CACHE.clear()
+        _SPREAD_CACHE[key] = n
+    if n < target:
         return df.repartition(target)
     return df
 

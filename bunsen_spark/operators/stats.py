@@ -180,9 +180,13 @@ def grouped_winsorize_sql(
     cols: str = "*",
 ) -> str:
     """DuckDB twin via the engine's own ``quantile_disc`` — an
-    independent order-statistics implementation."""
+    independent order-statistics implementation. The default
+    ``cols='*'`` is qualified to ``src.*`` so the internal ``__key``
+    join column never leaks into the output shape (ADVICE r6)."""
     lo = lo_num / den
     hi = hi_num / den
+    if cols == "*":
+        cols = "src.*"
     return f"""
 WITH src AS ({table_sql}), th AS (
   SELECT {key} AS __key,

@@ -257,19 +257,49 @@ def fingerprint(docs: DataFrame, portable: bool = False) -> DataFrame:
         f" i -> substr(__t, i, {FP_K}))"
     )
     hashes = F.transform(grams, lambda g: hash31(g, portable))
-    windows = F.expr(
-        f"transform(sequence(1, greatest(size(__hashes) - {FP_WINDOW - 1}, 1)),"
-        f" i -> array_min(slice(__hashes, i, {FP_WINDOW})))"
+    # Sliding-window minima via sparse-table DOUBLING: window-2p minima
+    # are least(m_p[i], m_p[i+p]) — one zip_with over two aligned slices
+    # per doubling, so width-16 windows cost 4 whole-array passes
+    # instead of a fresh 16-element slice copy PER POSITION inside an
+    # interpreted lambda (the same pattern round 6 removed from
+    # shingles; VERDICT r6 item 5). Each level is a NAMED column so the
+    # two slice references share one computed array — CollapseProject
+    # keeps non-cheap multi-referenced projections un-inlined, which a
+    # nested single-expression chain would not (2^levels blowup).
+    w = FP_WINDOW
+    cur = docs.select("doc_id", F.lower("text").alias("__t")).select(
+        "doc_id", hashes.alias("__m1")
     )
-    return (
-        docs.select("doc_id", F.lower("text").alias("__t"))
-        .select("doc_id", hashes.alias("__hashes"))
-        .select(
-            "doc_id",
-            F.size("__hashes").alias("n_grams"),
-            F.array_min("__hashes").alias("fp_min"),
-            F.size(F.array_distinct(windows)).alias("fp_size"),
+    # lengths clamp at 0 so short docs (n_grams < w) flow through as
+    # empty arrays — they take the CASE's min-of-all branch below,
+    # preserving the original clamped-slice semantics exactly
+    p, final_name = 1, "__m1"
+    while p * 2 <= w:
+        np2 = 2 * p
+        new_len = f"greatest(size(__m1) - {np2 - 1}, 0)"
+        zexpr = (
+            f"zip_with(slice(__m{p}, 1, {new_len}),"
+            f" slice(__m{p}, {p + 1}, {new_len}), (x, y) -> least(x, y))"
         )
+        cur = cur.select("doc_id", "__m1", F.expr(zexpr).alias(f"__m{np2}"))
+        p, final_name = np2, f"__m{np2}"
+    if p < w:  # non-power-of-two width: overlap two width-p windows
+        fl = f"greatest(size(__m1) - {w - 1}, 0)"
+        zexpr = (
+            f"zip_with(slice({final_name}, 1, {fl}),"
+            f" slice({final_name}, {w - p + 1}, {fl}), (x, y) -> least(x, y))"
+        )
+        cur = cur.select("doc_id", "__m1", F.expr(zexpr).alias("__mw"))
+        final_name = "__mw"
+    windows = F.expr(
+        f"CASE WHEN size(__m1) < {w} THEN array(array_min(__m1))"
+        f" ELSE {final_name} END"
+    )
+    return cur.select(
+        "doc_id",
+        F.size("__m1").alias("n_grams"),
+        F.array_min("__m1").alias("fp_min"),
+        F.size(F.array_distinct(windows)).alias("fp_size"),
     )
 
 

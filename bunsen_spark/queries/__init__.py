@@ -47,96 +47,178 @@ def ts_us(df: DataFrame, col: str = "ts"):
 
 
 # The driver's per-round correctness gate samples a PREFIX of the
-# registration order (r1: first 34, r2/r3: 47, r4/r5: 50), so queries
+# registration order (r1: first 34, r2/r3: 47, r4/r5/r6: 50), so queries
 # registered late may never receive a driver-verified row even though they
 # pass the local oracle (tools/oracle_check.py). ``_reorder`` therefore
-# emits three priority groups:
-#   0: entries listed in the first ``_NEVER_DRIVER_CHECKED`` slots below —
-#      registered in a past round but NEVER driver-checked (they sat past
-#      every prefix); they have waited the longest and go absolutely first;
-#   1: brand-new entries (absent from this list), alphabetically;
-#   2: the rest of this list — already driver-checked at least once,
-#      ordered stalest-check-first (regenerated each round from the
-#      accumulated CORRECTNESS_r*.json artifacts).
-_DRIVER_ORDER = [
-    # never driver-checked through round 5 (all six re-verified green in
-    # the round-5 local oracle run; registry positions 50-55 last round)
-    "text_surprisal_score", "vocab_encode_checksums",
-    "vocab_shift_even_odd", "weighted_sample_counts",
-    "window_running_value_hotkey", "winsorized_price_stats",
-    "ann_brute_topk", "ann_lsh_topk", "dataset_split_counts",
-    "corpus_top_ngrams", "corpus_length_quantiles", "dedup_clusters",
-    "ann_ivf_topk", "stratified_sample_counts", "doc_top_terms",
-    "pack_chunks", "decontaminate_overlap", "sample_per_lang",
-    "quality_filter_funnel", "multimodal_image_features",
-    "closure_part_hierarchy", "valueset_membership_lineitem",
-    "translate_order_priority", "asof_purchase_last_view",
-    "asof_forward_next_view", "nations_with_customers_and_suppliers",
-    "parts_never_ordered", "orders_above_customer_avg",
-    "events_props_extract", "range_join_purchase_views",
-    "q1_pricing_summary", "q3_shipping_priority", "q5_region_volume",
-    "q2_min_cost_supplier", "q4_priority_late_ship", "q7_nation_volume",
-    "q10_returned_revenue", "q14_promo_revenue",
-    "q16_parts_supplier_counts", "q17_small_quantity_revenue",
-    "q18_large_volume_orders", "q15_top_supplier",
-    "q19_disjunctive_revenue", "q21_sole_late_shipper",
-    "q22_dormant_customers", "topk_brands_by_revenue", "window_order_rank",
-    "window_running_value", "window_running_value_bucketed",
-    "sessionize_events", "sessionize_events_bucketed", "rollup_returns",
-    "cube_revenue", "tumbling_window_counts", "hopping_window_counts",
-    "skew_salted_order_totals", "customers_without_orders",
-    "suppliers_with_large_shipments", "pivot_user_events",
-    "events_daily_active_users", "q6_forecast_revenue", "q8_market_share",
-    "q9_product_profit", "q11_important_parts", "q12_priority_shipping",
-    "q13_customer_distribution", "q20_significant_suppliers",
-    "text_language_id", "text_quality", "text_token_stats",
-    "text_fingerprint", "text_repetition", "dedup_exact",
-    "dedup_keep_best", "dedup_incremental", "text_scrub_counts",
-    "dedup_jaccard", "dedup_minhash_lsh", "dedup_simhash",
-    "dedup_embedding", "ann_ivf_kmeans_topk", "embedding_quantize_stats",
-    "multimodal_audio_features", "multimodal_resize_means",
-    "multimodal_frame_stats", "bloom_prefilter_supplier_volume",
-    "doc_chunk_windows", "countmin_user_frequencies",
-    "dedup_incremental_near", "corpus_mix_counts",
-    "event_transition_counts", "asof_bucketed_purchase_last_view",
-    "event_funnel_counts", "cohort_retention_counts",
-    "pagerank_trade_network", "bm25_multiquery_topk", "bm25_search_topk",
-    "budget_select_per_lang", "chunk_positive_pairs",
-    "compaction_plan_bins", "corpus_report_by_source",
-    "curation_pipeline_counts", "daily_top_event_types",
-    "decayed_user_engagement", "dedup_cluster_keep_best",
-    "dedup_containment", "dedup_prefix_jaccard", "dedup_substring_spans",
-    "embedding_gram_matrix", "engagement_pipeline_users",
-    "fuzzy_join_even_odd", "heavy_hitter_users",
-    "linkage_candidates_customers", "median_quantity_by_flag",
-    "minmax_order_prices", "negative_pairs_sample", "outlier_event_values",
-    "part_basket_triangles", "quality_quantile_filter",
-    "resample_user_days", "rfm_user_segments", "scd2_documents",
-    "session_path_top", "sessionize_events_hotkey",
-    "snapshot_diff_documents", "source_cap_kept", "source_overlap_mirror",
-    "split_leakage_pairs", "temperature_mix_counts",
-    "text_bigram_surprisal",
+# emits four priority groups:
+#   0: ``_CHANGED_THIS_ROUND`` — queries whose operator code changed this
+#      round: their existing driver rows predate the code they now run,
+#      so a fresh row matters MORE than a merely-stale one (the round-6
+#      process gap: none of the 15 shingle-family gates modified by
+#      38c0c47 landed in the r06 prefix). Maintained by hand as operator
+#      modules are touched; reset each round.
+#   1: brand-new entries (absent from ``_DRIVER_ORDER``), alphabetically;
+#   2: the rest of ``_DRIVER_ORDER`` — already driver-checked, ordered
+#      stalest-check-first (regenerate with
+#      ``python tools/gen_driver_order.py --write`` each round).
+
+# round 7: prefix-filter rewrite (dedup/setjoin), rfm distributed binning
+_CHANGED_THIS_ROUND = [
+    "dedup_jaccard",
+    "dedup_containment",
+    "dedup_prefix_jaccard",
+    "rfm_user_segments",
 ]
-
-
-_NEVER_DRIVER_CHECKED = 6  # prefix of _DRIVER_ORDER with no driver row yet
+_DRIVER_ORDER = [
+    # last driver row: round 4
+    "cube_revenue",
+    "customers_without_orders",
+    "dedup_embedding",
+    "dedup_exact",
+    "dedup_incremental",
+    "dedup_jaccard",
+    "dedup_keep_best",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "events_daily_active_users",
+    "hopping_window_counts",
+    "pivot_user_events",
+    "q11_important_parts",
+    "q12_priority_shipping",
+    "q13_customer_distribution",
+    "q20_significant_suppliers",
+    "q6_forecast_revenue",
+    "q8_market_share",
+    "q9_product_profit",
+    "rollup_returns",
+    "sessionize_events_bucketed",
+    "skew_salted_order_totals",
+    "suppliers_with_large_shipments",
+    "text_fingerprint",
+    "text_language_id",
+    "text_quality",
+    "text_repetition",
+    "text_scrub_counts",
+    "text_token_stats",
+    "tumbling_window_counts",
+    # last driver row: round 5
+    "ann_ivf_kmeans_topk",
+    "asof_bucketed_purchase_last_view",
+    "bloom_prefilter_supplier_volume",
+    "bm25_multiquery_topk",
+    "bm25_search_topk",
+    "budget_select_per_lang",
+    "chunk_positive_pairs",
+    "cohort_retention_counts",
+    "compaction_plan_bins",
+    "corpus_mix_counts",
+    "corpus_report_by_source",
+    "countmin_user_frequencies",
+    "curation_pipeline_counts",
+    "daily_top_event_types",
+    "decayed_user_engagement",
+    "dedup_cluster_keep_best",
+    "dedup_containment",
+    "dedup_incremental_near",
+    "dedup_prefix_jaccard",
+    "dedup_substring_spans",
+    "doc_chunk_windows",
+    "embedding_gram_matrix",
+    "embedding_quantize_stats",
+    "engagement_pipeline_users",
+    "event_funnel_counts",
+    "event_transition_counts",
+    "fuzzy_join_even_odd",
+    "heavy_hitter_users",
+    "linkage_candidates_customers",
+    "median_quantity_by_flag",
+    "minmax_order_prices",
+    "multimodal_audio_features",
+    "multimodal_frame_stats",
+    "multimodal_resize_means",
+    "negative_pairs_sample",
+    "outlier_event_values",
+    "pagerank_trade_network",
+    "part_basket_triangles",
+    "quality_quantile_filter",
+    "resample_user_days",
+    "rfm_user_segments",
+    "scd2_documents",
+    "session_path_top",
+    "sessionize_events_hotkey",
+    "snapshot_diff_documents",
+    "source_cap_kept",
+    "source_overlap_mirror",
+    "split_leakage_pairs",
+    "temperature_mix_counts",
+    "text_bigram_surprisal",
+    # last driver row: round 6
+    "ann_brute_topk",
+    "ann_ivf_topk",
+    "ann_lsh_topk",
+    "asof_forward_next_view",
+    "asof_purchase_last_view",
+    "closure_part_hierarchy",
+    "corpus_length_quantiles",
+    "corpus_top_ngrams",
+    "dataset_split_counts",
+    "decontaminate_overlap",
+    "dedup_clusters",
+    "doc_top_terms",
+    "events_props_extract",
+    "multimodal_image_features",
+    "nations_with_customers_and_suppliers",
+    "orders_above_customer_avg",
+    "pack_chunks",
+    "parts_never_ordered",
+    "q10_returned_revenue",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_parts_supplier_counts",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_orders",
+    "q19_disjunctive_revenue",
+    "q1_pricing_summary",
+    "q21_sole_late_shipper",
+    "q22_dormant_customers",
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q4_priority_late_ship",
+    "q5_region_volume",
+    "q7_nation_volume",
+    "quality_filter_funnel",
+    "range_join_purchase_views",
+    "sample_per_lang",
+    "sessionize_events",
+    "stratified_sample_counts",
+    "text_surprisal_score",
+    "topk_brands_by_revenue",
+    "translate_order_priority",
+    "valueset_membership_lineitem",
+    "vocab_encode_checksums",
+    "vocab_shift_even_odd",
+    "weighted_sample_counts",
+    "window_order_rank",
+    "window_running_value",
+    "window_running_value_bucketed",
+    "window_running_value_hotkey",
+    "winsorized_price_stats",
+]
 
 
 def _reorder(out: dict) -> dict:
     rank = {n: i for i, n in enumerate(_DRIVER_ORDER)}
-    # Priority groups for the driver's prefix-sampled gate:
-    #   0: entries that existed in round 4 but have NEVER had a driver
-    #      row (the gate sampled exactly a registration-order prefix
-    #      every round, and these sat past it) — they have waited the
-    #      longest, so they go absolutely first;
-    #   1: brand-new entries (not in _DRIVER_ORDER), alphabetically —
-    #      the QUERIES and ORACLES dicts may register them in
-    #      different module order, and the two registries must align;
-    #   2: everything else, oldest-driver-check first.
+    changed = {n: i for i, n in enumerate(_CHANGED_THIS_ROUND)}
+
+    # Priority groups for the driver's prefix-sampled gate — see the
+    # comment above _CHANGED_THIS_ROUND. Group 1 sorts alphabetically
+    # because the QUERIES and ORACLES dicts may register new entries in
+    # different module order, and the two registries must align.
     def key(n: str):
+        c = changed.get(n)
+        if c is not None:
+            return (0, c, n)
         r = rank.get(n)
-        if r is not None and r < _NEVER_DRIVER_CHECKED:
-            return (0, r, n)
         if r is None:
             return (1, 0, n)
         return (2, r, n)

@@ -218,6 +218,22 @@ class StructureDefinitionRegistry:
         self._raw: dict[str, dict] = {}  # canonical url -> minimized sd
         self._alias: dict[str, str] = {}  # id/name/url -> url
         self._compiled: dict[str, Complex | Extension] = {}
+        import threading
+
+        # per-thread compile state (see _dts property): the generation-
+        # specific datatype table is saved/restored around the recursive
+        # _compile, which is correct for same-thread recursion; storing
+        # it thread-locally also makes CONCURRENT compiles safe
+        # (ADVICE r6 flagged the bare instance attribute as non-reentrant)
+        self._tls = threading.local()
+
+    @property
+    def _dts(self) -> dict:
+        return getattr(self._tls, "dts", DATATYPES)
+
+    @_dts.setter
+    def _dts(self, value: dict) -> None:
+        self._tls.dts = value
 
     # -- loading ------------------------------------------------------------
 
@@ -621,11 +637,20 @@ def load_structure_definitions(path: str | Path) -> list[str]:
 #: (list-valued type.profile/targetProfile, FHIRPath System.* primitive
 #: codes, canonical/url/uuid primitives, R4 Money/Meta shapes).
 _R4_SPEC_ENV = "BUNSEN_SPARK_FHIR_R4_SPEC_DIR"
-_R4_SPEC_CONVENTION = Path("fixtures") / "spec-r4"
+#: anchored to the package root, NOT the CWD (ADVICE r6: a CWD-relative
+#: convention made ``r4:`` addresses resolve or fail depending on where
+#: the process was launched); the env var still wins when set.
+_R4_SPEC_CONVENTION = Path(__file__).resolve().parent.parent.parent / "fixtures" / "spec-r4"
 _r4: StructureDefinitionRegistry | None = None
 
 
 def r4_registry() -> StructureDefinitionRegistry:
+    """The process-wide R4 registry. An EMPTY auto-loaded registry is
+    not cached (ADVICE r6): if neither the env var nor the convention
+    path yielded definitions, the next call re-checks the locations, so
+    fixing the env/path mid-process takes effect without a restart.
+    (A registry populated later via :func:`load_r4_structure_definitions`
+    is cached regardless — explicit loads mutate the cached instance.)"""
     global _r4
     if _r4 is None:
         reg = StructureDefinitionRegistry()
@@ -644,7 +669,10 @@ def r4_registry() -> StructureDefinitionRegistry:
                 import warnings
 
                 warnings.warn(f"skipping R4 spec auto-load from {p}: {e}", stacklevel=2)
-        _r4 = reg
+        if reg._raw:
+            _r4 = reg
+        else:
+            return reg
     return _r4
 
 
@@ -653,9 +681,14 @@ def load_r4_structure_definitions(path: str | Path) -> list[str]:
     the canonical URLs loaded. Resources then resolve through the
     ``r4:<TypeOrProfileName>`` address everywhere a resource type is
     accepted (schemas, converters, bundle extraction)."""
+    global _r4
     reg = r4_registry()
     p = Path(path)
     urls = reg.load_dir(p) if p.is_dir() else reg.load_file(p)
+    # an explicit load pins the registry even if the auto-load found
+    # nothing (r4_registry() deliberately does not cache an empty one)
+    if reg._raw:
+        _r4 = reg
     from . import resources
 
     resources.spark_schema_for.cache_clear()

@@ -1,0 +1,76 @@
+"""Regenerate the ``_DRIVER_ORDER`` list in ``bunsen_spark/queries/
+__init__.py`` from the accumulated ``CORRECTNESS_r*.json`` artifacts.
+
+The driver's per-round correctness gate samples a PREFIX of the
+registration order, so the registry must put the queries that most
+need a fresh driver row first. This tool computes, for every query
+ever driver-checked, the LAST round it received a row, and prints a
+stalest-first ordering (ascending last-checked round, then name).
+``_reorder`` combines it with the manually-maintained
+``_CHANGED_THIS_ROUND`` list (code-touched queries jump the queue —
+their existing driver rows predate the code they now run, the round-6
+process gap flagged in VERDICT r6 'What's wrong #3').
+
+Usage: python tools/gen_driver_order.py        # print the list
+       python tools/gen_driver_order.py --write # rewrite __init__.py
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def last_checked() -> dict[str, int]:
+    seen: dict[str, int] = {}
+    for p in sorted(REPO.glob("CORRECTNESS_r*.json")):
+        rnd = int(re.search(r"_r(\d+)", p.name).group(1))
+        try:
+            data = json.loads(p.read_text())
+        except (OSError, json.JSONDecodeError):
+            continue
+        for name in data:
+            seen[name] = max(seen.get(name, 0), rnd)
+    return seen
+
+
+def stalest_first() -> list[str]:
+    seen = last_checked()
+    return sorted(seen, key=lambda n: (seen[n], n))
+
+
+def render(names: list[str]) -> str:
+    seen = last_checked()
+    lines = ["_DRIVER_ORDER = ["]
+    cur_round = None
+    for n in names:
+        if seen[n] != cur_round:
+            cur_round = seen[n]
+            lines.append(f"    # last driver row: round {cur_round}")
+        lines.append(f'    "{n}",')
+    lines.append("]")
+    return "\n".join(lines)
+
+
+def main() -> None:
+    block = render(stalest_first())
+    if "--write" in sys.argv:
+        init = REPO / "bunsen_spark" / "queries" / "__init__.py"
+        src = init.read_text()
+        new, n = re.subn(
+            r"_DRIVER_ORDER = \[.*?\n\]", block, src, count=1, flags=re.S
+        )
+        if n != 1:
+            raise SystemExit("could not locate _DRIVER_ORDER block")
+        init.write_text(new)
+        print(f"rewrote {init} ({len(stalest_first())} queries)")
+    else:
+        print(block)
+
+
+if __name__ == "__main__":
+    main()
