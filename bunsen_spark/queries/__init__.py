@@ -62,12 +62,23 @@ def ts_us(df: DataFrame, col: str = "ts"):
 #      stalest-check-first (regenerate with
 #      ``python tools/gen_driver_order.py --write`` each round).
 
-# round 7: prefix-filter rewrite (dedup/setjoin), rfm distributed binning
+# round 7: prefix-filter rewrite (dedup/setjoin), rfm distributed
+# binning, winnowing doubling, valueset narrow semi-join, winsorize
+# star fix, similarity._spread memoization
 _CHANGED_THIS_ROUND = [
     "dedup_jaccard",
     "dedup_containment",
     "dedup_prefix_jaccard",
     "rfm_user_segments",
+    "text_fingerprint",
+    "valueset_membership_lineitem",
+    "winsorized_price_stats",
+    "ann_ivf_kmeans_topk",
+    "ann_brute_topk",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "embedding_quantize_stats",
+    "embedding_gram_matrix",
 ]
 _DRIVER_ORDER = [
     # last driver row: round 4
