@@ -87,6 +87,21 @@ def expand_mappings(concept_maps: DataFrame) -> DataFrame:
     )
 
 
+def _struct_like(struct_type, overrides: dict) -> "F.Column":
+    """A struct literal matching ``struct_type`` exactly: ``overrides``
+    supply named columns, every other field is a typed NULL. Keeps the
+    re-assembly plans SCHEMA-DRIVEN so the same code rebuilds STU3 and
+    R4 backbone shapes (which differ in field sets, e.g. the R4
+    ConceptMap target's dependsOn/product and missing ``id``)."""
+    cols = []
+    for f in struct_type.fields:
+        if f.name in overrides:
+            cols.append(overrides[f.name].cast(f.dataType).alias(f.name))
+        else:
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+    return F.struct(*cols)
+
+
 def _strip_elements(concept_maps: DataFrame) -> DataFrame:
     """Metadata view: drop the (potentially huge) element payload (D7)."""
     stripped_group = F.transform(
@@ -102,20 +117,33 @@ def _strip_elements(concept_maps: DataFrame) -> DataFrame:
 
 class ConceptMaps:
     """Immutable collection; every ``with_*`` returns a new instance
-    (U1, `AbstractConceptMaps.java:283-298`)."""
+    (U1, `AbstractConceptMaps.java:283-298`).
 
-    def __init__(self, spark: SparkSession, concept_maps: DataFrame, mappings: DataFrame):
+    ``resource_type`` selects the spec generation: the default STU3
+    "ConceptMap", or "r4:ConceptMap" resolved through the R4 registry
+    (mirroring the reference's parallel `r4/codes/ConceptMaps` class) —
+    all plans are schema-driven, so explode/strip/re-assemble/XML work
+    identically over either generation's shapes."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        concept_maps: DataFrame,
+        mappings: DataFrame,
+        resource_type: str = "ConceptMap",
+    ):
         self.spark = spark
         self.concept_maps = concept_maps
         self.mappings = mappings
+        self.resource_type = resource_type
 
     @classmethod
-    def empty(cls, spark: SparkSession) -> "ConceptMaps":
+    def empty(cls, spark: SparkSession, resource_type: str = "ConceptMap") -> "ConceptMaps":
         from ..schema import spark_schema_for
 
-        cm = spark.createDataFrame([], spark_schema_for("ConceptMap"))
+        cm = spark.createDataFrame([], spark_schema_for(resource_type))
         mp = spark.createDataFrame([], ", ".join(f"{c} string" for c in MAPPINGS_COLUMNS))
-        return cls(spark, cm, mp)
+        return cls(spark, cm, mp, resource_type)
 
     def with_concept_maps(self, df: DataFrame) -> "ConceptMaps":
         """Add ConceptMap resources (spec schema). Rejects (url, version)
@@ -130,13 +158,14 @@ class ConceptMaps:
             self.spark,
             self.concept_maps.unionByName(_strip_elements(df)),
             self.mappings.unionByName(expand_mappings(df)),
+            self.resource_type,
         )
 
     def with_maps_from_directory(self, path: str) -> "ConceptMaps":
         from ..sources.resources import read_resources_from_directory
 
         return self.with_concept_maps(
-            read_resources_from_directory(self.spark, path, "ConceptMap")
+            read_resources_from_directory(self.spark, path, self.resource_type)
         )
 
     def with_new_map(
@@ -183,7 +212,7 @@ class ConceptMaps:
 
         raw = self.spark.createDataFrame([(_json.dumps(doc),)], "resource_json string")
         return self.with_concept_maps(
-            resources_from_json_strings(raw, "resource_json", "ConceptMap")
+            resources_from_json_strings(raw, "resource_json", self.resource_type)
         )
 
     def add_mappings(
@@ -215,6 +244,7 @@ class ConceptMaps:
             self.mappings.unionByName(old.select(*MAPPINGS_COLUMNS)).unionByName(
                 fresh
             ),
+            self.resource_type,
         )
 
     def get_map_as_xml(self, url: str, version: str | None = None) -> str:
@@ -222,9 +252,9 @@ class ConceptMaps:
         (`python/bunsen/codes/__init__.py:get_map_as_xml`)."""
         from ..sources.export import to_resource_xml
 
-        return to_resource_xml(self.get_concept_map(url, version), "ConceptMap").collect()[
-            0
-        ]["xml"]
+        return to_resource_xml(
+            self.get_concept_map(url, version), self.resource_type
+        ).collect()[0]["xml"]
 
     def with_disjoint_maps_from_directory(self, path: str) -> "ConceptMaps":
         """Disjoint import (J1, `AbstractConceptMaps.java:220-234`): load
@@ -232,7 +262,7 @@ class ConceptMaps:
         have — a left anti-join, not a collect-and-diff."""
         from ..sources.resources import read_resources_from_directory
 
-        candidates = read_resources_from_directory(self.spark, path, "ConceptMap")
+        candidates = read_resources_from_directory(self.spark, path, self.resource_type)
         fresh = candidates.join(
             self.concept_maps.select("url", "version"), ["url", "version"], "left_anti"
         )
@@ -286,22 +316,22 @@ class ConceptMaps:
         by_code = lambda l, r: F.when(l["code"] < r["code"], -1).when(  # noqa: E731
             l["code"] > r["code"], 1
         ).otherwise(F.lit(0))
-        nstr = F.lit(None).cast("string")
-        target_struct = F.struct(
-            nstr.alias("id"),
-            F.col("targetvalue").alias("code"),
-            nstr.alias("display"),
-            F.col("equivalence").alias("equivalence"),
-            nstr.alias("comment"),
+        group_t = self.concept_maps.schema["group"].dataType.elementType
+        element_t = group_t["element"].dataType.elementType
+        target_t = element_t["target"].dataType.elementType
+        target_struct = _struct_like(
+            target_t,
+            {"code": F.col("targetvalue"), "equivalence": F.col("equivalence")},
         )
         targets = maps.groupBy("sourcesystem", "targetsystem", "sourcevalue").agg(
             F.collect_list(target_struct).alias("target")
         )
-        element_struct = F.struct(
-            nstr.alias("id"),
-            F.col("sourcevalue").alias("code"),
-            nstr.alias("display"),
-            F.array_sort(F.col("target"), by_code).alias("target"),
+        element_struct = _struct_like(
+            element_t,
+            {
+                "code": F.col("sourcevalue"),
+                "target": F.array_sort(F.col("target"), by_code),
+            },
         )
         elements = targets.groupBy("sourcesystem", "targetsystem").agg(
             F.collect_list(element_struct).alias("_element")
@@ -443,9 +473,15 @@ class ConceptMaps:
             cw.saveAsTable(meta_table)
 
     @classmethod
-    def get_from_database(cls, spark: SparkSession, database: str) -> "ConceptMaps":
+    def get_from_database(
+        cls, spark: SparkSession, database: str, resource_type: str = "ConceptMap"
+    ) -> "ConceptMaps":
+        # the warehouse stores generation-shaped metadata rows but does
+        # not tag the generation; the caller's API module supplies it
+        # (bunsen_spark.codes -> STU3, bunsen_spark.r4.codes -> r4:)
         return cls(
             spark,
             spark.table(f"{database}.conceptmaps"),
             spark.table(f"{database}.mappings"),
+            resource_type,
         )

@@ -60,18 +60,31 @@ def _strip_concepts(value_sets: DataFrame) -> DataFrame:
 
 
 class ValueSets:
-    def __init__(self, spark: SparkSession, value_sets: DataFrame, values: DataFrame):
+    """``resource_type`` selects the spec generation: the default STU3
+    "ValueSet", or "r4:ValueSet" resolved through the R4 registry
+    (mirroring the reference's parallel `r4/codes/ValueSets` class);
+    the explode/strip/re-assemble plans are schema-driven, so both
+    generations flow through the same code."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        value_sets: DataFrame,
+        values: DataFrame,
+        resource_type: str = "ValueSet",
+    ):
         self.spark = spark
         self.value_sets = value_sets
         self.values = values
+        self.resource_type = resource_type
 
     @classmethod
-    def empty(cls, spark: SparkSession) -> "ValueSets":
+    def empty(cls, spark: SparkSession, resource_type: str = "ValueSet") -> "ValueSets":
         from ..schema import spark_schema_for
 
-        vs = spark.createDataFrame([], spark_schema_for("ValueSet"))
+        vs = spark.createDataFrame([], spark_schema_for(resource_type))
         vals = spark.createDataFrame([], ", ".join(f"{c} string" for c in VALUES_COLUMNS))
-        return cls(spark, vs, vals)
+        return cls(spark, vs, vals, resource_type)
 
     def with_value_sets(self, df: DataFrame) -> "ValueSets":
         """Add ValueSet resources (spec schema). Rejects (url, version)
@@ -86,13 +99,14 @@ class ValueSets:
             self.spark,
             self.value_sets.unionByName(_strip_concepts(df)),
             self.values.unionByName(expand_values(df)),
+            self.resource_type,
         )
 
     def with_value_sets_from_directory(self, path: str) -> "ValueSets":
         from ..sources.resources import read_resources_from_directory
 
         return self.with_value_sets(
-            read_resources_from_directory(self.spark, path, "ValueSet")
+            read_resources_from_directory(self.spark, path, self.resource_type)
         )
 
     # -- queries ------------------------------------------------------------
@@ -140,7 +154,7 @@ class ValueSets:
 
         raw = self.spark.createDataFrame([(_json.dumps(doc),)], "resource_json string")
         return self.with_value_sets(
-            resources_from_json_strings(raw, "resource_json", "ValueSet")
+            resources_from_json_strings(raw, "resource_json", self.resource_type)
         )
 
     def add_values(
@@ -167,6 +181,7 @@ class ValueSets:
             self.spark,
             self.value_sets.unionByName(meta),
             self.values.unionByName(old.select(*VALUES_COLUMNS)).unionByName(fresh),
+            self.resource_type,
         )
 
     def get_value_set_as_xml(self, url: str, version: str | None = None) -> str:
@@ -174,9 +189,9 @@ class ValueSets:
         (`python/bunsen/codes/__init__.py:get_value_set_as_xml`)."""
         from ..sources.export import to_resource_xml
 
-        return to_resource_xml(self.get_value_set(url, version), "ValueSet").collect()[
-            0
-        ]["xml"]
+        return to_resource_xml(
+            self.get_value_set(url, version), self.resource_type
+        ).collect()[0]["xml"]
 
     def with_disjoint_value_sets_from_directory(self, path: str) -> "ValueSets":
         """Disjoint import: load only value sets whose (url, version)
@@ -184,7 +199,7 @@ class ValueSets:
         mirroring the ConceptMaps J1 anti-join)."""
         from ..sources.resources import read_resources_from_directory
 
-        fresh = read_resources_from_directory(self.spark, path, "ValueSet").join(
+        fresh = read_resources_from_directory(self.spark, path, self.resource_type).join(
             self.value_sets.select("url", "version"), ["url", "version"], "left_anti"
         )
         return self.with_value_sets(fresh)
@@ -232,12 +247,13 @@ class ValueSets:
         by_code = lambda l, r: F.when(l["code"] < r["code"], -1).when(  # noqa: E731
             l["code"] > r["code"], 1
         ).otherwise(F.lit(0))
-        nstr = F.lit(None).cast("string")
-        concept_struct = F.struct(
-            nstr.alias("id"),
-            F.col("value").alias("code"),
-            nstr.alias("display"),
+        from .concept_maps import _struct_like
+
+        include_t = (
+            self.value_sets.schema["compose"].dataType["include"].dataType.elementType
         )
+        concept_t = include_t["concept"].dataType.elementType
+        concept_struct = _struct_like(concept_t, {"code": F.col("value")})
         concepts = vals.groupBy("system", "version").agg(
             F.collect_list(concept_struct).alias("_concept")
         ).withColumn("_concept", F.array_sort(F.col("_concept"), by_code))
@@ -314,9 +330,14 @@ class ValueSets:
             mw.saveAsTable(meta_table)
 
     @classmethod
-    def get_from_database(cls, spark: SparkSession, database: str) -> "ValueSets":
+    def get_from_database(
+        cls, spark: SparkSession, database: str, resource_type: str = "ValueSet"
+    ) -> "ValueSets":
+        # the warehouse does not tag the spec generation; the caller's
+        # API module supplies it (codes -> STU3, r4.codes -> r4:)
         return cls(
             spark,
             spark.table(f"{database}.valuesets"),
             spark.table(f"{database}.values"),
+            resource_type,
         )

@@ -148,8 +148,13 @@ def save_as_database(
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {database}")
     for rt in resource_types:
         df = extract_entry(spark, bundles, rt)
-        table = f"{database}.{rt.lower()}"
-        table_path = f"{path}/{rt.lower()}" if path else None
+        # table names keep the addressed type/profile name but never a
+        # generation prefix ("r4:Patient" and "Patient" both persist as
+        # <database>.patient — the generation is a schema dialect, not
+        # part of the warehouse namespace)
+        tname = rt.split(":", 1)[-1].lower()
+        table = f"{database}.{tname}"
+        table_path = f"{path}/{tname}" if path else None
         if bucket_by_subject:
             key = _subject_key_column(rt, df)
             if key is not None:

@@ -249,6 +249,112 @@ CAREPLAN = resource_header("CarePlan") + [
 ]
 
 
+# R4 terminology resources (hl7.org/fhir/R4/conceptmap.html and
+# /valueset.html "Resource Content"), trimmed like the rest of this
+# sample: ContactDetail/UsageContext/jurisdiction metadata elements are
+# omitted (no complex-datatype mapping, same trim as the STU3 engine
+# schemas), and ValueSet.expansion is omitted (its `contains` element
+# is self-recursive, which no finite relational schema can carry; the
+# STU3 engine schema omits expansion for the same reason). Everything
+# the terminology collections touch is present, in the R4 dialect:
+# source[x]/target[x] as uri|canonical (STU3: uri|Reference), canonical
+# unmapped.url / include.valueSet, dependsOn.property/system/value, and
+# `exclude` + `product` as contentReference re-uses.
+CONCEPTMAP = resource_header("ConceptMap") + [
+    el("ConceptMap.url", [t("uri")]),
+    el("ConceptMap.identifier", [t("Identifier")]),
+    el("ConceptMap.version", [t("string")]),
+    el("ConceptMap.name", [t("string")]),
+    el("ConceptMap.title", [t("string")]),
+    el("ConceptMap.status", [t("code")], mn=1),
+    el("ConceptMap.experimental", [t("boolean")]),
+    el("ConceptMap.date", [t("dateTime")]),
+    el("ConceptMap.publisher", [t("string")]),
+    el("ConceptMap.description", [t("markdown")]),
+    el("ConceptMap.purpose", [t("markdown")]),
+    el("ConceptMap.copyright", [t("markdown")]),
+    el("ConceptMap.source[x]", [t("uri"), {"code": "canonical", "targetProfile": [f"{SPEC}/ValueSet"]}]),
+    el("ConceptMap.target[x]", [t("uri"), {"code": "canonical", "targetProfile": [f"{SPEC}/ValueSet"]}]),
+    el("ConceptMap.group", [t("BackboneElement")], mx="*"),
+    el("ConceptMap.group.source", [t("uri")]),
+    el("ConceptMap.group.sourceVersion", [t("string")]),
+    el("ConceptMap.group.target", [t("uri")]),
+    el("ConceptMap.group.targetVersion", [t("string")]),
+    el("ConceptMap.group.element", [t("BackboneElement")], mx="*", mn=1),
+    el("ConceptMap.group.element.code", [t("code")]),
+    el("ConceptMap.group.element.display", [t("string")]),
+    el("ConceptMap.group.element.target", [t("BackboneElement")], mx="*"),
+    el("ConceptMap.group.element.target.code", [t("code")]),
+    el("ConceptMap.group.element.target.display", [t("string")]),
+    el("ConceptMap.group.element.target.equivalence", [t("code")], mn=1),
+    el("ConceptMap.group.element.target.comment", [t("string")]),
+    el("ConceptMap.group.element.target.dependsOn", [t("BackboneElement")], mx="*"),
+    el("ConceptMap.group.element.target.dependsOn.property", [t("uri")], mn=1),
+    el(
+        "ConceptMap.group.element.target.dependsOn.system",
+        [{"code": "canonical", "targetProfile": [f"{SPEC}/CodeSystem"]}],
+    ),
+    el("ConceptMap.group.element.target.dependsOn.value", [t("string")], mn=1),
+    el("ConceptMap.group.element.target.dependsOn.display", [t("string")]),
+    el(
+        "ConceptMap.group.element.target.product",
+        mx="*",
+        contentReference="#ConceptMap.group.element.target.dependsOn",
+    ),
+    el("ConceptMap.group.unmapped", [t("BackboneElement")]),
+    el("ConceptMap.group.unmapped.mode", [t("code")], mn=1),
+    el("ConceptMap.group.unmapped.code", [t("code")]),
+    el("ConceptMap.group.unmapped.display", [t("string")]),
+    el(
+        "ConceptMap.group.unmapped.url",
+        [{"code": "canonical", "targetProfile": [f"{SPEC}/ConceptMap"]}],
+    ),
+]
+
+VALUESET = resource_header("ValueSet") + [
+    el("ValueSet.url", [t("uri")]),
+    el("ValueSet.identifier", [t("Identifier")], mx="*"),
+    el("ValueSet.version", [t("string")]),
+    el("ValueSet.name", [t("string")]),
+    el("ValueSet.title", [t("string")]),
+    el("ValueSet.status", [t("code")], mn=1),
+    el("ValueSet.experimental", [t("boolean")]),
+    el("ValueSet.date", [t("dateTime")]),
+    el("ValueSet.publisher", [t("string")]),
+    el("ValueSet.description", [t("markdown")]),
+    el("ValueSet.immutable", [t("boolean")]),
+    el("ValueSet.purpose", [t("markdown")]),
+    el("ValueSet.copyright", [t("markdown")]),
+    el("ValueSet.compose", [t("BackboneElement")]),
+    el("ValueSet.compose.lockedDate", [t("date")]),
+    el("ValueSet.compose.inactive", [t("boolean")]),
+    el("ValueSet.compose.include", [t("BackboneElement")], mx="*", mn=1),
+    el("ValueSet.compose.include.system", [t("uri")]),
+    el("ValueSet.compose.include.version", [t("string")]),
+    el("ValueSet.compose.include.concept", [t("BackboneElement")], mx="*"),
+    el("ValueSet.compose.include.concept.code", [t("code")], mn=1),
+    el("ValueSet.compose.include.concept.display", [t("string")]),
+    el("ValueSet.compose.include.concept.designation", [t("BackboneElement")], mx="*"),
+    el("ValueSet.compose.include.concept.designation.language", [t("code")]),
+    el("ValueSet.compose.include.concept.designation.use", [t("Coding")]),
+    el("ValueSet.compose.include.concept.designation.value", [t("string")], mn=1),
+    el("ValueSet.compose.include.filter", [t("BackboneElement")], mx="*"),
+    el("ValueSet.compose.include.filter.property", [t("code")], mn=1),
+    el("ValueSet.compose.include.filter.op", [t("code")], mn=1),
+    el("ValueSet.compose.include.filter.value", [t("string")], mn=1),
+    el(
+        "ValueSet.compose.include.valueSet",
+        [{"code": "canonical", "targetProfile": [f"{SPEC}/ValueSet"]}],
+        mx="*",
+    ),
+    el(
+        "ValueSet.compose.exclude",
+        mx="*",
+        contentReference="#ValueSet.compose.include",
+    ),
+]
+
+
 def sd(name, elements):
     return {
         "resourceType": "StructureDefinition",
@@ -275,6 +381,8 @@ def main() -> None:
                 ("Condition", CONDITION),
                 ("Endpoint", ENDPOINT),
                 ("CarePlan", CAREPLAN),
+                ("ConceptMap", CONCEPTMAP),
+                ("ValueSet", VALUESET),
             )
         ],
     }
