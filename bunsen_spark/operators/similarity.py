@@ -435,20 +435,13 @@ def ivf_kmeans_topk(
     )
 
 
-def ivf_kmeans_topk_sql(
-    table: str = "embeddings",
-    k: int = 5,
-    num_queries: int = 32,
-    n_centroids: int = IVF_CENTROIDS,
-    n_probe: int = IVF_PROBE,
-    n_iters: int = KMEANS_ITERS,
-    dim: int = EMBED_DIM,
-) -> str:
-    """DuckDB twin with the Lloyd iterations UNROLLED as generated
-    CTEs (cent0 → cent1 → …): same md5 seeding, same integral-double
-    quantization, same cosine argmax assignment, same exact integer
-    mean updates — the codebook reproduces bit-for-bit, so the final
-    candidate lists and ranks match the Spark plan."""
+def _kmeans_cte_parts(
+    table: str, n_centroids: int, n_iters: int, dim: int
+) -> list[str]:
+    """Shared DuckDB CTE chain reproducing :func:`kmeans_codebook`
+    bit-for-bit (md5 seeding → quantize → unrolled Lloyd iterations);
+    ends at ``cent{n_iters}`` with ``e`` (raw vectors) and ``e_q``
+    (quantized) available for the caller's scoring CTEs."""
     h = md5int_sql("CAST(vec_id AS VARCHAR)")
     parts = [
         f"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM {table}),
@@ -480,6 +473,131 @@ cent{t} AS (
   ) GROUP BY cid
 )"""
         )
+    return parts
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    threshold: float = 0.45,
+    n_centroids: int = IVF_CENTROIDS,
+    n_iters: int = KMEANS_ITERS,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (cluster-then-prune, after
+    Abbas et al. 2023, arXiv:2303.09540): vectors are clustered by the
+    Lloyd-trained codebook, and within each cluster a vector is DROPPED
+    when a lower-id cluster neighbor has exact cosine >= ``threshold``
+    (one-shot dominance, not iterated — deterministic, and matches the
+    paper's keep-one-representative intent with the id as the
+    tie-stable keep rule). Output: one row per dropped vector
+    ``(vec_id, keep_id, n_dupes)`` where keep_id is the smallest
+    dominating id and n_dupes the count of dominating neighbors —
+    discrete values only, so the DuckDB twin hash-matches without
+    float-output parity concerns.
+
+    Scale shape: the quadratic cosine comparison runs WITHIN clusters
+    only — Σ nᵢ² vs n² for the naive all-pairs, the SemDeDup contract
+    (n_centroids grows with the corpus to bound nᵢ). The cluster
+    self-join is an equi-join on cid, so it shuffles each side once by
+    cluster; a pathologically hot cluster is the operator's documented
+    skew risk (raise n_centroids, or pre-split hot cids by salting the
+    JOIN — dominance against a lower id is salt-invariant only for the
+    count, so prefer more centroids)."""
+    cents = kmeans_codebook(embeddings, n_centroids, n_iters).transform(materialize)
+    quant = _quantized(embeddings).transform(_spread)
+    best = F.struct(
+        _cosine(F.col("q"), F.col("cv"), F.col("qnorm"), F.col("cnorm")).alias("csim"),
+        (-F.col("cid")).alias("negcid"),
+        F.col("cid").alias("cid"),
+    )
+    assigned = (
+        quant.join(F.broadcast(cents))
+        .select("vec_id", best.alias("s"))
+        .groupBy("vec_id")
+        .agg(F.max("s").alias("s"))
+        .select("vec_id", F.col("s.cid").alias("cid"))
+    )
+    base = materialize(
+        _with_norm(embeddings).transform(_spread).join(assigned, "vec_id")
+    )
+    a = base.select(
+        F.col("cid"),
+        F.col("vec_id").alias("keep"),
+        F.col("v").alias("av"),
+        F.col("norm").alias("anorm"),
+    )
+    b = base.select(
+        F.col("cid"),
+        F.col("vec_id").alias("vec_id"),
+        F.col("v").alias("bv"),
+        F.col("norm").alias("bnorm"),
+    )
+    pairs = (
+        a.join(b, "cid")
+        .where(F.col("keep") < F.col("vec_id"))
+        .where(
+            _cosine(F.col("av"), F.col("bv"), F.col("anorm"), F.col("bnorm"))
+            >= threshold
+        )
+    )
+    return pairs.groupBy("vec_id").agg(
+        F.min("keep").cast("long").alias("keep_id"),
+        F.count(F.lit(1)).cast("long").alias("n_dupes"),
+    )
+
+
+def semantic_dedup_sql(
+    table: str = "embeddings",
+    threshold: float = 0.45,
+    n_centroids: int = IVF_CENTROIDS,
+    n_iters: int = KMEANS_ITERS,
+    dim: int = EMBED_DIM,
+) -> str:
+    """DuckDB twin of :func:`semantic_dedup` over the shared
+    bit-exact codebook CTEs."""
+    parts = _kmeans_cte_parts(table, n_centroids, n_iters, dim)
+    parts.append(
+        f"""scored AS (
+  SELECT eq.vec_id, c.cid,
+         row_number() OVER (
+             PARTITION BY eq.vec_id
+             ORDER BY list_cosine_similarity(eq.q, c.cv) DESC, c.cid
+         ) AS rn
+  FROM e_q eq CROSS JOIN cent{n_iters} c
+),
+assigned AS (SELECT vec_id, cid FROM scored WHERE rn = 1),
+pairs AS (
+  SELECT b.vec_id AS vec_id, a.vec_id AS keep
+  FROM assigned a JOIN assigned b USING (cid)
+  JOIN e ea ON ea.vec_id = a.vec_id
+  JOIN e eb ON eb.vec_id = b.vec_id
+  WHERE a.vec_id < b.vec_id
+    AND list_cosine_similarity(ea.v, eb.v) >= {threshold}
+)"""
+    )
+    ctes = ",\n".join(parts)
+    return f"""
+WITH {ctes}
+SELECT vec_id, CAST(min(keep) AS BIGINT) AS keep_id,
+       CAST(count(*) AS BIGINT) AS n_dupes
+FROM pairs GROUP BY vec_id
+"""
+
+
+def ivf_kmeans_topk_sql(
+    table: str = "embeddings",
+    k: int = 5,
+    num_queries: int = 32,
+    n_centroids: int = IVF_CENTROIDS,
+    n_probe: int = IVF_PROBE,
+    n_iters: int = KMEANS_ITERS,
+    dim: int = EMBED_DIM,
+) -> str:
+    """DuckDB twin with the Lloyd iterations UNROLLED as generated
+    CTEs (cent0 → cent1 → …): same md5 seeding, same integral-double
+    quantization, same cosine argmax assignment, same exact integer
+    mean updates — the codebook reproduces bit-for-bit, so the final
+    candidate lists and ranks match the Spark plan."""
+    parts = _kmeans_cte_parts(table, n_centroids, n_iters, dim)
     parts.append(
         f"""scored AS (
   SELECT eq.vec_id, c.cid,

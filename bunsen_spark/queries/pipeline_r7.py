@@ -1,0 +1,63 @@
+"""Round-7 gate queries: SemDeDup-style semantic dedup and the
+distributed global-rank primitive that replaced the RFM global windows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import load
+
+
+def semantic_dedup_drops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-then-prune semantic dedup over the embeddings table
+    (`operators/similarity.py:semantic_dedup`): Lloyd codebook
+    assignment, then within-cluster cosine dominance by a lower id."""
+    from ..operators.similarity import semantic_dedup
+
+    return semantic_dedup(load(spark, sf_dir, "embeddings"))
+
+
+def _semantic_dedup_sql() -> str:
+    from ..operators.similarity import semantic_dedup_sql
+
+    return semantic_dedup_sql()
+
+
+def global_rank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact global row_number over (totalprice DESC, orderkey) with NO
+    single-partition window (`operators/windows.py:global_row_number`:
+    range-repartition + per-partition rank + broadcast offsets) — the
+    distributed-rank primitive behind rfm_segments' ntile rewrite,
+    gated against the engine-native global window in DuckDB."""
+    from ..operators.windows import global_row_number
+
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    ranked = global_row_number(
+        orders,
+        [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        out_col="rank",
+    )
+    return ranked.select(
+        "o_orderkey", "o_totalprice", F.col("rank").cast("long").alias("rank")
+    )
+
+
+_GLOBAL_RANK_SQL = """
+SELECT o_orderkey, o_totalprice,
+       CAST(row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey ASC) AS BIGINT)
+           AS rank
+FROM orders
+"""
+
+
+QUERIES = {
+    "semantic_dedup_drops": semantic_dedup_drops,
+    "global_rank_orders": global_rank_orders,
+}
+
+ORACLES = {
+    "semantic_dedup_drops": _semantic_dedup_sql(),
+    "global_rank_orders": _GLOBAL_RANK_SQL,
+}

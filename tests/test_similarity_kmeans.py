@@ -95,3 +95,39 @@ def test_quantize_embeddings_stats_contract(spark, sf_dir):
     zr = {r["vec_id"]: r for r in quantize_embeddings_stats(z).collect()}
     assert zr[1]["scale"] == 0.0 and zr[1]["q_l1"] == 0 and zr[1]["max_abs_err"] == 0.0
     assert zr[2]["scale"] == 4.0 and zr[2]["q_l1"] == 0 + 64 + 127 + 32
+
+
+def test_semantic_dedup_dominance_rule(spark):
+    """Near-identical vectors are dropped toward the smallest id in
+    their cluster; dissimilar vectors survive. 64-dim fixture built so
+    cluster structure is unambiguous."""
+    import math
+
+    from bunsen_spark.operators.similarity import semantic_dedup
+
+    def unit(axis):
+        v = [0.0] * 64
+        v[axis] = 1.0
+        return v
+
+    def near(axis, eps):
+        v = unit(axis)
+        v[(axis + 1) % 64] = eps
+        n = math.sqrt(1 + eps * eps)
+        return [x / n for x in v]
+
+    rows = [
+        (0, unit(0)), (1, near(0, 0.05)), (2, near(0, 0.1)),  # dup group A
+        (10, unit(7)), (11, near(7, 0.08)),                   # dup group B
+        (20, unit(30)),                                       # singleton
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {
+        r["vec_id"]: (r["keep_id"], r["n_dupes"])
+        for r in semantic_dedup(emb, threshold=0.95, n_centroids=3, n_iters=2).collect()
+    }
+    # every dropped vector points at the smallest id of its dup group
+    assert out[1] == (0, 1) and out[2][0] == 0
+    assert out[11] == (10, 1)
+    # group representatives and the singleton are never dropped
+    assert 0 not in out and 10 not in out and 20 not in out
