@@ -867,3 +867,270 @@ WITH q AS (
 SELECT i, j, CAST(sum(prod) AS BIGINT) AS g
 FROM cells GROUP BY i, j
 """
+
+
+# -- product quantization (IVF-PQ's compression half) -------------------------
+
+PQ_SUBS = 8  #: subspaces (EMBED_DIM must divide evenly)
+PQ_K = 16  #: centroids per subspace codebook
+
+
+def _sub_quantized(embeddings: DataFrame, n_subs: int) -> DataFrame:
+    """(vec_id, sub, sq): quantized integral subvectors — vector split
+    into ``n_subs`` contiguous blocks. One map stage, no shuffle."""
+    subdim = EMBED_DIM // n_subs
+    q = F.transform(
+        F.col("embedding").cast("array<double>"),
+        lambda x: F.round(x * F.lit(KMEANS_QUANT), 0),
+    )
+    pieces = F.expr(
+        f"transform(sequence(0, {n_subs - 1}),"
+        f" s -> struct(s AS sub, slice(__q, s * {subdim} + 1, {subdim}) AS sq))"
+    )
+    return (
+        embeddings.select("vec_id", q.alias("__q"))
+        .select("vec_id", F.explode(pieces).alias("p"))
+        .select("vec_id", "p.sub", "p.sq")
+    )
+
+
+def _d2(a: Column, b: Column) -> Column:
+    """Squared L2 distance — integral-exact on integral inputs (every
+    addend and partial sum is an integer far below 2^53, so the value
+    is identical under ANY accumulation order / engine)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_codebooks(
+    embeddings: DataFrame,
+    n_subs: int = PQ_SUBS,
+    k: int = PQ_K,
+    n_iters: int = KMEANS_ITERS,
+) -> DataFrame:
+    """Per-subspace Lloyd codebooks for product quantization (Jégou,
+    Douze, Schmid, "Product Quantization for Nearest Neighbor Search",
+    TPAMI 2011): (sub, cid, cv). INTEGER-LATTICE Lloyd — assignment is
+    exact integral squared-L2 (:func:`_d2`), and the centroid update
+    rounds the element-wise mean back onto the integer lattice — so
+    every quantity in training, encoding, and ADC scoring is an
+    integral double and the DuckDB twin reproduces codebooks, codes,
+    and scores BIT-FOR-BIT with no float-summation-order caveats (a
+    strictly stronger parity guarantee than the cosine codebook above).
+
+    All ``n_subs`` codebooks train in ONE plan: centroids are keyed
+    (sub, cid) and the corpus-side explode is n_subs narrow rows per
+    vector, so each Lloyd round is one broadcast join + two map-side-
+    combined aggregates regardless of n_subs. Seeds are the md5-min
+    pick of whole vectors (one seed set, each contributing its
+    subvector to every subspace book)."""
+    from .text_analysis import md5int
+
+    base = materialize(_sub_quantized(embeddings, n_subs).transform(_spread))
+    seed_ids = (
+        embeddings.select("vec_id")
+        .withColumn("h", md5int(F.col("vec_id").cast("string")))
+        .orderBy("h", "vec_id")
+        .limit(k)
+        .select(F.col("vec_id").alias("cid"))
+    )
+    cents = base.join(
+        F.broadcast(seed_ids), base["vec_id"] == seed_ids["cid"]
+    ).select("sub", "cid", F.col("sq").alias("cv"))
+    subdim = EMBED_DIM // n_subs
+    for _ in range(n_iters):
+        assigned = (
+            base.join(F.broadcast(cents), "sub")
+            .select(
+                "vec_id",
+                "sub",
+                "sq",
+                F.struct(
+                    _d2(F.col("sq"), F.col("cv")).alias("d2"),
+                    F.col("cid").alias("cid"),
+                ).alias("s"),
+            )
+            .groupBy("vec_id", "sub")
+            # sq is functionally dependent on (vec_id, sub); first() is
+            # deterministic, and grouping avoids hashing the array key
+            .agg(F.min("s").alias("s"), F.first("sq").alias("sq"))
+            .select("sub", F.col("s.cid").alias("cid"), "sq")
+        )
+        sums = (
+            assigned.select("sub", "cid", F.posexplode("sq").alias("pos", "val"))
+            .groupBy("sub", "cid", "pos")
+            # rounded mean: centroids stay ON the integer lattice, so
+            # the next round's distances remain integral-exact. The
+            # mean itself is one exact IEEE division; round() of the
+            # identical double agrees across engines.
+            .agg(F.round(F.sum("val") / F.count(F.lit(1)), 0).alias("cd"))
+        )
+        cents = sums.groupBy("sub", "cid").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cd"))), lambda s: s["cd"]
+            ).alias("cv")
+        )
+    return cents.select("sub", "cid", "cv")
+
+
+def pq_encode(
+    embeddings: DataFrame, codebooks: DataFrame, n_subs: int = PQ_SUBS
+) -> DataFrame:
+    """(vec_id, sub, code): nearest-codeword assignment per subspace —
+    the 8-byte-per-vector compressed representation (ties by smallest
+    cid). One broadcast join + a map-side-combined argmin."""
+    subs = _sub_quantized(embeddings, n_subs).transform(_spread)
+    return (
+        subs.join(F.broadcast(codebooks), "sub")
+        .select(
+            "vec_id",
+            "sub",
+            F.struct(
+                _d2(F.col("sq"), F.col("cv")).alias("d2"), F.col("cid").alias("cid")
+            ).alias("s"),
+        )
+        .groupBy("vec_id", "sub")
+        .agg(F.min("s").alias("s"))
+        .select("vec_id", "sub", F.col("s.cid").alias("code"))
+    )
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    k: int = 5,
+    num_queries: int = 32,
+    n_subs: int = PQ_SUBS,
+    n_codewords: int = PQ_K,
+    n_iters: int = KMEANS_ITERS,
+) -> DataFrame:
+    """PQ asymmetric-distance (ADC) top-k: corpus vectors are scored
+    against a query through their 8-byte codes only — distance(query,
+    neighbor) ≈ Σ_sub d2(query_sub, codeword(code_sub)). Output:
+    (query_id, neighbor_id, rank), rank 1 = nearest by ADC, ties by
+    neighbor_id; every score is an integral double, so ranks are exact
+    and engine-portable.
+
+    Scale shape: codebooks (n_subs × k rows) and the per-query lookup
+    tables (num_queries × n_subs × k rows) broadcast; the corpus-side
+    cost is the encode argmin plus one broadcast LUT join over the
+    (vec, sub) code rows — the corpus is never shuffled by value, and
+    the candidate scoring reads 8 longs per vector instead of 64
+    doubles: the 8× scan-compression that makes billion-vector ANN fit
+    in memory at 1000 executors."""
+    books = pq_codebooks(embeddings, n_subs, n_codewords, n_iters).transform(
+        materialize
+    )
+    codes = pq_encode(embeddings, books, n_subs)
+    qsubs = _sub_quantized(
+        embeddings.where(F.col("vec_id") < num_queries), n_subs
+    ).select(F.col("vec_id").alias("query_id"), "sub", F.col("sq").alias("qsq"))
+    lut = qsubs.join(F.broadcast(books), "sub").select(
+        "query_id",
+        "sub",
+        F.col("cid").alias("code"),
+        _d2(F.col("qsq"), F.col("cv")).alias("d2"),
+    )
+    adc = (
+        codes.join(F.broadcast(lut), ["sub", "code"])
+        .where(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("d2").alias("adc"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("neighbor_id"))
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def pq_topk_sql(
+    table: str = "embeddings",
+    k: int = 5,
+    num_queries: int = 32,
+    n_subs: int = PQ_SUBS,
+    n_codewords: int = PQ_K,
+    n_iters: int = KMEANS_ITERS,
+    dim: int = EMBED_DIM,
+) -> str:
+    """DuckDB twin: identical seeds, integer-lattice Lloyd rounds,
+    argmin codes and integral ADC sums — bit-exact end to end."""
+    subdim = dim // n_subs
+    h = md5int_sql("CAST(vec_id AS VARCHAR)")
+    d2 = (
+        f"list_sum(list_transform(range(1, {subdim + 1}),"
+        f" i -> (a.sq[CAST(i AS INTEGER)] - c.cv[CAST(i AS INTEGER)])"
+        f" * (a.sq[CAST(i AS INTEGER)] - c.cv[CAST(i AS INTEGER)])))"
+    )
+    parts = [
+        f"""e_q AS (
+  SELECT vec_id, list_transform(embedding::DOUBLE[], x -> round(x * {KMEANS_QUANT})) AS q
+  FROM {table}
+),
+subs AS (
+  SELECT vec_id, s AS sub, q[(s * {subdim} + 1):((s + 1) * {subdim})] AS sq
+  FROM e_q, range(0, {n_subs}) t(s)
+),
+seeds AS (
+  SELECT vec_id AS cid FROM e_q ORDER BY {h}, vec_id LIMIT {n_codewords}
+),
+cent0 AS (
+  SELECT sub, cid, sq AS cv FROM subs JOIN seeds ON subs.vec_id = seeds.cid
+)"""
+    ]
+    for t in range(1, n_iters + 1):
+        parts.append(
+            f"""asg{t} AS (
+  SELECT vec_id, sub, sq, cid FROM (
+    SELECT a.vec_id, a.sub, a.sq, c.cid,
+           row_number() OVER (
+               PARTITION BY a.vec_id, a.sub ORDER BY {d2} ASC, c.cid ASC
+           ) AS rn
+    FROM subs a JOIN cent{t - 1} c USING (sub)
+  ) WHERE rn = 1
+),
+cent{t} AS (
+  SELECT sub, cid, list(cd ORDER BY pos) AS cv FROM (
+    SELECT sub, cid, pos, round(sum(val) / count(*)) AS cd FROM (
+      SELECT sub, cid, unnest(sq) AS val, unnest(range(1, {subdim + 1})) AS pos
+      FROM asg{t}
+    ) GROUP BY sub, cid, pos
+  ) GROUP BY sub, cid
+)"""
+        )
+    parts.append(
+        f"""codes AS (
+  SELECT vec_id, sub, cid AS code FROM (
+    SELECT a.vec_id, a.sub, c.cid,
+           row_number() OVER (
+               PARTITION BY a.vec_id, a.sub ORDER BY {d2} ASC, c.cid ASC
+           ) AS rn
+    FROM subs a JOIN cent{n_iters} c USING (sub)
+  ) WHERE rn = 1
+),
+lut AS (
+  SELECT a.vec_id AS query_id, a.sub, c.cid AS code, {d2} AS d2
+  FROM subs a JOIN cent{n_iters} c USING (sub)
+  WHERE a.vec_id < {num_queries}
+),
+adc AS (
+  SELECT l.query_id, codes.vec_id AS neighbor_id, sum(l.d2) AS adc
+  FROM codes JOIN lut l USING (sub, code)
+  WHERE codes.vec_id <> l.query_id
+  GROUP BY 1, 2
+)"""
+    )
+    ctes = ",\n".join(parts)
+    return f"""
+WITH {ctes}
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (
+             PARTITION BY query_id ORDER BY adc ASC, neighbor_id ASC
+         ) AS rank
+  FROM adc
+) WHERE rank <= {k}
+"""

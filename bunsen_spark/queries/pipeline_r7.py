@@ -52,12 +52,30 @@ FROM orders
 """
 
 
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-k over the embeddings table
+    (`operators/similarity.py:pq_topk`): per-subspace integer-lattice
+    Lloyd codebooks, 8-byte codes, integral asymmetric-distance
+    scoring."""
+    from ..operators.similarity import pq_topk
+
+    return pq_topk(load(spark, sf_dir, "embeddings"))
+
+
+def _pq_sql() -> str:
+    from ..operators.similarity import pq_topk_sql
+
+    return pq_topk_sql()
+
+
 QUERIES = {
     "semantic_dedup_drops": semantic_dedup_drops,
     "global_rank_orders": global_rank_orders,
+    "ann_pq_topk": ann_pq_topk,
 }
 
 ORACLES = {
     "semantic_dedup_drops": _semantic_dedup_sql(),
     "global_rank_orders": _GLOBAL_RANK_SQL,
+    "ann_pq_topk": _pq_sql(),
 }
