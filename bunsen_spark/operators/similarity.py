@@ -927,20 +927,30 @@ def pq_codebooks(
     combined aggregates regardless of n_subs. Seeds are the md5-min
     pick of whole vectors (one seed set, each contributing its
     subvector to every subspace book)."""
+    base = materialize(_sub_quantized(embeddings, n_subs).transform(_spread))
+    return _pq_train(base, _seed_ids(embeddings, k), n_iters)
+
+
+def _seed_ids(embeddings: DataFrame, k: int) -> DataFrame:
+    """Deterministic md5-min seed pick over vec_ids (engine-portable)."""
     from .text_analysis import md5int
 
-    base = materialize(_sub_quantized(embeddings, n_subs).transform(_spread))
-    seed_ids = (
+    return (
         embeddings.select("vec_id")
         .withColumn("h", md5int(F.col("vec_id").cast("string")))
         .orderBy("h", "vec_id")
         .limit(k)
         .select(F.col("vec_id").alias("cid"))
     )
+
+
+def _pq_train(base: DataFrame, seed_ids: DataFrame, n_iters: int) -> DataFrame:
+    """Integer-lattice Lloyd over an integral subvector frame
+    ``(vec_id, sub, sq)``: returns (sub, cid, cv). Shared by the plain
+    PQ books and the IVF-PQ residual books."""
     cents = base.join(
         F.broadcast(seed_ids), base["vec_id"] == seed_ids["cid"]
     ).select("sub", "cid", F.col("sq").alias("cv"))
-    subdim = EMBED_DIM // n_subs
     for _ in range(n_iters):
         assigned = (
             base.join(F.broadcast(cents), "sub")
@@ -1119,6 +1129,291 @@ lut AS (
 adc AS (
   SELECT l.query_id, codes.vec_id AS neighbor_id, sum(l.d2) AS adc
   FROM codes JOIN lut l USING (sub, code)
+  WHERE codes.vec_id <> l.query_id
+  GROUP BY 1, 2
+)"""
+    )
+    ctes = ",\n".join(parts)
+    return f"""
+WITH {ctes}
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (
+             PARTITION BY query_id ORDER BY adc ASC, neighbor_id ASC
+         ) AS rank
+  FROM adc
+) WHERE rank <= {k}
+"""
+
+
+# -- IVF-PQ: coarse inverted lists + residual product quantization -----------
+
+
+def _slices(col: str, n_subs: int, out: str = "p") -> Column:
+    """Explodable array of (sub, slice) structs over an integral
+    vector column."""
+    subdim = EMBED_DIM // n_subs
+    return F.explode(
+        F.expr(
+            f"transform(sequence(0, {n_subs - 1}),"
+            f" s -> struct(s AS sub, slice({col}, s * {subdim} + 1, {subdim}) AS sq))"
+        )
+    ).alias(out)
+
+
+def ivfpq_topk(
+    embeddings: DataFrame,
+    k: int = 5,
+    num_queries: int = 32,
+    n_coarse: int = IVF_CENTROIDS,
+    n_probe: int = IVF_PROBE,
+    n_subs: int = PQ_SUBS,
+    n_codewords: int = PQ_K,
+    n_iters: int = KMEANS_ITERS,
+) -> DataFrame:
+    """IVF-PQ (IVFADC, Jégou et al. 2011): the full FAISS-style ANN
+    architecture — a coarse L2 quantizer prunes the corpus to
+    ``n_probe`` inverted lists per query, and a product quantizer over
+    the RESIDUALS (x − coarse_centroid) scores candidates through
+    8-byte codes. Both quantizers are the integer-lattice Lloyd
+    (:func:`_pq_train`; the coarse stage is simply n_subs=1), and the
+    residual of an integral vector minus an integral centroid is
+    integral, so every trained centroid, code, and ADC score reproduces
+    bit-for-bit in the DuckDB twin. Output: (query_id, neighbor_id,
+    rank) among scanned candidates; ties by neighbor_id.
+
+    Scale shape on top of :func:`pq_topk`: candidate scoring now only
+    touches vectors in the query's probed cells (corpus/n_coarse ×
+    n_probe expected), and the per-vector read is still 8 longs — the
+    n_coarse/n_probe scan cut and the 8× compression COMPOSE. The
+    residual codebook is shared across cells (standard IVFADC), so the
+    broadcast stays n_subs × k rows."""
+    full = materialize(_sub_quantized(embeddings, 1).transform(_spread))
+    coarse = _pq_train(full, _seed_ids(embeddings, n_coarse), n_iters).select(
+        F.col("cid").alias("ccid"), F.col("cv").alias("ccv")
+    ).transform(materialize)
+    # corpus coarse assignment + integral residuals
+    resid = materialize(
+        full.join(F.broadcast(coarse))
+        .select(
+            "vec_id",
+            "sq",
+            F.struct(
+                _d2(F.col("sq"), F.col("ccv")).alias("d2"),
+                F.col("ccid").alias("ccid"),
+                F.col("ccv").alias("ccv"),
+            ).alias("s"),
+        )
+        .groupBy("vec_id")
+        .agg(F.min("s").alias("s"), F.first("sq").alias("sq"))
+        .select(
+            "vec_id",
+            F.col("s.ccid").alias("ccid"),
+            F.zip_with("sq", "s.ccv", lambda x, y: x - y).alias("r"),
+        )
+    )
+    rsubs = materialize(resid.select("vec_id", _slices("r", n_subs)).select(
+        "vec_id", "p.sub", "p.sq"
+    ))
+    books = _pq_train(rsubs, _seed_ids(embeddings, n_codewords), n_iters).transform(
+        materialize
+    )
+    codes = (
+        rsubs.join(F.broadcast(books), "sub")
+        .select(
+            "vec_id",
+            "sub",
+            F.struct(
+                _d2(F.col("sq"), F.col("cv")).alias("d2"), F.col("cid").alias("cid")
+            ).alias("s"),
+        )
+        .groupBy("vec_id", "sub")
+        .agg(F.min("s").alias("s"))
+        .select("vec_id", "sub", F.col("s.cid").alias("code"))
+        .join(resid.select("vec_id", "ccid"), "vec_id")
+    )
+    # query side: probe lists + per-cell residual LUTs
+    qfull = full.where(F.col("vec_id") < num_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("sq").alias("qsq")
+    )
+    qscored = qfull.join(F.broadcast(coarse)).select(
+        "query_id",
+        "ccid",
+        _d2(F.col("qsq"), F.col("ccv")).alias("cd2"),
+        F.zip_with("qsq", "ccv", lambda x, y: x - y).alias("qr"),
+    )
+    pw = Window.partitionBy("query_id").orderBy(F.asc("cd2"), F.asc("ccid"))
+    probes = (
+        qscored.withColumn("rn", F.row_number().over(pw))
+        .where(F.col("rn") <= n_probe)
+        .select("query_id", "ccid", "qr")
+    )
+    qrsubs = probes.select("query_id", "ccid", _slices("qr", n_subs)).select(
+        "query_id", "ccid", F.col("p.sub").alias("sub"), F.col("p.sq").alias("qsq")
+    )
+    lut = qrsubs.join(F.broadcast(books), "sub").select(
+        "query_id",
+        "ccid",
+        "sub",
+        F.col("cid").alias("code"),
+        _d2(F.col("qsq"), F.col("cv")).alias("d2"),
+    )
+    adc = (
+        codes.join(F.broadcast(lut), ["ccid", "sub", "code"])
+        .where(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("d2").alias("adc"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("neighbor_id"))
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def _lloyd_sql_parts(
+    src: str, prefix: str, subdim: int, n_codewords: int, n_iters: int, seeds: str
+) -> list[str]:
+    """DuckDB CTE chain for one integer-lattice Lloyd training over a
+    ``(vec_id, sub, sq)`` source CTE; final books CTE is
+    ``{prefix}cent{n_iters}``."""
+    d2 = (
+        f"list_sum(list_transform(range(1, {subdim + 1}),"
+        f" i -> (a.sq[CAST(i AS INTEGER)] - c.cv[CAST(i AS INTEGER)])"
+        f" * (a.sq[CAST(i AS INTEGER)] - c.cv[CAST(i AS INTEGER)])))"
+    )
+    parts = [
+        f"""{prefix}cent0 AS (
+  SELECT sub, cid, sq AS cv FROM {src} JOIN {seeds} ON {src}.vec_id = {seeds}.cid
+)"""
+    ]
+    for t in range(1, n_iters + 1):
+        parts.append(
+            f"""{prefix}asg{t} AS (
+  SELECT vec_id, sub, sq, cid FROM (
+    SELECT a.vec_id, a.sub, a.sq, c.cid,
+           row_number() OVER (
+               PARTITION BY a.vec_id, a.sub ORDER BY {d2} ASC, c.cid ASC
+           ) AS rn
+    FROM {src} a JOIN {prefix}cent{t - 1} c USING (sub)
+  ) WHERE rn = 1
+),
+{prefix}cent{t} AS (
+  SELECT sub, cid, list(cd ORDER BY pos) AS cv FROM (
+    SELECT sub, cid, pos, round(sum(val) / count(*)) AS cd FROM (
+      SELECT sub, cid, unnest(sq) AS val, unnest(range(1, {subdim + 1})) AS pos
+      FROM {prefix}asg{t}
+    ) GROUP BY sub, cid, pos
+  ) GROUP BY sub, cid
+)"""
+        )
+    return parts
+
+
+def ivfpq_topk_sql(
+    table: str = "embeddings",
+    k: int = 5,
+    num_queries: int = 32,
+    n_coarse: int = IVF_CENTROIDS,
+    n_probe: int = IVF_PROBE,
+    n_subs: int = PQ_SUBS,
+    n_codewords: int = PQ_K,
+    n_iters: int = KMEANS_ITERS,
+    dim: int = EMBED_DIM,
+) -> str:
+    """DuckDB twin of :func:`ivfpq_topk` — coarse books, residuals,
+    residual books, codes, probe LUTs, and integral ADC, all bit-exact."""
+    subdim = dim // n_subs
+    h = md5int_sql("CAST(vec_id AS VARCHAR)")
+    d2full = (
+        f"list_sum(list_transform(range(1, {dim + 1}),"
+        f" i -> (a.sq[CAST(i AS INTEGER)] - c.cv[CAST(i AS INTEGER)])"
+        f" * (a.sq[CAST(i AS INTEGER)] - c.cv[CAST(i AS INTEGER)])))"
+    )
+    d2sub = (
+        f"list_sum(list_transform(range(1, {subdim + 1}),"
+        f" i -> (a.sq[CAST(i AS INTEGER)] - c.cv[CAST(i AS INTEGER)])"
+        f" * (a.sq[CAST(i AS INTEGER)] - c.cv[CAST(i AS INTEGER)])))"
+    )
+    parts = [
+        f"""e_q AS (
+  SELECT vec_id, list_transform(embedding::DOUBLE[], x -> round(x * {KMEANS_QUANT})) AS q
+  FROM {table}
+),
+fullsubs AS (SELECT vec_id, 0 AS sub, q AS sq FROM e_q),
+seeds_coarse AS (
+  SELECT vec_id AS cid FROM e_q ORDER BY {h}, vec_id LIMIT {n_coarse}
+),
+seeds_pq AS (
+  SELECT vec_id AS cid FROM e_q ORDER BY {h}, vec_id LIMIT {n_codewords}
+)"""
+    ]
+    parts += _lloyd_sql_parts("fullsubs", "co", dim, n_coarse, n_iters, "seeds_coarse")
+    parts.append(
+        f"""coarse AS (SELECT cid AS ccid, cv AS ccv FROM cocent{n_iters}),
+resid AS (
+  SELECT vec_id, ccid,
+         list_transform(range(1, {dim + 1}),
+                        i -> sq[CAST(i AS INTEGER)] - ccv[CAST(i AS INTEGER)]) AS r
+  FROM (
+    SELECT a.vec_id, a.sq, c.ccid, c.ccv,
+           row_number() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY list_sum(list_transform(range(1, {dim + 1}),
+                   i -> (a.sq[CAST(i AS INTEGER)] - c.ccv[CAST(i AS INTEGER)])
+                      * (a.sq[CAST(i AS INTEGER)] - c.ccv[CAST(i AS INTEGER)]))) ASC,
+               c.ccid ASC
+           ) AS rn
+    FROM fullsubs a CROSS JOIN coarse c
+  ) WHERE rn = 1
+),
+rsubs AS (
+  SELECT vec_id, s AS sub, r[(s * {subdim} + 1):((s + 1) * {subdim})] AS sq
+  FROM resid, range(0, {n_subs}) t(s)
+)"""
+    )
+    parts += _lloyd_sql_parts("rsubs", "pq", subdim, n_codewords, n_iters, "seeds_pq")
+    parts.append(
+        f"""books AS (SELECT sub, cid, cv FROM pqcent{n_iters}),
+codes AS (
+  SELECT vec_id, sub, code, ccid FROM (
+    SELECT a.vec_id, a.sub, c.cid AS code,
+           row_number() OVER (
+               PARTITION BY a.vec_id, a.sub ORDER BY {d2sub} ASC, c.cid ASC
+           ) AS rn
+    FROM rsubs a JOIN books c USING (sub)
+  ) JOIN (SELECT vec_id, ccid FROM resid) USING (vec_id)
+  WHERE rn = 1
+),
+probes AS (
+  SELECT query_id, ccid, qr FROM (
+    SELECT a.vec_id AS query_id, c.ccid,
+           list_transform(range(1, {dim + 1}),
+                          i -> a.sq[CAST(i AS INTEGER)] - c.ccv[CAST(i AS INTEGER)]) AS qr,
+           row_number() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY list_sum(list_transform(range(1, {dim + 1}),
+                   i -> (a.sq[CAST(i AS INTEGER)] - c.ccv[CAST(i AS INTEGER)])
+                      * (a.sq[CAST(i AS INTEGER)] - c.ccv[CAST(i AS INTEGER)]))) ASC,
+               c.ccid ASC
+           ) AS rn
+    FROM fullsubs a CROSS JOIN coarse c
+    WHERE a.vec_id < {num_queries}
+  ) WHERE rn <= {n_probe}
+),
+qrsubs AS (
+  SELECT query_id, ccid, s AS sub,
+         qr[(s * {subdim} + 1):((s + 1) * {subdim})] AS sq
+  FROM probes, range(0, {n_subs}) t(s)
+),
+lut AS (
+  SELECT a.query_id, a.ccid, a.sub, c.cid AS code, {d2sub} AS d2
+  FROM qrsubs a JOIN books c USING (sub)
+),
+adc AS (
+  SELECT l.query_id, codes.vec_id AS neighbor_id, sum(l.d2) AS adc
+  FROM codes JOIN lut l USING (ccid, sub, code)
   WHERE codes.vec_id <> l.query_id
   GROUP BY 1, 2
 )"""

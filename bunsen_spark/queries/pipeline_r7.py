@@ -68,14 +68,31 @@ def _pq_sql() -> str:
     return pq_topk_sql()
 
 
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full IVF-PQ (IVFADC): coarse inverted-list pruning + residual
+    product quantization, both integer-lattice Lloyd
+    (`operators/similarity.py:ivfpq_topk`)."""
+    from ..operators.similarity import ivfpq_topk
+
+    return ivfpq_topk(load(spark, sf_dir, "embeddings"))
+
+
+def _ivfpq_sql() -> str:
+    from ..operators.similarity import ivfpq_topk_sql
+
+    return ivfpq_topk_sql()
+
+
 QUERIES = {
     "semantic_dedup_drops": semantic_dedup_drops,
     "global_rank_orders": global_rank_orders,
     "ann_pq_topk": ann_pq_topk,
+    "ann_ivfpq_topk": ann_ivfpq_topk,
 }
 
 ORACLES = {
     "semantic_dedup_drops": _semantic_dedup_sql(),
     "global_rank_orders": _GLOBAL_RANK_SQL,
     "ann_pq_topk": _pq_sql(),
+    "ann_ivfpq_topk": _ivfpq_sql(),
 }

@@ -176,3 +176,35 @@ def test_pq_codes_and_recall(spark, sf_dir):
     a = sorted(map(tuple, pq_topk(emb, k=5, num_queries=8).collect()))
     b = sorted(map(tuple, pq_topk(emb.repartition(7), k=5, num_queries=8).collect()))
     assert a == b
+
+
+def test_ivfpq_candidates_come_from_probed_cells(spark, sf_dir):
+    """IVF-PQ results are consistent with its contract: deterministic
+    across layouts, self never returned, exactly k rows per query, and
+    recall above chance despite the double approximation."""
+    from bunsen_spark.operators.similarity import brute_force_topk, ivfpq_topk
+
+    emb = _emb(spark, sf_dir)
+    out = ivfpq_topk(emb, k=5, num_queries=8).collect()
+    per_q = {}
+    for r in out:
+        assert r["neighbor_id"] != r["query_id"]
+        per_q.setdefault(r["query_id"], []).append(r["rank"])
+    for q, ranks in per_q.items():
+        assert sorted(ranks) == [1, 2, 3, 4, 5], q
+
+    a = sorted(map(tuple, out))
+    b = sorted(map(tuple, ivfpq_topk(emb.repartition(5), k=5, num_queries=8).collect()))
+    assert a == b
+
+    k = 10
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, k=k, num_queries=8).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivfpq_topk(emb, k=k, num_queries=8).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall > 0.05, recall  # chance is ~0.02 on random vectors
