@@ -46,6 +46,10 @@ HEAVY = [
     "ann_ivf_kmeans_topk",
     "ann_lsh_topk",
     "fuzzy_join_even_odd",
+    "rfm_user_segments",
+    "semantic_dedup_drops",
+    "ann_pq_topk",
+    "ann_ivfpq_topk",
 ]
 
 
