@@ -6,12 +6,13 @@ Beyond-reference scale extension (SURVEY §7 M7). Design for 100 TB:
 
 - **exact**: one hash-aggregate on a text digest — a single shuffle on
   a 32-byte key, never on the text itself.
-- **jaccard_pairs**: exact set-Jaccard via posting-list self-join
-  (shingle → doc inverted index). Skew is bounded by ``max_df``
-  stop-shingle pruning (a shingle in more than ``max_df`` docs is
-  dropped from BOTH the intersection and the per-doc sizes, keeping
-  the measure self-consistent); without it one hot shingle over m docs
-  explodes into m² join rows.
+- **jaccard_pairs**: exact set-Jaccard via PPJoin rarest-first prefix
+  filtering over the hashed inverted index (the shared
+  :mod:`setjoin` core) — candidates are bounded by the rarest tokens
+  of each set, never a posting-list pair expansion (the O(Σ df²) form
+  measured superlinear at 10× data; PERF.md "Round-7"). ``max_df``
+  stop-shingle pruning still applies to BOTH the intersection and the
+  per-doc sizes, keeping the pruned measure self-consistent.
 - **minhash_lsh_pairs**: candidate generation is |docs| × bands rows
   (constant per doc), so the pair-join only sees docs agreeing on a
   full band — the classic sub-quadratic near-dup path. Candidates are
