@@ -141,8 +141,8 @@ def jaccard_pairs(
     portable: bool = False,
 ) -> DataFrame:
     """Exact Jaccard near-dup pairs over word ``n``-gram shingle sets,
-    via posting-list self-join; shingles with document frequency >
-    ``max_df`` are pruned everywhere (see module doc). Output:
+    via prefix-filtered candidate join; shingles with document
+    frequency > ``max_df`` are pruned everywhere (see module doc). Output:
     (a_id, b_id, jaccard) with jaccard ≥ threshold, rounded to 6.
 
     Postings are keyed by the 8-byte shingle hash, not the shingle
