@@ -138,11 +138,20 @@ def main() -> None:
             print(f"# bench error in {name}: {e}", file=sys.stderr)
         # drop this query's DataFrame refs so Spark's ContextCleaner can
         # unpersist its (lazy-localCheckpoint) RDD blocks before the next
-        # query — prevents cross-query block-manager pressure from
-        # polluting a later query's timing in a long 88-query session
+        # query, AND force a JVM GC so the cleaner actually runs NOW:
+        # Python gc alone leaves the JVM-side checkpoint/shuffle blocks
+        # to an eventual collection, and the accumulated block-manager
+        # pressure degraded mid/late-run queries 3-6x once the heavy
+        # materialize-laden families moved to the head of the registry
+        # (measured r7: daily_top_event_types 5.85 s in-session vs
+        # 0.44 s with per-query System.gc(); fresh-session 0.3-0.5 s).
         import gc
 
         gc.collect()
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:  # noqa: BLE001 - measurement hygiene only
+            pass
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     full = {

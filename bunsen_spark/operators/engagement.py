@@ -210,7 +210,7 @@ def rfm_segments(
     if n_bins < 2:
         raise ValueError("n_bins must be >= 2")
     from ..persist import materialize
-    from .windows import global_row_number
+    from .windows import global_row_number, ntile_from_rank
 
     per_key = materialize(
         events.groupBy(key).agg(
@@ -231,23 +231,9 @@ def rfm_segments(
             [F.col(metric).asc(), F.col(key).asc()],
             out_col="__k",
         ).crossJoin(F.broadcast(n_tot))
-        q = F.expr(f"__n div {n_bins}")
-        r = F.col("__n") - q * n_bins
-        takes = r * (q + F.lit(1))
-        k = F.col("__k")
-        # integer ceil via (x + d - 1) div d on longs — no doubles
-        bin_expr = F.when(
-            k <= takes,
-            F.expr(f"(__k + (__n div {n_bins})) div ((__n div {n_bins}) + 1)"),
-        ).otherwise(
-            r
-            + F.expr(
-                f"(__k - (__n - (__n div {n_bins}) * {n_bins})"
-                f" * ((__n div {n_bins}) + 1) + (__n div {n_bins}) - 1)"
-                f" div greatest(__n div {n_bins}, 1)"
-            )
+        bins = ranked.select(
+            key, ntile_from_rank("__k", "__n", n_bins).alias(bin_name)
         )
-        bins = ranked.select(key, bin_expr.cast("long").alias(bin_name))
         out = out.join(bins, key)
     return out.select(key, "last_us", "n_events", "cents", "r_bin", "f_bin", "m_bin")
 

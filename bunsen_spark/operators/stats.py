@@ -269,3 +269,125 @@ FROM (
   FROM ({table_sql}) __t
 ) __w
 """
+
+
+def equi_depth_histogram(
+    df: DataFrame,
+    col: str,
+    n_bins: int,
+    tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """Exact equi-depth (equal-frequency) histogram — the optimizer-
+    statistics / feature-binning shape: ``n_bins`` buckets of (near-)
+    equal row count with their value ranges. Output: (bin, lo, hi, n),
+    bin 1 = lowest values, ntile row-split semantics (first ``N mod
+    n_bins`` bins take the extra row).
+
+    Distributed-exact: global rank via
+    :func:`windows.global_row_number` (range repartition + broadcast
+    offsets — no single-partition window), the bin from the rank
+    arithmetic (:func:`windows.ntile_from_rank`), then one aggregate.
+    ``tiebreak`` columns must complete a total order; the histogram
+    VALUES are tie-order-invariant (tied values share a bin boundary
+    value by construction), the gate just needs determinism."""
+    from .windows import global_row_number, ntile_from_rank
+
+    tiebreak = tiebreak or []
+    src = df.select(col, *tiebreak)
+    ranked = global_row_number(
+        src, [F.col(col).asc()] + [F.col(t).asc() for t in tiebreak], "__k"
+    )
+    n_tot = src.agg(F.count(F.lit(1)).alias("__n"))
+    binned = ranked.crossJoin(F.broadcast(n_tot)).withColumn(
+        "bin", ntile_from_rank("__k", "__n", n_bins)
+    )
+    return binned.groupBy("bin").agg(
+        F.min(col).alias("lo"),
+        F.max(col).alias("hi"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+
+
+def equi_depth_histogram_sql(
+    table_sql: str, col: str, n_bins: int, tiebreak: list[str] | None = None
+) -> str:
+    """DuckDB twin via the engine's own ntile window."""
+    order = ", ".join([col] + (tiebreak or []))
+    return f"""
+WITH src AS ({table_sql}), b AS (
+  SELECT {col} AS v, CAST(ntile({n_bins}) OVER (ORDER BY {order}) AS BIGINT) AS bin
+  FROM src
+)
+SELECT bin, min(v) AS lo, max(v) AS hi, CAST(count(*) AS BIGINT) AS n
+FROM b GROUP BY bin
+"""
+
+
+def weighted_quantiles(
+    df: DataFrame,
+    value_col: str,
+    weight_col: str,
+    qs: list[tuple[str, int, int]],
+    tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """Exact WEIGHTED quantiles at scale — "the value below which q of
+    the total weight lies" (weighted median = q 1/2), the curation
+    shape for token-mass / byte-mass cutoffs where row-count quantiles
+    mislead. ``qs`` are (label, num, den) rational quantiles; weights
+    must be positive integers (cast to long). Output: (q, value).
+
+    Plan: one exact global weighted running total
+    (:func:`windows.global_weighted_cumsum` — range repartition +
+    broadcast per-partition totals, NO single-partition window), the
+    total weight W broadcast as one row, and the selection "first row
+    with cumw >= ceil(q·W)" as a map-side filter — integer targets via
+    ``(W·num + den - 1) div den``, so the DuckDB twin is bit-exact."""
+    from .windows import global_weighted_cumsum
+
+    tiebreak = tiebreak or []
+    w = F.col(weight_col).cast("long")
+    src = df.select(value_col, *tiebreak, w.alias("__wt"))
+    cum = global_weighted_cumsum(
+        src,
+        [F.col(value_col).asc()] + [F.col(t).asc() for t in tiebreak],
+        "__wt",
+        "__cumw",
+    )
+    spark = df.sparkSession
+    targets = spark.createDataFrame(qs, "q string, num long, den long")
+    tot = src.agg(F.sum("__wt").alias("__W"))
+    targets = targets.crossJoin(tot).select(
+        "q",
+        F.expr("(__W * num + den - 1) div den").alias("__target"),
+    )
+    hit = cum.crossJoin(F.broadcast(targets)).where(
+        (F.col("__cumw") >= F.col("__target"))
+        & (F.col("__cumw") - F.col("__wt") < F.col("__target"))
+    )
+    return hit.select("q", F.col(value_col).alias("value"))
+
+
+def weighted_quantiles_sql(
+    table_sql: str,
+    value_col: str,
+    weight_col: str,
+    qs: list[tuple[str, int, int]],
+    tiebreak: list[str] | None = None,
+) -> str:
+    """DuckDB twin: global window cumsum + the same integer targets."""
+    order = ", ".join([value_col] + (tiebreak or []))
+    values = ", ".join(f"('{q}', {num}, {den})" for q, num, den in qs)
+    return f"""
+WITH src AS ({table_sql}), o AS (
+  SELECT {value_col} AS v, CAST({weight_col} AS BIGINT) AS wt,
+         sum(CAST({weight_col} AS BIGINT)) OVER (
+             ORDER BY {order} ROWS UNBOUNDED PRECEDING
+         ) AS cumw
+  FROM src
+), tot AS (SELECT sum(CAST({weight_col} AS BIGINT)) AS W FROM src),
+targets(q, num, den) AS (VALUES {values})
+SELECT q, v AS value
+FROM o, tot, targets
+WHERE cumw >= (W * num + den - 1) // den
+  AND cumw - wt < (W * num + den - 1) // den
+"""

@@ -144,3 +144,84 @@ def global_row_number(
         .withColumn(out_col, F.row_number().over(w) + F.col("__off"))
         .drop("__pid")
     )
+
+
+def ntile_from_rank(rank_col: str, total_col: str, n_bins: int) -> Column:
+    """SQL-standard ``ntile`` bin computed ARITHMETICALLY from a
+    1-based global rank column and a total-count column — with
+    q = N div b and r = N mod b, the first r bins take q+1 rows:
+
+        bin(k) = ceil(k / (q+1))             if k <= r·(q+1)
+               = r + ceil((k - r·(q+1)) / q)  otherwise
+
+    Integer ``div``-ceil throughout (no doubles). Combined with
+    :func:`global_row_number` this reproduces a global ``ntile(b)
+    OVER (ORDER BY ...)`` bit-for-bit without the single-partition
+    window (used by ``engagement.rfm_segments`` and
+    ``stats.equi_depth_histogram``; the DuckDB gates pin the identity
+    on real data)."""
+    if n_bins < 1:
+        raise ValueError("n_bins must be >= 1")
+    q = f"({total_col} div {n_bins})"
+    r = f"({total_col} - {q} * {n_bins})"
+    takes = f"({r} * ({q} + 1))"
+    return (
+        F.when(
+            F.expr(f"{rank_col} <= {takes}"),
+            F.expr(f"({rank_col} + {q}) div ({q} + 1)"),
+        )
+        .otherwise(
+            F.expr(
+                f"{r} + ({rank_col} - {takes} + {q} - 1) div greatest({q}, 1)"
+            )
+        )
+        .cast("long")
+    )
+
+
+def global_weighted_cumsum(
+    df: DataFrame,
+    order_cols: list[str | Column],
+    weight: str | Column,
+    out_col: str = "cumw",
+    partitions: int | None = None,
+) -> DataFrame:
+    """Exact INCLUSIVE global running total of ``weight`` in
+    ``order_cols`` order, without a single-partition window — the same
+    range-repartition + broadcast-offset shape as
+    :func:`global_row_number`, with per-range-partition weight TOTALS
+    as the offsets. ``weight`` must be exactly summable (integers /
+    decimals): exact associativity is what makes the split equal the
+    global scan bit-for-bit. The primitive behind exact distributed
+    weighted quantiles / equi-mass binning."""
+    from ..persist import materialize
+
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    w = F.col(weight) if isinstance(weight, str) else weight
+    rp = (
+        df.repartitionByRange(partitions, *cols)
+        if partitions is not None
+        else df.repartitionByRange(*cols)
+    )
+    tagged = materialize(
+        rp.withColumn("__pid", F.spark_partition_id()).withColumn("__w", w)
+    )
+    counts = tagged.groupBy("__pid").agg(F.sum("__w").alias("__c"))
+    earlier = counts.select(
+        F.col("__pid").alias("__pid2"), F.col("__c").alias("__c2")
+    )
+    offsets = (
+        counts.join(earlier, F.col("__pid2") < F.col("__pid"), "left")
+        .groupBy("__pid")
+        .agg(F.coalesce(F.sum("__c2"), F.lit(0)).alias("__off"))
+    )
+    win = (
+        Window.partitionBy("__pid")
+        .orderBy(*cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        tagged.join(F.broadcast(offsets), "__pid")
+        .withColumn(out_col, F.sum("__w").over(win) + F.col("__off"))
+        .drop("__pid", "__w")
+    )

@@ -96,3 +96,70 @@ ORACLES = {
     "ann_pq_topk": _pq_sql(),
     "ann_ivfpq_topk": _ivfpq_sql(),
 }
+
+
+def equi_depth_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact equi-depth histogram of order totals, 8 bins
+    (`operators/stats.py:equi_depth_histogram` — distributed global
+    rank + arithmetic ntile, no single-partition window)."""
+    from ..operators.stats import equi_depth_histogram
+
+    return equi_depth_histogram(
+        load(spark, sf_dir, "orders"), "o_totalprice", 8, tiebreak=["o_orderkey"]
+    )
+
+
+def _equi_depth_sql() -> str:
+    from ..operators.stats import equi_depth_histogram_sql
+
+    return equi_depth_histogram_sql(
+        "SELECT o_totalprice, o_orderkey FROM orders",
+        "o_totalprice",
+        8,
+        tiebreak=["o_orderkey"],
+    )
+
+
+_WQ = [("0.25", 1, 4), ("0.5", 1, 2), ("0.75", 3, 4), ("0.9", 9, 10)]
+
+
+def weighted_median_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact weighted quantiles of lineitem price with quantity as the
+    weight (`operators/stats.py:weighted_quantiles` — distributed
+    weighted running total, integer targets): 'the price below which q
+    of the shipped-quantity mass lies'."""
+    from ..operators.stats import weighted_quantiles
+
+    return weighted_quantiles(
+        load(spark, sf_dir, "lineitem"),
+        "l_extendedprice",
+        "l_quantity",
+        _WQ,
+        tiebreak=["l_orderkey", "l_linenumber"],
+    )
+
+
+def _weighted_median_sql() -> str:
+    from ..operators.stats import weighted_quantiles_sql
+
+    return weighted_quantiles_sql(
+        "SELECT l_extendedprice, l_quantity, l_orderkey, l_linenumber FROM lineitem",
+        "l_extendedprice",
+        "l_quantity",
+        _WQ,
+        tiebreak=["l_orderkey", "l_linenumber"],
+    )
+
+
+QUERIES.update(
+    {
+        "equi_depth_prices": equi_depth_prices,
+        "weighted_median_prices": weighted_median_prices,
+    }
+)
+ORACLES.update(
+    {
+        "equi_depth_prices": _equi_depth_sql(),
+        "weighted_median_prices": _weighted_median_sql(),
+    }
+)

@@ -493,3 +493,51 @@ def test_winsorize_null_key_matches_duckdb_twin(spark):
                                 cols="g, v")
     want = sorted((tuple(r) for r in con.execute(sql).fetchall()), key=order)
     assert got == want
+
+
+def test_equi_depth_histogram_matches_ntile(spark):
+    """Bin populations and boundaries equal the engine's own global
+    ntile — including the uneven split (N mod bins != 0)."""
+    from pyspark.sql import functions as F
+
+    from bunsen_spark.operators.stats import equi_depth_histogram
+
+    df = spark.range(0, 103).select(
+        ((F.col("id") * 37) % 101).alias("v"), F.col("id").alias("k")
+    ).repartition(7)
+    got = {
+        r["bin"]: (r["lo"], r["hi"], r["n"])
+        for r in equi_depth_histogram(df, "v", 4, tiebreak=["k"]).collect()
+    }
+    df.createOrReplaceTempView("__edh")
+    want = {
+        r["bin"]: (r["lo"], r["hi"], r["n"])
+        for r in spark.sql("""
+            SELECT bin, min(v) AS lo, max(v) AS hi, count(*) AS n FROM (
+              SELECT v, CAST(ntile(4) OVER (ORDER BY v, k) AS BIGINT) AS bin
+              FROM __edh
+            ) GROUP BY bin""").collect()
+    }
+    assert got == want
+    assert sum(n for _, _, n in got.values()) == 103
+    # 103 rows into 4 bins: first 3 bins take 26, last takes 25
+    assert [got[b][2] for b in sorted(got)] == [26, 26, 26, 25]
+
+
+def test_weighted_quantiles_exact(spark):
+    """Weighted quantiles equal the brute-force definition: smallest
+    value whose cumulative weight reaches ceil(q * W)."""
+    from bunsen_spark.operators.stats import weighted_quantiles
+
+    rows = [(v, w, i) for i, (v, w) in enumerate(
+        [(10, 1), (20, 5), (30, 1), (40, 2), (50, 1)]
+    )]
+    df = spark.createDataFrame(rows, "v long, w long, k long").repartition(3)
+    qs = [("0.1", 1, 10), ("0.5", 1, 2), ("0.6", 3, 5), ("0.99", 99, 100)]
+    got = {r["q"]: r["value"] for r in
+           weighted_quantiles(df, "v", "w", qs, tiebreak=["k"]).collect()}
+    # W=10; targets: ceil(1)=1 -> 10, ceil(5)=5 -> 20, ceil(6)=6 -> 20,
+    # ceil(9.9)=10 -> 50
+    assert got == {"0.1": 10, "0.5": 20, "0.6": 20, "0.99": 50}
+    # exactly one row per quantile
+    assert weighted_quantiles(df, "v", "w", qs, tiebreak=["k"]).count() == len(qs)
