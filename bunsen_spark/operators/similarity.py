@@ -1429,3 +1429,72 @@ SELECT query_id, neighbor_id, rank FROM (
   FROM adc
 ) WHERE rank <= {k}
 """
+
+
+# -- persisted PQ index: encode once, search from codes ----------------------
+
+
+def write_pq_index(
+    embeddings: DataFrame,
+    path: str,
+    n_subs: int = PQ_SUBS,
+    k: int = PQ_K,
+    n_iters: int = KMEANS_ITERS,
+    mode: str = "error",
+) -> None:
+    """Train + persist a PQ index: ``{path}/books`` (sub, cid, cv — the
+    tiny codebooks) and ``{path}/codes`` (vec_id, sub, code — 8 longs
+    per vector). The 100 TB contract: the raw vectors are read ONCE at
+    build time; every later search touches only the ~8×-smaller codes
+    table (:func:`read_pq_index` / :func:`pq_index_topk`), and
+    streaming arrivals append codes without retraining
+    (:func:`bunsen_spark.streaming.ann.stream_pq_encode`).
+    ``(n_subs, k, n_iters)`` must stay constant per index path."""
+    books = pq_codebooks(embeddings, n_subs, k, n_iters).transform(materialize)
+    books.write.mode(mode).parquet(f"{path}/books")
+    pq_encode(embeddings, books, n_subs).write.mode(mode).parquet(f"{path}/codes")
+
+
+def read_pq_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
+    """(books, codes) of a persisted PQ index — codes include any
+    partitions appended by the streaming encoder."""
+    return (
+        spark.read.parquet(f"{path}/books"),
+        spark.read.parquet(f"{path}/codes").select("vec_id", "sub", "code"),
+    )
+
+
+def pq_index_topk(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    n_subs: int = PQ_SUBS,
+) -> DataFrame:
+    """ADC top-k against a PERSISTED index: queries are (vec_id,
+    embedding) rows; scoring reads only the codes table + broadcast
+    books/LUTs — the raw corpus vectors are never touched. Output:
+    (query_id, neighbor_id, rank); self-matches (same vec_id) are
+    excluded so querying corpus members behaves like :func:`pq_topk`."""
+    books, codes = read_pq_index(spark, path)
+    qsubs = _sub_quantized(queries, n_subs).select(
+        F.col("vec_id").alias("query_id"), "sub", F.col("sq").alias("qsq")
+    )
+    lut = qsubs.join(F.broadcast(books), "sub").select(
+        "query_id",
+        "sub",
+        F.col("cid").alias("code"),
+        _d2(F.col("qsq"), F.col("cv")).alias("d2"),
+    )
+    adc = (
+        codes.join(F.broadcast(lut), ["sub", "code"])
+        .where(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("d2").alias("adc"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("neighbor_id"))
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )

@@ -1,0 +1,67 @@
+"""Streaming ANN-index maintenance: encode arriving embedding rows
+against a FROZEN product-quantization codebook and append their 8-byte
+codes to the persisted index — the standard production split (train the
+quantizer offline on a sample; keep the index fresh online without
+retraining). Follows this package's foreachBatch conventions
+(per-batch-partition writes, dynamic overwrite for replay idempotence,
+availableNow triggers for bounded catch-up runs).
+
+No reference counterpart (the reference is batch-only; SURVEY §2) —
+beyond-reference extension composing `operators/similarity.py`'s PQ
+family with Structured Streaming.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def stream_pq_encode(
+    embeddings_stream: DataFrame,
+    index_path: str,
+    checkpoint: str,
+    n_subs: int | None = None,
+    trigger_available_now: bool = True,
+):
+    """Append PQ codes for streaming (vec_id, embedding) rows to
+    ``{index_path}/codes``. The codebooks are read from
+    ``{index_path}/books`` once per micro-batch (tiny; broadcast by the
+    encoder) and NEVER modified — geometry is pinned by the index
+    builder (:func:`operators.similarity.write_pq_index`). Replayed
+    batches overwrite their own partition (idempotent)."""
+    from ..operators.similarity import PQ_SUBS, pq_encode
+
+    subs = PQ_SUBS if n_subs is None else n_subs
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        books = batch_df.sparkSession.read.parquet(f"{index_path}/books")
+        (
+            pq_encode(batch_df, books, subs)
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(f"{index_path}/codes_stream")
+        )
+
+    writer = embeddings_stream.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_stream_codes(spark, index_path: str) -> DataFrame:
+    """All codes of a streamed-into index: the batch-built base codes
+    plus every streaming append — the frame :func:`pq_index_topk`-style
+    scoring consumes."""
+    base = spark.read.parquet(f"{index_path}/codes").select("vec_id", "sub", "code")
+    try:
+        extra = spark.read.parquet(f"{index_path}/codes_stream").select(
+            "vec_id", "sub", "code"
+        )
+    except Exception:  # noqa: BLE001 — no streaming appends yet
+        return base
+    return base.unionByName(extra)

@@ -1,0 +1,80 @@
+"""PQ index lifecycle: persisted-index search equals the in-memory
+operator, and streaming code appends equal the batch encoder under the
+same frozen codebooks."""
+
+from __future__ import annotations
+
+import pyspark.sql.types as T
+from pyspark.sql import functions as F
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def test_pq_index_roundtrip_equals_operator(spark, sf_dir, tmp_path):
+    from bunsen_spark.operators.similarity import (
+        pq_index_topk,
+        pq_topk,
+        write_pq_index,
+    )
+
+    emb = _emb(spark, sf_dir)
+    path = str(tmp_path / "pq")
+    write_pq_index(emb, path)
+    queries = emb.where(F.col("vec_id") < 8)
+    got = sorted(
+        map(tuple, pq_index_topk(spark, path, queries, k=5).collect())
+    )
+    want = sorted(map(tuple, pq_topk(emb, k=5, num_queries=8).collect()))
+    assert got == want
+
+
+def test_stream_pq_encode_equals_batch(spark, sf_dir, tmp_path):
+    import json as jsonlib
+
+    from bunsen_spark.operators.similarity import pq_encode, write_pq_index
+    from bunsen_spark.streaming.ann import read_stream_codes, stream_pq_encode
+
+    emb = _emb(spark, sf_dir)
+    base = emb.where(F.col("vec_id") < 300)
+    late = emb.where(F.col("vec_id") >= 300)
+    path = str(tmp_path / "pq")
+    # codebooks train on the BASE sample only — the production split
+    write_pq_index(base, path)
+
+    src = tmp_path / "arrivals"
+    src.mkdir()
+    rows = late.collect()
+    for b in range(2):
+        with open(src / f"b{b}.jsonl", "w") as f:
+            for r in rows[b::2]:
+                f.write(
+                    jsonlib.dumps(
+                        {"vec_id": r["vec_id"], "embedding": list(r["embedding"])}
+                    )
+                    + "\n"
+                )
+    stream = (
+        spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", 1).json(str(src))
+    )
+    q = stream_pq_encode(stream, path, str(tmp_path / "ckpt"))
+    q.awaitTermination(180)
+
+    books = spark.read.parquet(f"{path}/books")
+    got = sorted(
+        (r["vec_id"], r["sub"], r["code"])
+        for r in read_stream_codes(spark, path).collect()
+    )
+    want = sorted(
+        (r["vec_id"], r["sub"], r["code"])
+        for r in pq_encode(emb, books).collect()
+    )
+    assert got == want
