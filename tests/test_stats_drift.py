@@ -541,3 +541,65 @@ def test_weighted_quantiles_exact(spark):
     assert got == {"0.1": 10, "0.5": 20, "0.6": 20, "0.99": 50}
     # exactly one row per quantile
     assert weighted_quantiles(df, "v", "w", qs, tiebreak=["k"]).count() == len(qs)
+
+
+import random
+
+import pytest
+
+
+@pytest.mark.parametrize("seed", [3, 14, 42])
+def test_rank_and_weighted_quantiles_random_vs_python(spark, seed):
+    """Randomized check of the distributed order-statistics primitives
+    against pure-Python references: exact global rank, exact weighted
+    cumulative sum, and the weighted-quantile selection rule."""
+    from pyspark.sql import functions as F
+
+    from bunsen_spark.operators.stats import weighted_quantiles
+    from bunsen_spark.operators.windows import (
+        global_row_number,
+        global_weighted_cumsum,
+    )
+
+    rng = random.Random(seed)
+    n = rng.randint(5, 120)
+    rows = [(rng.randint(-50, 50), rng.randint(1, 9), i) for i in range(n)]
+    df = spark.createDataFrame(rows, "v long, w long, k long").repartition(
+        rng.randint(1, 8)
+    )
+    order = sorted(rows, key=lambda r: (r[0], r[2]))
+
+    ranked = {
+        r["k"]: r["rn"]
+        for r in global_row_number(
+            df, [F.col("v").asc(), F.col("k").asc()], "rn"
+        ).collect()
+    }
+    assert ranked == {r[2]: i + 1 for i, r in enumerate(order)}
+
+    cums = {
+        r["k"]: r["cumw"]
+        for r in global_weighted_cumsum(
+            df, [F.col("v").asc(), F.col("k").asc()], "w", "cumw"
+        ).collect()
+    }
+    acc, expect = 0, {}
+    for v, w, k in order:
+        acc += w
+        expect[k] = acc
+    assert cums == expect
+
+    W = sum(w for _, w, _ in rows)
+    qs = [("0.25", 1, 4), ("0.5", 1, 2), ("0.9", 9, 10)]
+    got = {
+        r["q"]: r["value"]
+        for r in weighted_quantiles(df, "v", "w", qs, tiebreak=["k"]).collect()
+    }
+    for label, num, den in qs:
+        target = -(-W * num // den)  # ceil
+        acc = 0
+        for v, w, k in order:
+            acc += w
+            if acc >= target:
+                assert got[label] == v, (label, target)
+                break
