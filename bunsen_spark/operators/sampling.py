@@ -482,3 +482,131 @@ SELECT * EXCLUDE (__spent) FROM (
   FROM ({table_sql}) __t
 ) WHERE __spent < {budget}
 """
+
+
+def epoch_positions(
+    df: DataFrame, id_col: str, seed: str, out_col: str = "position"
+) -> DataFrame:
+    """Deterministic seeded epoch shuffle: assign every row a dense
+    1..N training position by the portable hash order
+    ``(md5(seed || id), id)`` — the reproducible global permutation a
+    training run needs per epoch (same seed ⇒ same order on any
+    cluster, any partitioning; new seed ⇒ fresh permutation).
+    Positions come from :func:`windows.global_row_number` (range
+    repartition + broadcast offsets), so there is NO single-partition
+    sort — the permutation is computed scale-out, unlike a naive
+    ``orderBy(rand(seed))`` + zipWithIndex."""
+    from .text_analysis import md5int
+    from .windows import global_row_number
+
+    h = md5int(F.concat(F.lit(seed), F.lit("|"), F.col(id_col).cast("string")))
+    tagged = df.withColumn("__h", h)
+    return (
+        global_row_number(
+            tagged, [F.col("__h").asc(), F.col(id_col).asc()], out_col
+        )
+        .drop("__h")
+    )
+
+
+def epoch_positions_sql(
+    table: str, id_col: str, seed: str, cols: str, out_col: str = "position"
+) -> str:
+    """DuckDB twin via the engine-native global window over the same
+    portable hash order."""
+    from .text_analysis import md5int_sql
+
+    h = md5int_sql(f"'{seed}' || '|' || CAST({id_col} AS VARCHAR)")
+    return f"""
+SELECT {cols},
+       CAST(row_number() OVER (ORDER BY {h}, {id_col}) AS BIGINT) AS {out_col}
+FROM {table}
+"""
+
+
+def interleave_positions(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    weights: dict[str, int],
+    out_col: str = "position",
+) -> DataFrame:
+    """Deterministic mixture INTERLEAVING: a global 1..N reading order
+    in which each group appears throughout the epoch in proportion to
+    its integer weight (the data-mixing schedule shape — "2 parts web,
+    1 part code, evenly interleaved", not block-concatenated). The
+    i-th document of group g (1-based, seeded-hash order within the
+    group) gets schedule key ``i / w_g``; the global order of keys
+    interleaves groups at their target rates (a group with twice the
+    weight appears twice as often in any prefix, ±1). Both the
+    within-group ranks and the final order are
+    :func:`windows.global_row_number` — fully distributed, no
+    single-task group windows even when one group dominates the corpus.
+
+    Keys are compared as ``i * L div w_g`` with ``L = lcm(weights)`` —
+    pure integers, so cross-engine order is exact; ties (groups hitting
+    the same schedule slot) break by (group, id). Groups absent from
+    ``weights`` are excluded (curation chooses the mixture)."""
+    import math
+
+    from .text_analysis import md5int
+    from .windows import global_row_number
+
+    if not weights or any(w <= 0 for w in weights.values()):
+        raise ValueError("weights must be positive integers")
+    lcm = math.lcm(*weights.values())
+    h = md5int(F.col(id_col).cast("string"))
+    parts = []
+    for grp, w in sorted(weights.items()):
+        sub = df.where(F.col(group_col) == grp).withColumn("__h", h)
+        ranked = global_row_number(
+            sub, [F.col("__h").asc(), F.col(id_col).asc()], "__i"
+        )
+        parts.append(
+            ranked.withColumn("__key", F.expr(f"__i * {lcm} div {w}")).drop("__h")
+        )
+    allp = parts[0]
+    for p in parts[1:]:
+        allp = allp.unionByName(p)
+    return (
+        global_row_number(
+            allp,
+            [F.col("__key").asc(), F.col(group_col).asc(), F.col(id_col).asc()],
+            out_col,
+        )
+        .drop("__key", "__i")
+    )
+
+
+def interleave_positions_sql(
+    table: str,
+    id_col: str,
+    group_col: str,
+    weights: dict[str, int],
+    cols: str,
+    out_col: str = "position",
+) -> str:
+    """DuckDB twin via engine-native windows over the same integer
+    schedule keys."""
+    import math
+
+    from .text_analysis import md5int_sql
+
+    lcm = math.lcm(*weights.values())
+    h = md5int_sql(f"CAST({id_col} AS VARCHAR)")
+    groups = ", ".join(f"('{g}', {w})" for g, w in sorted(weights.items()))
+    return f"""
+WITH __w(grp, w) AS (VALUES {groups}),
+__r AS (
+  SELECT t.*, w.w,
+         row_number() OVER (
+             PARTITION BY {group_col} ORDER BY {h}, {id_col}
+         ) AS __i
+  FROM {table} t JOIN __w w ON t.{group_col} = w.grp
+)
+SELECT {cols},
+       CAST(row_number() OVER (
+           ORDER BY (__i * {lcm}) // w, {group_col}, {id_col}
+       ) AS BIGINT) AS {out_col}
+FROM __r
+"""

@@ -142,7 +142,7 @@ def global_row_number(
     return (
         tagged.join(F.broadcast(offsets), "__pid")
         .withColumn(out_col, F.row_number().over(w) + F.col("__off"))
-        .drop("__pid")
+        .drop("__pid", "__off")
     )
 
 
@@ -223,5 +223,5 @@ def global_weighted_cumsum(
     return (
         tagged.join(F.broadcast(offsets), "__pid")
         .withColumn(out_col, F.sum("__w").over(win) + F.col("__off"))
-        .drop("__pid", "__w")
+        .drop("__pid", "__w", "__off")
     )

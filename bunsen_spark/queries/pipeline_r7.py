@@ -163,3 +163,61 @@ ORACLES.update(
         "weighted_median_prices": _weighted_median_sql(),
     }
 )
+
+
+def epoch_shuffle_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded deterministic epoch permutation of the documents corpus
+    (`operators/sampling.py:epoch_positions` — distributed global rank
+    over the portable hash order)."""
+    from ..operators.sampling import epoch_positions
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    return epoch_positions(docs, "doc_id", "epoch7")
+
+
+def _epoch_shuffle_sql() -> str:
+    from ..operators.sampling import epoch_positions_sql
+
+    return epoch_positions_sql(
+        "(SELECT doc_id, source FROM documents) __d", "doc_id", "epoch7",
+        "doc_id, source",
+    )
+
+
+_MIX_WEIGHTS = {"src0": 3, "src1": 2, "src2": 2, "src3": 1}
+
+
+def interleave_mix_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mixture-interleaved reading order over the
+    documents corpus (`operators/sampling.py:interleave_positions`):
+    the chosen sources appear throughout the epoch at 3:2:2:1 weights."""
+    from ..operators.sampling import interleave_positions
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    return interleave_positions(docs, "doc_id", "source", _MIX_WEIGHTS)
+
+
+def _interleave_sql() -> str:
+    from ..operators.sampling import interleave_positions_sql
+
+    return interleave_positions_sql(
+        "(SELECT doc_id, source FROM documents)",
+        "doc_id",
+        "source",
+        _MIX_WEIGHTS,
+        "doc_id, source",
+    )
+
+
+QUERIES.update(
+    {
+        "epoch_shuffle_positions": epoch_shuffle_positions,
+        "interleave_mix_positions": interleave_mix_positions,
+    }
+)
+ORACLES.update(
+    {
+        "epoch_shuffle_positions": _epoch_shuffle_sql(),
+        "interleave_mix_positions": _interleave_sql(),
+    }
+)

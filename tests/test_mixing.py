@@ -105,3 +105,50 @@ def test_temperature_sample_deterministic_and_validated(spark):
     assert a == b and len(a) > 0
     with pytest.raises(ValueError):
         temperature_sample(df, "doc_id", "lang", "n_chars", tau=0.5)
+
+
+def test_epoch_positions_deterministic_permutation(spark):
+    from pyspark.sql import functions as F
+
+    from bunsen_spark.operators.sampling import epoch_positions
+
+    df = spark.range(0, 200).select(F.col("id").alias("doc_id")).repartition(7)
+    a = {r["doc_id"]: r["position"] for r in epoch_positions(df, "doc_id", "s1").collect()}
+    b = {r["doc_id"]: r["position"] for r in epoch_positions(df.repartition(3), "doc_id", "s1").collect()}
+    c = {r["doc_id"]: r["position"] for r in epoch_positions(df, "doc_id", "s2").collect()}
+    assert a == b  # layout-invariant
+    assert sorted(a.values()) == list(range(1, 201))  # dense permutation
+    assert a != c  # a new seed reshuffles
+    # hash order is not identity order
+    assert [a[i] for i in range(200)] != list(range(1, 201))
+
+
+def test_interleave_positions_prefix_proportions(spark):
+    """Every prefix of the schedule contains each group in proportion
+    to its weight (±1 per group) — the interleaving contract that
+    block concatenation or naive shuffling does not give."""
+    from bunsen_spark.operators.sampling import interleave_positions
+
+    rows = [(i, "a") for i in range(120)] + [(1000 + i, "b") for i in range(60)] \
+        + [(2000 + i, "c") for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, grp string").repartition(5)
+    out = sorted(
+        (r["position"], r["grp"])
+        for r in interleave_positions(df, "doc_id", "grp", {"a": 2, "b": 1, "c": 1}).collect()
+    )
+    assert [p for p, _ in out] == list(range(1, 241))
+    seen = {"a": 0, "b": 0, "c": 0}
+    total_w = 4
+    for p, g in out:
+        seen[g] += 1
+        for grp, w in (("a", 2), ("b", 1), ("c", 1)):
+            expected = p * w / total_w
+            assert abs(seen[grp] - expected) <= 2.0, (p, grp, seen)
+    # weights-absent groups are excluded
+    out2 = interleave_positions(df, "doc_id", "grp", {"a": 1, "b": 1}).collect()
+    assert {r["grp"] for r in out2} == {"a", "b"}
+    # bad weights rejected
+    import pytest
+
+    with pytest.raises(ValueError):
+        interleave_positions(df, "doc_id", "grp", {"a": 0})
