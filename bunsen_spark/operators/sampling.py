@@ -556,25 +556,42 @@ def interleave_positions(
         raise ValueError("weights must be positive integers")
     lcm = math.lcm(*weights.values())
     h = md5int(F.col(id_col).cast("string"))
-    parts = []
-    for grp, w in sorted(weights.items()):
-        sub = df.where(F.col(group_col) == grp).withColumn("__h", h)
-        ranked = global_row_number(
-            sub, [F.col("__h").asc(), F.col(id_col).asc()], "__i"
-        )
-        parts.append(
-            ranked.withColumn("__key", F.expr(f"__i * {lcm} div {w}")).drop("__h")
-        )
-    allp = parts[0]
-    for p in parts[1:]:
-        allp = allp.unionByName(p)
+    kept = df.where(F.col(group_col).isin(*weights)).withColumn("__h", h)
+    # Within-group ranks WITHOUT per-group jobs: ONE global ranking
+    # over (group, hash, id) minus broadcast per-group offsets (the
+    # cumulative sizes of earlier groups in the same order) — two
+    # bounded ranking passes total, regardless of how many groups the
+    # mixture has or how dominant one group is.
+    granked = global_row_number(
+        kept,
+        [F.col(group_col).asc(), F.col("__h").asc(), F.col(id_col).asc()],
+        "__gr",
+    )
+    sizes = kept.groupBy(group_col).agg(F.count(F.lit(1)).alias("__sz"))
+    earlier = sizes.select(
+        F.col(group_col).alias("__g2"), F.col("__sz").alias("__sz2")
+    )
+    offsets = (
+        sizes.join(earlier, F.col("__g2") < F.col(group_col), "left")
+        .groupBy(group_col)
+        .agg(F.coalesce(F.sum("__sz2"), F.lit(0)).alias("__goff"))
+    )
+    wtab = df.sparkSession.createDataFrame(
+        sorted(weights.items()), f"{group_col} string, __wt long"
+    )
+    keyed = (
+        granked.join(F.broadcast(offsets), group_col)
+        .join(F.broadcast(wtab), group_col)
+        .withColumn("__i", F.col("__gr") - F.col("__goff"))
+        .withColumn("__key", F.expr(f"(__i * {lcm}) div __wt"))
+    )
     return (
         global_row_number(
-            allp,
+            keyed,
             [F.col("__key").asc(), F.col(group_col).asc(), F.col(id_col).asc()],
             out_col,
         )
-        .drop("__key", "__i")
+        .drop("__key", "__i", "__h", "__gr", "__goff", "__wt")
     )
 
 
