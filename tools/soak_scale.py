@@ -50,6 +50,8 @@ HEAVY = [
     "semantic_dedup_drops",
     "ann_pq_topk",
     "ann_ivfpq_topk",
+    "epoch_shuffle_positions",
+    "interleave_mix_positions",
 ]
 
 
