@@ -271,6 +271,96 @@ FROM (
 """
 
 
+def mad_outliers(
+    df: DataFrame,
+    key: str,
+    col: str,
+    k_num: int = 3,
+    k_den: int = 1,
+) -> DataFrame:
+    """Per-group robust outlier counts by the median/MAD rule,
+    INTEGER-exact — the robust twin of :func:`flag_outliers`: a value
+    is an outlier when ``|x - median| > k * MAD`` (MAD = median
+    absolute deviation), the estimator that survives the 50%
+    contamination a mean/sigma rule does not — the standard robust
+    filter for metric columns with heavy tails (a handful of corrupt
+    rows cannot move the threshold).
+
+    Doubled-integer algebra keeps every intermediate an int64: with
+    ``med2 = 2*median`` and ``d = |2x - med2| = 2|x - median|`` (both
+    integers for integer ``x``, odd or even group size), ``mad2 =
+    median2(d) = 4*MAD``, and the flag cross-multiplies to
+
+        2 * k_den * d  >  k_num * mad2
+
+    — no halves, no floats, hash-exact against the oracle's own
+    ``median()`` (a different algorithm: interpolated order statistic
+    vs this module's two-window rank selection).
+
+    Output: ``(key, n, median2, mad2, n_outliers)``. Plan: two
+    :func:`grouped_median2` passes (value ranks, then deviation ranks)
+    + null-safe stat joins back + one counted aggregate; the rank
+    windows partition by ``key`` — for pathological single-key tables
+    use the bucketed hot-key machinery noted in the module doc."""
+    if k_num <= 0 or k_den <= 0:
+        raise ValueError("k_num and k_den must be positive")
+    base = df.select(key, F.col(col).cast("long").alias("__x"))
+    med = grouped_median2(base, key, "__x")
+    devs = _join_stats_back(base, med, key).select(
+        key,
+        "n",
+        "median2",
+        F.abs(2 * F.col("__x") - F.col("median2")).alias("__d"),
+    )
+    mad = grouped_median2(devs.select(key, "__d"), key, "__d").select(
+        key, F.col("median2").alias("mad2")
+    )
+    return _join_stats_back(devs, mad, key).groupBy(key).agg(
+        F.max("n").cast("long").alias("n"),
+        F.max("median2").cast("long").alias("median2"),
+        F.max("mad2").cast("long").alias("mad2"),
+        F.sum(
+            (
+                F.lit(2 * k_den) * F.col("__d")
+                > F.lit(k_num) * F.col("mad2")
+            ).cast("long")
+        ).alias("n_outliers"),
+    )
+
+
+def mad_outliers_sql(
+    table_sql: str,
+    key: str,
+    col: str,
+    k_num: int = 3,
+    k_den: int = 1,
+) -> str:
+    """DuckDB twin of :func:`mad_outliers` via the engine's own
+    ``median()`` (interpolated; ``2*median`` of integers is exactly
+    representable, so the ``round`` casts are lossless)."""
+    return f"""
+WITH src AS (
+  SELECT {key} AS k, CAST({col} AS BIGINT) AS x FROM ({table_sql}) __t
+), med AS (
+  SELECT k, CAST(count(*) AS BIGINT) AS n,
+         CAST(round(2 * median(x)) AS BIGINT) AS median2
+  FROM src GROUP BY k
+), dev AS (
+  SELECT src.k, n, median2, abs(2 * x - median2) AS d
+  FROM src JOIN med ON src.k IS NOT DISTINCT FROM med.k
+), mad AS (
+  SELECT k, CAST(round(2 * median(d)) AS BIGINT) AS mad2
+  FROM dev GROUP BY k
+)
+SELECT dev.k AS {key}, max(n) AS n, max(median2) AS median2,
+       max(mad2) AS mad2,
+       CAST(sum(CASE WHEN 2 * {k_den} * d > {k_num} * mad2
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM dev JOIN mad ON dev.k IS NOT DISTINCT FROM mad.k
+GROUP BY dev.k
+"""
+
+
 def equi_depth_histogram(
     df: DataFrame,
     col: str,

@@ -61,6 +61,75 @@ SELECT tok, tok_id, cnt FROM (
 """
 
 
+def bpe_pair_counts(docs: DataFrame, top_n: int = 64) -> DataFrame:
+    """One BPE merge-iteration statistic: corpus counts of adjacent
+    character pairs, aggregated over the DISTINCT-word table weighted
+    by word frequency — the classic byte-pair-encoding trick (Sennrich
+    et al. 2016): pair counting scales with the vocabulary's total
+    characters, not corpus positions, so a 100 TB corpus pays one
+    map-side-combined word count and the pair work runs over a
+    vocabulary-sized table. Output: ``(pair, cnt, rank)`` for the top
+    ``top_n`` pairs by (cnt desc, pair asc) — the next-merge candidate
+    list a tokenizer trainer consumes each iteration.
+
+    Pairs keep within-word multiplicity ('aaa' contributes 'aa'
+    twice), matching the reference BPE counting. Words shorter than 2
+    chars are filtered BEFORE the position expansion: Spark's
+    ``sequence(1, 0)`` counts DOWN (yielding [1, 0]) while DuckDB's
+    ``generate_series(1, 0)`` is empty — the filter keeps both engines
+    off that divergent edge entirely.
+
+    Plan: word count (same scan shape as :func:`build_vocab`) → per-
+    distinct-word pair explode via ``transform(sequence(...))`` +
+    ``substring`` (whole-stage codegen, no Python) → one pair
+    aggregate → distributed partial top-k (``orderBy().limit()``), so
+    the final rank window sees at most ``top_n`` rows."""
+    if top_n < 1:
+        raise ValueError("top_n must be >= 1")
+    words = (
+        docs.select(F.explode(words_col(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wcnt"))
+        .where(F.length("w") >= 2)
+    )
+    pairs = words.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"
+            )
+        ).alias("pair"),
+        "wcnt",
+    )
+    agg = pairs.groupBy("pair").agg(F.sum("wcnt").cast("long").alias("cnt"))
+    top = agg.orderBy(F.col("cnt").desc(), F.col("pair").asc()).limit(top_n)
+    w = Window.orderBy(F.col("cnt").desc(), F.col("pair").asc())
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+def bpe_pair_counts_sql(table: str = "documents", top_n: int = 64) -> str:
+    """DuckDB twin of :func:`bpe_pair_counts` (``generate_series``
+    position expansion — an independent formulation of the same pair
+    multiset)."""
+    return f"""
+WITH words AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS wcnt
+  FROM (SELECT unnest({WORDS_SQL}) AS w FROM {table}) __w
+  GROUP BY w
+), pairs AS (
+  SELECT substring(k.w, CAST(u.i AS INTEGER), 2) AS pair, k.wcnt
+  FROM (SELECT * FROM words WHERE length(w) >= 2) k,
+       unnest(generate_series(1, length(k.w) - 1)) u(i)
+), agg AS (
+  SELECT pair, CAST(sum(wcnt) AS BIGINT) AS cnt FROM pairs GROUP BY pair
+)
+SELECT pair, cnt,
+       CAST(row_number() OVER (ORDER BY cnt DESC, pair ASC) AS BIGINT) AS rank
+FROM agg
+ORDER BY rank
+LIMIT {top_n}
+"""
+
+
 def encode_docs(docs: DataFrame, vocab: DataFrame) -> DataFrame:
     """Encode each document against ``vocab``: ``(doc_id, n_tokens,
     n_oov, ids)`` where ``ids`` is the in-order id sequence with OOV

@@ -221,3 +221,60 @@ ORACLES.update(
         "interleave_mix_positions": _interleave_sql(),
     }
 )
+
+
+def bpe_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-64 adjacent character pairs of the corpus vocabulary,
+    frequency-weighted (`operators/vocab.py:bpe_pair_counts`) — one
+    BPE tokenizer-training merge iteration's candidate statistics."""
+    from ..operators.vocab import bpe_pair_counts
+
+    return bpe_pair_counts(load(spark, sf_dir, "documents"), top_n=64)
+
+
+def _bpe_sql() -> str:
+    from ..operators.vocab import bpe_pair_counts_sql
+
+    return bpe_pair_counts_sql("documents", top_n=64)
+
+
+def mad_outlier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority robust (median/MAD, k=2) outlier counts over order
+    totals in integer cents (`operators/stats.py:mad_outliers`) — the
+    50%-contamination-proof twin of the k-sigma gate."""
+    from ..operators.stats import mad_outliers
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    return mad_outliers(orders, "o_orderpriority", "cents", k_num=2, k_den=1)
+
+
+def _mad_sql() -> str:
+    from ..operators.stats import mad_outliers_sql
+
+    return mad_outliers_sql(
+        "SELECT o_orderpriority,"
+        " CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders",
+        "o_orderpriority",
+        "cents",
+        k_num=2,
+        k_den=1,
+    )
+
+
+QUERIES.update(
+    {
+        "bpe_top_pairs": bpe_top_pairs,
+        "mad_outlier_orders": mad_outlier_orders,
+    }
+)
+ORACLES.update(
+    {
+        "bpe_top_pairs": _bpe_sql(),
+        "mad_outlier_orders": _mad_sql(),
+    }
+)

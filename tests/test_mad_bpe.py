@@ -1,0 +1,165 @@
+"""Unit tests for the MAD robust-outlier operator and the BPE
+pair-count tokenizer statistic."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _vals(spark, rows):
+    return spark.createDataFrame(rows, "g string, v long")
+
+
+# -- mad_outliers -------------------------------------------------------------
+
+
+def test_mad_known_small_group(spark):
+    from bunsen_spark.operators.stats import mad_outliers
+
+    # values 1..5 plus a wild 100: median 3.5 -> med2 7;
+    # devs |2x-7| = [5,3,1,1,3,193] -> sorted [1,1,3,3,5,193],
+    # median2(dev) = 3+3 = 6 (=4*MAD, MAD=1.5); outlier iff
+    # 2*d > 3*6=18 -> only d=193 (the 100).
+    df = _vals(spark, [("a", 1), ("a", 2), ("a", 3), ("a", 4), ("a", 5), ("a", 100)])
+    [r] = mad_outliers(df, "g", "v", k_num=3, k_den=1).collect()
+    assert (r.n, r.median2, r.mad2, r.n_outliers) == (6, 7, 6, 1)
+
+
+def test_mad_constant_group_zero_mad(spark):
+    from bunsen_spark.operators.stats import mad_outliers
+
+    # constant group: MAD = 0, every equal value has d = 0, strict >
+    # keeps them in; one differing value is an outlier at any k
+    df = _vals(spark, [("c", 5)] * 9 + [("c", 6)])
+    [r] = mad_outliers(df, "g", "v", k_num=1000, k_den=1).collect()
+    assert (r.mad2, r.n_outliers) == (0, 1)
+
+
+def test_mad_matches_python_reference(spark):
+    import random
+    import statistics
+
+    from bunsen_spark.operators.stats import mad_outliers
+
+    rng = random.Random(11)
+    rows = [
+        ("g%d" % (i % 3), rng.randint(-500, 500)) for i in range(301)
+    ]
+    got = {
+        r.g: (r.n, r.median2, r.mad2, r.n_outliers)
+        for r in mad_outliers(_vals(spark, rows), "g", "v", 2, 1).collect()
+    }
+    for g in ("g0", "g1", "g2"):
+        vals = [v for k, v in rows if k == g]
+        med = statistics.median(vals)
+        devs = [abs(x - med) for x in vals]
+        mad = statistics.median(devs)
+        n_out = sum(1 for d in devs if d > 2 * mad)
+        assert got[g] == (len(vals), int(2 * med), int(4 * mad), n_out)
+
+
+def test_mad_null_key_group(spark):
+    from bunsen_spark.operators.stats import mad_outliers
+
+    df = spark.createDataFrame(
+        [(None, 1), (None, 3), (None, 50), ("a", 7)], "g string, v long"
+    )
+    got = {
+        r.g: (r.n, r.n_outliers)
+        for r in mad_outliers(df, "g", "v", 1, 1).collect()
+    }
+    # null group survives (eqNullSafe joins): med 3, devs [2,0,47],
+    # MAD 2 -> only 50 flagged
+    assert got[None] == (3, 1)
+    assert got["a"] == (1, 0)
+
+
+def test_mad_rejects_bad_k(spark):
+    from bunsen_spark.operators.stats import mad_outliers
+
+    with pytest.raises(ValueError):
+        mad_outliers(_vals(spark, [("a", 1)]), "g", "v", k_num=0)
+
+
+# -- bpe_pair_counts ----------------------------------------------------------
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_bpe_pairs_known_counts(spark):
+    from bunsen_spark.operators.vocab import bpe_pair_counts
+
+    # 'abab' x2 docs + 'ab': word counts {abab: 2, ab: 1};
+    # abab pairs [ab, ba, ab] weighted 2 -> ab 4, ba 2; ab word -> ab +1
+    got = {
+        r.pair: (r.cnt, r.rank)
+        for r in bpe_pair_counts(_docs(spark, ["abab", "abab", "ab"])).collect()
+    }
+    assert got == {"ab": (5, 1), "ba": (2, 2)}
+
+
+def test_bpe_pairs_multiplicity_within_word(spark):
+    from bunsen_spark.operators.vocab import bpe_pair_counts
+
+    # 'aaa' contributes 'aa' twice (positions 1 and 2)
+    got = {r.pair: r.cnt for r in bpe_pair_counts(_docs(spark, ["aaa"])).collect()}
+    assert got == {"aa": 2}
+
+
+def test_bpe_pairs_skip_single_char_words(spark):
+    from bunsen_spark.operators.vocab import bpe_pair_counts
+
+    got = bpe_pair_counts(_docs(spark, ["a b c xy"])).collect()
+    assert {r.pair: r.cnt for r in got} == {"xy": 1}
+
+
+def test_bpe_pairs_top_n_and_tie_order(spark):
+    from bunsen_spark.operators.vocab import bpe_pair_counts
+
+    # equal counts break ties by pair asc; top_n truncates after rank
+    rows = bpe_pair_counts(_docs(spark, ["zz yy xx ww"]), top_n=3).collect()
+    assert [(r.pair, r.cnt, r.rank) for r in sorted(rows, key=lambda r: r.rank)] == [
+        ("ww", 1, 1),
+        ("xx", 1, 2),
+        ("yy", 1, 3),
+    ]
+
+
+def test_bpe_pairs_matches_python_reference(spark):
+    import random
+    from collections import Counter
+
+    from bunsen_spark.operators.vocab import bpe_pair_counts
+
+    rng = random.Random(23)
+    alphabet = "abcd"
+    texts = [
+        " ".join(
+            "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 6)))
+            for _ in range(rng.randint(1, 12))
+        )
+        for _ in range(40)
+    ]
+    words = Counter(w for t in texts for w in t.split())
+    expect = Counter()
+    for w, c in words.items():
+        for i in range(len(w) - 1):
+            expect[w[i : i + 2]] += c
+    ranked = sorted(expect.items(), key=lambda kv: (-kv[1], kv[0]))[:16]
+    got = {
+        r.rank: (r.pair, r.cnt)
+        for r in bpe_pair_counts(_docs(spark, texts), top_n=16).collect()
+    }
+    assert got == {i + 1: (p, c) for i, (p, c) in enumerate(ranked)}
+
+
+def test_bpe_pairs_rejects_bad_top_n(spark):
+    from bunsen_spark.operators.vocab import bpe_pair_counts
+
+    with pytest.raises(ValueError):
+        bpe_pair_counts(_docs(spark, ["ab"]), top_n=0)
