@@ -361,6 +361,85 @@ GROUP BY dev.k
 """
 
 
+def pareto_frontier(df: DataFrame, x: str, y: str) -> DataFrame:
+    """Distributed 2D Pareto frontier (skyline) over integer metric
+    columns ``x`` and ``y``: keep the rows not DOMINATED by any other
+    row, where b dominates a when ``b.x >= a.x`` and ``b.y >= a.y``
+    with at least one strict. Duplicates of a frontier point are all
+    kept (neither dominates the other). The curation shape: "keep the
+    documents no other document beats on both quality axes at once" —
+    a cut no single-axis threshold can express.
+
+    The naive skyline is an O(n²) self-join; this plan is three
+    bounded passes with the row table never shuffling:
+
+    1. reduce to the per-``x`` max-``y`` table (one map-side-combined
+       aggregate, |distinct x| rows);
+    2. on that table compute the STRICT-suffix max ``M(x) =
+       max{maxy(x') : x' > x}`` with the `global_row_number` pattern —
+       range-repartition by ``x`` desc, per-partition EXCLUSIVE
+       running max (one row per ``x``, so row-exclusive = x-strict),
+       P² offset self-join, broadcast back — no single-partition
+       window anywhere;
+    3. join the tiny per-``x`` stats onto the rows (AQE broadcast) and
+       keep a row iff ``y == maxy(x)`` (not beaten at its own x) and
+       ``y > M(x)`` (not beaten by any strictly larger x; M is null at
+       the global max x).
+
+    Values must be non-null; ``y`` is compared as int64."""
+    from ..persist import materialize
+
+    yl = F.col(y).cast("long")
+    t = df.groupBy(x).agg(F.max(yl).alias("__maxy"))
+    tagged = materialize(
+        t.repartitionByRange(F.col(x).desc()).withColumn(
+            "__pid", F.spark_partition_id()
+        )
+    )
+    pmax = tagged.groupBy("__pid").agg(F.max("__maxy").alias("__pm"))
+    earlier = pmax.select(
+        F.col("__pid").alias("__pid2"), F.col("__pm").alias("__pm2")
+    )
+    offsets = (
+        pmax.join(earlier, F.col("__pid2") < F.col("__pid"), "left")
+        .groupBy("__pid")
+        .agg(F.max("__pm2").alias("__off"))
+    )
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(F.col(x).desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    stats = (
+        tagged.join(F.broadcast(offsets), "__pid")
+        .withColumn("__cm", F.max("__maxy").over(w))
+        # greatest() skips nulls: null only when BOTH are (global max x)
+        .select(x, "__maxy", F.greatest("__cm", "__off").alias("__m"))
+    )
+    return (
+        df.join(stats, x)
+        .where(
+            (yl == F.col("__maxy"))
+            & (F.col("__m").isNull() | (yl > F.col("__m")))
+        )
+        .select(*df.columns)
+    )
+
+
+def pareto_frontier_sql(table_sql: str, x: str, y: str, cols: str) -> str:
+    """DuckDB twin of :func:`pareto_frontier` — the literal dominance
+    definition as a NOT EXISTS anti-self-join (quadratic; oracle-scale
+    only)."""
+    return f"""
+SELECT {cols} FROM ({table_sql}) a
+WHERE NOT EXISTS (
+  SELECT 1 FROM ({table_sql}) b
+  WHERE b.{x} >= a.{x} AND b.{y} >= a.{y}
+    AND (b.{x} > a.{x} OR b.{y} > a.{y})
+)
+"""
+
+
 def equi_depth_histogram(
     df: DataFrame,
     col: str,

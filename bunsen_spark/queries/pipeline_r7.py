@@ -278,3 +278,39 @@ ORACLES.update(
         "mad_outlier_orders": _mad_sql(),
     }
 )
+
+
+def pareto_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto-optimal documents on (word count, distinct word count) —
+    the skyline selection no single-axis threshold expresses
+    (`operators/stats.py:pareto_frontier`: per-x reduce + distributed
+    strict-suffix max, vs the oracle's literal NOT EXISTS dominance
+    anti-join)."""
+    from ..operators.stats import pareto_frontier
+    from ..operators.text_analysis import words_col
+
+    ws = words_col(F.col("text"))
+    m = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(ws).cast("long").alias("n_words"),
+        F.size(F.array_distinct(ws)).cast("long").alias("n_distinct"),
+    )
+    return pareto_frontier(m, "n_words", "n_distinct")
+
+
+def _pareto_sql() -> str:
+    from ..operators.stats import pareto_frontier_sql
+    from ..operators.text_analysis import WORDS_SQL
+
+    metrics = (
+        "SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,"
+        " CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct"
+        f" FROM (SELECT doc_id, {WORDS_SQL} AS ws FROM documents) __w"
+    )
+    return pareto_frontier_sql(
+        metrics, "n_words", "n_distinct", "a.doc_id, a.n_words, a.n_distinct"
+    )
+
+
+QUERIES.update({"pareto_docs": pareto_docs})
+ORACLES.update({"pareto_docs": _pareto_sql()})

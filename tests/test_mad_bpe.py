@@ -163,3 +163,84 @@ def test_bpe_pairs_rejects_bad_top_n(spark):
 
     with pytest.raises(ValueError):
         bpe_pair_counts(_docs(spark, ["ab"]), top_n=0)
+
+
+# -- pareto_frontier ----------------------------------------------------------
+
+
+def _xy(spark, rows):
+    return spark.createDataFrame(rows, "id long, x long, y long")
+
+
+def _py_frontier(rows):
+    return sorted(
+        i
+        for i, x, y in rows
+        if not any(
+            bx >= x and by >= y and (bx > x or by > y) for _, bx, by in rows
+        )
+    )
+
+
+def test_pareto_known_frontier(spark):
+    from bunsen_spark.operators.stats import pareto_frontier
+
+    rows = [(1, 1, 5), (2, 3, 3), (3, 5, 1), (4, 2, 2), (5, 3, 2)]
+    got = sorted(
+        r.id for r in pareto_frontier(_xy(spark, rows), "x", "y").collect()
+    )
+    assert got == [1, 2, 3]  # (2,2) and (3,2) dominated
+
+
+def test_pareto_duplicates_all_kept(spark):
+    from bunsen_spark.operators.stats import pareto_frontier
+
+    rows = [(1, 4, 4), (2, 4, 4), (3, 1, 1)]
+    got = sorted(
+        r.id for r in pareto_frontier(_xy(spark, rows), "x", "y").collect()
+    )
+    assert got == [1, 2]  # equal points don't dominate each other
+
+
+def test_pareto_same_x_lower_y_dominated(spark):
+    from bunsen_spark.operators.stats import pareto_frontier
+
+    rows = [(1, 4, 4), (2, 4, 3), (3, 5, 3)]
+    got = sorted(
+        r.id for r in pareto_frontier(_xy(spark, rows), "x", "y").collect()
+    )
+    # (4,3) beaten by (4,4); (5,3) is frontier (nothing >= on both)
+    assert got == [1, 3]
+
+
+def test_pareto_equal_y_at_larger_x_dominates(spark):
+    from bunsen_spark.operators.stats import pareto_frontier
+
+    rows = [(1, 4, 7), (2, 6, 7)]
+    got = sorted(
+        r.id for r in pareto_frontier(_xy(spark, rows), "x", "y").collect()
+    )
+    assert got == [2]  # strict x, equal y -> 1 dominated
+
+
+def test_pareto_single_row(spark):
+    from bunsen_spark.operators.stats import pareto_frontier
+
+    got = pareto_frontier(_xy(spark, [(9, 0, 0)]), "x", "y").collect()
+    assert [r.id for r in got] == [9]
+
+
+@pytest.mark.parametrize("seed", [3, 17])
+def test_pareto_matches_python_quadratic(spark, seed):
+    import random
+
+    from bunsen_spark.operators.stats import pareto_frontier
+
+    rng = random.Random(seed)
+    rows = [
+        (i, rng.randint(0, 30), rng.randint(0, 30)) for i in range(200)
+    ]
+    got = sorted(
+        r.id for r in pareto_frontier(_xy(spark, rows), "x", "y").collect()
+    )
+    assert got == _py_frontier(rows)
