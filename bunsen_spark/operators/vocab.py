@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..persist import materialize
 from .text_analysis import WORDS_SQL, words_col
 
 
@@ -128,6 +129,144 @@ FROM agg
 ORDER BY rank
 LIMIT {top_n}
 """
+
+
+def bpe_train(docs: DataFrame, n_merges: int = 4) -> DataFrame:
+    """Learn ``n_merges`` BPE merges over the corpus (Sennrich et al.
+    2016) and return the merge table ``(merge_rank, lhs, rhs, cnt)`` —
+    the tokenizer-training loop itself, completing the vocab story:
+    :func:`bpe_pair_counts` is one iteration's statistics, this runs
+    the argmax-merge-recount cycle.
+
+    Symbol sequences live in a separator-wrapped string (word 'abab' →
+    ``'|a||b||a||b|'``: every symbol wrapped as ``|s|``, symbols never
+    contain '|'), so applying merge (l, r) is ``replace(sym, '|l||r|',
+    '|lr|')`` — built-in ``replace`` scans left-to-right replacing
+    non-overlapping occurrences, which IS greedy BPE merge application,
+    and Spark and DuckDB agree on it bit-for-bit (the oracle replays
+    the identical cycle as a CTE chain). Ties in the argmax break by
+    (cnt desc, lhs asc, rhs asc) — a total order, so the learned
+    merges are deterministic cross-engine.
+
+    Scale shape per round: pair counting and merging run over the
+    DISTINCT-word table weighted by frequency (vocabulary-bounded, the
+    classic BPE trick — corpus scale is paid once in the word count);
+    the argmax is a distributed ``orderBy().limit(1)`` partial top-k;
+    only the single winning pair is collected per round — driver-side
+    coordination identical to the Lloyd trainer's round loop, never a
+    data collect. Each round's symbol table is materialized so round
+    k+1 rescans a table, not a k-deep replace chain.
+
+    Raises if a round finds no adjacent pair (corpus exhausted —
+    every word fully merged); choose ``n_merges`` below the corpus's
+    merge capacity."""
+    if n_merges < 1:
+        raise ValueError("n_merges must be >= 1")
+    spark = docs.sparkSession
+    words = (
+        docs.select(F.explode(words_col(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wcnt"))
+    )
+    cur = materialize(
+        words.select(
+            F.expr(
+                "'|' || concat_ws('||', transform(sequence(1, length(w)),"
+                " i -> substring(w, i, 1))) || '|'"
+            ).alias("sym"),
+            "wcnt",
+        )
+    )
+    merges: list[tuple[int, str, str, int]] = []
+    for k in range(1, n_merges + 1):
+        sy = F.split(F.expr("substring(sym, 2, length(sym) - 2)"), r"\|\|")
+        pairs = (
+            cur.select(sy.alias("sy"), "wcnt")
+            .where(F.size("sy") >= 2)
+            .select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(sy) - 1), i -> struct("
+                        "element_at(sy, i) AS lhs,"
+                        " element_at(sy, i + 1) AS rhs))"
+                    )
+                ).alias("p"),
+                "wcnt",
+            )
+            .select("p.lhs", "p.rhs", "wcnt")
+        )
+        top = (
+            pairs.groupBy("lhs", "rhs")
+            .agg(F.sum("wcnt").cast("long").alias("cnt"))
+            .orderBy(
+                F.col("cnt").desc(), F.col("lhs").asc(), F.col("rhs").asc()
+            )
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            raise ValueError(
+                f"no adjacent pair left at merge {k}; corpus supports only"
+                f" {k - 1} merges"
+            )
+        [r] = top
+        merges.append((k, r.lhs, r.rhs, r.cnt))
+        # symbols are [a-z0-9]+ (words_col alphabet), safe to embed
+        nxt = materialize(
+            cur.select(
+                F.expr(
+                    f"replace(sym, '|{r.lhs}||{r.rhs}|', '|{r.lhs}{r.rhs}|')"
+                ).alias("sym"),
+                "wcnt",
+            ),
+            eager=True,
+        )
+        cur = nxt
+    return spark.createDataFrame(
+        merges, "merge_rank long, lhs string, rhs string, cnt long"
+    )
+
+
+def bpe_train_sql(table: str = "documents", n_merges: int = 4) -> str:
+    """DuckDB twin of :func:`bpe_train`: the identical
+    count→argmax→replace cycle unrolled as a CTE chain, one
+    (pairs, top-1, replaced-symbols) stage per merge."""
+    parts = [
+        f"""w0 AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS wcnt
+  FROM (SELECT unnest({WORDS_SQL}) AS w FROM {table}) __w
+  GROUP BY w
+), s0 AS (
+  SELECT '|' || array_to_string(
+           list_transform(generate_series(1, length(w)),
+                          i -> substring(w, i, 1)), '||') || '|' AS sym,
+         wcnt
+  FROM w0
+)"""
+    ]
+    for k in range(1, n_merges + 1):
+        parts.append(
+            f"""p{k} AS (
+  SELECT sy[CAST(i AS INTEGER)] AS lhs, sy[CAST(i AS INTEGER) + 1] AS rhs,
+         wcnt
+  FROM (SELECT str_split(substring(sym, 2, length(sym) - 2), '||') AS sy,
+               wcnt FROM s{k - 1}) __t,
+       unnest(generate_series(1, len(sy) - 1)) u(i)
+), t{k} AS (
+  SELECT lhs, rhs, CAST(sum(wcnt) AS BIGINT) AS cnt
+  FROM p{k} GROUP BY lhs, rhs
+  ORDER BY cnt DESC, lhs ASC, rhs ASC LIMIT 1
+), s{k} AS (
+  SELECT replace(sym, '|' || lhs || '||' || rhs || '|',
+                 '|' || lhs || rhs || '|') AS sym, wcnt
+  FROM s{k - 1}, t{k}
+)"""
+        )
+    unions = "\nUNION ALL\n".join(
+        f"SELECT CAST({k} AS BIGINT) AS merge_rank, lhs, rhs, cnt FROM t{k}"
+        for k in range(1, n_merges + 1)
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + unions
 
 
 def encode_docs(docs: DataFrame, vocab: DataFrame) -> DataFrame:

@@ -314,3 +314,22 @@ def _pareto_sql() -> str:
 
 QUERIES.update({"pareto_docs": pareto_docs})
 ORACLES.update({"pareto_docs": _pareto_sql()})
+
+
+def bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Six learned BPE merges over the corpus — the full
+    count→argmax→merge training cycle (`operators/vocab.py:bpe_train`),
+    replayed by the oracle as an unrolled CTE chain."""
+    from ..operators.vocab import bpe_train
+
+    return bpe_train(load(spark, sf_dir, "documents"), n_merges=6)
+
+
+def _bpe_train_sql() -> str:
+    from ..operators.vocab import bpe_train_sql
+
+    return bpe_train_sql("documents", n_merges=6)
+
+
+QUERIES.update({"bpe_learned_merges": bpe_learned_merges})
+ORACLES.update({"bpe_learned_merges": _bpe_train_sql()})

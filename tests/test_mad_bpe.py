@@ -244,3 +244,108 @@ def test_pareto_matches_python_quadratic(spark, seed):
         r.id for r in pareto_frontier(_xy(spark, rows), "x", "y").collect()
     )
     assert got == _py_frontier(rows)
+
+
+# -- bpe_train ----------------------------------------------------------------
+
+
+def _py_bpe(texts, n_merges):
+    """Reference BPE trainer: greedy left-to-right merge application,
+    argmax by (count desc, lhs asc, rhs asc)."""
+    from collections import Counter
+
+    words = Counter(w for t in texts for w in t.split())
+    syms = {w: list(w) for w in words}
+    merges = []
+    for k in range(1, n_merges + 1):
+        pairs = Counter()
+        for w, c in words.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                pairs[(s[i], s[i + 1])] += c
+        if not pairs:
+            raise ValueError("exhausted")
+        (l, r), cnt = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((k, l, r, cnt))
+        for w in syms:
+            s, out, i = syms[w], [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == l and s[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            syms[w] = out
+    return merges
+
+
+def test_bpe_train_known_merges(spark):
+    from bunsen_spark.operators.vocab import bpe_train
+
+    # 'low lower lowest' x repeats: first merge must be ('l','o')
+    texts = ["low low lower lowest", "low lower"]
+    got = [
+        (r.merge_rank, r.lhs, r.rhs, r.cnt)
+        for r in sorted(
+            bpe_train(_docs(spark, texts), n_merges=3).collect(),
+            key=lambda r: r.merge_rank,
+        )
+    ]
+    assert got == _py_bpe(texts, 3)
+    assert got[0][1:3] == ("l", "o")
+
+
+def test_bpe_train_greedy_overlap(spark):
+    from bunsen_spark.operators.vocab import bpe_train
+
+    # 'aaaa': pairs (a,a) x3 -> merge 1 = (a,a); greedy application
+    # gives [aa, aa] (NOT overlapping), so merge 2 = (aa, aa) cnt 1
+    got = [
+        (r.merge_rank, r.lhs, r.rhs, r.cnt)
+        for r in sorted(
+            bpe_train(_docs(spark, ["aaaa"]), n_merges=2).collect(),
+            key=lambda r: r.merge_rank,
+        )
+    ]
+    assert got == [(1, "a", "a", 3), (2, "aa", "aa", 1)]
+
+
+def test_bpe_train_matches_python_reference(spark):
+    import random
+
+    from bunsen_spark.operators.vocab import bpe_train
+
+    rng = random.Random(41)
+    texts = [
+        " ".join(
+            "".join(rng.choice("abc") for _ in range(rng.randint(1, 5)))
+            for _ in range(rng.randint(2, 10))
+        )
+        for _ in range(30)
+    ]
+    got = [
+        (r.merge_rank, r.lhs, r.rhs, r.cnt)
+        for r in sorted(
+            bpe_train(_docs(spark, texts), n_merges=5).collect(),
+            key=lambda r: r.merge_rank,
+        )
+    ]
+    assert got == _py_bpe(texts, 5)
+
+
+def test_bpe_train_exhaustion_raises(spark):
+    from bunsen_spark.operators.vocab import bpe_train
+
+    # single 2-char word supports exactly 1 merge
+    with pytest.raises(ValueError):
+        bpe_train(_docs(spark, ["ab"]), n_merges=2)
+
+
+def test_bpe_train_rejects_bad_n(spark):
+    from bunsen_spark.operators.vocab import bpe_train
+
+    with pytest.raises(ValueError):
+        bpe_train(_docs(spark, ["ab"]), n_merges=0)
