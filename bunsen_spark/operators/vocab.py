@@ -231,6 +231,19 @@ def bpe_train_sql(table: str = "documents", n_merges: int = 4) -> str:
     """DuckDB twin of :func:`bpe_train`: the identical
     count→argmax→replace cycle unrolled as a CTE chain, one
     (pairs, top-1, replaced-symbols) stage per merge."""
+    unions = "\nUNION ALL\n".join(
+        f"SELECT CAST({k} AS BIGINT) AS merge_rank, lhs, rhs, cnt FROM t{k}"
+        for k in range(1, n_merges + 1)
+    )
+    return (
+        "WITH " + ",\n".join(_bpe_train_parts(table, n_merges)) + "\n" + unions
+    )
+
+
+def _bpe_train_parts(table: str, n_merges: int) -> list[str]:
+    """The shared CTE chain of the BPE twins: word counts, initial
+    wrapped symbols, then one (pairs, top-1, replaced) stage per
+    merge."""
     parts = [
         f"""w0 AS (
   SELECT w, CAST(count(*) AS BIGINT) AS wcnt
@@ -262,11 +275,91 @@ def bpe_train_sql(table: str = "documents", n_merges: int = 4) -> str:
   FROM s{k - 1}, t{k}
 )"""
         )
-    unions = "\nUNION ALL\n".join(
-        f"SELECT CAST({k} AS BIGINT) AS merge_rank, lhs, rhs, cnt FROM t{k}"
-        for k in range(1, n_merges + 1)
+    return parts
+
+
+def _merge_chain_sql(merges: list[tuple[str, str]], base: str) -> str:
+    """Nest ``replace`` calls applying ``merges`` in order over the
+    wrapped-symbol expression ``base``. Symbols must stay in the
+    words_col alphabet ([a-z0-9]+) — validated, since they are embedded
+    in generated SQL."""
+    import re
+
+    acc = base
+    for lhs, rhs in merges:
+        if not re.fullmatch(r"[a-z0-9]+", lhs) or not re.fullmatch(
+            r"[a-z0-9]+", rhs
+        ):
+            raise ValueError(f"merge symbols outside [a-z0-9]+: {lhs!r},{rhs!r}")
+        acc = f"replace({acc}, '|{lhs}||{rhs}|', '|{lhs}{rhs}|')"
+    return acc
+
+
+def bpe_subword_counts(
+    docs: DataFrame, merges: list[tuple[str, str]], top_n: int = 50
+) -> DataFrame:
+    """Apply a trained merge list (:func:`bpe_train` output) to segment
+    the corpus into subword tokens and count them: ``(subword, cnt,
+    rank)`` for the top ``top_n`` by (cnt desc, subword asc) — the
+    "what vocabulary did the tokenizer actually learn" report, and the
+    apply half of the BPE lifecycle (train → segment → count).
+
+    Entirely map-side after the word count: the merge chain is ``len
+    (merges)`` nested ``replace`` calls over the wrapped-symbol string
+    (whole-stage codegen, no shuffle, no Python), evaluated on the
+    DISTINCT-word table weighted by frequency — corpus scale is paid
+    only by the initial word count."""
+    if top_n < 1:
+        raise ValueError("top_n must be >= 1")
+    wrapped = (
+        "'|' || concat_ws('||', transform(sequence(1, length(w)),"
+        " i -> substring(w, i, 1))) || '|'"
     )
-    return "WITH " + ",\n".join(parts) + "\n" + unions
+    chain = _merge_chain_sql(merges, wrapped)
+    words = (
+        docs.select(F.explode(words_col(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wcnt"))
+    )
+    sub = words.select(
+        F.explode(
+            F.split(
+                F.expr(f"substring({chain}, 2, length({chain}) - 2)"),
+                r"\|\|",
+            )
+        ).alias("subword"),
+        "wcnt",
+    )
+    agg = sub.groupBy("subword").agg(F.sum("wcnt").cast("long").alias("cnt"))
+    top = agg.orderBy(F.col("cnt").desc(), F.col("subword").asc()).limit(top_n)
+    w = Window.orderBy(F.col("cnt").desc(), F.col("subword").asc())
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+def bpe_subword_counts_sql(
+    table: str = "documents", n_merges: int = 4, top_n: int = 50
+) -> str:
+    """DuckDB twin of :func:`bpe_train` + :func:`bpe_subword_counts`
+    composed: the training CTE chain's FINAL symbol table (``s{n}``)
+    is already the segmented vocabulary — count its subwords."""
+    ctes = "WITH " + ",\n".join(_bpe_train_parts(table, n_merges))
+    return f"""{ctes}
+SELECT subword, cnt,
+       CAST(row_number() OVER (ORDER BY cnt DESC, subword ASC) AS BIGINT)
+           AS rank
+FROM (
+  SELECT subword, CAST(sum(wcnt) AS BIGINT) AS cnt
+  FROM (
+    SELECT unnest(str_split(substring(sym, 2, length(sym) - 2), '||'))
+               AS subword,
+           wcnt
+    FROM s{n_merges}
+  ) __u
+  GROUP BY subword
+) __c
+ORDER BY rank
+LIMIT {top_n}
+"""
 
 
 def encode_docs(docs: DataFrame, vocab: DataFrame) -> DataFrame:

@@ -333,3 +333,30 @@ def _bpe_train_sql() -> str:
 
 QUERIES.update({"bpe_learned_merges": bpe_learned_merges})
 ORACLES.update({"bpe_learned_merges": _bpe_train_sql()})
+
+
+def bpe_subword_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-40 subword frequencies after segmenting the corpus with the
+    6 learned merges — the apply half of the BPE lifecycle
+    (`operators/vocab.py:bpe_train` → `bpe_subword_counts`; the oracle
+    reads the training CTE chain's final symbol table directly)."""
+    from ..operators.vocab import bpe_subword_counts, bpe_train
+
+    docs = load(spark, sf_dir, "documents")
+    merges = [
+        (r.lhs, r.rhs)
+        for r in sorted(
+            bpe_train(docs, n_merges=6).collect(), key=lambda r: r.merge_rank
+        )
+    ]
+    return bpe_subword_counts(docs, merges, top_n=40)
+
+
+def _bpe_subword_sql() -> str:
+    from ..operators.vocab import bpe_subword_counts_sql
+
+    return bpe_subword_counts_sql("documents", n_merges=6, top_n=40)
+
+
+QUERIES.update({"bpe_subword_top": bpe_subword_top})
+ORACLES.update({"bpe_subword_top": _bpe_subword_sql()})

@@ -349,3 +349,65 @@ def test_bpe_train_rejects_bad_n(spark):
 
     with pytest.raises(ValueError):
         bpe_train(_docs(spark, ["ab"]), n_merges=0)
+
+
+# -- bpe_subword_counts -------------------------------------------------------
+
+
+def _py_segment_counts(texts, n_merges):
+    from collections import Counter
+
+    merges = _py_bpe(texts, n_merges)
+    words = Counter(w for t in texts for w in t.split())
+    counts = Counter()
+    for w, c in words.items():
+        s = list(w)
+        for _, l, r, _c in merges:
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == l and s[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            s = out
+        for sub in s:
+            counts[sub] += c
+    return counts
+
+
+def test_bpe_subword_counts_matches_reference(spark):
+    import random
+
+    from bunsen_spark.operators.vocab import bpe_subword_counts, bpe_train
+
+    rng = random.Random(7)
+    texts = [
+        " ".join(
+            "".join(rng.choice("abc") for _ in range(rng.randint(1, 5)))
+            for _ in range(rng.randint(2, 10))
+        )
+        for _ in range(30)
+    ]
+    docs = _docs(spark, texts)
+    merges = [
+        (r.lhs, r.rhs)
+        for r in sorted(
+            bpe_train(docs, n_merges=4).collect(), key=lambda r: r.merge_rank
+        )
+    ]
+    got = {
+        r.subword: (r.cnt, r.rank)
+        for r in bpe_subword_counts(docs, merges, top_n=10).collect()
+    }
+    expect = _py_segment_counts(texts, 4)
+    ranked = sorted(expect.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert got == {s: (c, i + 1) for i, (s, c) in enumerate(ranked)}
+
+
+def test_bpe_subword_counts_rejects_bad_symbols(spark):
+    from bunsen_spark.operators.vocab import bpe_subword_counts
+
+    with pytest.raises(ValueError):
+        bpe_subword_counts(_docs(spark, ["ab"]), [("a'", "b")])
