@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..persist import materialize
 from .text_analysis import md5int, md5int_sql
 
 #: hash-space size for split bucketing; 10^6 gives ppm-resolution weights
@@ -482,6 +483,122 @@ SELECT * EXCLUDE (__spent) FROM (
   FROM ({table_sql}) __t
 ) WHERE __spent < {budget}
 """
+
+
+def coverage_select(
+    docs: DataFrame,
+    k: int = 5,
+    n: int = 3,
+    portable: bool = False,
+) -> DataFrame:
+    """Greedy maximum-coverage document selection: ``k`` rounds, each
+    picking the document whose word ``n``-gram shingle set adds the
+    most NOT-yet-covered shingles — the classic (1-1/e)-approximate
+    submodular curation rule ("a small seed set that spans the
+    corpus": diverse few-shot pools, eval-set seeding, dedup anchors).
+    Output: ``(sel_rank, doc_id, gain)``, ``gain`` = newly covered
+    shingles at pick time.
+
+    Per round: one anti-join of the posting table against the covered
+    set (both distributed — the covered set is never a driver
+    structure), one map-side-combined gain count, one
+    ``orderBy().limit(1)`` distributed argmax; only the single winning
+    row is collected (Lloyd/BPE-style round coordination). The
+    newly-covered delta is disjoint from the covered set by
+    construction (it comes from the anti-joined frame), so the union
+    needs no distinct. Shingles ride as int64 hashes
+    (:func:`text_analysis.hash31` family; ``portable`` pins the
+    md5 twin the oracle replays — collisions affect both engines
+    identically). Ties break (gain desc, doc_id asc).
+
+    Raises if the corpus is exhausted (every shingle covered) before
+    ``k`` picks — choose ``k`` within the corpus's coverage capacity."""
+    from .dedup import _shingle_hashes, _with_shingles
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    posts = materialize(
+        _with_shingles(docs, n).select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    _shingle_hashes(F.col("shingles"), portable)
+                )
+            ).alias("tok"),
+        )
+    )
+    spark = docs.sparkSession
+    covered: DataFrame | None = None
+    winners: list[tuple[int, int, int]] = []
+    for rank in range(1, k + 1):
+        uncov = (
+            posts
+            if covered is None
+            else posts.join(covered, "tok", "left_anti")
+        )
+        top = (
+            uncov.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("gain"))
+            .orderBy(F.col("gain").desc(), F.col("doc_id").asc())
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            raise ValueError(
+                f"corpus covered after {rank - 1} picks; k={k} too large"
+            )
+        [r] = top
+        winners.append((rank, r.doc_id, r.gain))
+        newly = uncov.where(F.col("doc_id") == r.doc_id).select("tok")
+        covered = materialize(
+            newly if covered is None else covered.union(newly), eager=True
+        )
+    return spark.createDataFrame(
+        winners, "sel_rank long, doc_id long, gain long"
+    )
+
+
+def coverage_select_sql(table: str = "documents", k: int = 5, n: int = 3) -> str:
+    """DuckDB twin of :func:`coverage_select` (portable hash family):
+    the greedy cycle unrolled as a CTE chain — per round a NOT EXISTS
+    anti-join gain count, a top-1, and a covered-set union."""
+    from .dedup import MERSENNE31, shingles_sql
+
+    shingle_hash = f"{md5int_sql('s')} % {MERSENNE31}"
+    parts = [
+        f"""g AS (
+  SELECT doc_id, unnest(list_distinct(
+    list_transform({shingles_sql(n)}, s -> {shingle_hash}))) AS tok
+  FROM {table}
+)"""
+    ]
+    for r in range(1, k + 1):
+        uncov = (
+            "g"
+            if r == 1
+            else (
+                f"(SELECT g.doc_id, g.tok FROM g WHERE NOT EXISTS"
+                f" (SELECT 1 FROM c{r - 1} WHERE c{r - 1}.tok = g.tok)) __u{r}"
+            )
+        )
+        parts.append(
+            f"""r{r} AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS gain
+  FROM {uncov} GROUP BY doc_id
+  ORDER BY gain DESC, doc_id ASC LIMIT 1
+)"""
+        )
+        prev = f"SELECT tok FROM c{r - 1} UNION " if r > 1 else ""
+        parts.append(
+            f"""c{r} AS (
+  {prev}SELECT g.tok FROM g JOIN r{r} USING (doc_id)
+)"""
+        )
+    unions = "\nUNION ALL\n".join(
+        f"SELECT CAST({r} AS BIGINT) AS sel_rank, doc_id, gain FROM r{r}"
+        for r in range(1, k + 1)
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + unions
 
 
 def epoch_positions(

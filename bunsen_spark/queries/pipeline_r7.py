@@ -360,3 +360,25 @@ def _bpe_subword_sql() -> str:
 
 QUERIES.update({"bpe_subword_top": bpe_subword_top})
 ORACLES.update({"bpe_subword_top": _bpe_subword_sql()})
+
+
+def coverage_select_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Five documents picked by greedy maximum shingle coverage — the
+    submodular "small seed set that spans the corpus" curation rule
+    (`operators/sampling.py:coverage_select`; the oracle unrolls the
+    identical greedy cycle as a CTE chain)."""
+    from ..operators.sampling import coverage_select
+
+    return coverage_select(
+        load(spark, sf_dir, "documents"), k=5, n=3, portable=True
+    )
+
+
+def _coverage_sql() -> str:
+    from ..operators.sampling import coverage_select_sql
+
+    return coverage_select_sql("documents", k=5, n=3)
+
+
+QUERIES.update({"coverage_select_docs": coverage_select_docs})
+ORACLES.update({"coverage_select_docs": _coverage_sql()})

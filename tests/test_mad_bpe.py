@@ -411,3 +411,84 @@ def test_bpe_subword_counts_rejects_bad_symbols(spark):
 
     with pytest.raises(ValueError):
         bpe_subword_counts(_docs(spark, ["ab"]), [("a'", "b")])
+
+
+# -- coverage_select ----------------------------------------------------------
+
+
+def _py_coverage(texts, k, n=3):
+    """Reference greedy max-coverage on word n-gram shingles (string
+    shingles — collision-free baseline for small alphabets)."""
+
+    def sh(t):
+        ws = t.split()
+        if len(ws) < n:
+            return {" ".join(ws)}
+        return {" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)}
+
+    sets = {i: sh(t) for i, t in enumerate(texts)}
+    covered, out = set(), []
+    for rank in range(1, k + 1):
+        gains = {
+            d: len(s - covered) for d, s in sets.items() if len(s - covered)
+        }
+        if not gains:
+            raise ValueError("exhausted")
+        d = min(gains, key=lambda d: (-gains[d], d))
+        out.append((rank, d, gains[d]))
+        covered |= sets[d]
+    return out
+
+
+def test_coverage_select_known(spark):
+    from bunsen_spark.operators.sampling import coverage_select
+
+    texts = [
+        "a b c d e f",        # 4 shingles
+        "a b c",               # 1 shingle, subset of doc 0
+        "x y z w",             # 2 new shingles
+        "a b c d",             # 2 shingles, subset of doc 0
+    ]
+    got = [
+        (r.sel_rank, r.doc_id, r.gain)
+        for r in sorted(
+            coverage_select(_docs(spark, texts), k=2).collect(),
+            key=lambda r: r.sel_rank,
+        )
+    ]
+    assert got == _py_coverage(texts, 2)
+    assert got[0][1] == 0 and got[1][1] == 2  # widest doc, then the x-y-z one
+
+
+def test_coverage_select_matches_python(spark):
+    import random
+
+    from bunsen_spark.operators.sampling import coverage_select
+
+    rng = random.Random(91)
+    texts = [
+        " ".join(rng.choice("abcdefgh") for _ in range(rng.randint(3, 20)))
+        for _ in range(60)
+    ]
+    got = [
+        (r.sel_rank, r.doc_id, r.gain)
+        for r in sorted(
+            coverage_select(_docs(spark, texts), k=6).collect(),
+            key=lambda r: r.sel_rank,
+        )
+    ]
+    assert got == _py_coverage(texts, 6)
+
+
+def test_coverage_select_exhaustion_raises(spark):
+    from bunsen_spark.operators.sampling import coverage_select
+
+    with pytest.raises(ValueError):
+        coverage_select(_docs(spark, ["a b c", "a b c"]), k=2)
+
+
+def test_coverage_select_rejects_bad_k(spark):
+    from bunsen_spark.operators.sampling import coverage_select
+
+    with pytest.raises(ValueError):
+        coverage_select(_docs(spark, ["a b c"]), k=0)
