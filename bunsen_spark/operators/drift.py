@@ -101,6 +101,103 @@ LIMIT {top_k}
 """
 
 
+def histogram_drift(
+    df: DataFrame,
+    value_col: str,
+    split_col,
+    n_bins: int = 16,
+) -> DataFrame:
+    """Numeric-distribution drift between the two halves of ``df``
+    defined by boolean column/expression ``split_col`` (True = A,
+    False = B), as an exact per-bin report over ``n_bins`` equi-width
+    integer bins of ``value_col``: ``(bin, lo, cnt_a, cnt_b,
+    gap_num)`` where ``gap_num = |cnt_a*N_b - cnt_b*N_a|`` — the
+    cross-multiplied numerator of ``|p_a - p_b|`` (same float-free
+    contract as :func:`vocab_shift`; ``sum(gap_num) / (2*N_a*N_b)`` is
+    the exact total-variation distance, the bounded [0,1] drift metric
+    PSI approximates without PSI's log-of-ratio floats). ``lo`` is the
+    bin's inclusive lower edge in value units.
+
+    Plan: one global min/max aggregate (1-row broadcast), one
+    map-side-combined ``groupBy(bin)`` with conditional sums — the
+    rows shuffle only by the ≤``n_bins`` bin keys, nothing else; the
+    totals are a second 1-row broadcast onto ≤``n_bins`` rows.
+    Empty bins are absent from the output (counts are zero on both
+    sides — no drift information). Values must be integer-valued and
+    non-null."""
+    if n_bins < 1:
+        raise ValueError("n_bins must be >= 1")
+    v = F.col(value_col).cast("long")
+    a = F.when(split_col, F.lit(1)).otherwise(F.lit(0))
+    base = df.select(v.alias("__v"), a.alias("__a"))
+    rng = base.agg(
+        F.min("__v").alias("__mn"), F.max("__v").alias("__mx")
+    )
+    binned = base.crossJoin(F.broadcast(rng)).select(
+        F.expr(
+            f"least({n_bins - 1}, ((__v - __mn) * {n_bins})"
+            " div (__mx - __mn + 1))"
+        ).cast("long").alias("bin"),
+        "__a",
+        "__mn",
+        "__mx",
+    )
+    counts = binned.groupBy("bin").agg(
+        F.sum("__a").cast("long").alias("cnt_a"),
+        F.sum(1 - F.col("__a")).cast("long").alias("cnt_b"),
+        F.max("__mn").alias("__mn"),
+        F.max("__mx").alias("__mx"),
+    )
+    totals = counts.agg(
+        F.sum("cnt_a").cast("long").alias("__na"),
+        F.sum("cnt_b").cast("long").alias("__nb"),
+    )
+    return counts.crossJoin(F.broadcast(totals)).select(
+        "bin",
+        F.expr(
+            f"__mn + (bin * (__mx - __mn + 1)) div {n_bins}"
+        ).cast("long").alias("lo"),
+        "cnt_a",
+        "cnt_b",
+        F.abs(
+            F.col("cnt_a") * F.col("__nb") - F.col("cnt_b") * F.col("__na")
+        ).cast("long").alias("gap_num"),
+    )
+
+
+def histogram_drift_sql(
+    table_sql: str,
+    value_col: str,
+    split_sql: str,
+    n_bins: int = 16,
+) -> str:
+    """DuckDB twin of :func:`histogram_drift`."""
+    return f"""
+WITH src AS (
+  SELECT CAST({value_col} AS BIGINT) AS v,
+         CASE WHEN {split_sql} THEN 1 ELSE 0 END AS a
+  FROM ({table_sql}) __t
+), rng AS (
+  SELECT min(v) AS mn, max(v) AS mx FROM src
+), counts AS (
+  SELECT least({n_bins - 1}, ((v - mn) * {n_bins}) // (mx - mn + 1)) AS bin,
+         CAST(sum(a) AS BIGINT) AS cnt_a,
+         CAST(sum(1 - a) AS BIGINT) AS cnt_b,
+         max(mn) AS mn, max(mx) AS mx
+  FROM src, rng GROUP BY 1
+), totals AS (
+  SELECT CAST(sum(cnt_a) AS BIGINT) AS na,
+         CAST(sum(cnt_b) AS BIGINT) AS nb
+  FROM counts
+)
+SELECT CAST(bin AS BIGINT) AS bin,
+       CAST(mn + (bin * (mx - mn + 1)) // {n_bins} AS BIGINT) AS lo,
+       cnt_a, cnt_b,
+       CAST(abs(cnt_a * nb - cnt_b * na) AS BIGINT) AS gap_num
+FROM counts, totals
+"""
+
+
 def source_overlap_matrix(
     docs: DataFrame, source_col: str = "source", text_col: str = "text"
 ) -> DataFrame:

@@ -382,3 +382,31 @@ def _coverage_sql() -> str:
 
 QUERIES.update({"coverage_select_docs": coverage_select_docs})
 ORACLES.update({"coverage_select_docs": _coverage_sql()})
+
+
+def histogram_drift_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-bin document-length drift between source src0 and the rest
+    of the corpus, 16 equi-width bins with exact cross-multiplied
+    proportion gaps (`operators/drift.py:histogram_drift` — summing
+    gap_num/(2·Na·Nb) is the exact total-variation distance)."""
+    from ..operators.drift import histogram_drift
+
+    docs = load(spark, sf_dir, "documents")
+    return histogram_drift(
+        docs, "n_chars", F.col("source") == "src0", n_bins=16
+    )
+
+
+def _hist_drift_sql() -> str:
+    from ..operators.drift import histogram_drift_sql
+
+    return histogram_drift_sql(
+        "SELECT n_chars, source FROM documents",
+        "n_chars",
+        "source = 'src0'",
+        n_bins=16,
+    )
+
+
+QUERIES.update({"histogram_drift_chars": histogram_drift_chars})
+ORACLES.update({"histogram_drift_chars": _hist_drift_sql()})

@@ -492,3 +492,71 @@ def test_coverage_select_rejects_bad_k(spark):
 
     with pytest.raises(ValueError):
         coverage_select(_docs(spark, ["a b c"]), k=0)
+
+
+# -- histogram_drift ----------------------------------------------------------
+
+
+def test_histogram_drift_known_bins(spark):
+    from bunsen_spark.operators.drift import histogram_drift
+
+    # values 0..9, A = evens. 5 bins over [0, 10): width 2 -> each bin
+    # holds {2k, 2k+1}: cnt_a = cnt_b = 1 everywhere, Na = Nb = 5 ->
+    # gap_num 0 in every bin (identical distributions)
+    df = spark.createDataFrame([(v,) for v in range(10)], "v long")
+    rows = histogram_drift(df, "v", F.col("v") % 2 == 0, n_bins=5).collect()
+    got = {r.bin: (r.lo, r.cnt_a, r.cnt_b, r.gap_num) for r in rows}
+    assert got == {b: (2 * b, 1, 1, 0) for b in range(5)}
+
+
+def test_histogram_drift_disjoint_ranges(spark):
+    from bunsen_spark.operators.drift import histogram_drift
+
+    # A occupies [0,4], B occupies [5,9]: total variation = 1 ->
+    # sum(gap_num) == 2*Na*Nb
+    df = spark.createDataFrame(
+        [(v, v < 5) for v in range(10)], "v long, is_a boolean"
+    )
+    rows = histogram_drift(df, "v", F.col("is_a"), n_bins=2).collect()
+    na = nb = 5
+    assert sum(r.gap_num for r in rows) == 2 * na * nb
+    got = {r.bin: (r.cnt_a, r.cnt_b) for r in rows}
+    assert got == {0: (5, 0), 1: (0, 5)}
+
+
+def test_histogram_drift_matches_python(spark):
+    import random
+
+    from bunsen_spark.operators.drift import histogram_drift
+
+    rng = random.Random(13)
+    rows = [
+        (rng.randint(-50, 200), rng.random() < 0.4) for _ in range(500)
+    ]
+    df = spark.createDataFrame(rows, "v long, is_a boolean")
+    n_bins = 8
+    mn, mx = min(v for v, _ in rows), max(v for v, _ in rows)
+    width = mx - mn + 1
+    expect = {}
+    for v, is_a in rows:
+        b = min(n_bins - 1, (v - mn) * n_bins // width)
+        ca, cb = expect.get(b, (0, 0))
+        expect[b] = (ca + (1 if is_a else 0), cb + (0 if is_a else 1))
+    na = sum(a for a, _ in expect.values())
+    nb = sum(b for _, b in expect.values())
+    got = {
+        r.bin: (r.lo, r.cnt_a, r.cnt_b, r.gap_num)
+        for r in histogram_drift(df, "v", F.col("is_a"), n_bins=n_bins).collect()
+    }
+    assert got == {
+        b: (mn + b * width // n_bins, ca, cb, abs(ca * nb - cb * na))
+        for b, (ca, cb) in expect.items()
+    }
+
+
+def test_histogram_drift_rejects_bad_bins(spark):
+    from bunsen_spark.operators.drift import histogram_drift
+
+    df = spark.createDataFrame([(1,)], "v long")
+    with pytest.raises(ValueError):
+        histogram_drift(df, "v", F.lit(True), n_bins=0)
