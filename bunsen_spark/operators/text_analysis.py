@@ -631,3 +631,130 @@ SELECT t.doc_id,
        COALESCE(p.surprisal_bits, 0) AS surprisal_bits
 FROM {table} t LEFT JOIN per_doc p USING (doc_id)
 """
+
+
+def importance_score(
+    docs: DataFrame,
+    target,
+    n_buckets: int = 4096,
+    portable: bool = False,
+) -> DataFrame:
+    """DSIR-style data selection score (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling"): rank
+    every document by how target-like its hashed-bigram feature
+    profile is, where ``target`` is a boolean column/expression
+    marking the in-domain exemplar docs. DSIR's importance weight is
+    ``sum(log(p_t(b) / p_b(b)))`` over the doc's hashed n-gram
+    buckets; this variant keeps the same feature space (bigrams hashed
+    into ``n_buckets`` buckets) but scores with the integer
+    cross-multiplied proportion gap ``sum(cnt_t[b]*N_b - cnt_b[b]*N_t)``
+    — positive = target-like — so the result is float-free and
+    bit-reproducible (same contract as ``drift.vocab_shift``). Returns
+    ``(doc_id, n_bigrams, score_num)``, one row per input doc; docs
+    with <2 tokens score (0, 0).
+
+    Plan: ONE bigram explode scan feeds both (a) the bucket-count
+    aggregate — map-side combined down to at most ``n_buckets`` rows,
+    then weighted by a 1-row totals broadcast — and (b) the per-doc
+    sum, which joins the weights back by an explicit
+    ``F.broadcast`` (the table is bounded by ``n_buckets``, never
+    corpus-sized) and shuffles only on ``doc_id``. Linear in corpus
+    token count at any scale; no pair expansion anywhere.
+
+    int64 bound: ``|weight| <= max(cnt)*max(N)``; safe while each
+    side's total bigram count stays under ~3e9. Beyond that, cast the
+    two products to ``decimal(38,0)`` (DuckDB HUGEINT twin) — ranking
+    is unchanged.
+    """
+    if n_buckets < 1:
+        raise ValueError("n_buckets must be >= 1")
+    words = words_col(F.col("text"))
+    bigrams = F.expr(
+        "CASE WHEN size(__w) >= 2 THEN transform(sequence(1, size(__w) - 1),"
+        " i -> concat(__w[i - 1], ' ', __w[i]))"
+        " ELSE cast(array() AS array<string>) END"
+    )
+    toks = (
+        docs.select(
+            "doc_id",
+            F.when(target, F.lit(1)).otherwise(F.lit(0)).alias("__t"),
+            words.alias("__w"),
+        )
+        .select("doc_id", "__t", F.explode(bigrams).alias("bg"))
+        .select(
+            "doc_id",
+            "__t",
+            (hash31(F.col("bg"), portable) % n_buckets).alias("bk"),
+        )
+    )
+    buckets = toks.groupBy("bk").agg(
+        F.sum("__t").cast("long").alias("cnt_t"),
+        F.sum(1 - F.col("__t")).cast("long").alias("cnt_b"),
+    )
+    totals = buckets.agg(
+        F.sum("cnt_t").cast("long").alias("__nt"),
+        F.sum("cnt_b").cast("long").alias("__nb"),
+    )
+    weights = buckets.crossJoin(F.broadcast(totals)).select(
+        "bk",
+        (
+            F.col("cnt_t") * F.col("__nb") - F.col("cnt_b") * F.col("__nt")
+        ).alias("__wt"),
+    )
+    per_doc = (
+        toks.join(F.broadcast(weights), "bk")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum("__wt").cast("long").alias("score_num"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_bigrams"), F.lit(0).cast("long")).alias(
+                "n_bigrams"
+            ),
+            F.coalesce(F.col("score_num"), F.lit(0).cast("long")).alias(
+                "score_num"
+            ),
+        )
+    )
+
+
+def importance_score_sql(
+    target_sql: str, n_buckets: int = 4096, table: str = "documents"
+) -> str:
+    """DuckDB twin of :func:`importance_score` (portable hash family)."""
+    bk = f"({md5int_sql('bg')} % {MERSENNE31}) % {n_buckets}"
+    return f"""
+WITH src AS (
+  SELECT doc_id, CASE WHEN {target_sql} THEN 1 ELSE 0 END AS t,
+         {WORDS_SQL} AS ws
+  FROM {table}
+), toks AS (
+  SELECT doc_id, t,
+         {bk.replace('bg', "(ws[CAST(i AS INTEGER)] || ' ' || ws[CAST(i + 1 AS INTEGER)])")} AS bk
+  FROM src, unnest(generate_series(1, len(ws) - 1)) u(i)
+), buckets AS (
+  SELECT bk, CAST(sum(t) AS BIGINT) AS cnt_t,
+         CAST(sum(1 - t) AS BIGINT) AS cnt_b
+  FROM toks GROUP BY bk
+), totals AS (
+  SELECT CAST(sum(cnt_t) AS BIGINT) AS nt,
+         CAST(sum(cnt_b) AS BIGINT) AS nb
+  FROM buckets
+), weights AS (
+  SELECT bk, cnt_t * nb - cnt_b * nt AS wt FROM buckets, totals
+), per_doc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         CAST(sum(wt) AS BIGINT) AS score_num
+  FROM toks JOIN weights USING (bk) GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(p.n_bigrams, 0) AS n_bigrams,
+       COALESCE(p.score_num, 0) AS score_num
+FROM {table} d LEFT JOIN per_doc p USING (doc_id)
+"""

@@ -410,3 +410,26 @@ def _hist_drift_sql() -> str:
 
 QUERIES.update({"histogram_drift_chars": histogram_drift_chars})
 ORACLES.update({"histogram_drift_chars": _hist_drift_sql()})
+
+
+def dsir_importance_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style target-likeness score for every document, target =
+    source src0, 256 hashed-bigram buckets, portable hash family
+    (`operators/text_analysis.py:importance_score`; integer
+    cross-multiplied gap in place of DSIR's log-ratio)."""
+    from ..operators.text_analysis import importance_score
+
+    docs = load(spark, sf_dir, "documents")
+    return importance_score(
+        docs, F.col("source") == "src0", n_buckets=256, portable=True
+    )
+
+
+def _dsir_sql() -> str:
+    from ..operators.text_analysis import importance_score_sql
+
+    return importance_score_sql("source = 'src0'", n_buckets=256)
+
+
+QUERIES.update({"dsir_importance_scores": dsir_importance_scores})
+ORACLES.update({"dsir_importance_scores": _dsir_sql()})

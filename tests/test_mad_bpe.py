@@ -560,3 +560,86 @@ def test_histogram_drift_rejects_bad_bins(spark):
     df = spark.createDataFrame([(1,)], "v long")
     with pytest.raises(ValueError):
         histogram_drift(df, "v", F.lit(True), n_bins=0)
+
+
+# -- importance_score (DSIR-style) -------------------------------------------
+
+
+def _imp_py(rows, n_buckets):
+    """Pure-python reference for importance_score(portable=True)."""
+    import hashlib
+    import re
+
+    M = 2147483647
+
+    def bucket(bg):
+        h = int(hashlib.md5(bg.encode()).hexdigest()[:13], 16) % M
+        return h % n_buckets
+
+    toks = []  # (doc_id, is_target, bucket)
+    for doc_id, text, is_t in rows:
+        ws = re.findall("[a-z0-9]+", text.lower())
+        for a, b in zip(ws, ws[1:]):
+            toks.append((doc_id, is_t, bucket(f"{a} {b}")))
+    cnt = {}
+    for _, t, bk in toks:
+        ct, cb = cnt.get(bk, (0, 0))
+        cnt[bk] = (ct + (1 if t else 0), cb + (0 if t else 1))
+    nt = sum(a for a, _ in cnt.values())
+    nb = sum(b for _, b in cnt.values())
+    out = {doc_id: (0, 0) for doc_id, _, _ in rows}
+    for doc_id, _, bk in toks:
+        ct, cb = cnt[bk]
+        n, s = out[doc_id]
+        out[doc_id] = (n + 1, s + ct * nb - cb * nt)
+    return out
+
+
+def test_importance_score_matches_python(spark):
+    import random
+
+    from bunsen_spark.operators.text_analysis import importance_score
+
+    rng = random.Random(7)
+    vocab_a = ["alpha", "beta", "gamma", "delta"]
+    vocab_b = ["omega", "sigma", "beta", "tau"]
+    rows = []
+    for i in range(60):
+        is_t = i % 3 == 0
+        pool = vocab_a if is_t else vocab_b
+        text = " ".join(rng.choice(pool) for _ in range(rng.randint(0, 12)))
+        rows.append((i, text, is_t))
+    df = spark.createDataFrame(rows, "doc_id long, text string, is_t boolean")
+    got = {
+        r.doc_id: (r.n_bigrams, r.score_num)
+        for r in importance_score(
+            df, F.col("is_t"), n_buckets=32, portable=True
+        ).collect()
+    }
+    assert got == _imp_py(rows, 32)
+    assert len(got) == 60  # every doc present, including <2-token ones
+
+
+def test_importance_score_direction(spark):
+    from bunsen_spark.operators.text_analysis import importance_score
+
+    # target docs repeat "x y", background repeat "p q": a target doc's
+    # buckets are exclusively target-heavy -> strictly positive score
+    rows = [(i, "x y x y x y", True) for i in range(5)] + [
+        (i + 5, "p q p q p q", False) for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, is_t boolean")
+    got = {
+        r.doc_id: r.score_num
+        for r in importance_score(df, F.col("is_t"), n_buckets=64).collect()
+    }
+    assert all(got[i] > 0 for i in range(5))
+    assert all(got[i + 5] < 0 for i in range(5))
+
+
+def test_importance_score_rejects_bad_buckets(spark):
+    from bunsen_spark.operators.text_analysis import importance_score
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        importance_score(df, F.lit(True), n_buckets=0)
