@@ -1498,3 +1498,157 @@ def pq_index_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank")
     )
+
+
+def mmr_select(
+    embeddings: DataFrame,
+    query_id: int = 0,
+    k: int = 4,
+    lam: tuple[int, int] = (7, 10),
+) -> DataFrame:
+    """Maximal-marginal-relevance (Carbonell & Goldstein 1998) diverse
+    top-``k`` selection for one query vector: ``k`` greedy rounds,
+    each picking the candidate maximizing
+    ``lam*rel(c) - (1-lam)*max_{s in S} sim(c, s)`` — the standard
+    relevance-vs-redundancy curation rule (diverse retrieval, few-shot
+    pool picking, dedup-aware eval sampling). ``lam`` is the rational
+    ``(a, b)`` for a/b, so the score is the INTEGER
+    ``a*rel - (b-a)*maxsim`` over dot products of ``round(x*1000)``
+    integral-quantized vectors (the engine-portable lattice the
+    k-means family already uses) — no float comparisons anywhere.
+    Output: ``(sel_rank, vec_id, score_num)``; ties break on vec_id.
+
+    Scale: per round ONE linear scan of the quantized corpus — the
+    selected set (≤k rows) rides along as an explicit
+    ``F.broadcast`` cross join for the max-sim reduction, the argmax
+    is a distributed ``orderBy().limit(1)``, and only the single
+    winner row is ever collected (same round-coordination shape as
+    ``sampling.coverage_select`` / the Lloyd trainer). No pairwise
+    corpus expansion at any point.
+    """
+    a, b = lam
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if not (0 < a <= b):
+        raise ValueError("lam must be a rational in (0, 1]")
+    q = F.transform(
+        F.col("embedding").cast("array<double>"),
+        lambda x: F.round(x * F.lit(KMEANS_QUANT), 0).cast("long"),
+    )
+    base = materialize(embeddings.select("vec_id", q.alias("q")))
+    qrow = base.where(F.col("vec_id") == query_id).select(
+        F.col("q").alias("__qv")
+    )
+    idot = F.aggregate(
+        F.zip_with(F.col("q"), F.col("__qv"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    cands = materialize(
+        base.where(F.col("vec_id") != query_id)
+        .crossJoin(F.broadcast(qrow))
+        .select("vec_id", "q", idot.alias("rel"))
+    )
+    winners: list[tuple[int, int, int]] = []
+    sel: DataFrame | None = None
+    for rank in range(1, k + 1):
+        if sel is None:
+            scored = cands.select(
+                "vec_id", (F.lit(a) * F.col("rel")).alias("score_num")
+            )
+        else:
+            sdot = F.aggregate(
+                F.zip_with(F.col("q"), F.col("__sv"), lambda x, y: x * y),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+            scored = (
+                cands.crossJoin(F.broadcast(sel))
+                .groupBy("vec_id", "rel")
+                .agg(F.max(sdot).alias("__ms"))
+                .select(
+                    "vec_id",
+                    (
+                        F.lit(a) * F.col("rel") - F.lit(b - a) * F.col("__ms")
+                    ).alias("score_num"),
+                )
+            )
+        top = (
+            scored.orderBy(F.col("score_num").desc(), F.col("vec_id").asc())
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            raise ValueError(f"corpus exhausted after {rank - 1} picks")
+        [r] = top
+        winners.append((rank, r.vec_id, r.score_num))
+        picked = cands.where(F.col("vec_id") == r.vec_id).select(
+            F.col("q").alias("__sv")
+        )
+        sel = materialize(
+            picked if sel is None else sel.union(picked), eager=True
+        )
+        cands = cands.where(F.col("vec_id") != r.vec_id)
+    return embeddings.sparkSession.createDataFrame(
+        winners, "sel_rank long, vec_id long, score_num long"
+    )
+
+
+def mmr_select_sql(
+    table: str = "embeddings",
+    query_id: int = 0,
+    k: int = 4,
+    lam: tuple[int, int] = (7, 10),
+) -> str:
+    """DuckDB twin of :func:`mmr_select`: the greedy cycle unrolled as
+    a CTE chain over the same integral-quantized integer lattice."""
+    a, b = lam
+    parts = [
+        f"""e AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+                        x -> CAST(round(x * {KMEANS_QUANT}) AS BIGINT)) AS q
+  FROM {table}
+)""",
+        f"""cand AS (
+  SELECT e.vec_id, e.q,
+         CAST(list_sum(list_transform(range(1, len(e.q) + 1),
+              i -> e.q[CAST(i AS INTEGER)] * qq.q[CAST(i AS INTEGER)]))
+              AS BIGINT) AS rel
+  FROM e CROSS JOIN (SELECT q FROM e WHERE vec_id = {query_id}) qq
+  WHERE e.vec_id <> {query_id}
+)""",
+    ]
+    for r in range(1, k + 1):
+        excl = "".join(
+            f" AND vec_id <> (SELECT vec_id FROM r{p})" for p in range(1, r)
+        )
+        if r == 1:
+            scored = (
+                f"SELECT vec_id, CAST({a} * rel AS BIGINT) AS score_num"
+                f" FROM cand WHERE TRUE{excl}"
+            )
+        else:
+            sel = " UNION ALL ".join(
+                f"SELECT q FROM e JOIN r{p} USING (vec_id)"
+                for p in range(1, r)
+            )
+            scored = f"""SELECT c.vec_id,
+         CAST({a} * c.rel - {b - a} * max(
+              CAST(list_sum(list_transform(range(1, len(c.q) + 1),
+                   i -> c.q[CAST(i AS INTEGER)] * s.q[CAST(i AS INTEGER)]))
+                   AS BIGINT)) AS BIGINT) AS score_num
+  FROM (SELECT * FROM cand WHERE TRUE{excl}) c
+  CROSS JOIN ({sel}) s
+  GROUP BY c.vec_id, c.rel"""
+        parts.append(
+            f"""r{r} AS (
+  SELECT vec_id, score_num FROM ({scored}) __s{r}
+  ORDER BY score_num DESC, vec_id ASC LIMIT 1
+)"""
+        )
+    unions = "\nUNION ALL\n".join(
+        f"SELECT CAST({r} AS BIGINT) AS sel_rank, vec_id, score_num FROM r{r}"
+        for r in range(1, k + 1)
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + unions

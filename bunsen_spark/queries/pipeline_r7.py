@@ -433,3 +433,24 @@ def _dsir_sql() -> str:
 
 QUERIES.update({"dsir_importance_scores": dsir_importance_scores})
 ORACLES.update({"dsir_importance_scores": _dsir_sql()})
+
+
+def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diverse top-4 for query vector 0, lambda = 7/10, on the
+    round(x*1000) integer lattice
+    (`operators/similarity.py:mmr_select`; oracle = the greedy cycle
+    unrolled as a CTE chain)."""
+    from ..operators.similarity import mmr_select
+
+    emb = load(spark, sf_dir, "embeddings")
+    return mmr_select(emb, query_id=0, k=4, lam=(7, 10))
+
+
+def _mmr_sql() -> str:
+    from ..operators.similarity import mmr_select_sql
+
+    return mmr_select_sql("embeddings", query_id=0, k=4, lam=(7, 10))
+
+
+QUERIES.update({"mmr_diverse_topk": mmr_diverse_topk})
+ORACLES.update({"mmr_diverse_topk": _mmr_sql()})

@@ -643,3 +643,89 @@ def test_importance_score_rejects_bad_buckets(spark):
     df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
     with pytest.raises(ValueError):
         importance_score(df, F.lit(True), n_buckets=0)
+
+
+# -- mmr_select ---------------------------------------------------------------
+
+
+def _mmr_py(vecs, query_id, k, a, b):
+    q = {i: [round(x * 1000) for x in v] for i, v in vecs.items()}
+
+    def dot(u, v):
+        return sum(x * y for x, y in zip(u, v))
+
+    cands = {i: dot(q[i], q[query_id]) for i in q if i != query_id}
+    sel, out = [], []
+    for rank in range(1, k + 1):
+        best = None
+        for i, rel in cands.items():
+            if i in sel:
+                continue
+            ms = max((dot(q[i], q[j]) for j in sel), default=None)
+            score = a * rel if ms is None else a * rel - (b - a) * ms
+            key = (-score, i)
+            if best is None or key < best[0]:
+                best = (key, i, score)
+        sel.append(best[1])
+        out.append((rank, best[1], best[2]))
+    return out
+
+
+def test_mmr_select_matches_python(spark):
+    import random
+
+    from bunsen_spark.operators.similarity import mmr_select
+
+    rng = random.Random(11)
+    vecs = {
+        i: [rng.uniform(-1, 1) for _ in range(8)] for i in range(30)
+    }
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id long, embedding array<float>"
+    )
+    # quantize from the FLOAT-rounded values, as the operator sees them
+    import struct
+
+    f32 = {
+        i: [struct.unpack("f", struct.pack("f", x))[0] for x in v]
+        for i, v in vecs.items()
+    }
+    got = [
+        (r.sel_rank, r.vec_id, r.score_num)
+        for r in mmr_select(df, query_id=0, k=5, lam=(7, 10)).collect()
+    ]
+    assert sorted(got) == _mmr_py(f32, 0, 5, 7, 10)
+
+
+def test_mmr_prefers_diverse_over_redundant(spark):
+    from bunsen_spark.operators.similarity import mmr_select
+
+    # query along +x; vec 1 and 2 both near +x (2 slightly closer),
+    # vec 3 off-axis but still relevant. Pure relevance picks {2, 1};
+    # with lambda=1/4 (heavy redundancy penalty: score = rel - 3*maxsim)
+    # MMR must pick the diverse 3 second:
+    #   cand1: 940000 - 3*896000 = -1748000
+    #   cand3: 500000 - 3*518000 = -1054000  -> 3 wins
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.94, 0.06]),
+        (2, [0.95, 0.05]),
+        (3, [0.5, 0.86]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = [r.vec_id for r in mmr_select(df, 0, k=2, lam=(1, 4)).collect()]
+    assert got == [2, 3]
+
+
+def test_mmr_rejects_bad_args(spark):
+    from bunsen_spark.operators.similarity import mmr_select
+
+    df = spark.createDataFrame(
+        [(0, [1.0]), (1, [0.5])], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError):
+        mmr_select(df, 0, k=0)
+    with pytest.raises(ValueError):
+        mmr_select(df, 0, k=1, lam=(3, 2))
+    with pytest.raises(ValueError):
+        mmr_select(df, 0, k=5)  # only 1 candidate
