@@ -1652,3 +1652,90 @@ def mmr_select_sql(
         for r in range(1, k + 1)
     )
     return "WITH " + ",\n".join(parts) + "\n" + unions
+
+
+def knn_label_vote(
+    embeddings: DataFrame, k: int = 5, num_queries: int = 32
+) -> DataFrame:
+    """Leave-one-out kNN classification audit — THE standard intrinsic
+    embedding-quality eval (does the space cluster by label?): for each
+    query vector (vec_id < ``num_queries``) take its ``k`` exact-cosine
+    nearest OTHER vectors (:func:`brute_force_topk`, the gate-proven
+    ranking) and majority-vote their ``label`` column; ties break on
+    the smaller label. Output: ``(query_id, true_label, pred_label,
+    votes, correct)`` — aggregate ``avg(correct)`` is the LOO kNN
+    accuracy.
+
+    Scale: the neighbor table is ``num_queries*k`` rows — it is the
+    BROADCAST side of both label joins (the corpus-sized label table
+    is never shuffled); the vote argmax is a window over ≤k rows per
+    query. Cost is dominated by the exact scan inside
+    ``brute_force_topk`` — swap in any of the IVF/PQ variants for an
+    approximate audit at larger ``num_queries``."""
+    nn = brute_force_topk(embeddings, k, num_queries)
+    labels = embeddings.select(
+        "vec_id", F.col("label").cast("long").alias("label")
+    )
+    neigh = labels.join(
+        F.broadcast(nn), labels.vec_id == nn.neighbor_id
+    ).select("query_id", "label")
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("votes"), F.asc("label")
+    )
+    pred = (
+        neigh.groupBy("query_id", "label")
+        .agg(F.count(F.lit(1)).cast("long").alias("votes"))
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select("query_id", F.col("label").alias("pred_label"), "votes")
+    )
+    truth = labels.join(
+        F.broadcast(pred), labels.vec_id == pred.query_id
+    ).select(
+        "query_id",
+        F.col("label").alias("true_label"),
+        "pred_label",
+        "votes",
+        F.when(F.col("label") == F.col("pred_label"), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("correct"),
+    )
+    return truth
+
+
+def knn_label_vote_sql(
+    table: str = "embeddings", k: int = 5, num_queries: int = 32
+) -> str:
+    """DuckDB twin of :func:`knn_label_vote`."""
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, CAST(label AS BIGINT) AS label
+           FROM {table}),
+nn AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(q.v, c.v) DESC, c.vec_id
+           ) AS rank
+    FROM e q JOIN e c ON c.vec_id <> q.vec_id
+    WHERE q.vec_id < {num_queries}
+  ) WHERE rank <= {k}
+),
+pred AS (
+  SELECT query_id, label AS pred_label, votes FROM (
+    SELECT query_id, n.label,
+           CAST(count(*) AS BIGINT) AS votes,
+           row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY count(*) DESC, n.label ASC
+           ) AS rn
+    FROM nn JOIN e n ON n.vec_id = nn.neighbor_id
+    GROUP BY query_id, n.label
+  ) WHERE rn = 1
+)
+SELECT query_id, q.label AS true_label, pred_label, votes,
+       CAST(CASE WHEN q.label = pred_label THEN 1 ELSE 0 END AS BIGINT)
+           AS correct
+FROM pred JOIN e q ON q.vec_id = pred.query_id
+"""

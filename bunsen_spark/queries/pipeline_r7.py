@@ -454,3 +454,22 @@ def _mmr_sql() -> str:
 
 QUERIES.update({"mmr_diverse_topk": mmr_diverse_topk})
 ORACLES.update({"mmr_diverse_topk": _mmr_sql()})
+
+
+def knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out 5-NN majority-vote label audit over the first 32
+    embedding vectors (`operators/similarity.py:knn_label_vote`)."""
+    from ..operators.similarity import knn_label_vote
+
+    emb = load(spark, sf_dir, "embeddings")
+    return knn_label_vote(emb, k=5, num_queries=32)
+
+
+def _knn_vote_sql() -> str:
+    from ..operators.similarity import knn_label_vote_sql
+
+    return knn_label_vote_sql("embeddings", k=5, num_queries=32)
+
+
+QUERIES.update({"knn_label_accuracy": knn_label_accuracy})
+ORACLES.update({"knn_label_accuracy": _knn_vote_sql()})

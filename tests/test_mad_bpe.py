@@ -729,3 +729,42 @@ def test_mmr_rejects_bad_args(spark):
         mmr_select(df, 0, k=1, lam=(3, 2))
     with pytest.raises(ValueError):
         mmr_select(df, 0, k=5)  # only 1 candidate
+
+
+# -- knn_label_vote -----------------------------------------------------------
+
+
+def test_knn_label_vote_separable_clusters(spark):
+    from bunsen_spark.operators.similarity import knn_label_vote
+
+    # two tight clusters around +x and +y: every query's neighbors
+    # share its label -> LOO accuracy 1.0, votes == k
+    rows = []
+    for i in range(8):
+        rows.append((i, [1.0, 0.01 * i], 0))
+        rows.append((8 + i, [0.01 * i, 1.0], 1))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    got = knn_label_vote(df, k=3, num_queries=16).collect()
+    assert len(got) == 16
+    assert all(r.correct == 1 and r.votes == 3 for r in got)
+    assert all(r.pred_label == r.true_label for r in got)
+
+
+def test_knn_label_vote_tie_breaks_small_label(spark):
+    from bunsen_spark.operators.similarity import knn_label_vote
+
+    # query 0 at +x; k=2 neighbors are one label-5 and one label-3 at
+    # equal vote count -> tie must resolve to the SMALLER label 3
+    rows = [
+        (0, [1.0, 0.0], 9),
+        (1, [0.99, 0.1], 5),
+        (2, [0.99, -0.1], 3),
+        (3, [-1.0, 0.0], 7),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    [r] = knn_label_vote(df, k=2, num_queries=1).collect()
+    assert (r.true_label, r.pred_label, r.votes, r.correct) == (9, 3, 1, 0)
