@@ -1739,3 +1739,128 @@ SELECT query_id, q.label AS true_label, pred_label, votes,
            AS correct
 FROM pred JOIN e q ON q.vec_id = pred.query_id
 """
+
+
+def _jl_sign(j: int, d: int) -> int:
+    """Deterministic ±1 for projected axis ``j``, input dim ``d`` —
+    md5 parity of ``"jl<j>_<d>"`` (engine-independent: generated
+    driver-side and inlined as literals in BOTH the Spark plan and the
+    DuckDB twin, same recipe as the LSH ``PLANES``)."""
+    import hashlib
+
+    return 1 if int(hashlib.md5(f"jl{j}_{d}".encode()).hexdigest(), 16) % 2 == 0 else -1
+
+
+def _jl_matrix(out_dim: int, dim: int) -> list[list[int]]:
+    return [[_jl_sign(j, d) for d in range(dim)] for j in range(out_dim)]
+
+
+def jl_topk(
+    embeddings: DataFrame,
+    k: int = 5,
+    num_queries: int = 32,
+    out_dim: int = 8,
+) -> DataFrame:
+    """Johnson–Lindenstrauss random-projection ANN: project the
+    ``round(x*1000)`` integral-quantized vectors through a
+    deterministic ±1 sign matrix (Achlioptas 2003's database-friendly
+    JL construction) down to ``out_dim`` axes, then rank each query's
+    candidates by EXACT INTEGER dot product in the projected space —
+    ties on neighbor_id. Output: (query_id, neighbor_id, rank).
+
+    Scale: the projection is a map stage (``out_dim`` integer dots per
+    vector, sign rows are plan literals — nothing is shuffled or
+    broadcast for the matrix); the scoring scan then touches
+    ``out_dim``-wide vectors instead of the full dimension — the
+    classic "project once, scan cheap" trade: at 100 TB the projected
+    corpus is dim/out_dim× smaller to scan, and recall follows the JL
+    distance-preservation bound rather than an inverted-list prune.
+    All arithmetic is integer (products of round(x*1000) sums stay far
+    under 2^63 for out_dim·dim ≤ ~10^5), so any engine reproduces the
+    ranking bit-for-bit."""
+    signs = _jl_matrix(out_dim, EMBED_DIM)
+    q = F.transform(
+        F.col("embedding").cast("array<double>"),
+        lambda x: F.round(x * F.lit(KMEANS_QUANT), 0).cast("long"),
+    )
+    proj = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    F.col("__q"),
+                    F.array(*[F.lit(s).cast("long") for s in signs[j]]),
+                    lambda x, y: x * y,
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+            for j in range(out_dim)
+        ]
+    )
+    base = (
+        embeddings.select("vec_id", q.alias("__q"))
+        .select("vec_id", proj.alias("p"))
+        .transform(_spread)
+    )
+    queries = base.where(F.col("vec_id") < num_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("p").alias("qp")
+    )
+    idot = F.aggregate(
+        F.zip_with(F.col("qp"), F.col("p"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = base.join(
+        F.broadcast(queries), F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        idot.alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def jl_topk_sql(
+    table: str = "embeddings",
+    k: int = 5,
+    num_queries: int = 32,
+    out_dim: int = 8,
+) -> str:
+    """DuckDB twin of :func:`jl_topk` (same literal sign matrix)."""
+    signs = _jl_matrix(out_dim, EMBED_DIM)
+    proj_exprs = ", ".join(
+        "CAST(list_sum(list_transform(range(1, len(q) + 1), "
+        f"i -> q[CAST(i AS INTEGER)] * ([{', '.join(str(s) for s in signs[j])}])"
+        "[CAST(i AS INTEGER)])) AS BIGINT)"
+        for j in range(out_dim)
+    )
+    pdot = (
+        f"CAST(list_sum(list_transform(range(1, {out_dim} + 1), "
+        "i -> qq.p[CAST(i AS INTEGER)] * c.p[CAST(i AS INTEGER)])) AS BIGINT)"
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+                        x -> CAST(round(x * {KMEANS_QUANT}) AS BIGINT)) AS q
+  FROM {table}
+), proj AS (
+  SELECT vec_id, [{proj_exprs}] AS p FROM e
+)
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT qq.vec_id AS query_id, c.vec_id AS neighbor_id,
+         row_number() OVER (
+             PARTITION BY qq.vec_id
+             ORDER BY {pdot} DESC, c.vec_id
+         ) AS rank
+  FROM proj qq JOIN proj c ON c.vec_id <> qq.vec_id
+  WHERE qq.vec_id < {num_queries}
+) WHERE rank <= {k}
+"""

@@ -473,3 +473,24 @@ def _knn_vote_sql() -> str:
 
 QUERIES.update({"knn_label_accuracy": knn_label_accuracy})
 ORACLES.update({"knn_label_accuracy": _knn_vote_sql()})
+
+
+def ann_jl_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JL random-projection ANN top-5 for the first 32 queries:
+    64-dim -> 8-dim deterministic ±1 projection, exact integer dot
+    ranking in the projected space
+    (`operators/similarity.py:jl_topk`)."""
+    from ..operators.similarity import jl_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    return jl_topk(emb, k=5, num_queries=32, out_dim=8)
+
+
+def _jl_sql() -> str:
+    from ..operators.similarity import jl_topk_sql
+
+    return jl_topk_sql("embeddings", k=5, num_queries=32, out_dim=8)
+
+
+QUERIES.update({"ann_jl_topk": ann_jl_topk})
+ORACLES.update({"ann_jl_topk": _jl_sql()})

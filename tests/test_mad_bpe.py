@@ -768,3 +768,42 @@ def test_knn_label_vote_tie_breaks_small_label(spark):
     )
     [r] = knn_label_vote(df, k=2, num_queries=1).collect()
     assert (r.true_label, r.pred_label, r.votes, r.correct) == (9, 3, 1, 0)
+
+
+# -- jl_topk ------------------------------------------------------------------
+
+
+def test_jl_topk_recall_on_separable_clusters(spark):
+    import random
+
+    from bunsen_spark.operators.similarity import EMBED_DIM, jl_topk
+
+    # two well-separated clusters: JL projection preserves the gap, so
+    # every query's projected top-3 stays inside its own cluster
+    rng = random.Random(5)
+
+    def vec(center):
+        return [c + rng.uniform(-0.05, 0.05) for c in center]
+
+    ca = [1.0] * (EMBED_DIM // 2) + [0.0] * (EMBED_DIM // 2)
+    cb = [0.0] * (EMBED_DIM // 2) + [1.0] * (EMBED_DIM // 2)
+    rows = [(i, vec(ca)) for i in range(10)] + [
+        (10 + i, vec(cb)) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = jl_topk(df, k=3, num_queries=20, out_dim=8).collect()
+    assert len(got) == 60
+    for r in got:
+        assert (r.query_id < 10) == (r.neighbor_id < 10)
+
+
+def test_jl_sign_matrix_deterministic_and_balanced(spark):
+    from bunsen_spark.operators.similarity import EMBED_DIM, _jl_matrix
+
+    m1 = _jl_matrix(8, EMBED_DIM)
+    m2 = _jl_matrix(8, EMBED_DIM)
+    assert m1 == m2
+    flat = [s for row in m1 for s in row]
+    assert set(flat) == {-1, 1}
+    # md5 parity should be roughly balanced (not constant/degenerate)
+    assert 0.3 < flat.count(1) / len(flat) < 0.7
