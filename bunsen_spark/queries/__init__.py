@@ -66,6 +66,9 @@ def ts_us(df: DataFrame, col: str = "ts"):
 # binning, winnowing doubling, valueset narrow semi-join, winsorize
 # star fix, similarity._spread memoization
 _CHANGED_THIS_ROUND = [
+    "vocab_encode_checksums",
+    "vocab_shift_even_odd",
+    "text_surprisal_score",
     "dedup_jaccard",
     "dedup_containment",
     "dedup_prefix_jaccard",
