@@ -52,6 +52,11 @@ HEAVY = [
     "ann_ivfpq_topk",
     "epoch_shuffle_positions",
     "interleave_mix_positions",
+    "histogram_drift_chars",
+    "dsir_importance_scores",
+    "mmr_diverse_topk",
+    "knn_label_accuracy",
+    "ann_jl_topk",
 ]
 
 
