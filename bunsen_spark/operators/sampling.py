@@ -744,3 +744,142 @@ SELECT {cols},
        ) AS BIGINT) AS {out_col}
 FROM __r
 """
+
+
+def waterfill_allocation(
+    counts: DataFrame,
+    group_col: str,
+    avail_col: str,
+    budget: int,
+    out_col: str = "allocated",
+) -> DataFrame:
+    """Water-filling (max-min fair) allocation of an integer ``budget``
+    across groups with equal target shares, each group capped at its
+    own availability — the token-budget split step of corpus mixing
+    ("give every language/source an equal slice of the training budget,
+    but never more than it has"). Small groups absorb their whole
+    availability; the leftover re-levels among the rest, exactly:
+
+    1. sort groups by (avail asc, group asc); the capped set is a
+       PREFIX of that order (standard water-filling property);
+    2. group i (1-based rank ``rn``, inclusive running availability
+       ``cum``) caps iff every remaining group could still get at least
+       ``avail_i``: ``avail_i * (n - rn + 1) <= budget - (cum -
+       avail_i)``; the first rank violating it starts the uncapped set
+       (prefix-min via one tiny ``min(rn)`` aggregate — robust even if
+       the monotonicity assumption were broken by ties);
+    3. the uncapped groups share the remainder: ``base = R div u``
+       each, the first ``R mod u`` by group name getting +1 — all
+       integer arithmetic, allocations sum EXACTLY to
+       ``min(budget, total availability)``.
+
+    Scale shape: runs on the already-aggregated ``(group, avail)``
+    table. Rank and running sum come from ONE range-repartition pass
+    (:func:`~bunsen_spark.operators.windows.global_rank_and_cumsum`),
+    so there is no single-partition window even at millions of groups
+    (domain-level corpus mixes); the three scalar aggregates (n, first
+    violation, capped mass) broadcast as 1-row cross joins. Returns
+    ``(group, avail, allocated)`` with ``avail``/``allocated`` as
+    longs. ``avail_col`` must be non-negative."""
+    from .windows import global_rank_and_cumsum, global_row_number
+
+    if budget < 0:
+        raise ValueError("budget must be non-negative")
+    g, a = F.col(group_col), F.col(avail_col).cast("long")
+    base = counts.select(g.alias("__g"), a.alias("__a"))
+    ranked = global_rank_and_cumsum(
+        base,
+        [F.col("__a").asc(), F.col("__g").asc()],
+        "__a",
+        rank_col="__rn",
+        cum_col="__cum",
+    )
+    tot = F.broadcast(ranked.agg(F.count(F.lit(1)).alias("__n")))
+    flagged = ranked.crossJoin(tot).withColumn(
+        "__ok",
+        F.col("__a") * (F.col("__n") - F.col("__rn") + F.lit(1))
+        <= F.lit(budget) - (F.col("__cum") - F.col("__a")),
+    )
+    first_viol = F.broadcast(
+        flagged.where(~F.col("__ok")).agg(F.min("__rn").alias("__fv"))
+    )
+    capped = flagged.crossJoin(first_viol).withColumn(
+        "__capped",
+        F.col("__fv").isNull() | (F.col("__rn") < F.col("__fv")),
+    )
+    cap_mass = F.broadcast(
+        capped.agg(
+            F.coalesce(
+                F.sum(F.when(F.col("__capped"), 1).otherwise(0)), F.lit(0)
+            ).alias("__m"),
+            F.coalesce(
+                F.sum(F.when(F.col("__capped"), F.col("__a"))), F.lit(0)
+            ).alias("__scap"),
+        )
+    )
+    unc_ranked = global_row_number(
+        capped.where(~F.col("__capped")).select("__g"),
+        [F.col("__g").asc()],
+        out_col="__r2",
+    )
+    # greatest(u, 1): u == 0 only when NO uncapped row exists, so the
+    # expression is never consumed then — the guard just keeps any
+    # speculative evaluation away from a division by zero.
+    joined = (
+        capped.join(unc_ranked, "__g", "left")
+        .crossJoin(cap_mass)
+        .withColumn("__u", F.greatest(F.col("__n") - F.col("__m"), F.lit(1)))
+        .withColumn("__r", F.lit(budget) - F.col("__scap"))
+    )
+    alloc = F.when(F.col("__capped"), F.col("__a")).otherwise(
+        F.expr("__r div __u")
+        + F.when(F.col("__r2") <= F.expr("__r % __u"), 1).otherwise(0)
+    )
+    return joined.select(
+        F.col("__g").alias(group_col),
+        F.col("__a").alias("avail"),
+        alloc.cast("long").alias(out_col),
+    )
+
+
+def waterfill_allocation_sql(
+    counts_sql: str,
+    group_col: str,
+    avail_col: str,
+    budget_sql: str,
+    out_col: str = "allocated",
+) -> str:
+    """DuckDB twin of :func:`waterfill_allocation` (engine-native
+    global windows instead of the distributed rank/cumsum pass).
+    ``budget_sql`` is a scalar SQL expression so gates can derive the
+    budget from the data itself (e.g. 70% of total availability)."""
+    g, a = group_col, avail_col
+    return f"""
+WITH c0 AS (SELECT {g} AS grp, CAST({a} AS BIGINT) AS avail FROM ({counts_sql}) __c),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST({budget_sql} AS BIGINT) AS b FROM c0),
+ord AS (
+  SELECT grp, avail,
+         CAST(row_number() OVER (ORDER BY avail ASC, grp ASC) AS BIGINT) AS rn,
+         CAST(sum(avail) OVER (ORDER BY avail ASC, grp ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+  FROM c0),
+flg AS (SELECT o.*, t.n, t.b,
+               (o.avail * (t.n - o.rn + 1) <= t.b - (o.cum - o.avail)) AS ok
+        FROM ord o CROSS JOIN tot t),
+fv AS (SELECT min(rn) AS first_viol FROM flg WHERE NOT ok),
+cap AS (SELECT f.*, (v.first_viol IS NULL OR f.rn < v.first_viol) AS capped
+        FROM flg f CROSS JOIN fv v),
+agg AS (SELECT CAST(coalesce(sum(CASE WHEN capped THEN 1 ELSE 0 END), 0) AS BIGINT) AS m,
+               CAST(coalesce(sum(CASE WHEN capped THEN avail END), 0) AS BIGINT) AS s_cap
+        FROM cap),
+unc AS (SELECT grp, CAST(row_number() OVER (ORDER BY grp ASC) AS BIGINT) AS r2
+        FROM cap WHERE NOT capped)
+SELECT c.grp AS {g}, c.avail,
+       CAST(CASE WHEN c.capped THEN c.avail
+            ELSE (c.b - x.s_cap) // greatest(c.n - x.m, 1)
+                 + (CASE WHEN u.r2 <= (c.b - x.s_cap) % greatest(c.n - x.m, 1)
+                    THEN 1 ELSE 0 END)
+       END AS BIGINT) AS {out_col}
+FROM cap c CROSS JOIN agg x LEFT JOIN unc u ON c.grp = u.grp
+"""

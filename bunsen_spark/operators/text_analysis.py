@@ -758,3 +758,58 @@ SELECT d.doc_id,
        COALESCE(p.score_num, 0) AS score_num
 FROM {table} d LEFT JOIN per_doc p USING (doc_id)
 """
+
+
+def ngram_novelty(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Per-document n-gram novelty against the lower-``doc_id`` corpus:
+    how many of a document's distinct word ``n``-grams does it
+    INTRODUCE (no earlier document contains them)? The streaming-order
+    diagnostic behind "is new data still adding anything" curation
+    calls — a crawl snapshot whose novel-gram ratio collapses is
+    re-crawling what the corpus already has (cf. the RefinedWeb /
+    C4-style dedup ablations, which track exactly this curve).
+
+    Output: ``(doc_id, total_grams, novel_grams)``; a gram is novel in
+    the UNIQUE earliest document containing it (``min(doc_id)``), so
+    corpus-wide ``sum(novel_grams)`` = the corpus's distinct-gram count
+    exactly — duplicates never double-count.
+
+    Plan: distinct-gram explode (the shared ``zip_with`` shingle shape,
+    `dedup.py:shingles_expr`) → one map-side-combined ``min(doc_id)``
+    per gram → hash join back on gram (both sides partition on gram —
+    co-located) → per-doc count/sum. Nothing quadratic: work is
+    O(corpus grams), state per reducer is one long per distinct gram."""
+    from .dedup import shingles_expr
+
+    grams = docs.select(
+        "doc_id", F.explode(F.expr(shingles_expr(n))).alias("gram")
+    )
+    first = grams.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        grams.join(first, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("total_grams"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("novel_grams"),
+        )
+    )
+
+
+def ngram_novelty_sql(table: str = "documents", n: int = 3) -> str:
+    """DuckDB twin of :func:`ngram_novelty`."""
+    from .dedup import shingles_sql
+
+    return f"""
+WITH g AS (SELECT doc_id, unnest({shingles_sql(n)}) AS gram FROM {table}),
+f AS (SELECT gram, min(doc_id) AS first_doc FROM g GROUP BY gram)
+SELECT g.doc_id,
+       CAST(count(*) AS BIGINT) AS total_grams,
+       CAST(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+           AS novel_grams
+FROM g JOIN f USING (gram)
+GROUP BY g.doc_id
+"""

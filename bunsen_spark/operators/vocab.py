@@ -442,3 +442,106 @@ SELECT d.doc_id,
        COALESCE(e.ids, CAST([] AS BIGINT[])) AS ids
 FROM {table} d LEFT JOIN enc e USING (doc_id)
 """
+
+
+def bpe_fertility(
+    docs: DataFrame, n_merges: int = 4, group_col: str = "lang"
+) -> DataFrame:
+    """Tokenizer fertility audit per group: train ``n_merges`` BPE
+    merges on the WHOLE corpus (:func:`bpe_train`), segment every
+    group's words with them, and report the integer mass balance
+
+        ``(group, n_words, n_subwords, n_chars)``
+
+    — subwords-per-word and chars-per-subword (the fertility /
+    compression-rate pair every tokenizer report tracks, and the
+    classic cross-lingual equity check: a shared vocab trained on an
+    en-heavy corpus segments minority languages into more pieces) are
+    left as ratios for the consumer, keeping this output exact longs.
+
+    Plan: the trained merge list (``n_merges`` rows) is driver-side
+    coordination like the Lloyd codebook; segmentation is the nested
+    ``replace`` chain over the wrapped-symbol string applied to the
+    DISTINCT ``(group, word)`` table — map-only whole-stage codegen,
+    weighted by word frequency, so corpus scale is paid once in the
+    word count and the replace work is vocabulary-bounded."""
+    merges_rows = bpe_train(docs, n_merges).collect()
+    merges = [(r.lhs, r.rhs) for r in merges_rows]
+    wl = (
+        docs.select(
+            F.col(group_col).alias("__grp"),
+            F.explode(words_col(F.col("text"))).alias("w"),
+        )
+        .groupBy("__grp", "w")
+        .agg(F.count(F.lit(1)).alias("wcnt"))
+    )
+    sym0 = (
+        "'|' || concat_ws('||', transform(sequence(1, length(w)),"
+        " i -> substring(w, i, 1))) || '|'"
+    )
+    seg = _merge_chain_sql(merges, sym0)
+    nsub = F.size(
+        F.split(F.expr(f"substring({seg}, 2, length({seg}) - 2)"), r"\|\|")
+    ).cast("long")
+    return (
+        wl.withColumn("__nsub", nsub)
+        .groupBy("__grp")
+        .agg(
+            F.sum("wcnt").cast("long").alias("n_words"),
+            F.sum(F.col("wcnt") * F.col("__nsub")).cast("long").alias(
+                "n_subwords"
+            ),
+            F.sum(F.col("wcnt") * F.length("w")).cast("long").alias("n_chars"),
+        )
+        .select(
+            F.col("__grp").alias(group_col),
+            "n_words",
+            "n_subwords",
+            "n_chars",
+        )
+    )
+
+
+def bpe_fertility_sql(
+    table: str = "documents", n_merges: int = 4, group_col: str = "lang"
+) -> str:
+    """DuckDB twin of :func:`bpe_fertility`: the shared training CTE
+    chain (:func:`_bpe_train_parts`), then one per-group replace stage
+    per merge — the merge values flow through the ``t{k}`` CTEs instead
+    of driver-collected literals, an independent formulation of the
+    same segmentation."""
+    parts = _bpe_train_parts(table, n_merges)
+    parts.append(
+        f"""wl0 AS (
+  SELECT grp, w, CAST(count(*) AS BIGINT) AS wcnt
+  FROM (SELECT {group_col} AS grp, unnest({WORDS_SQL}) AS w FROM {table}) __x
+  GROUP BY grp, w
+), ls0 AS (
+  SELECT grp, '|' || array_to_string(
+           list_transform(generate_series(1, length(w)),
+                          i -> substring(w, i, 1)), '||') || '|' AS sym,
+         wcnt, CAST(length(w) AS BIGINT) AS wlen
+  FROM wl0
+)"""
+    )
+    for k in range(1, n_merges + 1):
+        parts.append(
+            f"""ls{k} AS (
+  SELECT grp, replace(sym, '|' || lhs || '||' || rhs || '|',
+                      '|' || lhs || rhs || '|') AS sym, wcnt, wlen
+  FROM ls{k - 1}, t{k}
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT grp AS {group_col},
+       CAST(sum(wcnt) AS BIGINT) AS n_words,
+       CAST(sum(wcnt * len(str_split(substring(sym, 2, length(sym) - 2),
+                                     '||'))) AS BIGINT) AS n_subwords,
+       CAST(sum(wcnt * wlen) AS BIGINT) AS n_chars
+FROM ls{n_merges}
+GROUP BY grp
+"""
+    )

@@ -225,3 +225,58 @@ def global_weighted_cumsum(
         .withColumn(out_col, F.sum("__w").over(win) + F.col("__off"))
         .drop("__pid", "__w", "__off")
     )
+
+
+def global_rank_and_cumsum(
+    df: DataFrame,
+    order_cols: list[str | Column],
+    weight: str | Column,
+    rank_col: str = "rn",
+    cum_col: str = "cum",
+    partitions: int | None = None,
+) -> DataFrame:
+    """Both :func:`global_row_number` AND :func:`global_weighted_cumsum`
+    in ONE range-repartition pass: exact 1-based global rank plus the
+    INCLUSIVE running total of ``weight``, over the same total order.
+    Consumers that need rank and prefix together (e.g. the water-filling
+    budget allocator, which tests ``avail·(n-rank+1) <= budget-prefix``
+    per row) would otherwise pay two range shuffles and two
+    materializations of the same frame. Same contracts as the two
+    single-output primitives: total order required, weight exactly
+    summable."""
+    from ..persist import materialize
+
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    wcol = F.col(weight) if isinstance(weight, str) else weight
+    rp = (
+        df.repartitionByRange(partitions, *cols)
+        if partitions is not None
+        else df.repartitionByRange(*cols)
+    )
+    tagged = materialize(
+        rp.withColumn("__pid", F.spark_partition_id()).withColumn("__w", wcol)
+    )
+    counts = tagged.groupBy("__pid").agg(
+        F.count(F.lit(1)).alias("__n"), F.sum("__w").alias("__s")
+    )
+    earlier = counts.select(
+        F.col("__pid").alias("__pid2"),
+        F.col("__n").alias("__n2"),
+        F.col("__s").alias("__s2"),
+    )
+    offsets = (
+        counts.join(earlier, F.col("__pid2") < F.col("__pid"), "left")
+        .groupBy("__pid")
+        .agg(
+            F.coalesce(F.sum("__n2"), F.lit(0)).alias("__offn"),
+            F.coalesce(F.sum("__s2"), F.lit(0)).alias("__offs"),
+        )
+    )
+    wr = Window.partitionBy("__pid").orderBy(*cols)
+    ws = wr.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        tagged.join(F.broadcast(offsets), "__pid")
+        .withColumn(rank_col, F.row_number().over(wr) + F.col("__offn"))
+        .withColumn(cum_col, F.sum("__w").over(ws) + F.col("__offs"))
+        .drop("__pid", "__w", "__offn", "__offs")
+    )

@@ -1,0 +1,162 @@
+"""Late round-7 operators vs pure-Python references: water-filling
+budget allocation (randomized sweeps including the all-capped /
+none-capped edges), n-gram novelty, and the BPE fertility mass
+balance."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+
+def _py_waterfill(avail: dict[str, int], budget: int) -> dict[str, int]:
+    """Reference: literal iterative water-filling — repeatedly give
+    every unfinished group an equal share of what remains, capping
+    groups at availability, until no group caps; then distribute the
+    final equal shares (+1 to the first ``rem`` by name). Independent
+    of the prefix-scan formulation under test."""
+    alloc = {g: 0 for g in avail}
+    active = set(avail)
+    remaining = budget
+    while True:
+        if not active or remaining <= 0:
+            break
+        share = remaining // len(active)
+        capped = {g for g in active if avail[g] <= share}
+        if not capped:
+            base = remaining // len(active)
+            rem = remaining % len(active)
+            for i, g in enumerate(sorted(active)):
+                alloc[g] = base + (1 if i < rem else 0)
+            return alloc
+        for g in capped:
+            alloc[g] = avail[g]
+            remaining -= avail[g]
+        active -= capped
+    return alloc
+
+
+@pytest.mark.parametrize("seed", [3, 11, 42])
+def test_waterfill_random_matches_reference(spark, seed):
+    from pyspark.sql import functions as F
+
+    from bunsen_spark.operators.sampling import waterfill_allocation
+
+    rng = random.Random(seed)
+    n = rng.randint(1, 12)
+    avail = {f"g{i:02d}": rng.randint(0, 500) for i in range(n)}
+    total = sum(avail.values())
+    for budget in (0, total // 3, total, total * 2 + 1):
+        df = spark.createDataFrame(
+            [(g, a) for g, a in avail.items()], "grp string, avail long"
+        )
+        got = {
+            r.grp: r.allocated
+            for r in waterfill_allocation(
+                df, "grp", "avail", budget
+            ).collect()
+        }
+        want = _py_waterfill(avail, budget)
+        assert got == want, f"budget={budget}"
+        # exact mass conservation: allocations sum to min(budget, total)
+        assert sum(got.values()) == min(budget, total)
+        assert all(0 <= got[g] <= avail[g] for g in avail)
+
+
+def test_waterfill_equal_availability_splits_evenly(spark):
+    from bunsen_spark.operators.sampling import waterfill_allocation
+
+    df = spark.createDataFrame(
+        [(f"g{i}", 100) for i in range(4)], "grp string, avail long"
+    )
+    got = {
+        r.grp: r.allocated
+        for r in waterfill_allocation(df, "grp", "avail", 203).collect()
+    }
+    # 203 = 4*50 + 3: first three groups by name get 51
+    assert got == {"g0": 51, "g1": 51, "g2": 51, "g3": 50}
+
+
+def _py_novelty(texts: dict[int, str], n: int):
+    def shingles(t: str) -> set[str]:
+        import re
+
+        ws = re.findall(r"[a-z0-9]+", t.lower())
+        if len(ws) <= n:
+            return {" ".join(ws)}
+        return {" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)}
+
+    first: dict[str, int] = {}
+    for did in sorted(texts):
+        for g in shingles(texts[did]):
+            first.setdefault(g, did)
+    return {
+        did: (
+            len(shingles(t)),
+            sum(1 for g in shingles(t) if first[g] == did),
+        )
+        for did, t in texts.items()
+    }
+
+
+@pytest.mark.parametrize("seed", [2, 17])
+def test_ngram_novelty_random_matches_reference(spark, seed):
+    from bunsen_spark.operators.text_analysis import ngram_novelty
+
+    rng = random.Random(seed)
+    vocab = ["aa", "bb", "cc", "dd", "ee"]
+    texts = {
+        i: " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 12)))
+        for i in range(20)
+    }
+    df = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.total_grams, r.novel_grams)
+        for r in ngram_novelty(df, n=3).collect()
+    }
+    assert got == _py_novelty(texts, 3)
+    # corpus-wide: novel grams partition the distinct-gram universe
+    all_grams = set()
+    for t in texts.values():
+        import re
+
+        ws = re.findall(r"[a-z0-9]+", t.lower())
+        if len(ws) <= 3:
+            all_grams.add(" ".join(ws))
+        else:
+            all_grams.update(
+                " ".join(ws[i : i + 3]) for i in range(len(ws) - 3 + 1)
+            )
+    assert sum(v[1] for v in got.values()) == len(all_grams)
+
+
+def test_bpe_fertility_mass_balance(spark):
+    """Fertility invariants on a tiny corpus: n_chars is conserved by
+    segmentation (merges never drop characters), n_subwords <= n_chars,
+    n_subwords shrinks monotonically with more merges, and the groups
+    partition the corpus word mass."""
+    from pyspark.sql import functions as F
+
+    from bunsen_spark.operators.vocab import bpe_fertility
+
+    rows = [
+        (1, "aaab aaab abab", "x"),
+        (2, "aaab cd cd cd", "x"),
+        (3, "abab abab aaab cd", "y"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out1 = {r.lang: r for r in bpe_fertility(df, 1, "lang").collect()}
+    out3 = {r.lang: r for r in bpe_fertility(df, 3, "lang").collect()}
+    total_words = sum(len(t.split()) for _, t, _ in rows)
+    assert sum(r.n_words for r in out1.values()) == total_words
+    for lang in ("x", "y"):
+        a, b = out1[lang], out3[lang]
+        assert a.n_chars == b.n_chars  # segmentation conserves chars
+        assert b.n_subwords <= a.n_subwords <= a.n_chars
+        assert a.n_words == b.n_words
+    # with zero un-merged symbols impossible: every subword >= 1 char,
+    # every word >= 1 subword
+    assert all(r.n_subwords >= r.n_words for r in out3.values())
