@@ -1864,3 +1864,205 @@ SELECT query_id, neighbor_id, rank FROM (
   WHERE qq.vec_id < {num_queries}
 ) WHERE rank <= {k}
 """
+
+
+def cluster_label_purity(
+    embeddings: DataFrame,
+    n_centroids: int = IVF_CENTROIDS,
+    n_iters: int = KMEANS_ITERS,
+) -> DataFrame:
+    """Per-cluster label purity of the Lloyd codebook — the standard
+    unsupervised-vs-labels audit ("do learned clusters align with
+    known classes?", the purity half of a clustering scorecard): every
+    vector is assigned to its max-cosine centroid (the gate-proven
+    bit-exact codebook), and each cluster reports
+
+        ``(cid, n_members, majority_label, majority_votes)``
+
+    — corpus purity = ``sum(majority_votes) / sum(n_members)``, left
+    as a ratio of exact longs for the consumer.
+
+    Scale shape: assignment is the broadcast max-of-struct aggregate
+    shared with :func:`semantic_dedup` (no window over the corpus);
+    both the member count and the majority vote are map-side-combined
+    aggregates on ``(cid[, label])`` — state bounded by clusters ×
+    labels, never corpus rows."""
+    cents = kmeans_codebook(embeddings, n_centroids, n_iters).transform(
+        materialize
+    )
+    quant = _quantized(embeddings).transform(_spread)
+    best = F.struct(
+        _cosine(
+            F.col("q"), F.col("cv"), F.col("qnorm"), F.col("cnorm")
+        ).alias("csim"),
+        (-F.col("cid")).alias("negcid"),
+        F.col("cid").alias("cid"),
+    )
+    assigned = (
+        quant.join(F.broadcast(cents))
+        .select("vec_id", best.alias("s"))
+        .groupBy("vec_id")
+        .agg(F.max("s").alias("s"))
+        .select("vec_id", F.col("s.cid").alias("cid"))
+    )
+    labeled = assigned.join(
+        embeddings.select("vec_id", F.col("label").cast("long").alias("label")),
+        "vec_id",
+    )
+    votes = labeled.groupBy("cid", "label").agg(
+        F.count(F.lit(1)).cast("long").alias("votes")
+    )
+    # majority label via max-of-struct in (votes DESC, label ASC)
+    # order — same windowless argmax as the Lloyd assignment
+    top = (
+        votes.select(
+            "cid",
+            F.struct(
+                F.col("votes").alias("votes"),
+                (-F.col("label")).alias("neglabel"),
+                F.col("label").alias("label"),
+            ).alias("s"),
+        )
+        .groupBy("cid")
+        .agg(F.max("s").alias("s"), F.sum("s.votes").alias("n_members"))
+    )
+    return top.select(
+        F.col("cid").cast("long").alias("cid"),
+        F.col("n_members").cast("long").alias("n_members"),
+        F.col("s.label").alias("majority_label"),
+        F.col("s.votes").alias("majority_votes"),
+    )
+
+
+def cluster_label_purity_sql(
+    table: str = "embeddings",
+    n_centroids: int = IVF_CENTROIDS,
+    n_iters: int = KMEANS_ITERS,
+    dim: int = EMBED_DIM,
+) -> str:
+    """DuckDB twin of :func:`cluster_label_purity` over the shared
+    bit-exact codebook CTEs."""
+    parts = _kmeans_cte_parts(table, n_centroids, n_iters, dim)
+    parts.append(
+        f"""scored AS (
+  SELECT eq.vec_id, c.cid,
+         row_number() OVER (
+             PARTITION BY eq.vec_id
+             ORDER BY list_cosine_similarity(eq.q, c.cv) DESC, c.cid
+         ) AS rn
+  FROM e_q eq CROSS JOIN cent{n_iters} c
+),
+assigned AS (SELECT vec_id, cid FROM scored WHERE rn = 1),
+votes AS (
+  SELECT a.cid, CAST(l.label AS BIGINT) AS label,
+         CAST(count(*) AS BIGINT) AS votes
+  FROM assigned a JOIN {table} l ON l.vec_id = a.vec_id
+  GROUP BY a.cid, l.label
+)"""
+    )
+    ctes = ",\n".join(parts)
+    return f"""
+WITH {ctes}
+SELECT CAST(cid AS BIGINT) AS cid, n_members,
+       label AS majority_label, votes AS majority_votes
+FROM (
+  SELECT cid, label, votes,
+         CAST(sum(votes) OVER (PARTITION BY cid) AS BIGINT) AS n_members,
+         row_number() OVER (
+             PARTITION BY cid ORDER BY votes DESC, label ASC
+         ) AS rn
+  FROM votes
+) WHERE rn = 1
+"""
+
+
+def hard_negative_mining(
+    embeddings: DataFrame, k: int = 8, num_queries: int = 32
+) -> DataFrame:
+    """Hard-negative mining for contrastive training (the in-batch /
+    ANN-mined negatives recipe of DPR, Karpukhin et al. 2020): for
+    each query vector, the NEAREST neighbor among its exact-cosine
+    top-``k`` that carries a DIFFERENT label — the negative that is
+    hardest to tell apart. Output: ``(query_id, true_label, neg_id,
+    neg_label, neg_rank)``; queries whose entire top-``k`` shares
+    their label emit no row (no hard negative that close — raise
+    ``k``).
+
+    Scale shape: rides :func:`brute_force_topk`'s gate-proven ranking
+    (swap in the IVF/PQ variants for approximate mining at larger
+    query sets); the ``num_queries*k`` neighbor table is the BROADCAST
+    side of both label joins, so the corpus-sized label table never
+    shuffles; the per-query argmin is a max-of-struct aggregate over
+    <= k rows."""
+    nn = brute_force_topk(embeddings, k, num_queries)
+    labels = embeddings.select(
+        "vec_id", F.col("label").cast("long").alias("label")
+    )
+    neigh = labels.join(
+        F.broadcast(nn), labels.vec_id == nn.neighbor_id
+    ).select(
+        "query_id",
+        F.col("neighbor_id"),
+        F.col("label").alias("neg_label"),
+        "rank",
+    )
+    qlab = labels.join(
+        F.broadcast(neigh.select("query_id").distinct()),
+        labels.vec_id == F.col("query_id"),
+    ).select("query_id", F.col("label").alias("true_label"))
+    diff = neigh.join(F.broadcast(qlab), "query_id").where(
+        F.col("neg_label") != F.col("true_label")
+    )
+    best = F.struct(
+        (-F.col("rank")).alias("negrank"),
+        F.col("rank").alias("rank"),
+        F.col("neighbor_id").alias("neg_id"),
+        F.col("neg_label").alias("neg_label"),
+    )
+    return (
+        diff.select("query_id", "true_label", best.alias("s"))
+        .groupBy("query_id", "true_label")
+        .agg(F.max("s").alias("s"))
+        .select(
+            "query_id",
+            "true_label",
+            F.col("s.neg_id").cast("long").alias("neg_id"),
+            F.col("s.neg_label").alias("neg_label"),
+            F.col("s.rank").cast("long").alias("neg_rank"),
+        )
+    )
+
+
+def hard_negative_mining_sql(
+    table: str = "embeddings", k: int = 8, num_queries: int = 32
+) -> str:
+    """DuckDB twin of :func:`hard_negative_mining`."""
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, CAST(label AS BIGINT) AS label
+           FROM {table}),
+nn AS (
+  SELECT query_id, neighbor_id, rank FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(q.v, c.v) DESC, c.vec_id
+           ) AS rank
+    FROM e q JOIN e c ON c.vec_id <> q.vec_id
+    WHERE q.vec_id < {num_queries}
+  ) WHERE rank <= {k}
+),
+diff AS (
+  SELECT nn.query_id, q.label AS true_label, nn.neighbor_id, n.label AS neg_label,
+         nn.rank,
+         row_number() OVER (
+             PARTITION BY nn.query_id ORDER BY nn.rank ASC
+         ) AS rn
+  FROM nn
+  JOIN e n ON n.vec_id = nn.neighbor_id
+  JOIN e q ON q.vec_id = nn.query_id
+  WHERE n.label <> q.label
+)
+SELECT query_id, true_label, CAST(neighbor_id AS BIGINT) AS neg_id,
+       neg_label, CAST(rank AS BIGINT) AS neg_rank
+FROM diff WHERE rn = 1
+"""

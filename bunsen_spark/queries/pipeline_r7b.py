@@ -88,3 +88,48 @@ ORACLES = {
     "ngram_novelty_scores": _novelty_sql(),
     "bpe_fertility_by_lang": _fertility_sql(),
 }
+
+
+def cluster_purity_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster label purity of the bit-exact Lloyd codebook
+    (`operators/similarity.py:cluster_label_purity`): windowless
+    max-of-struct assignment + majority vote, vs the oracle's unrolled
+    Lloyd CTE chain."""
+    from ..operators.similarity import cluster_label_purity
+
+    return cluster_label_purity(load(spark, sf_dir, "embeddings"))
+
+
+def _purity_sql() -> str:
+    from ..operators.similarity import cluster_label_purity_sql
+
+    return cluster_label_purity_sql()
+
+
+def hard_negatives_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest different-label neighbor within each query's exact
+    top-8 (`operators/similarity.py:hard_negative_mining`) — the
+    DPR-style contrastive hard-negative miner."""
+    from ..operators.similarity import hard_negative_mining
+
+    return hard_negative_mining(load(spark, sf_dir, "embeddings"))
+
+
+def _hardneg_sql() -> str:
+    from ..operators.similarity import hard_negative_mining_sql
+
+    return hard_negative_mining_sql()
+
+
+QUERIES.update(
+    {
+        "cluster_purity_embeddings": cluster_purity_embeddings,
+        "hard_negatives_topk": hard_negatives_topk,
+    }
+)
+ORACLES.update(
+    {
+        "cluster_purity_embeddings": _purity_sql(),
+        "hard_negatives_topk": _hardneg_sql(),
+    }
+)

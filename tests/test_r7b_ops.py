@@ -160,3 +160,63 @@ def test_bpe_fertility_mass_balance(spark):
     # with zero un-merged symbols impossible: every subword >= 1 char,
     # every word >= 1 subword
     assert all(r.n_subwords >= r.n_words for r in out3.values())
+
+
+def _cos(a, b):
+    num = sum(x * y for x, y in zip(a, b))
+    den = (sum(x * x for x in a) ** 0.5) * (sum(y * y for y in b) ** 0.5)
+    return num / den
+
+
+@pytest.mark.parametrize("seed", [5])
+def test_hard_negative_mining_matches_reference(spark, seed):
+    from bunsen_spark.operators.similarity import hard_negative_mining
+
+    rng = random.Random(seed)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)], rng.randint(0, 2))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    k, nq = 6, 10
+    got = {
+        r.query_id: (r.true_label, r.neg_id, r.neg_label, r.neg_rank)
+        for r in hard_negative_mining(df, k=k, num_queries=nq).collect()
+    }
+    # reference: float32 storage then exact replay
+    import struct as _struct
+
+    vecs = {
+        i: [_struct.unpack("f", _struct.pack("f", x))[0] for x in v]
+        for i, v, _ in rows
+    }
+    labels = {i: l for i, _, l in rows}
+    want = {}
+    for q in range(nq):
+        ranked = sorted(
+            (i for i in vecs if i != q),
+            key=lambda i: (-_cos(vecs[q], vecs[i]), i),
+        )[:k]
+        for rank, i in enumerate(ranked, start=1):
+            if labels[i] != labels[q]:
+                want[q] = (labels[q], i, labels[i], rank)
+                break
+    assert got == want
+
+
+def test_cluster_label_purity_invariants(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from bunsen_spark.queries import load
+    from bunsen_spark.operators.similarity import cluster_label_purity
+
+    emb = load(spark, sf_dir, "embeddings")
+    out = cluster_label_purity(emb).collect()
+    n_vecs = emb.count()
+    assert sum(r.n_members for r in out) == n_vecs  # partition of corpus
+    for r in out:
+        assert 1 <= r.majority_votes <= r.n_members
+    labels = {r.label for r in emb.select("label").distinct().collect()}
+    assert all(r.majority_label in labels for r in out)
