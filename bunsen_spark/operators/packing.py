@@ -107,3 +107,71 @@ FROM (
   FROM base
 ) __offs
 """
+
+
+def padding_waste_stats(docs: DataFrame, bucket_width: int = 32) -> DataFrame:
+    """Length-bucketed batching ROI report: group documents into
+    token-length buckets of ``bucket_width`` and report, per bucket,
+    how many pad tokens batch-padding costs INSIDE the bucket versus
+    padding everything to the global maximum — the numbers behind the
+    "bucket your sequences" throughput win (dynamic batching à la
+    fairseq/HF ``group_by_length``). Output per bucket:
+
+        ``(bucket, n_docs, max_len, sum_tokens, pad_in_bucket,
+           pad_to_global)``
+
+    where ``pad_in_bucket = n_docs·max_len − sum_tokens`` (pad to the
+    bucket's own max) and ``pad_to_global = n_docs·global_max −
+    sum_tokens``. All exact longs; corpus padding efficiency =
+    ``sum(pad_in_bucket) / sum(pad_to_global)`` left to the consumer.
+
+    One map-side-combined aggregate on ``floor(len/width)`` plus a
+    broadcast 1-row global max — no window, no second scan of the
+    corpus (the global max reduces the tiny bucket table)."""
+    if bucket_width < 1:
+        raise ValueError("bucket_width must be >= 1")
+    lens = docs.select(
+        F.expr(_TOKENS).cast("long").alias("__len")
+    ).withColumn("bucket", F.expr(f"__len div {bucket_width}"))
+    agg = lens.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.max("__len").alias("max_len"),
+        F.sum("__len").alias("sum_tokens"),
+    )
+    gmax = F.broadcast(agg.agg(F.max("max_len").alias("__gmax")))
+    return agg.crossJoin(gmax).select(
+        F.col("bucket").cast("long").alias("bucket"),
+        "n_docs",
+        F.col("max_len").cast("long").alias("max_len"),
+        F.col("sum_tokens").cast("long").alias("sum_tokens"),
+        (F.col("n_docs") * F.col("max_len") - F.col("sum_tokens"))
+        .cast("long")
+        .alias("pad_in_bucket"),
+        (F.col("n_docs") * F.col("__gmax") - F.col("sum_tokens"))
+        .cast("long")
+        .alias("pad_to_global"),
+    )
+
+
+def padding_waste_stats_sql(
+    table: str = "documents", bucket_width: int = 32
+) -> str:
+    """DuckDB twin of :func:`padding_waste_stats`."""
+    return f"""
+WITH lens AS (
+  SELECT CAST({_TOKENS_SQL} AS BIGINT) AS l,
+         CAST({_TOKENS_SQL} AS BIGINT) // {bucket_width} AS bucket
+  FROM {table}
+),
+agg AS (
+  SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(max(l) AS BIGINT) AS max_len,
+         CAST(sum(l) AS BIGINT) AS sum_tokens
+  FROM lens GROUP BY bucket
+),
+g AS (SELECT max(max_len) AS gmax FROM agg)
+SELECT bucket, n_docs, max_len, sum_tokens,
+       CAST(n_docs * max_len - sum_tokens AS BIGINT) AS pad_in_bucket,
+       CAST(n_docs * g.gmax - sum_tokens AS BIGINT) AS pad_to_global
+FROM agg CROSS JOIN g
+"""

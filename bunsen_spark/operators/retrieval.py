@@ -41,7 +41,7 @@ from __future__ import annotations
 
 import re
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..persist import materialize
@@ -322,4 +322,93 @@ SELECT {id_col}, round(score, 6) AS bm25
 FROM scored WHERE score > 0
 ORDER BY score DESC, {id_col}
 LIMIT {k}
+"""
+
+
+def _rrf_lcm(c: int, k: int) -> int:
+    """lcm(c+1 .. c+k): scaling that turns every reciprocal-rank
+    1/(c+rank), rank <= k, into an exact integer."""
+    import math
+
+    out = 1
+    for r in range(1, k + 1):
+        out = out * (c + r) // math.gcd(out, c + r)
+    return out
+
+
+def rrf_fuse(
+    runs: list[DataFrame],
+    k_out: int = 5,
+    k_in: int = 5,
+    c: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of ranked
+    ``(query_id, neighbor_id, rank)`` runs — the standard hybrid-search
+    combiner (BM25 + dense, exact + ANN): score(d) = Σ_runs
+    1/(c + rank_run(d)), missing runs contribute 0. Scores are scaled
+    by ``lcm(c+1 .. c+k_in)`` so every addend — and therefore every
+    sum and every comparison — is an EXACT integer: the fused ranking
+    is engine-reproducible with no float in sight (c = 60 and k = 10
+    keep the scaled scores < 2^40). Output: ``(query_id, neighbor_id,
+    rrf_score, rrf_rank)`` for the top ``k_out`` per query by
+    (score desc, neighbor_id asc).
+
+    Scale shape: a union of per-run rank tables (each already
+    bounded by queries × k_in), one (query, neighbor) aggregate, and a
+    rank window whose partitions hold at most runs × k_in rows — the
+    fusion never touches the corpus, only the rank tables."""
+    if not runs:
+        raise ValueError("runs must be non-empty")
+    scale = _rrf_lcm(c, k_in)
+    parts = [
+        r.select(
+            "query_id",
+            "neighbor_id",
+            F.expr(f"{scale} div ({c} + rank)").alias("__w"),
+        )
+        for r in runs
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    s = u.groupBy("query_id", "neighbor_id").agg(
+        F.sum("__w").cast("long").alias("rrf_score")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf_score"), F.asc("neighbor_id")
+    )
+    return (
+        s.withColumn("rrf_rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rrf_rank") <= k_out)
+    )
+
+
+def rrf_fuse_sql(
+    run_sqls: list[str],
+    k_out: int = 5,
+    k_in: int = 5,
+    c: int = 60,
+) -> str:
+    """DuckDB twin of :func:`rrf_fuse`; each entry of ``run_sqls`` is a
+    full SELECT (CTEs allowed — it is wrapped as a subquery) producing
+    ``(query_id, neighbor_id, rank)``."""
+    scale = _rrf_lcm(c, k_in)
+    union = "\nUNION ALL\n".join(
+        f"SELECT query_id, neighbor_id, {scale} // ({c} + rank) AS w"
+        f" FROM ({sql}) __r{i}"
+        for i, sql in enumerate(run_sqls)
+    )
+    return f"""
+WITH u AS (
+{union}
+), s AS (
+  SELECT query_id, neighbor_id, CAST(sum(w) AS BIGINT) AS rrf_score
+  FROM u GROUP BY query_id, neighbor_id
+)
+SELECT query_id, neighbor_id, rrf_score, rrf_rank FROM (
+  SELECT *, CAST(row_number() OVER (
+      PARTITION BY query_id ORDER BY rrf_score DESC, neighbor_id ASC
+  ) AS BIGINT) AS rrf_rank
+  FROM s
+) WHERE rrf_rank <= {k_out}
 """

@@ -813,3 +813,121 @@ SELECT g.doc_id,
 FROM g JOIN f USING (gram)
 GROUP BY g.doc_id
 """
+
+
+def pmi_term_pairs(
+    docs: DataFrame, top_v: int = 100, top_n: int = 50
+) -> DataFrame:
+    """Collocation mining: the ``top_n`` co-occurring term pairs among
+    the ``top_v`` most document-frequent words, ranked by milli-lift —
+    ``lift_milli = (1000·c_ij·N) div (c_i·c_j)``, the integer-quantized
+    e^PMI (same ordering as PMI since log is monotone; ``div`` keeps
+    the gate float-free). Output: ``(w1, w2, pair_docs, w1_docs,
+    w2_docs, lift_milli, rank)`` — all counts are DOCUMENT frequencies
+    (distinct per doc), the standard collocation convention.
+
+    Scale shape: the vocab is a distributed ``orderBy().limit(top_v)``
+    top-k, then BROADCAST; each document contributes pairs only from
+    its vocab-restricted distinct-term array (``<= top_v``, in practice
+    tens), expanded by a codegen'd nested-transform — pair work is
+    Σ m_d², bounded by top_v²·N but in practice by document vocabulary,
+    never corpus². Integer magnitudes: ``1000·c_ij·N <= 1000·N²`` needs
+    N < ~3·10⁶ docs for long arithmetic — shard the corpus or drop the
+    1000 quantizer above that."""
+    from pyspark.sql import Window
+
+    if top_v < 2:
+        raise ValueError("top_v must be >= 2")
+    terms = docs.select(
+        "doc_id", F.explode(F.array_distinct(words_col(F.col("text")))).alias("w")
+    )
+    dfreq = terms.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    vocab = dfreq.orderBy(F.desc("c"), F.asc("w")).limit(top_v)
+    in_vocab = terms.join(F.broadcast(vocab.select("w")), "w")
+    n_docs = docs.select(F.count(F.lit(1)).alias("__n"))
+    # per-doc sorted vocab-term array -> all i<j pairs via nested
+    # transform + flatten (whole-stage codegen, no Python, no self-join)
+    arr = in_vocab.groupBy("doc_id").agg(
+        F.array_sort(F.collect_set("w")).alias("ws")
+    )
+    pairs = arr.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ws, (x, i) -> "
+                "transform(slice(ws, i + 2, size(ws)), y -> struct(x AS w1, y AS w2))))"
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    pc = pairs.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("pair_docs")
+    )
+    v1 = vocab.select(F.col("w").alias("w1"), F.col("c").alias("w1_docs"))
+    v2 = vocab.select(F.col("w").alias("w2"), F.col("c").alias("w2_docs"))
+    scored = (
+        pc.join(F.broadcast(v1), "w1")
+        .join(F.broadcast(v2), "w2")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "lift_milli",
+            F.expr("(1000 * pair_docs * __n) div (w1_docs * w2_docs)").cast(
+                "long"
+            ),
+        )
+    )
+    w = Window.partitionBy(F.pmod(F.col("pair_docs"), F.lit(1))).orderBy(
+        F.desc("lift_milli"), F.asc("w1"), F.asc("w2")
+    )
+    return (
+        scored.orderBy(F.desc("lift_milli"), F.asc("w1"), F.asc("w2"))
+        .limit(top_n)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .select(
+            "w1",
+            "w2",
+            "pair_docs",
+            F.col("w1_docs").cast("long").alias("w1_docs"),
+            F.col("w2_docs").cast("long").alias("w2_docs"),
+            "lift_milli",
+            "rank",
+        )
+    )
+
+
+def pmi_term_pairs_sql(
+    table: str = "documents", top_v: int = 100, top_n: int = 50
+) -> str:
+    """DuckDB twin of :func:`pmi_term_pairs` (engine-native windows,
+    explicit i<j self-join instead of the array pair expansion)."""
+    return f"""
+WITH terms AS (
+  SELECT DISTINCT doc_id, unnest({WORDS_SQL}) AS w FROM {table}
+),
+vocab AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS c FROM terms GROUP BY w
+  ORDER BY c DESC, w ASC LIMIT {top_v}
+),
+iv AS (SELECT t.doc_id, t.w FROM terms t JOIN vocab v USING (w)),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM {table}),
+pc AS (
+  SELECT a.w AS w1, b.w AS w2, CAST(count(*) AS BIGINT) AS pair_docs
+  FROM iv a JOIN iv b ON a.doc_id = b.doc_id AND a.w < b.w
+  GROUP BY a.w, b.w
+),
+scored AS (
+  SELECT pc.w1, pc.w2, pc.pair_docs,
+         v1.c AS w1_docs, v2.c AS w2_docs,
+         CAST((1000 * pc.pair_docs * n.n_docs)
+              // (v1.c * v2.c) AS BIGINT) AS lift_milli
+  FROM pc
+  JOIN vocab v1 ON v1.w = pc.w1
+  JOIN vocab v2 ON v2.w = pc.w2
+  CROSS JOIN n
+)
+SELECT w1, w2, pair_docs, w1_docs, w2_docs, lift_milli,
+       CAST(row_number() OVER (
+           ORDER BY lift_milli DESC, w1 ASC, w2 ASC
+       ) AS BIGINT) AS rank
+FROM scored
+ORDER BY rank
+LIMIT {top_n}
+"""

@@ -133,3 +133,78 @@ ORACLES.update(
         "hard_negatives_topk": _hardneg_sql(),
     }
 )
+
+
+def rrf_fused_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer reciprocal-rank fusion of the exact brute-force and the
+    JL-projected rankings (`operators/retrieval.py:rrf_fuse`): scores
+    scaled by lcm(61..65) so the hybrid ranking is float-free."""
+    from ..operators.retrieval import rrf_fuse
+    from ..operators.similarity import brute_force_topk, jl_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    return rrf_fuse(
+        [brute_force_topk(emb, 5, 32), jl_topk(emb, 5, 32)],
+        k_out=5,
+        k_in=5,
+    )
+
+
+def _rrf_sql() -> str:
+    from ..operators.retrieval import rrf_fuse_sql
+    from ..operators.similarity import brute_force_topk_sql, jl_topk_sql
+
+    return rrf_fuse_sql(
+        [brute_force_topk_sql("embeddings", 5, 32),
+         jl_topk_sql("embeddings", 5, 32)],
+        k_out=5,
+        k_in=5,
+    )
+
+
+def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 collocations among the 100 most document-frequent words,
+    ranked by integer milli-lift (`operators/text_analysis.py:
+    pmi_term_pairs`): broadcast vocab, codegen'd per-doc pair
+    expansion, cross-multiplied PMI ordering with no floats."""
+    from ..operators.text_analysis import pmi_term_pairs
+
+    return pmi_term_pairs(load(spark, sf_dir, "documents"), 100, 50)
+
+
+def _pmi_sql() -> str:
+    from ..operators.text_analysis import pmi_term_pairs_sql
+
+    return pmi_term_pairs_sql("documents", 100, 50)
+
+
+def padding_waste_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed padding-waste report
+    (`operators/packing.py:padding_waste_stats`): per 32-token bucket,
+    pad tokens to the bucket max vs to the global max — the sequence-
+    bucketing throughput ROI, exact longs."""
+    from ..operators.packing import padding_waste_stats
+
+    return padding_waste_stats(load(spark, sf_dir, "documents"), 32)
+
+
+def _padding_sql() -> str:
+    from ..operators.packing import padding_waste_stats_sql
+
+    return padding_waste_stats_sql("documents", 32)
+
+
+QUERIES.update(
+    {
+        "rrf_fused_topk": rrf_fused_topk,
+        "pmi_collocations": pmi_collocations,
+        "padding_waste_buckets": padding_waste_buckets,
+    }
+)
+ORACLES.update(
+    {
+        "rrf_fused_topk": _rrf_sql(),
+        "pmi_collocations": _pmi_sql(),
+        "padding_waste_buckets": _padding_sql(),
+    }
+)

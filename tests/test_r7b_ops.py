@@ -220,3 +220,73 @@ def test_cluster_label_purity_invariants(spark, sf_dir):
         assert 1 <= r.majority_votes <= r.n_members
     labels = {r.label for r in emb.select("label").distinct().collect()}
     assert all(r.majority_label in labels for r in out)
+
+
+def test_rrf_fuse_matches_reference(spark):
+    from bunsen_spark.operators.retrieval import rrf_fuse, _rrf_lcm
+
+    r1 = [(0, 10, 1), (0, 11, 2), (0, 12, 3), (1, 20, 1), (1, 21, 2)]
+    r2 = [(0, 11, 1), (0, 13, 2), (0, 10, 3), (1, 21, 1), (1, 22, 2)]
+    mk = lambda rows: spark.createDataFrame(
+        rows, "query_id long, neighbor_id long, rank long"
+    )
+    got = {
+        (r.query_id, r.neighbor_id): (r.rrf_score, r.rrf_rank)
+        for r in rrf_fuse([mk(r1), mk(r2)], k_out=3, k_in=3, c=60).collect()
+    }
+    L = _rrf_lcm(60, 3)
+    import collections
+
+    score = collections.Counter()
+    for q, d, rank in r1 + r2:
+        score[(q, d)] += L // (60 + rank)
+    want = {}
+    for q in (0, 1):
+        ranked = sorted(
+            ((d, s) for (qq, d), s in score.items() if qq == q),
+            key=lambda x: (-x[1], x[0]),
+        )[:3]
+        for i, (d, s) in enumerate(ranked, 1):
+            want[(q, d)] = (s, i)
+    assert got == want
+    # doc 11 (ranks 2+1 across runs) out-fuses doc 10 (ranks 1+3):
+    # 1/61+1/62 > 1/61+1/63 — and both beat any single-run doc
+    assert got[(0, 11)][1] == 1 and got[(0, 10)][1] == 2
+
+
+def test_pmi_term_pairs_perfect_collocation(spark):
+    from bunsen_spark.operators.text_analysis import pmi_term_pairs
+
+    # x and y always co-occur (4 docs of 8); fillers co-occur randomly
+    rows = [
+        (1, "x y a"), (2, "x y b"), (3, "x y c"), (4, "x y a b"),
+        (5, "a b"), (6, "b c"), (7, "a c"), (8, "a b c"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = pmi_term_pairs(df, top_v=10, top_n=5).collect()
+    top = out[0]
+    assert (top.w1, top.w2) == ("x", "y")
+    # lift = 8*4/(4*4) = 2.0 -> 2000 milli
+    assert top.lift_milli == 2000 and top.pair_docs == 4
+    assert [r.rank for r in out] == list(range(1, len(out) + 1))
+
+
+def test_padding_waste_stats_invariants(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from bunsen_spark.queries import load
+    from bunsen_spark.operators.packing import padding_waste_stats
+
+    docs = load(spark, sf_dir, "documents")
+    out = padding_waste_stats(docs, 32).collect()
+    assert sum(r.n_docs for r in out) == docs.count()
+    gmax = max(r.max_len for r in out)
+    for r in out:
+        assert r.bucket * 32 <= r.max_len < (r.bucket + 1) * 32
+        assert 0 <= r.pad_in_bucket <= r.pad_to_global
+        assert r.pad_to_global == r.n_docs * gmax - r.sum_tokens
+    # bucketing strictly helps on a multi-bucket corpus
+    if len(out) > 1:
+        assert sum(r.pad_in_bucket for r in out) < sum(
+            r.pad_to_global for r in out
+        )
