@@ -883,3 +883,100 @@ SELECT c.grp AS {g}, c.avail,
        END AS BIGINT) AS {out_col}
 FROM cap c CROSS JOIN agg x LEFT JOIN unc u ON c.grp = u.grp
 """
+
+
+def _split_case_sql(key_expr: str, splits: dict[str, float]) -> str:
+    """CASE expression assigning ``key_expr``'s md5 bucket to a named
+    split — the expression form of :func:`split_assign_sql`."""
+    b = f"{md5int_sql(f'CAST({key_expr} AS VARCHAR)')} % {BUCKETS}"
+    hi = 0.0
+    cases = []
+    for name, w in splits.items():
+        lo_b = int(round(hi * BUCKETS))
+        hi += w
+        cases.append(
+            f"WHEN {b} >= {lo_b} AND {b} < {int(round(hi * BUCKETS))}"
+            f" THEN '{name}'"
+        )
+    return f"CASE {' '.join(cases)} END"
+
+
+def cluster_safe_split(
+    docs: DataFrame,
+    pairs: DataFrame,
+    splits: dict[str, float],
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Leakage-safe train/val/test split: hash the near-dup CLUSTER
+    representative instead of the document, so every cluster lands in
+    exactly one split — the dedup-aware split discipline that keeps
+    eval sets honest (a near-duplicate of a training document in the
+    test split is leakage, the failure mode Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better"
+    documents). Reports, per split:
+
+        ``(split, n_docs, n_clusters, n_moved)``
+
+    ``n_moved`` = documents whose naive PER-DOCUMENT hash split would
+    have differed — the leakage exposure the cluster-safe rule just
+    closed. By construction (split = f(cluster rep)) no cluster spans
+    splits.
+
+    Scale shape: connected components come from the bounded-round
+    fixpoint (:func:`~bunsen_spark.operators.dedup.near_dup_clusters`);
+    docs outside any pair are their own singleton reps via one left
+    join; both split assignments are codegen'd hash CASEs; the final
+    aggregate is map-side-combined on the handful of split names."""
+    from .dedup import near_dup_clusters
+
+    clusters = near_dup_clusters(pairs).select(
+        F.col("doc_id").alias(id_col), "cluster_id"
+    )
+    rep = F.coalesce(F.col("cluster_id"), F.col(id_col))
+    tagged = (
+        docs.select(id_col)
+        .join(clusters, id_col, "left")
+        .withColumn("__rep", rep)
+    )
+    safe = split_assign(tagged, "__rep", splits, col_name="split")
+    both = split_assign(safe, id_col, splits, col_name="__naive")
+    return (
+        both.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("__rep").cast("long").alias("n_clusters"),
+            F.sum(
+                F.when(F.col("__naive") != F.col("split"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_moved"),
+        )
+    )
+
+
+def cluster_safe_split_sql(
+    pairs_sql: str,
+    splits: dict[str, float],
+    table: str = "documents",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of :func:`cluster_safe_split` over the WITH
+    RECURSIVE reachability components."""
+    from .dedup import near_dup_clusters_sql
+
+    cl = near_dup_clusters_sql(pairs_sql)
+    safe = _split_case_sql("rep", splits)
+    naive = _split_case_sql(id_col, splits)
+    return f"""
+WITH cl AS ({cl}),
+j AS (
+  SELECT d.{id_col}, coalesce(cl.cluster_id, d.{id_col}) AS rep
+  FROM {table} d LEFT JOIN cl ON cl.doc_id = d.{id_col}
+),
+a AS (SELECT {id_col}, rep, {safe} AS split, {naive} AS naive FROM j)
+SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT rep) AS BIGINT) AS n_clusters,
+       CAST(sum(CASE WHEN naive <> split THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_moved
+FROM a GROUP BY split
+"""

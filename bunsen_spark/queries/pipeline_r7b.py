@@ -208,3 +208,33 @@ ORACLES.update(
         "padding_waste_buckets": _padding_sql(),
     }
 )
+
+
+def cluster_safe_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe splitting (`operators/sampling.py:
+    cluster_safe_split`): hash the near-dup cluster representative so
+    no cluster spans train/val/test; reports the per-split doc/cluster
+    counts and how many docs the naive per-doc hash would have leaked."""
+    from ..operators.dedup import minhash_lsh_pairs
+    from ..operators.sampling import cluster_safe_split
+
+    docs = load(spark, sf_dir, "documents")
+    return cluster_safe_split(
+        docs,
+        minhash_lsh_pairs(docs, portable=True),
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+    )
+
+
+def _cluster_split_sql() -> str:
+    from ..operators.dedup import minhash_lsh_pairs_sql
+    from ..operators.sampling import cluster_safe_split_sql
+
+    return cluster_safe_split_sql(
+        minhash_lsh_pairs_sql(),
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+    )
+
+
+QUERIES.update({"cluster_safe_split_counts": cluster_safe_split_counts})
+ORACLES.update({"cluster_safe_split_counts": _cluster_split_sql()})

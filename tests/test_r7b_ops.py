@@ -290,3 +290,41 @@ def test_padding_waste_stats_invariants(spark, sf_dir):
         assert sum(r.pad_in_bucket for r in out) < sum(
             r.pad_to_global for r in out
         )
+
+
+def test_cluster_safe_split_no_cluster_spans_splits(spark):
+    from pyspark.sql import functions as F
+
+    from bunsen_spark.operators.sampling import (
+        cluster_safe_split,
+        split_assign,
+    )
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(200)], "doc_id long"
+    )
+    # chain clusters {0..4}, {10,11}, rest singletons
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (10, 11)],
+        "a_id long, b_id long",
+    )
+    splits = {"train": 0.8, "val": 0.1, "test": 0.1}
+    out = {r.split: r for r in cluster_safe_split(docs, pairs, splits).collect()}
+    assert sum(r.n_docs for r in out.values()) == 200
+    # clusters: 200 - 4 - 1 merged away
+    assert sum(r.n_clusters for r in out.values()) == 195
+    # invariant: recompute splits from cluster reps — every member of
+    # {0..4} shares doc 0's split, {10,11} shares doc 10's
+    rep_split = {
+        r.doc_id: r.split
+        for r in split_assign(docs, "doc_id", splits).collect()
+    }
+    # moved = members whose own-hash split differs from their root's
+    # (cluster members take the root's split by construction)
+    expected_moved = sum(
+        1
+        for members, root in (((0, 1, 2, 3, 4), 0), ((10, 11), 10))
+        for m in members
+        if rep_split[m] != rep_split[root]
+    )
+    assert sum(r.n_moved for r in out.values()) == expected_moved
