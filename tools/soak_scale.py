@@ -57,6 +57,15 @@ HEAVY = [
     "mmr_diverse_topk",
     "knn_label_accuracy",
     "ann_jl_topk",
+    "waterfill_lang_budget",
+    "ngram_novelty_scores",
+    "bpe_fertility_by_lang",
+    "cluster_purity_embeddings",
+    "hard_negatives_topk",
+    "rrf_fused_topk",
+    "pmi_collocations",
+    "padding_waste_buckets",
+    "cluster_safe_split_counts",
 ]
 
 
