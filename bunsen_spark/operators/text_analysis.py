@@ -933,3 +933,78 @@ FROM scored
 ORDER BY rank
 LIMIT {top_n}
 """
+
+
+def gram_state(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Persistable novelty state for :func:`novelty_against_state`:
+    the corpus's distinct word-``n``-gram set as one ``gram`` column —
+    no text, one row per distinct gram. At warehouse scale persist it
+    bucketed by ``gram`` (sources/warehouse.py) so each batch's
+    novelty join is bucket-local."""
+    from .dedup import shingles_expr
+
+    return docs.select(
+        F.explode(F.expr(shingles_expr(n))).alias("gram")
+    ).distinct()
+
+
+def novelty_against_state(
+    new_docs: DataFrame, state: DataFrame, n: int = 3
+) -> DataFrame:
+    """Incremental n-gram novelty: per NEW document, how many of its
+    distinct ``n``-grams are absent from an already-ingested gram
+    state — the streaming-ingest form of :func:`ngram_novelty` ("did
+    this crawl snapshot add anything?"), pairing with
+    ``incremental_dedup``'s batch-advance discipline: union the kept
+    batch's :func:`gram_state` into ``state`` to advance it, and the
+    update is associative (any batch split yields the same final
+    state).
+
+    Output: ``(doc_id, total_grams, novel_grams)`` — ``novel`` counts
+    grams in NO state row (batch-internal repeats still count as novel
+    in EVERY batch doc carrying them; novelty is vs the state, not vs
+    the batch — apply :func:`ngram_novelty` inside the batch for
+    that). One gram explode + one left-anti-style join on ``gram``
+    (broadcast when the state is small, shuffle-on-gram otherwise —
+    AQE's call), then a per-doc aggregate."""
+    from .dedup import shingles_expr
+
+    grams = new_docs.select(
+        "doc_id", F.explode(F.expr(shingles_expr(n))).alias("gram")
+    )
+    hit = state.select("gram").distinct().withColumn("__seen", F.lit(1))
+    return (
+        grams.join(hit, "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("total_grams"),
+            F.sum(F.when(F.col("__seen").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("novel_grams"),
+        )
+    )
+
+
+def novelty_against_state_sql(
+    new_sql: str, state_sql: str, n: int = 3
+) -> str:
+    """DuckDB twin of :func:`novelty_against_state`; ``new_sql`` /
+    ``state_sql`` are SELECTs producing (doc_id, text) and (text) (the
+    state is built with the same shingle expression)."""
+    from .dedup import shingles_sql
+
+    sh = shingles_sql(n)
+    return f"""
+WITH g AS (
+  SELECT doc_id, unnest({sh}) AS gram FROM ({new_sql}) __n
+),
+st AS (
+  SELECT DISTINCT unnest({sh}) AS gram FROM ({state_sql}) __s
+)
+SELECT g.doc_id,
+       CAST(count(*) AS BIGINT) AS total_grams,
+       CAST(sum(CASE WHEN st.gram IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS novel_grams
+FROM g LEFT JOIN st USING (gram)
+GROUP BY g.doc_id
+"""

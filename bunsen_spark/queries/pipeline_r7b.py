@@ -238,3 +238,31 @@ def _cluster_split_sql() -> str:
 
 QUERIES.update({"cluster_safe_split_counts": cluster_safe_split_counts})
 ORACLES.update({"cluster_safe_split_counts": _cluster_split_sql()})
+
+
+def novelty_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental novelty (`operators/text_analysis.py:
+    novelty_against_state`): odd-doc_id batch scored against the
+    even-doc_id corpus's persisted distinct-gram state — the
+    ingest-time "did this snapshot add anything" check."""
+    from ..operators.text_analysis import gram_state, novelty_against_state
+
+    docs = load(spark, sf_dir, "documents")
+    state = gram_state(docs.where(F.col("doc_id") % 2 == 0), n=3)
+    return novelty_against_state(
+        docs.where(F.col("doc_id") % 2 == 1), state, n=3
+    )
+
+
+def _novelty_inc_sql() -> str:
+    from ..operators.text_analysis import novelty_against_state_sql
+
+    return novelty_against_state_sql(
+        "SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1",
+        "SELECT text FROM documents WHERE doc_id % 2 = 0",
+        n=3,
+    )
+
+
+QUERIES.update({"novelty_incremental": novelty_incremental})
+ORACLES.update({"novelty_incremental": _novelty_inc_sql()})

@@ -328,3 +328,40 @@ def test_cluster_safe_split_no_cluster_spans_splits(spark):
         if rep_split[m] != rep_split[root]
     )
     assert sum(r.n_moved for r in out.values()) == expected_moved
+
+
+def test_novelty_against_state_batch_split_associative(spark):
+    """Scoring semantics + state-advance associativity: grams, once in
+    any earlier batch's state, stop being novel; the final union state
+    is identical for any batch split."""
+    from pyspark.sql import functions as F
+
+    from bunsen_spark.operators.text_analysis import (
+        gram_state,
+        novelty_against_state,
+    )
+
+    texts = {
+        1: "a b c d",
+        2: "a b c e",
+        3: "x y z w",
+        4: "a b c d",  # exact repeat of 1
+    }
+    df = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+    b1 = df.where(F.col("doc_id") <= 2)
+    b2 = df.where(F.col("doc_id") > 2)
+    st1 = gram_state(b1, n=3)
+    out = {
+        r.doc_id: (r.total_grams, r.novel_grams)
+        for r in novelty_against_state(b2, st1, n=3).collect()
+    }
+    # doc 3 all-new (2 grams: 'x y z','y z w'); doc 4 repeats doc 1
+    assert out == {3: (2, 2), 4: (2, 0)}
+    # associativity: state(b1) U state(b2) == state(all)
+    st_union = st1.unionByName(gram_state(b2, n=3)).distinct()
+    st_all = gram_state(df, n=3)
+    assert sorted(r.gram for r in st_union.collect()) == sorted(
+        r.gram for r in st_all.collect()
+    )
