@@ -66,6 +66,7 @@ HEAVY = [
     "pmi_collocations",
     "padding_waste_buckets",
     "cluster_safe_split_counts",
+    "novelty_incremental",
 ]
 
 
