@@ -235,3 +235,83 @@ SELECT a.s AS source_a, b.s AS source_b,
 FROM d a JOIN d b ON a.dg = b.dg AND a.s < b.s
 GROUP BY 1, 2
 """
+
+
+def embedding_drift_by_label(
+    embeddings: DataFrame, quant: int = 1000
+) -> DataFrame:
+    """Per-label embedding-centroid drift between the even- and
+    odd-``vec_id`` halves of a snapshot — the "did my encoder or my
+    data shift" monitor, as an exact integer L1 numerator. Vectors
+    are quantized to ``round(x·quant)`` longs; with per-half per-dim
+    sums S and counts n, the centroid gap numerator is
+
+        ``l1_num = Σ_d |S_even,d·n_odd − S_odd,d·n_even|``
+
+    (the consumer divides by ``n_even·n_odd·quant`` for the actual L1
+    distance — kept rational so the gate is float-free). Output:
+    ``(label, n_even, n_odd, l1_num)``. Long-overflow bound:
+    ``|S|·n < 2^63`` needs n·|x|·quant·n < 9.2e18, i.e. roughly
+    n < 10⁶ rows per label at |x| ≤ 3 — aggregate per shard beyond
+    that (the sums are associative and mergeable).
+
+    Plan: one ``posexplode`` + a map-side-combined (label, half, dim)
+    sum — state bounded by labels × dims × 2, never rows — then a
+    self-join of the two tiny half-tables on (label, dim) and one
+    final per-label aggregate."""
+    q = F.transform(
+        F.col("embedding").cast("array<double>"),
+        lambda x: F.round(x * F.lit(float(quant)), 0).cast("long"),
+    )
+    base = embeddings.select(
+        F.col("label").cast("long").alias("label"),
+        (F.col("vec_id") % 2 == 0).alias("even"),
+        F.posexplode(q).alias("pos", "v"),
+    )
+    sums = base.groupBy("label", "even", "pos").agg(
+        F.sum("v").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    e = sums.where(F.col("even")).select(
+        "label", "pos", F.col("s").alias("se"), F.col("n").alias("ne")
+    )
+    o = sums.where(~F.col("even")).select(
+        "label", "pos", F.col("s").alias("so"), F.col("n").alias("no")
+    )
+    j = e.join(o, ["label", "pos"])
+    return j.groupBy("label").agg(
+        F.first("ne").cast("long").alias("n_even"),
+        F.first("no").cast("long").alias("n_odd"),
+        F.sum(
+            F.abs(F.col("se") * F.col("no") - F.col("so") * F.col("ne"))
+        )
+        .cast("long")
+        .alias("l1_num"),
+    )
+
+
+def embedding_drift_by_label_sql(
+    table: str = "embeddings", quant: int = 1000
+) -> str:
+    """DuckDB twin of :func:`embedding_drift_by_label`."""
+    return f"""
+WITH base AS (
+  SELECT CAST(label AS BIGINT) AS label, vec_id % 2 = 0 AS even,
+         CAST(round(unnest(embedding::DOUBLE[]) * {quant}) AS BIGINT) AS v,
+         unnest(range(1, len(embedding) + 1)) AS pos
+  FROM {table}
+),
+sums AS (
+  SELECT label, even, pos, CAST(sum(v) AS BIGINT) AS s,
+         CAST(count(*) AS BIGINT) AS n
+  FROM base GROUP BY label, even, pos
+),
+j AS (
+  SELECT e.label, e.s AS se, e.n AS ne, o.s AS so, o.n AS no
+  FROM (SELECT * FROM sums WHERE even) e
+  JOIN (SELECT * FROM sums WHERE NOT even) o USING (label, pos)
+)
+SELECT label, CAST(min(ne) AS BIGINT) AS n_even,
+       CAST(min(no) AS BIGINT) AS n_odd,
+       CAST(sum(abs(se * no - so * ne)) AS BIGINT) AS l1_num
+FROM j GROUP BY label
+"""

@@ -262,3 +262,73 @@ SELECT {key}, last_us, n_events, cents,
            AS m_bin
 FROM per_key
 """
+
+
+def regular_cadence_users(
+    events: DataFrame,
+    ts_col,
+    min_gaps: int = 4,
+    max_distinct_gaps: int = 2,
+    order_col: str = "event_id",
+) -> DataFrame:
+    """Bot-likeness screen on event cadence: flag users whose
+    inter-event gaps are TOO regular — humans are bursty, schedulers
+    and replay scripts tick (the classic behavioral-data-quality cut
+    before events feed any training pipeline). A user is flagged when
+    they have at least ``min_gaps`` consecutive-event gaps but at most
+    ``max_distinct_gaps`` DISTINCT gap values. Output per flagged
+    screened user (>= ``min_gaps`` gaps): ``(user_id, n_events,
+    n_gaps, n_distinct_gaps, min_gap, max_gap, flagged)`` — exact
+    longs (gaps in epoch-microseconds) plus the boolean verdict, so
+    the report doubles as the cadence-distribution audit even when
+    nothing trips the rule.
+
+    ``ts_col`` is a Column of epoch-micros (pass ``ts_us(df)``).
+    Plan: one ``lag`` window per user ordered by (ts, order_col) — the
+    same per-key window contract as sessionize: state bounded by a
+    user's events; a pathological hot key can ride the same
+    ``route_hot_keys`` guard if needed — then one map-side-combined
+    aggregate. No corpus-wide state."""
+    w = Window.partitionBy("user_id").orderBy(F.col("__us"), F.col(order_col))
+    gaps = (
+        events.withColumn("__us", ts_col)
+        .withColumn("__gap", F.col("__us") - F.lag("__us").over(w))
+    )
+    agg = gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.count("__gap").cast("long").alias("n_gaps"),
+        F.countDistinct("__gap").cast("long").alias("n_distinct_gaps"),
+        F.min("__gap").cast("long").alias("min_gap"),
+        F.max("__gap").cast("long").alias("max_gap"),
+    )
+    return agg.where(F.col("n_gaps") >= min_gaps).withColumn(
+        "flagged", F.col("n_distinct_gaps") <= max_distinct_gaps
+    )
+
+
+def regular_cadence_users_sql(
+    table: str = "events",
+    min_gaps: int = 4,
+    max_distinct_gaps: int = 2,
+) -> str:
+    """DuckDB twin of :func:`regular_cadence_users`."""
+    return f"""
+WITH g AS (
+  SELECT user_id,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+             PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+         ) AS gap
+  FROM {table}
+),
+a AS (
+  SELECT user_id,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(count(gap) AS BIGINT) AS n_gaps,
+         CAST(count(DISTINCT gap) AS BIGINT) AS n_distinct_gaps,
+         CAST(min(gap) AS BIGINT) AS min_gap,
+         CAST(max(gap) AS BIGINT) AS max_gap
+  FROM g GROUP BY user_id
+)
+SELECT *, n_distinct_gaps <= {max_distinct_gaps} AS flagged
+FROM a WHERE n_gaps >= {min_gaps}
+"""

@@ -1008,3 +1008,54 @@ SELECT g.doc_id,
 FROM g LEFT JOIN st USING (gram)
 GROUP BY g.doc_id
 """
+
+
+def zipf_stats(docs: DataFrame, group_col: str = "source") -> DataFrame:
+    """Vocabulary-shape report per group: token mass, distinct words,
+    hapax legomena (frequency-1 words — the Heaps'/Zipf tail whose
+    share collapses when a corpus is template spam or inflates under
+    OCR noise), and the modal word's count. Output: ``(group,
+    n_tokens, n_distinct, n_hapax, top_freq)``, exact longs — the
+    corpus-linguistics QA card next to `corpus_report_by_source`.
+
+    Two map-side-combined aggregates (word counts per group, then the
+    group rollup) — state bounded by group vocabularies."""
+    wc = (
+        docs.select(
+            F.col(group_col).alias("__g"),
+            F.explode(words_col(F.col("text"))).alias("w"),
+        )
+        .groupBy("__g", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return wc.groupBy("__g").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_hapax"),
+        F.max("c").cast("long").alias("top_freq"),
+    ).select(
+        F.col("__g").alias(group_col),
+        "n_tokens",
+        "n_distinct",
+        "n_hapax",
+        "top_freq",
+    )
+
+
+def zipf_stats_sql(table: str = "documents", group_col: str = "source") -> str:
+    """DuckDB twin of :func:`zipf_stats`."""
+    return f"""
+WITH wc AS (
+  SELECT {group_col} AS g, w, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT {group_col}, unnest({WORDS_SQL}) AS w FROM {table}) __t
+  GROUP BY g, w
+)
+SELECT g AS {group_col},
+       CAST(sum(c) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_distinct,
+       CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+       CAST(max(c) AS BIGINT) AS top_freq
+FROM wc GROUP BY g
+"""

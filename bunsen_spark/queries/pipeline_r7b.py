@@ -266,3 +266,65 @@ def _novelty_inc_sql() -> str:
 
 QUERIES.update({"novelty_incremental": novelty_incremental})
 ORACLES.update({"novelty_incremental": _novelty_inc_sql()})
+
+
+def bot_cadence_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Too-regular event cadence screen (`operators/engagement.py:
+    regular_cadence_users`): users with >= 4 inter-event gaps but <= 2
+    distinct gap values — scheduler/replay signatures in behavioral
+    data."""
+    from . import ts_us
+    from ..operators.engagement import regular_cadence_users
+
+    e = load(spark, sf_dir, "events")
+    return regular_cadence_users(e, ts_us(e), min_gaps=4, max_distinct_gaps=2)
+
+
+def _cadence_sql() -> str:
+    from ..operators.engagement import regular_cadence_users_sql
+
+    return regular_cadence_users_sql("events", 4, 2)
+
+
+def embedding_drift_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Even-vs-odd-half centroid drift per label as an exact integer
+    L1 numerator (`operators/drift.py:embedding_drift_by_label`)."""
+    from ..operators.drift import embedding_drift_by_label
+
+    return embedding_drift_by_label(load(spark, sf_dir, "embeddings"))
+
+
+def _emb_drift_sql() -> str:
+    from ..operators.drift import embedding_drift_by_label_sql
+
+    return embedding_drift_by_label_sql()
+
+
+def zipf_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source vocabulary-shape card: tokens, distinct words, hapax
+    legomena, modal frequency (`operators/text_analysis.py:zipf_stats`)."""
+    from ..operators.text_analysis import zipf_stats
+
+    return zipf_stats(load(spark, sf_dir, "documents"), "source")
+
+
+def _zipf_sql() -> str:
+    from ..operators.text_analysis import zipf_stats_sql
+
+    return zipf_stats_sql("documents", "source")
+
+
+QUERIES.update(
+    {
+        "bot_cadence_users": bot_cadence_users,
+        "embedding_drift_labels": embedding_drift_labels,
+        "zipf_stats_by_source": zipf_stats_by_source,
+    }
+)
+ORACLES.update(
+    {
+        "bot_cadence_users": _cadence_sql(),
+        "embedding_drift_labels": _emb_drift_sql(),
+        "zipf_stats_by_source": _zipf_sql(),
+    }
+)

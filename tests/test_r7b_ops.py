@@ -365,3 +365,74 @@ def test_novelty_against_state_batch_split_associative(spark):
     assert sorted(r.gram for r in st_union.collect()) == sorted(
         r.gram for r in st_all.collect()
     )
+
+
+def test_regular_cadence_flags_ticker_not_bursty(spark):
+    from pyspark.sql import functions as F
+
+    from bunsen_spark.operators.engagement import regular_cadence_users
+
+    rows = []
+    # user 1: perfect 10s ticker (6 events, 5 identical gaps)
+    for i in range(6):
+        rows.append((i, 1, 1_000_000 + i * 10_000_000))
+    # user 2: bursty human (irregular gaps)
+    for i, t in enumerate((0, 3, 50, 51, 300, 1000)):
+        rows.append((100 + i, 2, 2_000_000 + t * 1_000_000))
+    # user 3: too few events to screen
+    rows += [(200, 3, 0), (201, 3, 5)]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, us long")
+    out = {
+        r.user_id: r
+        for r in regular_cadence_users(
+            df, F.col("us"), min_gaps=4, max_distinct_gaps=2
+        ).collect()
+    }
+    assert set(out) == {1, 2}  # user 3 below the screen threshold
+    assert out[1].flagged and out[1].n_distinct_gaps == 1
+    assert not out[2].flagged
+    assert out[1].min_gap == out[1].max_gap == 10_000_000
+
+
+def test_embedding_drift_zero_for_identical_halves(spark):
+    from bunsen_spark.operators.drift import embedding_drift_by_label
+
+    # even/odd vec pairs identical -> centroids equal -> l1_num = 0
+    rows = []
+    for i in range(10):
+        v = [float(i), float(-i), 0.5 * i]
+        rows.append((2 * i, v, i % 2))
+        rows.append((2 * i + 1, v, i % 2))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = {r.label: r for r in embedding_drift_by_label(df).collect()}
+    for lab in (0, 1):
+        assert out[lab].l1_num == 0
+        assert out[lab].n_even == out[lab].n_odd == 5
+    # shift one odd vector -> strictly positive numerator for its label
+    rows[1] = (1, [100.0, 0.0, 0.0], 0)
+    df2 = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out2 = {r.label: r for r in embedding_drift_by_label(df2).collect()}
+    assert out2[0].l1_num > 0 and out2[1].l1_num == 0
+
+
+def test_zipf_stats_hand_corpus(spark):
+    from bunsen_spark.operators.text_analysis import zipf_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "a a a b c", "s1"),
+            (2, "a b b d", "s1"),
+            (3, "z z", "s2"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {r.source: r for r in zipf_stats(df, "source").collect()}
+    s1 = out["s1"]
+    # s1: a=4, b=3, c=1, d=1
+    assert (s1.n_tokens, s1.n_distinct, s1.n_hapax, s1.top_freq) == (9, 4, 2, 4)
+    s2 = out["s2"]
+    assert (s2.n_tokens, s2.n_distinct, s2.n_hapax, s2.top_freq) == (2, 1, 0, 2)
