@@ -67,6 +67,9 @@ HEAVY = [
     "padding_waste_buckets",
     "cluster_safe_split_counts",
     "novelty_incremental",
+    "bot_cadence_users",
+    "embedding_drift_labels",
+    "zipf_stats_by_source",
 ]
 
 
