@@ -774,28 +774,36 @@ def ngram_novelty(docs: DataFrame, n: int = 3) -> DataFrame:
     corpus-wide ``sum(novel_grams)`` = the corpus's distinct-gram count
     exactly — duplicates never double-count.
 
-    Plan: distinct-gram explode (the shared ``zip_with`` shingle shape,
-    `dedup.py:shingles_expr`) → one map-side-combined ``min(doc_id)``
-    per gram → hash join back on gram (both sides partition on gram —
-    co-located) → per-doc count/sum. Nothing quadratic: work is
-    O(corpus grams), state per reducer is one long per distinct gram."""
+    Plan: distinct-gram explode (the shared ``zip_with`` shingle
+    shape, `dedup.py:shingles_expr`) → one map-side-combined
+    ``min(doc_id)`` per gram, from which the per-doc NOVEL counts are
+    a direct second aggregate (``groupBy(first_doc)``) — no join back
+    to the corpus-scale gram table at all (the join formulation
+    re-shuffled every gram a second time; measured 2.3× slower at 50k
+    docs, PERF.md round-7). Totals are their own per-doc aggregate;
+    the two doc-level tables join on doc_id. Nothing quadratic: work
+    is O(corpus grams), state per reducer is one long per distinct
+    gram."""
     from .dedup import shingles_expr
 
     grams = docs.select(
         "doc_id", F.explode(F.expr(shingles_expr(n))).alias("gram")
     )
-    first = grams.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
-    return (
-        grams.join(first, "gram")
+    total = grams.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("total_grams")
+    )
+    novel = (
+        grams.groupBy("gram")
+        .agg(F.min("doc_id").alias("doc_id"))
         .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("total_grams"),
-            F.sum(
-                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
-            )
-            .cast("long")
-            .alias("novel_grams"),
-        )
+        .agg(F.count(F.lit(1)).cast("long").alias("__novel"))
+    )
+    return total.join(novel, "doc_id", "left").select(
+        "doc_id",
+        "total_grams",
+        F.coalesce(F.col("__novel"), F.lit(0))
+        .cast("long")
+        .alias("novel_grams"),
     )
 
 
