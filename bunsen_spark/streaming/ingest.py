@@ -202,3 +202,91 @@ def stream_near_dup_filter(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_novelty_scores(
+    docs_stream: DataFrame,
+    state_path: str,
+    checkpoint: str,
+    out_path: str,
+    n: int = 3,
+    trigger_available_now: bool = True,
+):
+    """Streaming n-gram novelty scoring: every micro-batch is scored
+    against the persistent distinct-gram state
+    (`operators/text_analysis.py:novelty_against_state`) and the
+    batch's own grams are appended to it, so each snapshot's "did this
+    add anything" numbers reflect everything ingested before it — the
+    incremental novelty operator lifted into ``foreachBatch``,
+    sharing its state-table contract with the batch form.
+
+    Same durability discipline as `stream_near_dup_filter`: the gram
+    state is a parquet table ``(gram)`` partitioned by ``batch_id``
+    (novelty state is anti-join state probed by gram — not per-key
+    state-store material — and the parquet table stays readable by the
+    batch operator); both writes dynamic-partition-overwrite exactly
+    their own ``batch_id=N`` partition and the state read excludes
+    ``batch_id >= N``, so crash-replayed batches score against exactly
+    the pre-batch state and rewrite only themselves. The first batch
+    scores against an empty state (everything novel). Only the batch's
+    NEW grams (anti-joined against the pre-batch state) are appended,
+    so the state stays exactly the distinct-gram set — no cross-batch
+    duplicate rows to re-shuffle at 100 TB. Scores and the new-gram
+    set are eagerly materialized before the state write so the state
+    read and write never overlap."""
+    from ..operators.text_analysis import gram_state, novelty_against_state
+
+    def _state_exists(spark: SparkSession) -> bool:
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(state_path)
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        if not fs.exists(hpath):
+            return False
+        glob = jvm.org.apache.hadoop.fs.Path(
+            state_path + "/batch_id=*/*.parquet"
+        )
+        committed = fs.globStatus(glob)
+        return committed is not None and len(committed) > 0
+
+    def _overwrite_batch_partition(df: DataFrame, path: str) -> None:
+        (
+            df.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(path)
+        )
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if _state_exists(spark):
+            state = spark.read.parquet(state_path).where(
+                F.col("batch_id") < F.lit(batch_id)
+            )
+        else:
+            state = spark.createDataFrame([], "gram string")
+        scores = novelty_against_state(batch_df, state, n).withColumn(
+            "batch_id", F.lit(batch_id)
+        )
+        new_grams = (
+            gram_state(batch_df, n)
+            .join(state.select("gram"), "gram", "left_anti")
+            .withColumn("batch_id", F.lit(batch_id))
+        )
+        from ..persist import materialize, release
+
+        # both read the state; close those reads before overwriting it
+        scores = materialize(scores, eager=True)
+        new_grams = materialize(new_grams, eager=True)
+        try:
+            _overwrite_batch_partition(scores, out_path)
+            _overwrite_batch_partition(new_grams, state_path)
+        finally:
+            release(scores)
+            release(new_grams)
+
+    writer = docs_stream.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -477,3 +477,71 @@ def test_stream_near_dup_replay_idempotent(spark, tmp_path):
     # replay batch 0 too (both partitions already present)
     process(b0, 0)
     assert snapshot() == want
+
+
+def test_stream_novelty_scores_parity_with_batch(spark, tmp_path):
+    """Two micro-batches scored by the stream must equal running the
+    batch operator per cut: batch0 vs empty state, batch1 vs batch0's
+    grams — and the streamed state is the batch gram_state union."""
+    import json as jsonlib
+
+    import pyspark.sql.types as T
+
+    from bunsen_spark.operators.text_analysis import (
+        gram_state,
+        novelty_against_state,
+    )
+    from bunsen_spark.streaming.ingest import stream_novelty_scores
+
+    src = tmp_path / "nov_stream"
+    src.mkdir()
+    b0 = {1: "a b c d e", 2: "x y z w v"}
+    b1 = {3: "a b c d e", 4: "p q r s t"}  # 3 repeats 1 exactly
+    with open(src / "b0.jsonl", "w") as f:
+        for i, t in b0.items():
+            f.write(jsonlib.dumps({"doc_id": i, "text": t}) + "\n")
+    with open(src / "b1.jsonl", "w") as f:
+        for i, t in b1.items():
+            f.write(jsonlib.dumps({"doc_id": i, "text": t}) + "\n")
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    out = str(tmp_path / "nov_scores")
+    state = str(tmp_path / "nov_state")
+    q = stream_novelty_scores(
+        stream, state, str(tmp_path / "nov_ckpt"), out, n=3
+    )
+    q.awaitTermination(180)
+
+    got = {
+        r.doc_id: (r.total_grams, r.novel_grams)
+        for r in spark.read.parquet(out).collect()
+    }
+    df0 = spark.createDataFrame(list(b0.items()), schema)
+    df1 = spark.createDataFrame(list(b1.items()), schema)
+    empty = spark.createDataFrame([], "gram string")
+    want = {
+        r.doc_id: (r.total_grams, r.novel_grams)
+        for r in novelty_against_state(df0, empty, 3).collect()
+    }
+    want.update(
+        {
+            r.doc_id: (r.total_grams, r.novel_grams)
+            for r in novelty_against_state(df1, gram_state(df0, 3), 3).collect()
+        }
+    )
+    assert got == want
+    # doc 3 (exact repeat across the batch cut) scored zero novel
+    assert got[3][1] == 0 and got[1][1] == got[1][0]
+    # streamed state == batch union state
+    streamed = sorted(r.gram for r in spark.read.parquet(state).collect())
+    union = sorted(
+        r.gram
+        for r in gram_state(df0, 3).unionByName(gram_state(df1, 3)).distinct().collect()
+    )
+    assert streamed == sorted(set(streamed)) == union
