@@ -1067,3 +1067,83 @@ SELECT g AS {group_col},
        CAST(max(c) AS BIGINT) AS top_freq
 FROM wc GROUP BY g
 """
+
+
+def quality_dup_deciles(docs: DataFrame, n_bins: int = 10) -> DataFrame:
+    """Quality-vs-duplication correlation audit: bucket documents into
+    global quality-score n-tiles (the distributed arithmetic-ntile
+    machinery — NO single-partition window) and count exact duplicates
+    per bucket — the "is low-quality text also the duplicated text?"
+    scatter every dedup ablation reports (Lee et al. 2022 observe
+    exactly this coupling). Output: ``(q_bin, n_docs, n_dup_docs)``,
+    ``n_dup_docs`` = docs whose text digest appears more than once in
+    the corpus.
+
+    Plan: quality features (one map stage) → exact global rank over
+    (quality_score, doc_id) via range-repartition + broadcast offsets
+    (:func:`~bunsen_spark.operators.windows.global_row_number`) →
+    arithmetic ntile from (rank, N); duplicate digests are one
+    md5 group-by with AQE choosing the flag-join strategy; the final
+    aggregate has ``n_bins`` groups."""
+    from ..persist import materialize
+    from .windows import global_row_number, ntile_from_rank
+
+    if n_bins < 2:
+        raise ValueError("n_bins must be >= 2")
+    scored = materialize(
+        quality_score(docs)
+        .select("doc_id", "quality_score")
+        .join(docs.select("doc_id", F.md5("text").alias("__d")), "doc_id")
+    )
+    n_tot = scored.agg(F.count(F.lit(1)).alias("__n"))
+    ranked = global_row_number(
+        scored,
+        [F.col("quality_score").asc(), F.col("doc_id").asc()],
+        out_col="__k",
+    ).crossJoin(F.broadcast(n_tot))
+    binned = ranked.select(
+        "__d", ntile_from_rank("__k", "__n", n_bins).alias("q_bin")
+    )
+    dup = (
+        scored.groupBy("__d")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .where(F.col("__c") > 1)
+        .select("__d", F.lit(1).alias("__dup"))
+    )
+    return (
+        binned.join(dup, "__d", "left")
+        .groupBy("q_bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.coalesce(F.col("__dup"), F.lit(0)))
+            .cast("long")
+            .alias("n_dup_docs"),
+        )
+    )
+
+
+def quality_dup_deciles_sql(table: str = "documents", n_bins: int = 10) -> str:
+    """DuckDB twin of :func:`quality_dup_deciles` (engine-native
+    ``ntile`` — the gate pins the arithmetic-ntile identity on real
+    data, same contract as the RFM gate)."""
+    q = quality_score_sql(table)
+    return f"""
+WITH q AS ({q}),
+scored AS (
+  SELECT q.doc_id, q.quality_score, md5(d.text) AS dg
+  FROM q JOIN {table} d USING (doc_id)
+),
+binned AS (
+  SELECT dg, CAST(ntile({n_bins}) OVER (
+      ORDER BY quality_score ASC, doc_id ASC) AS BIGINT) AS q_bin
+  FROM scored
+),
+dup AS (
+  SELECT dg FROM scored GROUP BY dg HAVING count(*) > 1
+)
+SELECT q_bin, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN dup.dg IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+           AS n_dup_docs
+FROM binned LEFT JOIN dup USING (dg)
+GROUP BY q_bin
+"""

@@ -328,3 +328,24 @@ ORACLES.update(
         "zipf_stats_by_source": _zipf_sql(),
     }
 )
+
+
+def quality_dup_decile_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-decile × exact-duplication joint counts
+    (`operators/text_analysis.py:quality_dup_deciles`): distributed
+    arithmetic ntile over the quality score vs the oracle's native
+    ntile window — the 'is low-quality text also the duplicated text'
+    ablation scatter."""
+    from ..operators.text_analysis import quality_dup_deciles
+
+    return quality_dup_deciles(load(spark, sf_dir, "documents"), 10)
+
+
+def _qdup_sql() -> str:
+    from ..operators.text_analysis import quality_dup_deciles_sql
+
+    return quality_dup_deciles_sql("documents", 10)
+
+
+QUERIES.update({"quality_dup_decile_counts": quality_dup_decile_counts})
+ORACLES.update({"quality_dup_decile_counts": _qdup_sql()})

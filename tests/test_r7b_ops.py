@@ -436,3 +436,22 @@ def test_zipf_stats_hand_corpus(spark):
     assert (s1.n_tokens, s1.n_distinct, s1.n_hapax, s1.top_freq) == (9, 4, 2, 4)
     s2 = out["s2"]
     assert (s2.n_tokens, s2.n_distinct, s2.n_hapax, s2.top_freq) == (2, 1, 0, 2)
+
+
+def test_quality_dup_deciles_partitions_and_counts(spark):
+    from bunsen_spark.operators.text_analysis import quality_dup_deciles
+
+    rows = []
+    # 12 distinct docs of varying quality + 3 exact repeats of doc 0's text
+    base = "the quick brown fox jumps over the lazy dog"
+    for i in range(12):
+        rows.append((i, base + " extra" * i))
+    for j in range(3):
+        rows.append((100 + j, rows[0][1]))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = quality_dup_deciles(df, n_bins=5).collect()
+    assert sorted(r.q_bin for r in out) == [1, 2, 3, 4, 5]
+    assert sum(r.n_docs for r in out) == 15
+    # exactly the 4 copies of doc 0's text are dup docs
+    assert sum(r.n_dup_docs for r in out) == 4
+    assert all(0 <= r.n_dup_docs <= r.n_docs for r in out)
