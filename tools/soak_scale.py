@@ -70,6 +70,7 @@ HEAVY = [
     "bot_cadence_users",
     "embedding_drift_labels",
     "zipf_stats_by_source",
+    "quality_dup_decile_counts",
 ]
 
 
