@@ -412,3 +412,57 @@ SELECT query_id, neighbor_id, rrf_score, rrf_rank FROM (
   FROM s
 ) WHERE rrf_rank <= {k_out}
 """
+
+
+def topk_overlap(run_a: DataFrame, run_b: DataFrame, k: int) -> DataFrame:
+    """Recall@k of one ranked run against another: per query, how many
+    of run_b's top-``k`` appear in run_a's top-``k`` — THE
+    approximate-nearest-neighbor quality metric (recall vs the exact
+    scan) and the regression gate any index change should run. Both
+    runs are ``(query_id, neighbor_id, rank)`` tables; rows ranked
+    beyond ``k`` are ignored. Output: ``(query_id, hits)`` — exact
+    longs, ``hits/k`` is the per-query recall and ``sum(hits)/(n·k)``
+    the corpus recall.
+
+    Queries present in run_a but absent from run_b score 0 (never
+    silently dropped). The join is rank-table-sized (queries × k per
+    side) — the corpus is never touched."""
+    a = run_a.where(F.col("rank") <= k).select("query_id", "neighbor_id")
+    b = run_b.where(F.col("rank") <= k).select("query_id", "neighbor_id")
+    # both sides are bounded by queries x k BY CONTRACT — broadcast
+    # the reference run so the overlap join never shuffles run_a
+    hits = (
+        a.join(F.broadcast(b), ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("hits"))
+    )
+    return (
+        a.select("query_id")
+        .distinct()
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("hits"), F.lit(0)).cast("long").alias("hits"),
+        )
+    )
+
+
+def topk_overlap_sql(run_a_sql: str, run_b_sql: str, k: int) -> str:
+    """DuckDB twin of :func:`topk_overlap`; each run SQL is a full
+    SELECT (CTEs allowed) producing ``(query_id, neighbor_id, rank)``."""
+    return f"""
+WITH a AS (
+  SELECT query_id, neighbor_id FROM ({run_a_sql}) __a WHERE rank <= {k}
+),
+b AS (
+  SELECT query_id, neighbor_id FROM ({run_b_sql}) __b WHERE rank <= {k}
+),
+h AS (
+  SELECT a.query_id, CAST(count(*) AS BIGINT) AS hits
+  FROM a JOIN b USING (query_id, neighbor_id)
+  GROUP BY a.query_id
+)
+SELECT q.query_id, CAST(coalesce(h.hits, 0) AS BIGINT) AS hits
+FROM (SELECT DISTINCT query_id FROM a) q
+LEFT JOIN h USING (query_id)
+"""

@@ -349,3 +349,31 @@ def _qdup_sql() -> str:
 
 QUERIES.update({"quality_dup_decile_counts": quality_dup_decile_counts})
 ORACLES.update({"quality_dup_decile_counts": _qdup_sql()})
+
+
+def ann_recall_jl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the JL-projected ANN against the exact scan
+    (`operators/retrieval.py:topk_overlap`) — the index-quality
+    regression gate for the whole approximate family."""
+    from ..operators.retrieval import topk_overlap
+    from ..operators.similarity import brute_force_topk, jl_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    return topk_overlap(
+        brute_force_topk(emb, 5, 32), jl_topk(emb, 5, 32), 5
+    )
+
+
+def _ann_recall_sql() -> str:
+    from ..operators.retrieval import topk_overlap_sql
+    from ..operators.similarity import brute_force_topk_sql, jl_topk_sql
+
+    return topk_overlap_sql(
+        brute_force_topk_sql("embeddings", 5, 32),
+        jl_topk_sql("embeddings", 5, 32),
+        5,
+    )
+
+
+QUERIES.update({"ann_recall_jl": ann_recall_jl})
+ORACLES.update({"ann_recall_jl": _ann_recall_sql()})

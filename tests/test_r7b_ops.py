@@ -455,3 +455,22 @@ def test_quality_dup_deciles_partitions_and_counts(spark):
     # exactly the 4 copies of doc 0's text are dup docs
     assert sum(r.n_dup_docs for r in out) == 4
     assert all(0 <= r.n_dup_docs <= r.n_docs for r in out)
+
+
+def test_topk_overlap_counts_and_zero_fill(spark):
+    from bunsen_spark.operators.retrieval import topk_overlap
+
+    mk = lambda rows: spark.createDataFrame(
+        rows, "query_id long, neighbor_id long, rank long"
+    )
+    a = mk([(0, 1, 1), (0, 2, 2), (0, 3, 3), (1, 7, 1), (1, 8, 2), (1, 9, 3)])
+    b = mk([(0, 2, 1), (0, 9, 2), (0, 1, 3), (1, 4, 1), (1, 5, 2), (1, 6, 3)])
+    got = {r.query_id: r.hits for r in topk_overlap(a, b, 3).collect()}
+    assert got == {0: 2, 1: 0}  # query 1 zero-filled, not dropped
+    # rank-k cutoff respected: beyond-k rows ignored on both sides
+    a2 = mk([(0, 1, 1), (0, 2, 4)])
+    b2 = mk([(0, 2, 1), (0, 1, 2)])
+    got2 = {r.query_id: r.hits for r in topk_overlap(a2, b2, 2).collect()}
+    assert got2 == {0: 1}
+    # self-overlap is k
+    assert {r.hits for r in topk_overlap(a, a, 3).collect()} == {3}

@@ -71,6 +71,7 @@ HEAVY = [
     "embedding_drift_labels",
     "zipf_stats_by_source",
     "quality_dup_decile_counts",
+    "ann_recall_jl",
 ]
 
 
