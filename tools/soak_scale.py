@@ -72,6 +72,7 @@ HEAVY = [
     "zipf_stats_by_source",
     "quality_dup_decile_counts",
     "ann_recall_jl",
+    "ann_recall_scorecard",
 ]
 
 
