@@ -21,7 +21,7 @@ resampling a multi-year key at seconds is a caller bug, not data.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -99,4 +99,87 @@ SELECT grid.{key}, grid.bucket,
        COALESCE(s.n_events, 0) AS n_events{val_fill}
 FROM grid LEFT JOIN sparse s
   ON s.{key} = grid.{key} AND s.bucket = grid.bucket
+"""
+
+
+def cusum_alerts(
+    df: DataFrame,
+    key: str,
+    bucket_col: str,
+    value_col: str,
+    drift_k: int,
+    threshold_h: int,
+) -> DataFrame:
+    """One-sided CUSUM change-point detection per key over a bucketed
+    integer series (Page 1954 — the standard "did this metric shift
+    upward" monitor for pipeline observability): the textbook
+    recursion ``S_t = max(0, S_{t-1} + x_t − k)`` is sequential, but
+    it has a closed WINDOW form — with ``C_t = Σ_{j<=t}(x_j − k)``
+    (and the implicit C_0 = 0),
+
+        ``S_t = C_t − min(0, min_{j<=t} C_j)``
+
+    so the whole detector is two cumulative windows per key (running
+    sum + running min), no recursion, no UDF, exact integers. Output:
+    one row per (key, bucket) whose ``cusum > threshold_h`` —
+    ``(key, bucket, value, cusum)``. ``drift_k`` is the per-bucket
+    allowance (set to the in-control mean plus slack); both it and the
+    values must be integers for cross-engine exactness.
+
+    Scale shape: one shuffle by key; per-key state is the bucketed
+    series (bounded by the time span, not the event count — aggregate
+    to buckets FIRST, e.g. via `resample_counts`). Keys are
+    independent — the usual per-key-window contract."""
+    w = (
+        Window.partitionBy(key)
+        .orderBy(bucket_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = F.sum(F.col(value_col).cast("long") - F.lit(drift_k)).over(w)
+    base = df.withColumn("__c", c).withColumn(
+        "__m", F.min("__c").over(w)
+    )
+    cusum = F.col("__c") - F.least(F.lit(0), F.col("__m"))
+    return (
+        base.withColumn("cusum", cusum.cast("long"))
+        .where(F.col("cusum") > threshold_h)
+        .select(
+            key,
+            bucket_col,
+            F.col(value_col).cast("long").alias(value_col),
+            "cusum",
+        )
+    )
+
+
+def cusum_alerts_sql(
+    series_sql: str,
+    key: str,
+    bucket_col: str,
+    value_col: str,
+    drift_k: int,
+    threshold_h: int,
+) -> str:
+    """DuckDB twin of :func:`cusum_alerts`; ``series_sql`` produces
+    the bucketed (key, bucket, value) series."""
+    return f"""
+WITH s AS ({series_sql}),
+c AS (
+  SELECT {key}, {bucket_col}, CAST({value_col} AS BIGINT) AS v,
+         sum(CAST({value_col} AS BIGINT) - {drift_k}) OVER (
+             PARTITION BY {key} ORDER BY {bucket_col}
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS cum
+  FROM s
+),
+m AS (
+  SELECT *, min(cum) OVER (
+      PARTITION BY {key} ORDER BY {bucket_col}
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+  ) AS mn
+  FROM c
+)
+SELECT {key}, {bucket_col}, v AS {value_col},
+       CAST(cum - least(0, mn) AS BIGINT) AS cusum
+FROM m WHERE cum - least(0, mn) > {threshold_h}
 """

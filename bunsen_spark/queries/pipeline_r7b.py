@@ -434,3 +434,67 @@ def _ann_scorecard_sql() -> str:
 
 QUERIES.update({"ann_recall_scorecard": ann_recall_scorecard})
 ORACLES.update({"ann_recall_scorecard": _ann_scorecard_sql()})
+
+
+def cusum_event_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM upward-shift alerts on daily per-type event-value totals
+    (`operators/timeseries.py:cusum_alerts`): the sequential
+    S_t = max(0, S_{t-1} + x_t - k) recursion computed as two
+    cumulative windows (running sum minus running min) — exact
+    integers, no recursion, no UDF. Allowance and threshold derive
+    from global per-day scale so the gate is scale-invariant."""
+    from . import ts_us
+    from ..operators.timeseries import cusum_alerts
+
+    e = load(spark, sf_dir, "events")
+    daily = (
+        e.withColumn("__us", ts_us(e))
+        .select(
+            "event_type",
+            F.expr("__us div 86400000000").alias("day"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("cents").alias("cents"))
+    )
+    # per-(type,day) mean cents, integer-floored: the in-control drift
+    # integer div on BOTH engines: DuckDB CAST(double AS BIGINT)
+    # rounds while Spark's cast truncates — sidestep floats entirely
+    k = int(daily.agg(F.expr("sum(cents) div count(1)")).collect()[0][0])
+    return cusum_alerts(daily, "event_type", "day", "cents", k, k // 2)
+
+
+def _cusum_sql() -> str:
+    from ..operators.timeseries import cusum_alerts_sql
+
+    series = """
+SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+FROM events GROUP BY event_type, epoch_us(ts) // 86400000000
+"""
+    return f"""
+WITH s AS ({series}),
+kk AS (SELECT CAST(sum(cents) // count(*) AS BIGINT) AS k FROM s),
+c AS (
+  SELECT event_type, day, cents,
+         sum(cents - kk.k) OVER (
+             PARTITION BY event_type ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS cum
+  FROM s CROSS JOIN kk
+),
+m AS (
+  SELECT *, min(cum) OVER (
+      PARTITION BY event_type ORDER BY day
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+  ) AS mn
+  FROM c
+)
+SELECT event_type, day, CAST(cents AS BIGINT) AS cents,
+       CAST(cum - least(0, mn) AS BIGINT) AS cusum
+FROM m CROSS JOIN kk WHERE cum - least(0, mn) > kk.k // 2
+"""
+
+
+QUERIES.update({"cusum_event_alerts": cusum_event_alerts})
+ORACLES.update({"cusum_event_alerts": _cusum_sql()})

@@ -474,3 +474,40 @@ def test_topk_overlap_counts_and_zero_fill(spark):
     assert got2 == {0: 1}
     # self-overlap is k
     assert {r.hits for r in topk_overlap(a, a, 3).collect()} == {3}
+
+
+def _py_cusum(xs: list[int], k: int) -> list[int]:
+    out, s = [], 0
+    for x in xs:
+        s = max(0, s + x - k)
+        out.append(s)
+    return out
+
+
+@pytest.mark.parametrize("seed", [7, 23])
+def test_cusum_alerts_matches_textbook_recursion(spark, seed):
+    from bunsen_spark.operators.timeseries import cusum_alerts
+
+    rng = random.Random(seed)
+    rows = []
+    series = {}
+    for key in ("a", "b"):
+        xs = [rng.randint(0, 20) for _ in range(30)]
+        # inject an upward shift in the back half of 'a'
+        if key == "a":
+            xs = xs[:15] + [x + 15 for x in xs[15:]]
+        series[key] = xs
+        rows += [(key, t, x) for t, x in enumerate(xs)]
+    df = spark.createDataFrame(rows, "k string, bucket long, v long")
+    drift, h = 10, 30
+    got = {
+        (r.k, r.bucket): r.cusum
+        for r in cusum_alerts(df, "k", "bucket", "v", drift, h).collect()
+    }
+    want = {}
+    for key, xs in series.items():
+        for t, s in enumerate(_py_cusum(xs, drift)):
+            if s > h:
+                want[(key, t)] = s
+    assert got == want
+    assert any(k[0] == "a" for k in want), "shift must trigger alerts"

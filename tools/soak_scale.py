@@ -73,6 +73,7 @@ HEAVY = [
     "quality_dup_decile_counts",
     "ann_recall_jl",
     "ann_recall_scorecard",
+    "cusum_event_alerts",
 ]
 
 
