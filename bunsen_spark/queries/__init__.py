@@ -62,27 +62,9 @@ def ts_us(df: DataFrame, col: str = "ts"):
 #      stalest-check-first (regenerate with
 #      ``python tools/gen_driver_order.py --write`` each round).
 
-# round 7: prefix-filter rewrite (dedup/setjoin), rfm distributed
-# binning, winnowing doubling, valueset narrow semi-join, winsorize
-# star fix, similarity._spread memoization
-_CHANGED_THIS_ROUND = [
-    "vocab_encode_checksums",
-    "vocab_shift_even_odd",
-    "text_surprisal_score",
-    "dedup_jaccard",
-    "dedup_containment",
-    "dedup_prefix_jaccard",
-    "rfm_user_segments",
-    "text_fingerprint",
-    "valueset_membership_lineitem",
-    "winsorized_price_stats",
-    "ann_ivf_kmeans_topk",
-    "ann_brute_topk",
-    "ann_lsh_topk",
-    "ann_ivf_topk",
-    "embedding_quantize_stats",
-    "embedding_gram_matrix",
-]
+# round 8: gates whose operator code was touched this round (appended
+# as modules change; reset at round start per VERDICT r7 #6).
+_CHANGED_THIS_ROUND: list[str] = []
 _DRIVER_ORDER = [
     # last driver row: round 4
     "cube_revenue",
@@ -90,7 +72,6 @@ _DRIVER_ORDER = [
     "dedup_embedding",
     "dedup_exact",
     "dedup_incremental",
-    "dedup_jaccard",
     "dedup_keep_best",
     "dedup_minhash_lsh",
     "dedup_simhash",
@@ -108,7 +89,6 @@ _DRIVER_ORDER = [
     "sessionize_events_bucketed",
     "skew_salted_order_totals",
     "suppliers_with_large_shipments",
-    "text_fingerprint",
     "text_language_id",
     "text_quality",
     "text_repetition",
@@ -116,7 +96,6 @@ _DRIVER_ORDER = [
     "text_token_stats",
     "tumbling_window_counts",
     # last driver row: round 5
-    "ann_ivf_kmeans_topk",
     "asof_bucketed_purchase_last_view",
     "bloom_prefilter_supplier_volume",
     "bm25_multiquery_topk",
@@ -132,13 +111,9 @@ _DRIVER_ORDER = [
     "daily_top_event_types",
     "decayed_user_engagement",
     "dedup_cluster_keep_best",
-    "dedup_containment",
     "dedup_incremental_near",
-    "dedup_prefix_jaccard",
     "dedup_substring_spans",
     "doc_chunk_windows",
-    "embedding_gram_matrix",
-    "embedding_quantize_stats",
     "engagement_pipeline_users",
     "event_funnel_counts",
     "event_transition_counts",
@@ -156,7 +131,6 @@ _DRIVER_ORDER = [
     "part_basket_triangles",
     "quality_quantile_filter",
     "resample_user_days",
-    "rfm_user_segments",
     "scd2_documents",
     "session_path_top",
     "sessionize_events_hotkey",
@@ -167,9 +141,6 @@ _DRIVER_ORDER = [
     "temperature_mix_counts",
     "text_bigram_surprisal",
     # last driver row: round 6
-    "ann_brute_topk",
-    "ann_ivf_topk",
-    "ann_lsh_topk",
     "asof_forward_next_view",
     "asof_purchase_last_view",
     "closure_part_hierarchy",
@@ -205,17 +176,63 @@ _DRIVER_ORDER = [
     "sample_per_lang",
     "sessionize_events",
     "stratified_sample_counts",
-    "text_surprisal_score",
     "topk_brands_by_revenue",
     "translate_order_priority",
-    "valueset_membership_lineitem",
-    "vocab_encode_checksums",
-    "vocab_shift_even_odd",
     "weighted_sample_counts",
     "window_order_rank",
     "window_running_value",
     "window_running_value_bucketed",
     "window_running_value_hotkey",
+    # last driver row: round 7
+    "ann_brute_topk",
+    "ann_ivf_kmeans_topk",
+    "ann_ivf_topk",
+    "ann_ivfpq_topk",
+    "ann_jl_topk",
+    "ann_lsh_topk",
+    "ann_pq_topk",
+    "ann_recall_jl",
+    "ann_recall_scorecard",
+    "bot_cadence_users",
+    "bpe_fertility_by_lang",
+    "bpe_learned_merges",
+    "bpe_subword_top",
+    "bpe_top_pairs",
+    "cluster_purity_embeddings",
+    "cluster_safe_split_counts",
+    "coverage_select_docs",
+    "cusum_event_alerts",
+    "dedup_containment",
+    "dedup_jaccard",
+    "dedup_prefix_jaccard",
+    "dsir_importance_scores",
+    "embedding_drift_labels",
+    "embedding_gram_matrix",
+    "embedding_quantize_stats",
+    "epoch_shuffle_positions",
+    "equi_depth_prices",
+    "global_rank_orders",
+    "hard_negatives_topk",
+    "histogram_drift_chars",
+    "interleave_mix_positions",
+    "knn_label_accuracy",
+    "mad_outlier_orders",
+    "mmr_diverse_topk",
+    "ngram_novelty_scores",
+    "novelty_incremental",
+    "padding_waste_buckets",
+    "pareto_docs",
+    "pmi_collocations",
+    "quality_dup_decile_counts",
+    "rfm_user_segments",
+    "rrf_fused_topk",
+    "semantic_dedup_drops",
+    "text_fingerprint",
+    "text_surprisal_score",
+    "valueset_membership_lineitem",
+    "vocab_encode_checksums",
+    "vocab_shift_even_odd",
+    "waterfill_lang_budget",
     "winsorized_price_stats",
 ]
 
