@@ -34,6 +34,7 @@ from ..operators.hierarchies import (
     SNOMED_HIERARCHY_URI,
     Hierarchies,
 )
+from ..persist import materialize
 
 
 @dataclass(frozen=True)
@@ -170,12 +171,16 @@ def in_valueset_join(
     # Explode only (row-id, system, code) — never the full resource row
     # (a wide row duplicated per coding, then de-duplicated with a
     # full-row distinct(), was an all-columns shuffle; ADVICE/VERDICT
-    # r6). The row id is monotonically_increasing_id over the file
-    # scan, consistent across the two consumptions because file-source
-    # scans enumerate partitions deterministically; matching ids
-    # aggregate as narrow longs, and the final semi-join restores the
-    # original rows untouched.
-    tagged = df.withColumn("__rid", F.monotonically_increasing_id())
+    # r6). The tagged frame is consumed by TWO plan branches (the
+    # explode→semi-join building hits, then the final semi-join), and
+    # monotonically_increasing_id is only stable across evaluations
+    # when the upstream plan re-evaluates deterministically — a shuffle,
+    # sample, or limit in an arbitrary caller-supplied df can assign
+    # different ids per branch and silently keep/drop wrong rows
+    # (ADVICE r7). Materialize once so both branches read the same ids;
+    # the policy (localCheckpoint on local, MEMORY_AND_DISK persist on
+    # a cluster) lives in bunsen_spark.persist.
+    tagged = materialize(df.withColumn("__rid", F.monotonically_increasing_id()))
     pairs = tagged.select(
         "__rid", F.explode(F.col(code)["coding"]).alias("__c")
     ).select("__rid", F.col("__c.system").alias("__s"), F.col("__c.code").alias("__k"))

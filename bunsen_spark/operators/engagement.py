@@ -226,15 +226,23 @@ def rfm_segments(
         ("n_events", "f_bin"),
         ("cents", "m_bin"),
     ):
+        # asc_nulls_last pins the order DuckDB's ntile uses (ASC
+        # defaults to NULLS LAST there, NULLS FIRST here), so nullable
+        # metrics — e.g. cents when every value in a group is NULL —
+        # bin identically (ADVICE r7).
         ranked = global_row_number(
             per_key.select(key, metric),
-            [F.col(metric).asc(), F.col(key).asc()],
+            [F.col(metric).asc_nulls_last(), F.col(key).asc_nulls_last()],
             out_col="__k",
         ).crossJoin(F.broadcast(n_tot))
         bins = ranked.select(
-            key, ntile_from_rank("__k", "__n", n_bins).alias(bin_name)
+            F.col(key).alias("__bk"),
+            ntile_from_rank("__k", "__n", n_bins).alias(bin_name),
         )
-        out = out.join(bins, key)
+        # eqNullSafe: groupBy keeps a NULL-key group, and a plain inner
+        # join on the key would silently drop it (ADVICE r7) — the
+        # DuckDB twin's ntile retains that row.
+        out = out.join(bins, out[key].eqNullSafe(bins["__bk"])).drop("__bk")
     return out.select(key, "last_us", "n_events", "cents", "r_bin", "f_bin", "m_bin")
 
 

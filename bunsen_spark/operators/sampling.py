@@ -693,9 +693,15 @@ def interleave_positions(
         .groupBy(group_col)
         .agg(F.coalesce(F.sum("__sz2"), F.lit(0)).alias("__goff"))
     )
+    # Build the weights table with the caller's ACTUAL group-column
+    # type (ADVICE r7: a hardcoded `string` schema made non-string
+    # groups — e.g. int source codes — fail the broadcast join or
+    # mismatch via implicit casts).
+    gtype = df.schema[group_col].dataType
     wtab = df.sparkSession.createDataFrame(
-        sorted(weights.items()), f"{group_col} string, __wt long"
-    )
+        [(str(g), int(w)) for g, w in sorted(weights.items())],
+        f"{group_col} string, __wt long",
+    ).withColumn(group_col, F.col(group_col).cast(gtype))
     keyed = (
         granked.join(F.broadcast(offsets), group_col)
         .join(F.broadcast(wtab), group_col)

@@ -63,11 +63,15 @@ def _cosine(va: Column, vb: Column, na: Column, nb: Column) -> Column:
     return _dot(va, vb) / (na * nb)
 
 
-#: (session id, plan semanticHash) -> scan partition count, so repeated
-#: _spread calls on the same logical plan (ivf_kmeans_topk builds its
-#: base four times) pay the df.rdd physical-planning probe ONCE
-#: (ADVICE r6). Bounded; cleared wholesale when full.
-_SPREAD_CACHE: dict[tuple[int, int], int] = {}
+#: (applicationId, plan semanticHash) -> scan partition count, so
+#: repeated _spread calls on the same logical plan (ivf_kmeans_topk
+#: builds its base four times) pay the df.rdd physical-planning probe
+#: ONCE (ADVICE r6). Keyed on the SparkContext applicationId — stable
+#: and unique per application — not ``id(session)``, whose CPython
+#: address can be REUSED by a new session after the old one is
+#: garbage-collected and silently serve stale counts (ADVICE r7).
+#: Bounded; cleared wholesale when full.
+_SPREAD_CACHE: dict[tuple[str, int], int] = {}
 
 
 def _spread(df: DataFrame) -> DataFrame:
@@ -81,8 +85,9 @@ def _spread(df: DataFrame) -> DataFrame:
     no-op — no corpus shuffle is ever added at scale. The partition
     probe (``df.rdd`` forces physical planning, no job) is memoized per
     logical plan via ``semanticHash``."""
-    target = min(df.sparkSession.sparkContext.defaultParallelism, 32)
-    key = (id(df.sparkSession), df.semanticHash())
+    sc = df.sparkSession.sparkContext
+    target = min(sc.defaultParallelism, 32)
+    key = (sc.applicationId, df.semanticHash())
     n = _SPREAD_CACHE.get(key)
     if n is None:
         n = df.rdd.getNumPartitions()
@@ -1456,12 +1461,15 @@ def write_pq_index(
 
 
 def read_pq_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
-    """(books, codes) of a persisted PQ index — codes include any
-    partitions appended by the streaming encoder."""
-    return (
-        spark.read.parquet(f"{path}/books"),
-        spark.read.parquet(f"{path}/codes").select("vec_id", "sub", "code"),
-    )
+    """(books, codes) of a persisted PQ index. Codes are the batch-built
+    base table UNIONED with any ``{path}/codes_stream`` partitions the
+    streaming encoder appended (ADVICE r7: the old read skipped the
+    stream side, so index searches silently missed streamed vectors).
+    Delegates the merge to
+    :func:`bunsen_spark.streaming.ann.read_stream_codes`."""
+    from ..streaming.ann import read_stream_codes
+
+    return spark.read.parquet(f"{path}/books"), read_stream_codes(spark, path)
 
 
 def pq_index_topk(

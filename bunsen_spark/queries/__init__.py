@@ -64,7 +64,20 @@ def ts_us(df: DataFrame, col: str = "ts"):
 
 # round 8: gates whose operator code was touched this round (appended
 # as modules change; reset at round start per VERDICT r7 #6).
-_CHANGED_THIS_ROUND: list[str] = []
+# So far: engagement.py rfm null-safety (ADVICE r7), sampling.py
+# interleave typed weights, similarity.py spread-cache key + pq-index
+# stream merge (the ann gates share _spread).
+_CHANGED_THIS_ROUND: list[str] = [
+    "rfm_user_segments",
+    "interleave_mix_positions",
+    "ann_brute_topk",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "ann_ivf_kmeans_topk",
+    "ann_pq_topk",
+    "ann_ivfpq_topk",
+    "ann_jl_topk",
+]
 _DRIVER_ORDER = [
     # last driver row: round 4
     "cube_revenue",

@@ -25,7 +25,11 @@ def stream_pq_encode(
     trigger_available_now: bool = True,
 ):
     """Append PQ codes for streaming (vec_id, embedding) rows to
-    ``{index_path}/codes``. The codebooks are read from
+    ``{index_path}/codes_stream`` (kept separate from the batch-built
+    ``codes`` so replayed micro-batches can dynamic-overwrite their own
+    partition; readers merge both sides via :func:`read_stream_codes`,
+    which :func:`operators.similarity.read_pq_index` delegates to).
+    The codebooks are read from
     ``{index_path}/books`` once per micro-batch (tiny; broadcast by the
     encoder) and NEVER modified — geometry is pinned by the index
     builder (:func:`operators.similarity.write_pq_index`). Replayed

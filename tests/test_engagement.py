@@ -248,6 +248,42 @@ def test_rfm_matches_ntile_exactly(spark):
         assert got == want, (n_users, n_bins)
 
 
+def test_rfm_null_key_and_null_metric_match_duckdb(spark):
+    """A NULL key forms its own group (groupBy semantics) and must
+    survive to the output — the old inner join on the key silently
+    dropped it (ADVICE r7) — and an all-NULL metric group must bin
+    where DuckDB's ntile puts it (ASC NULLS LAST there, vs Spark's
+    NULLS FIRST default)."""
+    import duckdb
+
+    from bunsen_spark.operators.engagement import rfm_segments, rfm_segments_sql
+
+    rows = [
+        (1, 100, 50),
+        (1, 200, 70),
+        (2, 150, None),  # all-NULL cents group -> cents sum NULL
+        (3, 300, 10),
+        (None, 250, 20),  # NULL key group
+        (4, 50, 90),
+    ]
+    e = _events(spark, rows)
+    got = {
+        (r.user_id, r.r_bin, r.f_bin, r.m_bin)
+        for r in rfm_segments(e, "user_id", "us", "cents", 3).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE __e(user_id BIGINT, us BIGINT, cents BIGINT)"
+    )
+    con.executemany("INSERT INTO __e VALUES (?, ?, ?)", rows)
+    sql = rfm_segments_sql("SELECT * FROM __e", "user_id", "us", "cents", 3)
+    want = {
+        (r[0], r[4], r[5], r[6]) for r in con.execute(sql).fetchall()
+    }
+    assert got == want
+    assert any(u is None for u, *_ in got)  # the NULL-key row survived
+
+
 def test_global_row_number_exact(spark):
     from bunsen_spark.operators.windows import global_row_number
     from pyspark.sql import functions as F

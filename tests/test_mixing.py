@@ -152,3 +152,24 @@ def test_interleave_positions_prefix_proportions(spark):
 
     with pytest.raises(ValueError):
         interleave_positions(df, "doc_id", "grp", {"a": 0})
+
+
+def test_interleave_positions_non_string_group(spark):
+    """An int group column must work: the weights table is built with
+    the caller's group-column type, not a hardcoded string schema
+    (ADVICE r7)."""
+    from bunsen_spark.operators.sampling import interleave_positions
+
+    rows = [(i, 1) for i in range(40)] + [(100 + i, 2) for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, grp int").repartition(3)
+    out = sorted(
+        (r["position"], r["grp"])
+        for r in interleave_positions(df, "doc_id", "grp", {1: 2, 2: 1}).collect()
+    )
+    assert [p for p, _ in out] == list(range(1, 61))
+    assert {g for _, g in out} == {1, 2}
+    # group 1 (weight 2) appears ~2/3 of any prefix
+    seen = 0
+    for p, g in out:
+        seen += g == 1
+        assert abs(seen - p * 2 / 3) <= 2.0, (p, seen)

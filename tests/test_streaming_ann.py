@@ -78,3 +78,14 @@ def test_stream_pq_encode_equals_batch(spark, sf_dir, tmp_path):
         for r in pq_encode(emb, books).collect()
     )
     assert got == want
+
+    # read_pq_index must see the SAME merged view (ADVICE r7: it used
+    # to read only {path}/codes, so index searches missed streamed
+    # vectors despite write_pq_index's streaming-append contract).
+    from bunsen_spark.operators.similarity import read_pq_index
+
+    _, codes = read_pq_index(spark, path)
+    merged = sorted(
+        (r["vec_id"], r["sub"], r["code"]) for r in codes.collect()
+    )
+    assert merged == want

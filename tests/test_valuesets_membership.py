@@ -117,6 +117,21 @@ def test_semi_join_form(observations, pushed):
     assert bp.count() == 14
 
 
+def test_semi_join_form_nondeterministic_input(observations, pushed):
+    """in_valueset_join must be correct for inputs whose plan does NOT
+    re-evaluate deterministically (ADVICE r7): a seedless sample can
+    return different rows per evaluation, so the internal row-id tag
+    must be materialized once, not re-derived per plan branch. Every
+    surviving row must genuinely be a member — a branch-inconsistent
+    id assignment would keep arbitrary rows instead."""
+    sampled = observations.sample(0.7).repartition(5)
+    out = in_valueset_join(sampled, "code", "blood_pressure").collect()
+    assert 0 < len(out) <= 14
+    for row in out:
+        codings = row["code"]["coding"] or []
+        assert any(c["code"] == "8462-4" for c in codings), row
+
+
 # -- multi-version hierarchies: pin vs latest (VERDICT r4 #5) ---------------
 # Reference semantics: BroadcastableValueSets.java:144-180 (addDescendantsOf
 # overloads) + :209-230 (unversioned ancestors resolve to the hierarchy's
