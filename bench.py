@@ -8,7 +8,7 @@ under ~1.6 KB because the driver's capture retains only the last ~2 KB
 of output (a full 130-query JSON line loses its head to truncation and
 parses as null, which is what happened to BENCH_r04/r05).
 
-Methodology (round 4, noise-hardened):
+Methodology (round 4, noise-hardened; round 8, order-independent):
   - one untimed warm-up execution per query (JIT, code cache, page
     cache, shuffle-file reuse), then ``$SPARK_GRAFT_BENCH_RUNS``
     (default 3) timed executions;
@@ -19,7 +19,20 @@ Methodology (round 4, noise-hardened):
     of silently polluting round-over-round comparisons;
   - os.getloadavg() is recorded before and after the run under
     "loadavg" — a 1-minute load far above $SPARK_GRAFT_CPUS at start
-    means the box was contended and the numbers are suspect.
+    means the box was contended and the numbers are suspect;
+  - OUTLIER re-measurement (VERDICT r7 #1): a query whose in-session
+    spread exceeds ``$SPARK_GRAFT_BENCH_FRESH_SPREAD`` (default 0.5),
+    or whose median exceeds 2x its previous committed median (by more
+    than 0.3 s absolute), is re-run in a FRESH JVM — a subprocess
+    re-invocation of this script pinned to that query — and the fresh
+    median is the one committed, annotated per-query under
+    "fresh_session". This removes the in-session block-manager /
+    session-state order effect that put a 12x phantom
+    (negative_pairs_sample 6.82 s vs 0.5 s fresh) into the r7
+    artifact. Sub-0.15 s medians are exempt from the spread trigger
+    (pure jitter; a fresh JVM costs ~20 s). At most
+    ``$SPARK_GRAFT_BENCH_FRESH_MAX`` (default 20) queries are re-run,
+    worst excess first.
 
 Each timed execution drives the full plan with .collect(). The total is
 the sum of per-query medians.
@@ -76,10 +89,73 @@ def _wait_for_idle() -> dict:
     return {"threshold": thresh, "waited_sec": waited, "idle": satisfied}
 
 
+def _previous_medians(sf_val) -> dict[str, float]:
+    """Per-query medians of the last committed bench artifact (read
+    BEFORE this run overwrites it) — the >2x-regression re-run
+    trigger's baseline. Only comparable when the previous artifact was
+    taken at the SAME scale factor."""
+    try:
+        prev = json.loads((REPO / "bench_full_latest.json").read_text())
+        if prev.get("sf") != sf_val:
+            return {}
+        return {
+            n: t for n, t in prev.get("queries", {}).items() if isinstance(t, (int, float))
+        }
+    except (OSError, json.JSONDecodeError):
+        return {}
+
+
+def _fresh_rerun(names: list[str], runs: int) -> dict[str, dict]:
+    """Re-measure each query in its own FRESH JVM: subprocess
+    re-invocation of this script with $SPARK_GRAFT_BENCH_ONLY=<name>.
+    One query per process — subprocesses run sequentially, after the
+    parent session is stopped, so only one Spark JVM exists at a time.
+    Returns name -> {"median": s, "spread": s} for runs that parsed."""
+    import subprocess
+
+    out: dict[str, dict] = {}
+    for name in names:
+        env = dict(os.environ)
+        env["SPARK_GRAFT_BENCH_ONLY"] = name
+        env["SPARK_GRAFT_BENCH_RUNS"] = str(runs)
+        try:
+            proc = subprocess.run(
+                [sys.executable, str(Path(__file__).resolve())],
+                env=env,
+                capture_output=True,
+                text=True,
+                timeout=600,
+            )
+            last = proc.stdout.strip().splitlines()[-1]
+            child = json.loads(last)
+            med = child["queries"][name]
+            if med >= 0:
+                out[name] = {
+                    "median": med,
+                    "spread": child["spread"][name],
+                }
+                print(
+                    f"# fresh-session {name}: {med}s "
+                    f"(spread {child['spread'][name]:.0%})",
+                    file=sys.stderr,
+                )
+        except Exception as e:  # noqa: BLE001 — keep the in-session number
+            print(f"# fresh-session re-run failed for {name}: {e}", file=sys.stderr)
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+    # Child mode: re-invoked by _fresh_rerun for ONE query in a fresh
+    # JVM. Runs just that query (its own untimed warm-up + timed runs),
+    # prints the full JSON, and skips the idle gate (the parent already
+    # gated; its just-stopped JVM still inflates the 1-minute loadavg),
+    # the artifact write, and any further re-run recursion.
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    sf_float = float(sf) if sf.replace(".", "").isdigit() else sf
+    prev_medians = _previous_medians(sf_float) if not only else {}
 
     from bunsen_spark.queries import all_queries
     from bunsen_spark.session import get_spark
@@ -87,9 +163,14 @@ def main() -> None:
     spark = get_spark("bunsen_spark_bench")
 
     qs = all_queries()
+    if only:
+        missing = [n for n in only.split(",") if n not in qs]
+        if missing:
+            raise SystemExit(f"unknown bench query {missing}")
+        qs = {n: qs[n] for n in only.split(",")}
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
-    load_gate = _wait_for_idle()
+    load_gate = _wait_for_idle() if not only else {"skipped": "child mode"}
     load_before = _loadavg()
     # Warm the session once: a trivial JVM job, the Python->JVM
     # createDataFrame bridge (first use costs seconds of class loading
@@ -104,17 +185,18 @@ def main() -> None:
     # machinery (measured: ann_ivf_kmeans 11.5 s cold-head vs ~3 s on a
     # warm JVM). Run one untimed representative of each execution path
     # (agg+join codegen, window, shuffle-heavy dedup, Arrow/Python).
-    for wname in (
-        "q1_pricing_summary",
-        "window_order_rank",
-        "dedup_minhash_lsh",
-        "multimodal_image_features",
-    ):
-        if wname in qs:
-            try:
-                qs[wname](spark, sf_dir).collect()
-            except Exception:  # noqa: BLE001 — warm-up only
-                pass
+    if not only:
+        for wname in (
+            "q1_pricing_summary",
+            "window_order_rank",
+            "dedup_minhash_lsh",
+            "multimodal_image_features",
+        ):
+            if wname in qs:
+                try:
+                    qs[wname](spark, sf_dir).collect()
+                except Exception:  # noqa: BLE001 — warm-up only
+                    pass
     for name, fn in qs.items():
         try:
             # Untimed warm-up: builds the plan, loads classes, primes
@@ -152,8 +234,72 @@ def main() -> None:
             spark.sparkContext._jvm.System.gc()
         except Exception:  # noqa: BLE001 - measurement hygiene only
             pass
-    total = round(sum(t for t in timings.values() if t >= 0), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    if only:
+        # Child mode: emit the full (single-query) JSON and stop.
+        print(
+            json.dumps(
+                {
+                    "queries": timings,
+                    "spread": spreads,
+                    "sf": sf_val,
+                    "runs": runs,
+                    "loadavg": {"before": load_before, "after": _loadavg()},
+                }
+            )
+        )
+        return
+
+    # Order-independence pass (VERDICT r7 #1): re-measure outliers in a
+    # fresh JVM each and commit the fresh medians. Triggers: in-session
+    # spread > threshold, or median > 2x the previously committed median
+    # with > 0.3 s absolute excess (the floor keeps 20 ms jitter from
+    # burning a 20 s JVM start).
+    spread_thresh = float(os.environ.get("SPARK_GRAFT_BENCH_FRESH_SPREAD", "0.5"))
+    fresh_max = int(os.environ.get("SPARK_GRAFT_BENCH_FRESH_MAX", "20"))
+
+    def _excess(n: str) -> float:
+        prev = prev_medians.get(n)
+        reg = timings[n] - 2 * prev if prev and prev > 0 else 0.0
+        return max(reg, (spreads[n] - spread_thresh) * timings[n])
+
+    outliers = [
+        n
+        for n in timings
+        if timings[n] >= 0
+        and (
+            (spreads[n] > spread_thresh and timings[n] > 0.15)
+            or (
+                n in prev_medians
+                and prev_medians[n] > 0
+                and timings[n] > 2 * prev_medians[n]
+                and timings[n] - prev_medians[n] > 0.3
+            )
+        )
+    ]
+    outliers.sort(key=_excess, reverse=True)
+    dropped = outliers[fresh_max:]
+    if dropped:
+        print(
+            f"# fresh-session cap {fresh_max} reached; keeping in-session "
+            f"numbers for {dropped}",
+            file=sys.stderr,
+        )
+    fresh: dict[str, dict] = {}
+    if outliers[:fresh_max]:
+        print(
+            f"# re-measuring {len(outliers[:fresh_max])} outlier(s) in fresh "
+            f"JVMs: {outliers[:fresh_max]}",
+            file=sys.stderr,
+        )
+        spark.stop()  # one Spark JVM at a time
+        fresh = _fresh_rerun(outliers[:fresh_max], runs)
+        for n, f in fresh.items():
+            f["in_session"] = {"median": timings[n], "spread": spreads[n]}
+            timings[n] = f["median"]
+            spreads[n] = f["spread"]
+
+    total = round(sum(t for t in timings.values() if t >= 0), 3)
     full = {
         "metric": "headline_queries_total",
         "value": total,
@@ -164,6 +310,7 @@ def main() -> None:
         "runs": runs,
         "loadavg": {"before": load_before, "after": _loadavg()},
         "load_gate": load_gate,
+        "fresh_session": fresh,
     }
     # The driver's capture keeps only the last ~2 KB of output, so a
     # 130-query JSON line gets its head truncated and fails to parse
@@ -191,6 +338,7 @@ def main() -> None:
         "sf": sf_val,
         "n_queries": len(timings),
         "n_errors": len(errors),
+        "n_fresh_session": len(fresh),
         "runs": runs,
         "loadavg": {"before": load_before, "after": _loadavg()},
         "load_gate": load_gate,

@@ -78,14 +78,31 @@ HEAVY = [
 
 
 def main() -> None:
-    names = sys.argv[1:] or HEAVY
+    # --lo/--hi pick the two generator-sf fixture dirs to compare
+    # (default sf0.1 vs sf1). E.g. the round-8 pair-output-bound
+    # confirmation runs `--lo sf1 --hi sf10` (a 100x total datapoint)
+    # with seconds-per-emitted-row printed so output growth separates
+    # from superlinear work (VERDICT r7 #3).
+    argv = sys.argv[1:]
+    lo_sf, hi_sf = "sf0.1", "sf1"
+    names: list[str] = []
+    it = iter(argv)
+    for a in it:
+        if a == "--lo":
+            lo_sf = next(it)
+        elif a == "--hi":
+            hi_sf = next(it)
+        else:
+            names.append(a)
+    names = names or HEAVY
+    ratio = float(hi_sf[2:]) / float(lo_sf[2:])
     from bunsen_spark.queries import all_queries
     from bunsen_spark.session import get_spark
 
     spark = get_spark("soak_scale")
     qs = all_queries()
-    lo = str(REPO / "scale_testdata" / "sf0.1")
-    hi = str(REPO / "scale_testdata" / "sf1")
+    lo = str(REPO / "scale_testdata" / lo_sf)
+    hi = str(REPO / "scale_testdata" / hi_sf)
     spark.range(1).count()
     rows = []
     for name in names:
@@ -98,11 +115,18 @@ def main() -> None:
             t0 = time.time()
             n_hi = fn(spark, hi).count()
             t_hi = time.time() - t0
-            alpha = math.log(t_hi / t_lo) / math.log(10) if t_lo > 0 else float("nan")
+            alpha = (
+                math.log(t_hi / t_lo) / math.log(ratio) if t_lo > 0 else float("nan")
+            )
             rows.append((name, t_lo, n_lo, t_hi, n_hi, alpha))
+            per_row = (
+                f"  sec/row {t_lo / n_lo:9.2e} -> {t_hi / n_hi:9.2e}"
+                if n_lo and n_hi
+                else ""
+            )
             print(
-                f"{name:32s} sf0.1 {t_lo:7.2f}s ({n_lo:>8} rows)  "
-                f"sf1 {t_hi:7.2f}s ({n_hi:>8} rows)  alpha={alpha:5.2f}",
+                f"{name:32s} {lo_sf} {t_lo:7.2f}s ({n_lo:>8} rows)  "
+                f"{hi_sf} {t_hi:7.2f}s ({n_hi:>8} rows)  alpha={alpha:5.2f}{per_row}",
                 flush=True,
             )
         except Exception as e:  # noqa: BLE001
