@@ -105,6 +105,43 @@ def _previous_medians(sf_val) -> dict[str, float]:
         return {}
 
 
+def select_outliers(
+    timings: dict[str, float],
+    spreads: dict[str, float],
+    prev_medians: dict[str, float],
+    spread_thresh: float,
+) -> list[str]:
+    """Queries whose in-session measurement is untrustworthy, worst
+    excess first. Triggers: in-session spread > ``spread_thresh`` with
+    a median above 0.15 s (sub-0.15 s medians are pure jitter — a
+    fresh JVM costs ~20 s), or median > 2x the previously committed
+    median with > 0.3 s absolute excess (the floor keeps 20 ms jitter
+    from burning a JVM start). Pure function — unit-tested without
+    Spark in tests/test_bench_harness.py."""
+
+    def _excess(n: str) -> float:
+        prev = prev_medians.get(n)
+        reg = timings[n] - 2 * prev if prev and prev > 0 else 0.0
+        return max(reg, (spreads[n] - spread_thresh) * timings[n])
+
+    outliers = [
+        n
+        for n in timings
+        if timings[n] >= 0
+        and (
+            (spreads[n] > spread_thresh and timings[n] > 0.15)
+            or (
+                n in prev_medians
+                and prev_medians[n] > 0
+                and timings[n] > 2 * prev_medians[n]
+                and timings[n] - prev_medians[n] > 0.3
+            )
+        )
+    ]
+    outliers.sort(key=_excess, reverse=True)
+    return outliers
+
+
 def _fresh_rerun(names: list[str], runs: int) -> dict[str, dict]:
     """Re-measure each query in its own FRESH JVM: subprocess
     re-invocation of this script with $SPARK_GRAFT_BENCH_ONLY=<name>.
@@ -251,33 +288,10 @@ def main() -> None:
         return
 
     # Order-independence pass (VERDICT r7 #1): re-measure outliers in a
-    # fresh JVM each and commit the fresh medians. Triggers: in-session
-    # spread > threshold, or median > 2x the previously committed median
-    # with > 0.3 s absolute excess (the floor keeps 20 ms jitter from
-    # burning a 20 s JVM start).
+    # fresh JVM each and commit the fresh medians.
     spread_thresh = float(os.environ.get("SPARK_GRAFT_BENCH_FRESH_SPREAD", "0.5"))
     fresh_max = int(os.environ.get("SPARK_GRAFT_BENCH_FRESH_MAX", "20"))
-
-    def _excess(n: str) -> float:
-        prev = prev_medians.get(n)
-        reg = timings[n] - 2 * prev if prev and prev > 0 else 0.0
-        return max(reg, (spreads[n] - spread_thresh) * timings[n])
-
-    outliers = [
-        n
-        for n in timings
-        if timings[n] >= 0
-        and (
-            (spreads[n] > spread_thresh and timings[n] > 0.15)
-            or (
-                n in prev_medians
-                and prev_medians[n] > 0
-                and timings[n] > 2 * prev_medians[n]
-                and timings[n] - prev_medians[n] > 0.3
-            )
-        )
-    ]
-    outliers.sort(key=_excess, reverse=True)
+    outliers = select_outliers(timings, spreads, prev_medians, spread_thresh)
     dropped = outliers[fresh_max:]
     if dropped:
         print(

@@ -1,0 +1,48 @@
+"""Unit tests for bench.py's outlier-selection logic (the fresh-JVM
+re-measurement triggers, VERDICT r7 #1) — pure-Python, no Spark."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from bench import select_outliers  # noqa: E402
+
+
+def test_spread_trigger_with_small_median_floor():
+    timings = {"big_noisy": 2.0, "tiny_noisy": 0.05, "steady": 3.0}
+    spreads = {"big_noisy": 0.8, "tiny_noisy": 2.0, "steady": 0.1}
+    out = select_outliers(timings, spreads, {}, 0.5)
+    assert out == ["big_noisy"]  # tiny jitter exempt, steady untouched
+
+
+def test_regression_trigger_needs_2x_and_absolute_excess():
+    timings = {"regressed": 1.2, "doubled_but_tiny": 0.15, "flat": 1.0}
+    spreads = dict.fromkeys(timings, 0.1)
+    prev = {"regressed": 0.5, "doubled_but_tiny": 0.05, "flat": 1.0}
+    out = select_outliers(timings, spreads, prev, 0.5)
+    # regressed: 1.2 > 2*0.5 and excess 0.7 > 0.3 -> in.
+    # doubled_but_tiny: 3x prev but only +0.10 absolute -> out.
+    assert out == ["regressed"]
+
+
+def test_worst_excess_first_ordering():
+    timings = {"a": 10.0, "b": 1.0}
+    spreads = {"a": 0.6, "b": 3.0}
+    # a: excess (0.6-0.5)*10 = 1.0; b: (3.0-0.5)*1 = 2.5 -> b first
+    assert select_outliers(timings, spreads, {}, 0.5) == ["b", "a"]
+
+
+def test_errors_and_clean_queries_excluded():
+    timings = {"err": -1.0, "ok": 0.5}
+    spreads = {"err": -1.0, "ok": 0.2}
+    assert select_outliers(timings, spreads, {"ok": 0.5}, 0.5) == []
+
+
+def test_regression_without_previous_baseline_ignored():
+    # no prev medians (e.g. first run at this sf): only spread triggers
+    timings = {"q": 5.0}
+    spreads = {"q": 0.2}
+    assert select_outliers(timings, spreads, {}, 0.5) == []
