@@ -436,12 +436,30 @@ def minhash_lsh_pairs(
     # permutation mins) feeds three consumers (buckets, both verify
     # sides); a lazy checkpoint materializes it once instead of three
     # times — state is (doc_id, hs, sig), far smaller than the text
+    from .setjoin import _lossless_fraction
+
     sigs = minhash_signature(docs, portable).transform(materialize)
-    buckets = sigs.select("doc_id", F.explode(_band_keys()).alias("bk"))
+    buckets = sigs.select(
+        "doc_id", F.size("hs").alias("sz"), F.explode(_band_keys()).alias("bk")
+    )
+    # size prefilter inside the band join: J >= t forces
+    # min(|A|,|B|) >= t*max(|A|,|B|) (intersection <= min, union >= max),
+    # so chance band collisions between very differently-sized sets are
+    # dropped on two longs before the distinct and the hs-array verify.
+    # Lossless for the output (the dropped pairs cannot pass verify);
+    # num/den <= t keeps the integer cross-multiplication a relaxation.
+    frac = _lossless_fraction(threshold)
+    num, den = frac.numerator, frac.denominator
     cand = (
         buckets.alias("x")
         .join(buckets.alias("y"), "bk")
-        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .where(
+            (F.col("x.doc_id") < F.col("y.doc_id"))
+            & (
+                F.least("x.sz", "y.sz") * den
+                >= F.greatest("x.sz", "y.sz") * num
+            )
+        )
         .select(
             F.col("x.doc_id").alias("a_id"), F.col("y.doc_id").alias("b_id")
         )
@@ -957,14 +975,26 @@ def embedding_near_dup_pairs(
         bm /= np.linalg.norm(bm, axis=1, keepdims=True)
         aid = a["vec_id"].to_numpy()
         bid = b["vec_id"].to_numpy()
-        sims = am @ bm.T
-        # canonical (min, max) emission; the diagonal block sees every
-        # pair twice (both sides hold the block) — `<` keeps one copy
-        ii, jj = np.nonzero(sims >= threshold)
-        lo = np.minimum(aid[ii], bid[jj])
-        hi = np.maximum(aid[ii], bid[jj])
-        keep = lo < hi
-        out = pd.DataFrame({"a_id": lo[keep], "b_id": hi[keep]})
+        # ROW-CHUNKED matmul: a full |a|x|b| float64 sim matrix is
+        # (n/B)^2 cells — 5 GB per task at 200k vectors / 8 blocks,
+        # which OOM-killed the Python workers in the sf10 soak. Cap the
+        # slab at ~16M cells (~128 MB) instead; per-cell dot products
+        # are unchanged, only the materialized slab shrinks.
+        chunk = max(1, 16_000_000 // max(1, len(bm)))
+        outs = []
+        for s in range(0, len(am), chunk):
+            sims = am[s : s + chunk] @ bm.T
+            ii, jj = np.nonzero(sims >= threshold)
+            # canonical (min, max) emission; the diagonal block sees
+            # every pair twice (both sides hold the block) — `<` keeps
+            # one copy
+            lo = np.minimum(aid[s + ii], bid[jj])
+            hi = np.maximum(aid[s + ii], bid[jj])
+            keep = lo < hi
+            outs.append(pd.DataFrame({"a_id": lo[keep], "b_id": hi[keep]}))
+        out = pd.concat(outs, ignore_index=True) if outs else pd.DataFrame(
+            {"a_id": [], "b_id": []}
+        ).astype("int64")
         return out.drop_duplicates()
 
     # no distinct needed: each unordered pair meets in exactly one group
@@ -1358,3 +1388,104 @@ def fuzzy_text_join_split(
     )
     cand = lb.join(rb, "bk").select("l_id", "r_id").distinct()
     return _verify_jaccard_pairs(cand, sigs, sigs, "l_id", "r_id", threshold)
+
+
+def segment_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seg_words: int = 10,
+) -> DataFrame:
+    """Corpus-wide first-occurrence SEGMENT dedup (the RefinedWeb /
+    C4 "remove repeated spans, keep the first" cleaning rule, at fixed
+    ``seg_words``-word granularity): split every document into
+    consecutive word segments, keep each distinct segment's first
+    occurrence (smallest ``(doc_id, seg_idx)``) and drop every later
+    repeat, then reassemble the surviving text per document.
+
+    100 TB design: one posexplode (fan-out bounded by corpus word
+    count / seg_words), one map-side-combinable ``min(struct)``
+    aggregate per distinct segment, and one co-partitioned join-back on
+    the segment key — no windows over corpus-sized partitions, no
+    driver state. Output: (doc_id, n_segs, n_kept, clean_text) with
+    ``clean_text = ''`` when every segment was seen earlier.
+    """
+    from .text_analysis import words_col
+
+    n = F.size(words_col(F.col(text_col)))
+    nseg = ((n + F.lit(seg_words - 1)) / seg_words).cast("int")
+    segs = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), nseg - 1),
+                lambda i: F.array_join(
+                    F.slice(words_col(F.col(text_col)), i * seg_words + 1, seg_words),
+                    " ",
+                ),
+            )
+        ).alias("seg_idx", "seg"),
+    ).where(F.col("seg") != "")
+    first = segs.groupBy("seg").agg(
+        F.min(F.struct(F.col(id_col).alias("d"), F.col("seg_idx").alias("i"))).alias(
+            "f"
+        )
+    )
+    kept = segs.join(first, "seg").withColumn(
+        "is_first",
+        (F.col(id_col) == F.col("f.d")) & (F.col("seg_idx") == F.col("f.i")),
+    )
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_segs"),
+            F.sum(F.col("is_first").cast("long")).cast("long").alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("is_first"),
+                                F.struct(F.col("seg_idx").alias("i"), F.col("seg").alias("s")),
+                            )
+                        )
+                    ),
+                    lambda x: x["s"],
+                ),
+                " ",
+            ).alias("clean_text"),
+        )
+        .select(id_col, "n_segs", "n_kept", "clean_text")
+    )
+
+
+def segment_dedup_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    seg_words: int = 10,
+) -> str:
+    from .text_analysis import WORDS_SQL
+
+    k = seg_words
+    return f"""
+WITH t AS (SELECT {id_col}, {WORDS_SQL} AS w FROM {table}),
+segs AS (
+  SELECT {id_col},
+         unnest(range(0, CAST((len(w) + {k - 1}) // {k} AS BIGINT))) AS seg_idx,
+         unnest(list_transform(range(0, CAST((len(w) + {k - 1}) // {k} AS BIGINT)),
+                g -> array_to_string(w[CAST(g * {k} + 1 AS INT):CAST(g * {k} + {k} AS INT)], ' '))) AS seg
+  FROM t
+),
+nz AS (SELECT * FROM segs WHERE seg <> ''),
+first AS (
+  SELECT seg, min(ROW({id_col}, seg_idx)) AS f FROM nz GROUP BY seg
+),
+kept AS (
+  SELECT nz.*, (nz.{id_col} = first.f[1] AND nz.seg_idx = first.f[2]) AS is_first
+  FROM nz JOIN first USING (seg)
+)
+SELECT {id_col}, CAST(count(*) AS BIGINT) AS n_segs,
+       CAST(sum(CASE WHEN is_first THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       COALESCE(string_agg(seg, ' ' ORDER BY seg_idx) FILTER (WHERE is_first), '') AS clean_text
+FROM kept GROUP BY {id_col}
+"""

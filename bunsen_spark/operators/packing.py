@@ -175,3 +175,61 @@ SELECT bucket, n_docs, max_len, sum_tokens,
        CAST(n_docs * g.gmax - sum_tokens AS BIGINT) AS pad_to_global
 FROM agg CROSS JOIN g
 """
+
+
+def snake_shard_assign(
+    df: DataFrame,
+    size_col: str | F.Column,
+    n_shards: int,
+    id_col: str = "doc_id",
+    out_col: str = "shard_id",
+) -> DataFrame:
+    """Deterministic BALANCED shard assignment by size — the output-
+    sharding step of a training-data writer ("split this corpus into N
+    shard files of near-equal token mass"): order documents by
+    ``(size desc, id)`` and deal them into ``n_shards`` in SNAKE
+    (boustrophedon) order, so each shard receives one document per
+    round and alternating rounds reverse direction — the classic
+    near-optimal LPT-lite guarantee (shard masses differ by at most one
+    document's size per round pair) with ZERO coordination: the shard
+    id is pure arithmetic on the global rank.
+
+    100 TB design: the only machinery is :func:`~bunsen_spark.operators.
+    windows.global_row_number` (range repartition + broadcast offsets);
+    no greedy driver loop, no single-partition window. Appends
+    ``out_col`` (0-based shard id)."""
+    from .windows import global_row_number
+
+    sized = df.withColumn("__sz", F.col(size_col) if isinstance(size_col, str) else size_col)
+    ranked = global_row_number(sized, [F.desc("__sz"), F.asc(id_col)], out_col="__rn")
+    block = ((F.col("__rn") - 1) / n_shards).cast("long")
+    pos = (F.col("__rn") - 1) % n_shards
+    snake = F.when(block % 2 == 0, pos).otherwise(F.lit(n_shards - 1) - pos)
+    return ranked.withColumn(out_col, snake.cast("long")).drop("__rn", "__sz")
+
+
+def snake_shard_stats_sql(
+    table: str,
+    size_expr: str,
+    n_shards: int,
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of ``snake_shard_assign(...).groupBy(shard_id)``:
+    the same snake arithmetic over a plain global ``row_number``."""
+    return f"""
+WITH sized AS (SELECT {id_col}, {size_expr} AS sz FROM {table}),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY sz DESC, {id_col}) AS rn FROM sized
+),
+assigned AS (
+  SELECT sz,
+         CASE WHEN ((rn - 1) // {n_shards}) % 2 = 0
+              THEN (rn - 1) % {n_shards}
+              ELSE {n_shards - 1} - ((rn - 1) % {n_shards}) END AS shard_id
+  FROM ranked
+)
+SELECT CAST(shard_id AS BIGINT) AS shard_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(sz) AS BIGINT) AS token_mass
+FROM assigned GROUP BY shard_id
+"""

@@ -466,3 +466,87 @@ SELECT q.query_id, CAST(coalesce(h.hits, 0) AS BIGINT) AS hits
 FROM (SELECT DISTINCT query_id FROM a) q
 LEFT JOIN h USING (query_id)
 """
+
+
+def _lcm_1_to_k(k: int) -> int:
+    import math
+
+    out = 1
+    for i in range(1, k + 1):
+        out = out * i // math.gcd(out, i)
+    return out
+
+
+def mrr_by_query(
+    run: DataFrame,
+    labels: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Exact-integer Mean-Reciprocal-Rank per query: a neighbor is
+    RELEVANT when its label equals the query's own label (the standard
+    intrinsic retrieval audit over a labeled corpus), and the per-query
+    score is ``lcm(1..k) / first_relevant_rank`` — scaled by the lcm so
+    every reciprocal is a whole integer and the metric is bit-exact
+    across engines (the same trick as RRF fusion). Queries whose top-k
+    contains no relevant neighbor score 0 with ``first_rel = 0``,
+    never dropped.
+
+    100 TB design: ``run`` is a rank table (queries x k rows) and is
+    BROADCAST against the corpus-sized label table twice (query label,
+    neighbor label) — the labels never shuffle. Output:
+    (query_id, first_rel, mrr_scaled)."""
+    scale = _lcm_1_to_k(k)
+    lab = labels.select(F.col(id_col).alias("__id"), F.col(label_col).alias("__lab"))
+    tagged = (
+        lab.join(F.broadcast(run), F.col("__id") == F.col("neighbor_id"))
+        .withColumnRenamed("__lab", "n_lab")
+        .drop("__id")
+    )
+    tagged = (
+        lab.join(F.broadcast(tagged), F.col("__id") == F.col("query_id"))
+        .withColumnRenamed("__lab", "q_lab")
+        .drop("__id")
+    )
+    per_q = (
+        tagged.where(F.col("rank") <= k)
+        .groupBy("query_id")
+        .agg(
+            F.min(F.when(F.col("n_lab") == F.col("q_lab"), F.col("rank"))).alias("__fr")
+        )
+    )
+    # left-join back to the full query list so no-hit queries emit 0
+    queries = run.select("query_id").distinct()
+    return (
+        queries.join(per_q, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("__fr"), F.lit(0)).cast("long").alias("first_rel"),
+            F.coalesce(
+                (F.lit(scale) / F.col("__fr")).cast("long"), F.lit(0).cast("long")
+            ).alias("mrr_scaled"),
+        )
+    )
+
+
+def mrr_by_query_sql(run_sql: str, k: int, table: str = "embeddings") -> str:
+    """DuckDB twin: wrap any ranked-run SELECT (query_id, neighbor_id,
+    rank) and score it with the same lcm-scaled reciprocal rank."""
+    scale = _lcm_1_to_k(k)
+    return f"""
+WITH run AS ({run_sql}),
+perq AS (
+  SELECT r.query_id,
+         min(CASE WHEN nl.label = ql.label THEN r.rank END) AS fr
+  FROM run r
+  JOIN {table} nl ON nl.vec_id = r.neighbor_id
+  JOIN {table} ql ON ql.vec_id = r.query_id
+  WHERE r.rank <= {k}
+  GROUP BY r.query_id
+)
+SELECT query_id,
+       CAST(COALESCE(fr, 0) AS BIGINT) AS first_rel,
+       CAST(COALESCE({scale} // fr, 0) AS BIGINT) AS mrr_scaled
+FROM perq
+"""

@@ -180,19 +180,53 @@ def containment_prefix_candidates(ranked: DataFrame, num: int, den: int) -> Data
     prefix_len = (
         F.col("sz") - ((F.col("sz") * num + (den - 1)) / den).cast("long") + 1
     )
-    prefix = ranked.where(F.col("rnk") <= prefix_len).select("doc_id", "tok", "sz")
-    full = ranked.select("doc_id", "tok", "sz")
+    prefix = ranked.where(F.col("rnk") <= prefix_len).select(
+        "doc_id", "tok", "sz", "rnk"
+    )
+    full = ranked.select("doc_id", "tok", "sz", "rnk")
     a, b = prefix.alias("a"), full.alias("b")
+    matches = a.join(
+        b,
+        (F.col("a.tok") == F.col("b.tok"))
+        & (F.col("a.doc_id") != F.col("b.doc_id"))
+        & (F.col("b.sz") * den >= F.col("a.sz") * num),
+    ).select(
+        F.col("a.doc_id").alias("da"),
+        F.col("b.doc_id").alias("db"),
+        F.col("a.sz").alias("sza"),
+        F.col("b.sz").alias("szb"),
+        F.col("a.rnk").alias("pa"),
+        F.col("b.rnk").alias("pb"),
+    )
+    # POSITIONAL filter for the DIRECTED hypothesis A contained-in B
+    # (the same PPJoin bound the jaccard candidates use): the (df, tok)
+    # order is total and identical in both docs, so every shared token
+    # beyond this pair's last matched positions sorts after them and
+    # inter <= cnt + min(sza - max_pa, szb - max_pb). A directed pair
+    # with C(A→B) >= num/den needs inter >= ceil(num·sza/den); rows
+    # whose bound cannot reach it are dropped BEFORE the exact-
+    # intersection explode. Lossless per direction: each direction's
+    # hypothesis is generated from its own contained-side prefix, and
+    # the bound only ever over-estimates inter. On the saturated-vocab
+    # soak fixture this is the difference between the verify stage
+    # seeing every pair that shares one common token and seeing only
+    # early-prefix agreements (PERF.md round-8).
+    bound = F.col("cnt") + F.least(
+        F.col("sza") - F.col("pa"), F.col("szb") - F.col("pb")
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.tok") == F.col("b.tok"))
-            & (F.col("a.doc_id") != F.col("b.doc_id"))
-            & (F.col("b.sz") * den >= F.col("a.sz") * num),
+        matches.groupBy("da", "db")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.max("pa").alias("pa"),
+            F.max("pb").alias("pb"),
+            F.min("sza").alias("sza"),
+            F.min("szb").alias("szb"),
         )
+        .where(bound * den >= F.col("sza") * num)
         .select(
-            F.least("a.doc_id", "b.doc_id").alias("doc_a"),
-            F.greatest("a.doc_id", "b.doc_id").alias("doc_b"),
+            F.least("da", "db").alias("doc_a"),
+            F.greatest("da", "db").alias("doc_b"),
         )
         .distinct()
     )

@@ -2074,3 +2074,127 @@ SELECT query_id, true_label, CAST(neighbor_id AS BIGINT) AS neg_id,
        neg_label, CAST(rank AS BIGINT) AS neg_rank
 FROM diff WHERE rn = 1
 """
+
+
+def _sign_words(v: Column) -> list[Column]:
+    """Two 32-bit sign words for a 64-dim vector: bit ``i`` of word
+    ``w`` set iff ``v[w*32 + i] > 0``. Distinct powers of two, so the
+    integer SUM is exact and equals the bitwise OR — the same packing
+    expression runs on Spark and DuckDB (neither can shift into bit 63
+    portably, hence two half-words instead of one 64-bit word)."""
+    words = []
+    for w in range(2):
+        terms = [
+            F.when(
+                F.element_at(v, w * 32 + bit + 1) > F.lit(0.0),
+                F.lit(1 << bit).cast("long"),
+            ).otherwise(F.lit(0).cast("long"))
+            for bit in range(32)
+        ]
+        acc = terms[0]
+        for t in terms[1:]:
+            acc = acc + t
+        words.append(acc)
+    return words
+
+
+def hamming_rerank_topk(
+    embeddings: DataFrame,
+    k: int = 5,
+    num_queries: int = 32,
+    n_candidates: int = 20,
+) -> DataFrame:
+    """Binary-quantization ANN with exact rerank: sign-bit-pack every
+    vector into two 32-bit words (64x smaller than the float vector),
+    rank the corpus per query by Hamming distance ``bit_count(w0^q0) +
+    bit_count(w1^q1)`` — pure integer ops inside codegen — keep the
+    ``n_candidates`` closest, then re-score ONLY those candidates with
+    exact cosine and emit the top ``k``.
+
+    100 TB design: the Hamming scan reads 2 longs per corpus vector
+    (not 64 doubles); the candidate table is queries x n_candidates
+    rows and is BROADCAST back against the corpus to fetch the float
+    vectors for the rerank, so the full-width embedding column is
+    touched only for candidates. The window is partitioned by query_id.
+    Output: (query_id, neighbor_id, hamming, rank) — integers plus a
+    cosine-ordered rank, ties by neighbor_id."""
+    v = F.col("embedding").cast("array<double>")
+    w0, w1 = _sign_words(v)
+    packed = embeddings.select(
+        "vec_id", w0.alias("w0"), w1.alias("w1")
+    ).transform(_spread)
+    qp = packed.where(F.col("vec_id") < num_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("w0").alias("q0"),
+        F.col("w1").alias("q1"),
+    )
+    ham = packed.join(F.broadcast(qp), F.col("vec_id") != F.col("query_id")).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        (
+            F.bit_count(F.expr("w0 ^ q0")) + F.bit_count(F.expr("w1 ^ q1"))
+        ).cast("long").alias("hamming"),
+    )
+    wnd = Window.partitionBy("query_id").orderBy(F.asc("hamming"), F.asc("neighbor_id"))
+    cand = ham.withColumn("crank", F.row_number().over(wnd)).where(
+        F.col("crank") <= n_candidates
+    ).select("query_id", "neighbor_id", "hamming")
+    vecs = _with_norm(embeddings)
+    qv = vecs.where(F.col("vec_id") < num_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("norm").alias("qnorm")
+    )
+    scored = (
+        vecs.join(F.broadcast(cand), vecs.vec_id == cand.neighbor_id)
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "hamming",
+            _cosine(F.col("qv"), F.col("v"), F.col("qnorm"), F.col("norm")).alias("sim"),
+        )
+    )
+    rw = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(rw).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "hamming", "rank")
+    )
+
+
+def hamming_rerank_topk_sql(
+    table: str = "embeddings",
+    k: int = 5,
+    num_queries: int = 32,
+    n_candidates: int = 20,
+) -> str:
+    pack = lambda w: (  # noqa: E731 — bit i of half-word w, exact sum of distinct powers
+        f"list_sum(list_transform(v[{w * 32 + 1}:{w * 32 + 32}],"
+        f" (x, i) -> CASE WHEN x > 0 THEN (1::BIGINT << CAST(i - 1 AS INT)) ELSE 0::BIGINT END))"
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM {table}),
+p AS (SELECT vec_id, COALESCE({pack(0)}, 0) AS w0, COALESCE({pack(1)}, 0) AS w1 FROM e),
+ham AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         CAST(bit_count(xor(c.w0, q.w0)) + bit_count(xor(c.w1, q.w1)) AS BIGINT) AS hamming
+  FROM p q JOIN p c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id < {num_queries}
+),
+cand AS (
+  SELECT query_id, neighbor_id, hamming FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY hamming, neighbor_id) AS crank
+    FROM ham
+  ) WHERE crank <= {n_candidates}
+)
+SELECT query_id, neighbor_id, hamming, CAST(rank AS BIGINT) AS rank FROM (
+  SELECT cand.query_id, cand.neighbor_id, cand.hamming,
+         row_number() OVER (
+             PARTITION BY cand.query_id
+             ORDER BY list_cosine_similarity(q.v, c.v) DESC, cand.neighbor_id
+         ) AS rank
+  FROM cand
+  JOIN e c ON c.vec_id = cand.neighbor_id
+  JOIN e q ON q.vec_id = cand.query_id
+) WHERE rank <= {k}
+"""

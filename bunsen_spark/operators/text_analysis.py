@@ -1147,3 +1147,77 @@ SELECT q_bin, CAST(count(*) AS BIGINT) AS n_docs,
 FROM binned LEFT JOIN dup USING (dg)
 GROUP BY q_bin
 """
+
+
+def gini_concentration(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group Gini coefficient of the token-frequency distribution —
+    the vocabulary-concentration QA card: near 0 = tokens spread evenly
+    (healthy prose), near 1 = a few tokens dominate (template spam /
+    boilerplate mills). Exact integer arithmetic end to end via the
+    rank formula  G = (2·Σ i·cᵢ − (n+1)·Σcᵢ) / (n·Σcᵢ)  with
+    frequencies ranked ascending (ties broken by token text), reported
+    micro-scaled as ``gini_micro = 10⁶·numerator div denominator``.
+
+    100 TB design: one corpus-scale word explode feeding a map-side-
+    combinable (group, word) count; everything after is VOCABULARY-
+    sized — the per-group rank window orders at most |vocab| rows per
+    group, never corpus positions."""
+    from pyspark.sql import Window
+
+    words = df.select(
+        F.col(group_col), F.explode(words_col(F.col(text_col))).alias("w")
+    )
+    counts = words.groupBy(group_col, "w").agg(F.count("*").cast("long").alias("c"))
+    wnd = Window.partitionBy(group_col).orderBy(F.asc("c"), F.asc("w"))
+    ranked = counts.withColumn("i", F.row_number().over(wnd).cast("long"))
+    return (
+        ranked.groupBy(group_col)
+        .agg(
+            F.count("*").cast("long").alias("n_terms"),
+            F.sum("c").cast("long").alias("total_tokens"),
+            F.sum(F.col("i") * F.col("c")).cast("long").alias("__ic"),
+        )
+        .withColumn(
+            "__num",
+            (2 * F.col("__ic") - (F.col("n_terms") + 1) * F.col("total_tokens"))
+            * 1000000,
+        )
+        .withColumn("__den", F.col("n_terms") * F.col("total_tokens"))
+        .select(
+            group_col,
+            "n_terms",
+            "total_tokens",
+            # integer floor division — matches DuckDB's // exactly (the
+            # numerator is >= 0 by the Chebyshev sum inequality, so
+            # floor == truncate here, but stay in int64 regardless)
+            F.expr("__num div __den").cast("long").alias("gini_micro"),
+        )
+    )
+
+
+def gini_concentration_sql(
+    table: str = "documents", group_col: str = "source"
+) -> str:
+    return f"""
+WITH words AS (
+  SELECT {group_col}, unnest({WORDS_SQL}) AS w FROM {table}
+),
+counts AS (
+  SELECT {group_col}, w, CAST(count(*) AS BIGINT) AS c
+  FROM words GROUP BY {group_col}, w
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (
+      PARTITION BY {group_col} ORDER BY c, w) AS BIGINT) AS i
+  FROM counts
+)
+SELECT {group_col}, CAST(count(*) AS BIGINT) AS n_terms,
+       CAST(sum(c) AS BIGINT) AS total_tokens,
+       CAST((2 * sum(i * c) - (count(*) + 1) * sum(c)) * 1000000
+           // (count(*) * sum(c)) AS BIGINT) AS gini_micro
+FROM ranked GROUP BY {group_col}
+"""

@@ -183,3 +183,79 @@ SELECT {key}, {bucket_col}, v AS {value_col},
        CAST(cum - least(0, mn) AS BIGINT) AS cusum
 FROM m WHERE cum - least(0, mn) > {threshold_h}
 """
+
+
+def fano_dispersion(
+    df: DataFrame,
+    key_col: str,
+    bucket_col: str | Column,
+    out_scale: int = 1_000_000,
+) -> DataFrame:
+    """Per-key burstiness audit via the Fano factor (index of
+    dispersion) of per-bucket event counts: variance/mean == 1 for a
+    Poisson arrival process, >> 1 for bursty machine traffic, << 1 for
+    metronomic schedulers. With integer counts the ratio is exact
+    integer arithmetic:  var/mean = (n·ΣQ − S²) / (n·S)  over n
+    buckets with count sum ``S`` and square-sum ``Q`` — reported
+    micro-scaled plus the over-dispersion verdict, no floats anywhere.
+
+    100 TB design: two map-side-combinable aggregates (events → bucket
+    counts → per-key moments); state is keys × buckets, never events."""
+    b = F.col(bucket_col) if isinstance(bucket_col, str) else bucket_col
+    counts = (
+        df.select(F.col(key_col), b.alias("__b"))
+        .groupBy(key_col, "__b")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    return (
+        counts.groupBy(key_col)
+        .agg(
+            F.count("*").cast("long").alias("n_buckets"),
+            F.sum("c").cast("long").alias("total"),
+            F.sum(F.col("c") * F.col("c")).cast("long").alias("__q"),
+        )
+        .withColumn(
+            "__num",
+            (
+                F.col("n_buckets").cast("decimal(38,0)") * F.col("__q")
+                - F.col("total").cast("decimal(38,0)") * F.col("total")
+            )
+            * out_scale,
+        )
+        .withColumn(
+            "__den", F.col("n_buckets").cast("decimal(38,0)") * F.col("total")
+        )
+        .select(
+            key_col,
+            "n_buckets",
+            "total",
+            # decimal(38,0) intermediates: n·Q and S² overflow int64 well
+            # before the per-key bucket counts do; div floor == trunc
+            # since n·Q ≥ S² (Cauchy–Schwarz)
+            F.expr("__num div __den").cast("long").alias("fano_micro"),
+            (F.col("__num") > F.col("__den") * out_scale).alias("overdispersed"),
+        )
+    )
+
+
+def fano_dispersion_sql(
+    table: str, key_col: str, bucket_expr: str, out_scale: int = 1_000_000
+) -> str:
+    return f"""
+WITH counts AS (
+  SELECT {key_col}, {bucket_expr} AS b, CAST(count(*) AS BIGINT) AS c
+  FROM {table} GROUP BY {key_col}, {bucket_expr}
+),
+mom AS (
+  SELECT {key_col}, CAST(count(*) AS BIGINT) AS n_buckets,
+         CAST(sum(c) AS BIGINT) AS total,
+         CAST(sum(c * c) AS BIGINT) AS q
+  FROM counts GROUP BY {key_col}
+)
+SELECT {key_col}, n_buckets, total,
+       CAST(((CAST(n_buckets AS HUGEINT) * q - CAST(total AS HUGEINT) * total) * {out_scale})
+            // (CAST(n_buckets AS HUGEINT) * total) AS BIGINT) AS fano_micro,
+       ((CAST(n_buckets AS HUGEINT) * q - CAST(total AS HUGEINT) * total) * {out_scale})
+           > (CAST(n_buckets AS HUGEINT) * total * {out_scale}) AS overdispersed
+FROM mom
+"""

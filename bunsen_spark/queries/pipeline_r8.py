@@ -1,0 +1,345 @@
+"""Round-8 gate queries: binary-quantization ANN, corpus segment
+dedup, balanced shard packing, vocabulary-concentration QA, and the
+relational pivot / grouping-sets / cumulative-distinct surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from . import load
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+def ann_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantization ANN (`operators/similarity.py:
+    hamming_rerank_topk`): sign-bit packing into two 32-bit words, an
+    integer Hamming candidate scan reading 2 longs per vector, and an
+    exact cosine rerank restricted to the broadcast candidate set."""
+    from ..operators.similarity import hamming_rerank_topk
+
+    return hamming_rerank_topk(load(spark, sf_dir, "embeddings"))
+
+
+def _ann_hamming_sql() -> str:
+    from ..operators.similarity import hamming_rerank_topk_sql
+
+    return hamming_rerank_topk_sql()
+
+
+QUERIES.update({"ann_hamming_topk": ann_hamming_topk})
+ORACLES.update({"ann_hamming_topk": _ann_hamming_sql()})
+
+
+def segment_dedup_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide first-occurrence segment dedup with text
+    reassembly (`operators/dedup.py:segment_dedup`) — the RefinedWeb
+    "remove repeated spans" rule at 10-word granularity, emitting the
+    cleaned text itself, not just statistics."""
+    from ..operators.dedup import segment_dedup
+
+    return segment_dedup(load(spark, sf_dir, "documents"))
+
+
+def _segment_dedup_sql() -> str:
+    from ..operators.dedup import segment_dedup_sql
+
+    return segment_dedup_sql()
+
+
+QUERIES.update({"segment_dedup_texts": segment_dedup_texts})
+ORACLES.update({"segment_dedup_texts": _segment_dedup_sql()})
+
+
+def shard_snake_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced output sharding (`operators/packing.py:
+    snake_shard_assign`): snake-deal documents into 8 shards by word
+    count and report each shard's doc count and token mass — the
+    near-equal masses ARE the contract being gated."""
+    from pyspark.sql import functions as F
+
+    from ..operators.packing import snake_shard_assign
+    from ..operators.text_analysis import words_col
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.size(words_col(F.col("text"))).cast("long").alias("n_words")
+    )
+    return (
+        snake_shard_assign(docs, "n_words", n_shards=8)
+        .groupBy("shard_id")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_words").cast("long").alias("token_mass"),
+        )
+    )
+
+
+def _shard_snake_sql() -> str:
+    from ..operators.packing import snake_shard_stats_sql
+    from ..operators.text_analysis import WORDS_SQL
+
+    return snake_shard_stats_sql("documents", f"len({WORDS_SQL})", n_shards=8)
+
+
+def gini_source_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source vocabulary-concentration Gini in exact integer
+    arithmetic (`operators/text_analysis.py:gini_concentration`)."""
+    from ..operators.text_analysis import gini_concentration
+
+    return gini_concentration(load(spark, sf_dir, "documents"))
+
+
+def _gini_sql() -> str:
+    from ..operators.text_analysis import gini_concentration_sql
+
+    return gini_concentration_sql()
+
+
+_PIVOT_YEARS = list(range(1992, 1999))
+
+
+def pivot_shipmode_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PIVOT operator surface: revenue by return flag across ship
+    years as columns — Spark's `groupBy().pivot(values=...)` (explicit
+    value list, so the plan needs NO distinct-value pre-scan and stays
+    a single aggregate) vs the oracle's conditional-sum spelling."""
+    from pyspark.sql import functions as F
+
+    from .relational import _dsum
+
+    l = load(spark, sf_dir, "lineitem")
+    piv = (
+        l.withColumn("yr", F.year("l_shipdate"))
+        .groupBy("l_returnflag")
+        .pivot("yr", _PIVOT_YEARS)
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+    )
+    for y in _PIVOT_YEARS:
+        piv = piv.withColumnRenamed(str(y), f"rev_{y}")
+    return piv
+
+
+def _pivot_sql() -> str:
+    cols = ",\n       ".join(
+        "CAST(SUM(CASE WHEN year(l_shipdate) = {y} THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,6)) END) AS DOUBLE) AS rev_{y}".format(y=y)
+        for y in _PIVOT_YEARS
+    )
+    return f"SELECT l_returnflag,\n       {cols}\nFROM lineitem GROUP BY l_returnflag"
+
+
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (beyond the cube/rollup gates): per-flag,
+    per-status, and grand-total revenue in ONE aggregate pass with
+    grouping() flags disambiguating real NULL keys from subtotal rows."""
+    l = load(spark, sf_dir, "lineitem")
+    l.createOrReplaceTempView("__gs_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
+               CAST(grouping(l_linestatus) AS BIGINT) AS g_status,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,6))) AS DOUBLE) AS revenue
+        FROM __gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+_GROUPING_SETS_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
+       CAST(grouping(l_linestatus) AS BIGINT) AS g_status,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,6))) AS DOUBLE) AS revenue
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+"""
+
+
+def cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct-user counts per day WITHOUT a distinct-per-
+    window blowup: a user contributes on their FIRST day only, so the
+    running distinct count is a cumulative sum over per-hour first-seen
+    counts — the standard rewrite that turns an O(days x users)
+    window-distinct into one aggregate plus a days-sized window."""
+    from pyspark.sql import Window, functions as F
+
+    from . import ts_us
+
+    ev = load(spark, sf_dir, "events")
+    hours = (
+        ev.withColumn("__us", ts_us(ev))
+        .select("user_id", F.expr("__us div 3600000000").alias("hour"))
+        .groupBy("user_id")
+        .agg(F.min("hour").alias("first_hour"))
+        .groupBy("first_hour")
+        .agg(F.count("*").cast("long").alias("new_users"))
+    )
+    w = Window.orderBy("first_hour").rowsBetween(Window.unboundedPreceding, 0)
+    return hours.select(
+        F.col("first_hour").alias("hour"),
+        "new_users",
+        F.sum("new_users").over(w).cast("long").alias("cum_users"),
+    )
+
+
+_CUM_DISTINCT_SQL = """
+WITH firsts AS (
+  SELECT user_id, min(epoch_us(ts) // 3600000000) AS first_hour
+  FROM events GROUP BY user_id
+),
+hours AS (
+  SELECT first_hour, CAST(count(*) AS BIGINT) AS new_users
+  FROM firsts GROUP BY first_hour
+)
+SELECT first_hour AS hour, new_users,
+       CAST(sum(new_users) OVER (ORDER BY first_hour
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
+FROM hours
+"""
+
+
+def user_activity_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands over per-user active days: consecutive-day
+    streaks merged into (start, end, length) intervals via the
+    ``day - row_number`` grouping constant. Windows are per-user and
+    bounded by the calendar, never by event volume — the per-user
+    distinct-day aggregate comes first."""
+    from pyspark.sql import Window, functions as F
+
+    from . import ts_us
+
+    ev = load(spark, sf_dir, "events")
+    days = (
+        ev.withColumn("__us", ts_us(ev))
+        .select("user_id", F.expr("__us div 86400000000").alias("day"))
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    grp = days.withColumn("grp", F.col("day") - F.row_number().over(w))
+    return (
+        grp.groupBy("user_id", "grp")
+        .agg(
+            F.min("day").alias("start_day"),
+            F.max("day").alias("end_day"),
+            F.count("*").cast("long").alias("n_days"),
+        )
+        .select("user_id", "start_day", "end_day", "n_days")
+    )
+
+
+_ISLANDS_SQL = """
+WITH days AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+),
+grp AS (
+  SELECT user_id, day,
+         day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+  FROM days
+)
+SELECT user_id, min(day) AS start_day, max(day) AS end_day,
+       CAST(count(*) AS BIGINT) AS n_days
+FROM grp GROUP BY user_id, grp
+"""
+
+
+QUERIES.update(
+    {
+        "shard_snake_mass": shard_snake_mass,
+        "gini_source_concentration": gini_source_concentration,
+        "pivot_shipmode_year": pivot_shipmode_year,
+        "grouping_sets_revenue": grouping_sets_revenue,
+        "cumulative_distinct_users": cumulative_distinct_users,
+        "user_activity_islands": user_activity_islands,
+    }
+)
+ORACLES.update(
+    {
+        "shard_snake_mass": _shard_snake_sql(),
+        "gini_source_concentration": _gini_sql(),
+        "pivot_shipmode_year": _pivot_sql(),
+        "grouping_sets_revenue": _GROUPING_SETS_SQL,
+        "cumulative_distinct_users": _CUM_DISTINCT_SQL,
+        "user_activity_islands": _ISLANDS_SQL,
+    }
+)
+
+
+def retrieval_mrr_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lcm-scaled exact-integer MRR (`operators/retrieval.py:
+    mrr_by_query`) of three ANN variants — exact scan, JL projection,
+    binary Hamming+rerank — against label relevance: the retrieval-
+    quality scorecard complementing the recall@k gates."""
+    from pyspark.sql import functions as F
+
+    from ..operators.retrieval import mrr_by_query
+    from ..operators.similarity import (
+        brute_force_topk,
+        hamming_rerank_topk,
+        jl_topk,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    out = None
+    for name, run in (
+        ("exact", brute_force_topk(emb)),
+        ("jl", jl_topk(emb)),
+        ("hamming", hamming_rerank_topk(emb).select("query_id", "neighbor_id", "rank")),
+    ):
+        scored = mrr_by_query(run, emb, k=5).withColumn("variant", F.lit(name))
+        out = scored if out is None else out.unionByName(scored)
+    return out.select("variant", "query_id", "first_rel", "mrr_scaled")
+
+
+def _mrr_sql() -> str:
+    from ..operators.retrieval import mrr_by_query_sql
+    from ..operators.similarity import (
+        brute_force_topk_sql,
+        hamming_rerank_topk_sql,
+        jl_topk_sql,
+    )
+
+    runs = {
+        "exact": brute_force_topk_sql(),
+        "jl": jl_topk_sql(),
+        "hamming": (
+            "SELECT query_id, neighbor_id, rank FROM ("
+            + hamming_rerank_topk_sql()
+            + ")"
+        ),
+    }
+    parts = [
+        f"SELECT '{name}' AS variant, query_id, first_rel, mrr_scaled FROM ({mrr_by_query_sql(sql, k=5)})"
+        for name, sql in runs.items()
+    ]
+    return "\nUNION ALL\n".join(parts)
+
+
+QUERIES.update({"retrieval_mrr_variants": retrieval_mrr_variants})
+ORACLES.update({"retrieval_mrr_variants": _mrr_sql()})
+
+
+def bursty_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fano-factor burstiness audit of hourly arrival counts per event
+    type (`operators/timeseries.py:fano_dispersion`): exact-integer
+    variance/mean of per-hour counts, the dispersion test separating
+    Poisson-like organic traffic from bursty machine traffic."""
+    from pyspark.sql import functions as F
+
+    from . import ts_us
+    from ..operators.timeseries import fano_dispersion
+
+    ev = load(spark, sf_dir, "events")
+    ev = ev.withColumn("__us", ts_us(ev))
+    return fano_dispersion(ev, "event_type", F.expr("__us div 3600000000"))
+
+
+def _bursty_sql() -> str:
+    from ..operators.timeseries import fano_dispersion_sql
+
+    return fano_dispersion_sql("events", "event_type", "epoch_us(ts) // 3600000000")
+
+
+QUERIES.update({"bursty_event_types": bursty_event_types})
+ORACLES.update({"bursty_event_types": _bursty_sql()})

@@ -1,0 +1,214 @@
+"""Round-8 operator tests: segment dedup, snake sharding, Gini
+concentration, binary-Hamming ANN, and the lcm-scaled MRR metric —
+each checked against an independent pure-Python reference."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+
+def _ref_words(text: str) -> list[str]:
+    import re
+
+    return re.findall(r"[a-z0-9]+", text.lower())
+
+
+# ---------------------------------------------------------------- segment dedup
+
+
+def test_segment_dedup_first_occurrence_and_reassembly(spark):
+    from bunsen_spark.operators.dedup import segment_dedup
+
+    seg0 = "a b c d e"  # 5-word segments for the test
+    df = spark.createDataFrame(
+        [
+            (0, "a b c d e f g h i j"),  # segs: [a..e], [f..j]
+            (1, "a b c d e x y z w v"),  # first seg duplicates doc0's
+            (2, "a b c d e f g h i j"),  # full duplicate of doc0
+            (3, "q r s"),  # short tail-only doc
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in segment_dedup(df, seg_words=5).collect()
+    }
+    assert out[0]["n_segs"] == 2 and out[0]["n_kept"] == 2
+    assert out[0]["clean_text"] == "a b c d e f g h i j"
+    assert out[1]["n_kept"] == 1 and out[1]["clean_text"] == "x y z w v"
+    assert out[2]["n_kept"] == 0 and out[2]["clean_text"] == ""
+    assert out[3]["n_kept"] == 1 and out[3]["clean_text"] == "q r s"
+    assert seg0 in out[0]["clean_text"]
+
+
+def test_segment_dedup_keeps_intra_doc_first(spark):
+    from bunsen_spark.operators.dedup import segment_dedup
+
+    # the SAME segment twice within one doc: only the first survives
+    df = spark.createDataFrame(
+        [(7, "a b c a b c")], "doc_id long, text string"
+    )
+    row = segment_dedup(df, seg_words=3).collect()[0]
+    assert row["n_segs"] == 2 and row["n_kept"] == 1
+    assert row["clean_text"] == "a b c"
+
+
+# ---------------------------------------------------------------- snake shards
+
+
+def _ref_snake(sizes: dict[int, int], n_shards: int) -> dict[int, int]:
+    order = sorted(sizes, key=lambda d: (-sizes[d], d))
+    out = {}
+    for rn0, doc in enumerate(order):
+        block, pos = divmod(rn0, n_shards)
+        out[doc] = pos if block % 2 == 0 else n_shards - 1 - pos
+    return out
+
+
+def test_snake_shard_assign_matches_reference_and_balances(spark):
+    from pyspark.sql import functions as F
+
+    from bunsen_spark.operators.packing import snake_shard_assign
+
+    sizes = {i: (i * 37) % 101 + 1 for i in range(60)}
+    df = spark.createDataFrame(
+        [(d, s) for d, s in sizes.items()], "doc_id long, n long"
+    )
+    got = {
+        r["doc_id"]: r["shard_id"]
+        for r in snake_shard_assign(df, "n", n_shards=4).collect()
+    }
+    assert got == _ref_snake(sizes, 4)
+    masses = [0, 0, 0, 0]
+    for d, sh in got.items():
+        masses[sh] += sizes[d]
+    # snake dealing keeps shard masses within one round's largest item
+    assert max(masses) - min(masses) <= max(sizes.values())
+
+
+# ---------------------------------------------------------------- gini
+
+
+def _ref_gini_micro(counts: list[int]) -> int:
+    cs = sorted(counts)
+    n, tot = len(cs), sum(cs)
+    ic = sum((i + 1) * c for i, c in enumerate(cs))
+    return (2 * ic - (n + 1) * tot) * 1_000_000 // (n * tot)
+
+
+def test_gini_concentration_uniform_vs_spiky(spark):
+    from bunsen_spark.operators.text_analysis import gini_concentration
+
+    df = spark.createDataFrame(
+        [
+            ("u", "a b c d"),  # uniform: gini 0
+            ("s", "a a a a a a a b c d"),  # spiky: one dominant token
+        ],
+        "source string, text string",
+    )
+    out = {r["source"]: r for r in gini_concentration(df).collect()}
+    assert out["u"]["gini_micro"] == 0
+    assert out["s"]["gini_micro"] == _ref_gini_micro([7, 1, 1, 1]) > 0
+    assert out["s"]["n_terms"] == 4 and out["s"]["total_tokens"] == 10
+
+
+# ---------------------------------------------------------------- hamming ANN
+
+
+def _ref_hamming_topk(vecs, k, num_queries, n_candidates):
+    def pack(v):
+        w0 = sum(1 << i for i in range(32) if v[i] > 0)
+        w1 = sum(1 << i for i in range(32) if v[32 + i] > 0)
+        return w0, w1
+
+    packed = {i: pack(v) for i, v in vecs.items()}
+    out = []
+    for q in range(num_queries):
+        ham = sorted(
+            (
+                (
+                    bin(packed[c][0] ^ packed[q][0]).count("1")
+                    + bin(packed[c][1] ^ packed[q][1]).count("1"),
+                    c,
+                )
+                for c in vecs
+                if c != q
+            ),
+        )[:n_candidates]
+
+        def cos(a, b):
+            d = sum(x * y for x, y in zip(a, b))
+            na = math.sqrt(sum(x * x for x in a))
+            nb = math.sqrt(sum(x * x for x in b))
+            return d / (na * nb)
+
+        rer = sorted(
+            ((h, c) for h, c in ham),
+            key=lambda hc: (-cos(vecs[q], vecs[hc[1]]), hc[1]),
+        )[:k]
+        out.extend((q, c, h, r + 1) for r, (h, c) in enumerate(rer))
+    return sorted(out)
+
+
+def test_hamming_rerank_topk_matches_reference(spark):
+    import numpy as np
+
+    from bunsen_spark.operators.similarity import hamming_rerank_topk
+
+    rng = np.random.default_rng(11)
+    vecs = {i: [float(x) for x in rng.normal(size=64)] for i in range(40)}
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id long, embedding array<double>"
+    )
+    got = sorted(
+        (r["query_id"], r["neighbor_id"], r["hamming"], r["rank"])
+        for r in hamming_rerank_topk(df, k=3, num_queries=5, n_candidates=8).collect()
+    )
+    # float32->float64 of the fixture is exact here (we built doubles)
+    assert got == _ref_hamming_topk(vecs, 3, 5, 8)
+
+
+# ---------------------------------------------------------------- MRR
+
+
+def test_mrr_by_query_scaled_reciprocals(spark):
+    from bunsen_spark.operators.retrieval import mrr_by_query
+
+    labels = spark.createDataFrame(
+        [(0, 1), (1, 1), (2, 2), (3, 2), (4, 3)], "vec_id long, label int"
+    )
+    run = spark.createDataFrame(
+        [
+            (0, 2, 1), (0, 1, 2), (0, 3, 3),  # first relevant at rank 2
+            (1, 0, 1), (1, 2, 2), (1, 3, 3),  # rank 1
+            (4, 0, 1), (4, 2, 2), (4, 3, 3),  # no relevant in top-k
+        ],
+        "query_id long, neighbor_id long, rank long",
+    )
+    out = {r["query_id"]: r for r in mrr_by_query(run, labels, k=3).collect()}
+    lcm = 6  # lcm(1..3)
+    assert out[0]["first_rel"] == 2 and out[0]["mrr_scaled"] == lcm // 2
+    assert out[1]["first_rel"] == 1 and out[1]["mrr_scaled"] == lcm
+    assert out[4]["first_rel"] == 0 and out[4]["mrr_scaled"] == 0
+
+
+# ---------------------------------------------------------------- fano
+
+
+def test_fano_dispersion_poisson_boundary(spark):
+    from pyspark.sql import functions as F
+
+    from bunsen_spark.operators.timeseries import fano_dispersion
+
+    # key "m": metronomic — 4 buckets x 3 events -> var 0, fano 0
+    # key "b": bursty — buckets [9, 1, 1, 1] -> var >> mean
+    rows = [("m", b) for b in range(4) for _ in range(3)]
+    rows += [("b", 0)] * 9 + [("b", 1), ("b", 2), ("b", 3)]
+    df = spark.createDataFrame(rows, "k string, bucket long")
+    out = {r["k"]: r for r in fano_dispersion(df, "k", "bucket").collect()}
+    assert out["m"]["fano_micro"] == 0 and not out["m"]["overdispersed"]
+    # counts [9,1,1,1]: n=4, S=12, Q=84 -> (4*84-144)*1e6 // (4*12)
+    assert out["b"]["fano_micro"] == (4 * 84 - 144) * 1_000_000 // 48
+    assert out["b"]["overdispersed"]
