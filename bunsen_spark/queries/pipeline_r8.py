@@ -343,3 +343,54 @@ def _bursty_sql() -> str:
 
 QUERIES.update({"bursty_event_types": bursty_event_types})
 ORACLES.update({"bursty_event_types": _bursty_sql()})
+
+
+def rolling_7d_value_extrema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-framed sliding window (a frame kind no other gate pins):
+    per user and day, the min/max/count of daily event-value cents over
+    the trailing 7-day RANGE window — value-based frames skip missing
+    days correctly where ROWS frames would silently widen."""
+    from pyspark.sql import Window, functions as F
+
+    from . import ts_us
+
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.withColumn("__us", ts_us(ev))
+        .select(
+            "user_id",
+            F.expr("__us div 86400000000").alias("day"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("user_id", "day")
+        .agg(F.sum("cents").alias("day_cents"))
+    )
+    w = Window.partitionBy("user_id").orderBy("day").rangeBetween(-6, 0)
+    return daily.select(
+        "user_id",
+        "day",
+        "day_cents",
+        F.min("day_cents").over(w).alias("min_7d"),
+        F.max("day_cents").over(w).alias("max_7d"),
+        F.count("*").over(w).cast("long").alias("days_7d"),
+    )
+
+
+_ROLLING_7D_SQL = """
+WITH daily AS (
+  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+         sum(CAST(round(value * 100) AS BIGINT)) AS day_cents
+  FROM events GROUP BY user_id, epoch_us(ts) // 86400000000
+)
+SELECT user_id, day, day_cents,
+       min(day_cents) OVER w AS min_7d,
+       max(day_cents) OVER w AS max_7d,
+       CAST(count(*) OVER w AS BIGINT) AS days_7d
+FROM daily
+WINDOW w AS (PARTITION BY user_id ORDER BY day
+             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+"""
+
+
+QUERIES.update({"rolling_7d_value_extrema": rolling_7d_value_extrema})
+ORACLES.update({"rolling_7d_value_extrema": _ROLLING_7D_SQL})
