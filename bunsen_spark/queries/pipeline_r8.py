@@ -379,12 +379,12 @@ def rolling_7d_value_extrema(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ROLLING_7D_SQL = """
 WITH daily AS (
   SELECT user_id, epoch_us(ts) // 86400000000 AS day,
-         sum(CAST(round(value * 100) AS BIGINT)) AS day_cents
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS day_cents
   FROM events GROUP BY user_id, epoch_us(ts) // 86400000000
 )
 SELECT user_id, day, day_cents,
-       min(day_cents) OVER w AS min_7d,
-       max(day_cents) OVER w AS max_7d,
+       CAST(min(day_cents) OVER w AS BIGINT) AS min_7d,
+       CAST(max(day_cents) OVER w AS BIGINT) AS max_7d,
        CAST(count(*) OVER w AS BIGINT) AS days_7d
 FROM daily
 WINDOW w AS (PARTITION BY user_id ORDER BY day
