@@ -1390,6 +1390,32 @@ def fuzzy_text_join_split(
     return _verify_jaccard_pairs(cand, sigs, sigs, "l_id", "r_id", threshold)
 
 
+def _doc_segments(
+    df: DataFrame, id_col: str, text_col: str, seg_words: int
+) -> DataFrame:
+    """(id, seg_idx, seg) rows: consecutive ``seg_words``-word segments
+    of each document, empty tail segments dropped. The regexp
+    tokenization runs ONCE per document (materialized as a column
+    before the per-segment transform — lambda bodies are not
+    common-subexpression-eliminated, so slicing ``words_col(text)``
+    inside the lambda would re-tokenize per segment)."""
+    from .text_analysis import words_col
+
+    toks = df.select(F.col(id_col), words_col(F.col(text_col)).alias("__w"))
+    nseg = ((F.size("__w") + F.lit(seg_words - 1)) / seg_words).cast("int")
+    return toks.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), nseg - 1),
+                lambda i: F.array_join(
+                    F.slice(F.col("__w"), i * seg_words + 1, seg_words), " "
+                ),
+            )
+        ).alias("seg_idx", "seg"),
+    ).where(F.col("seg") != "")
+
+
 def segment_dedup(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -1410,22 +1436,7 @@ def segment_dedup(
     driver state. Output: (doc_id, n_segs, n_kept, clean_text) with
     ``clean_text = ''`` when every segment was seen earlier.
     """
-    from .text_analysis import words_col
-
-    n = F.size(words_col(F.col(text_col)))
-    nseg = ((n + F.lit(seg_words - 1)) / seg_words).cast("int")
-    segs = df.select(
-        F.col(id_col),
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), nseg - 1),
-                lambda i: F.array_join(
-                    F.slice(words_col(F.col(text_col)), i * seg_words + 1, seg_words),
-                    " ",
-                ),
-            )
-        ).alias("seg_idx", "seg"),
-    ).where(F.col("seg") != "")
+    segs = _doc_segments(df, id_col, text_col, seg_words)
     first = segs.groupBy("seg").agg(
         F.min(F.struct(F.col(id_col).alias("d"), F.col("seg_idx").alias("i"))).alias(
             "f"
@@ -1489,3 +1500,76 @@ SELECT {id_col}, CAST(count(*) AS BIGINT) AS n_segs,
        COALESCE(string_agg(seg, ' ' ORDER BY seg_idx) FILTER (WHERE is_first), '') AS clean_text
 FROM kept GROUP BY {id_col}
 """
+
+
+def segment_state(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seg_words: int = 10,
+) -> DataFrame:
+    """Distinct-segment state table ``(seg)`` for incremental segment
+    dedup — the segment analogue of :func:`text_analysis.gram_state`.
+    Unions of per-batch NEW segments advance the state associatively."""
+    return _doc_segments(df, id_col, text_col, seg_words).select("seg").distinct()
+
+
+def segment_dedup_against_state(
+    df: DataFrame,
+    state: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seg_words: int = 10,
+) -> DataFrame:
+    """Ingest-time form of :func:`segment_dedup`: score a NEW batch
+    against a persisted distinct-segment state ``(seg)`` — a segment
+    occurrence survives iff it is absent from the state AND it is the
+    batch's own first occurrence. With batches arriving in ascending
+    ``id_col`` order, streaming over batches emits exactly the batch
+    operator's rows for those documents (parity pinned in
+    ``tests/test_streaming_segment.py``).
+
+    Same scale shape as the batch form (explode → min(struct) agg →
+    co-partitioned join-back) plus one left-anti-style join against
+    the state on the segment key."""
+    segs = _doc_segments(df, id_col, text_col, seg_words)
+    seen = state.select("seg").withColumn("__seen", F.lit(True))
+    first = segs.groupBy("seg").agg(
+        F.min(F.struct(F.col(id_col).alias("d"), F.col("seg_idx").alias("i"))).alias(
+            "f"
+        )
+    )
+    kept = (
+        segs.join(first, "seg")
+        .join(seen, "seg", "left")
+        .withColumn(
+            "is_first",
+            F.col("__seen").isNull()
+            & (F.col(id_col) == F.col("f.d"))
+            & (F.col("seg_idx") == F.col("f.i")),
+        )
+    )
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_segs"),
+            F.sum(F.col("is_first").cast("long")).cast("long").alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("is_first"),
+                                F.struct(
+                                    F.col("seg_idx").alias("i"), F.col("seg").alias("s")
+                                ),
+                            )
+                        )
+                    ),
+                    lambda x: x["s"],
+                ),
+                " ",
+            ).alias("clean_text"),
+        )
+        .select(id_col, "n_segs", "n_kept", "clean_text")
+    )

@@ -290,3 +290,83 @@ def stream_novelty_scores(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_segment_dedup(
+    docs_stream: DataFrame,
+    state_path: str,
+    checkpoint: str,
+    out_path: str,
+    seg_words: int = 10,
+    trigger_available_now: bool = True,
+):
+    """Streaming segment dedup: every micro-batch is cleaned against
+    the persistent distinct-segment state
+    (`operators/dedup.py:segment_dedup_against_state`) and the batch's
+    NEW segments (its kept first occurrences, anti-joined against the
+    pre-batch state) are appended — the RefinedWeb "remove repeated
+    spans" rule running at ingest time, sharing its state-table
+    contract with the batch operator exactly like the novelty stream.
+
+    Durability discipline identical to `stream_novelty_scores`: the
+    state is a parquet ``(seg)`` table partitioned by ``batch_id``;
+    both writes dynamic-partition-overwrite only their own
+    ``batch_id=N`` partition and the state read excludes
+    ``batch_id >= N``, so crash-replayed batches clean against exactly
+    the pre-batch state and rewrite only themselves."""
+    from ..operators.dedup import segment_dedup_against_state, segment_state
+
+    def _state_exists(spark: SparkSession) -> bool:
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(state_path)
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        if not fs.exists(hpath):
+            return False
+        glob = jvm.org.apache.hadoop.fs.Path(
+            state_path + "/batch_id=*/*.parquet"
+        )
+        committed = fs.globStatus(glob)
+        return committed is not None and len(committed) > 0
+
+    def _overwrite_batch_partition(df: DataFrame, path: str) -> None:
+        (
+            df.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(path)
+        )
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if _state_exists(spark):
+            state = spark.read.parquet(state_path).where(
+                F.col("batch_id") < F.lit(batch_id)
+            )
+        else:
+            state = spark.createDataFrame([], "seg string")
+        cleaned = segment_dedup_against_state(
+            batch_df, state, seg_words=seg_words
+        ).withColumn("batch_id", F.lit(batch_id))
+        new_segs = (
+            segment_state(batch_df, seg_words=seg_words)
+            .join(state.select("seg"), "seg", "left_anti")
+            .withColumn("batch_id", F.lit(batch_id))
+        )
+        from ..persist import materialize, release
+
+        # both read the state; close those reads before overwriting it
+        cleaned = materialize(cleaned, eager=True)
+        new_segs = materialize(new_segs, eager=True)
+        try:
+            _overwrite_batch_partition(cleaned, out_path)
+            _overwrite_batch_partition(new_segs, state_path)
+        finally:
+            release(cleaned)
+            release(new_segs)
+
+    writer = docs_stream.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
