@@ -2198,3 +2198,108 @@ SELECT query_id, neighbor_id, hamming, CAST(rank AS BIGINT) AS rank FROM (
   JOIN e q ON q.vec_id = cand.query_id
 ) WHERE rank <= {k}
 """
+
+
+def label_centroid_topk(
+    embeddings: DataFrame, k: int = 5, scale: int = 1024
+) -> DataFrame:
+    """Nearest documents to each LABEL CENTROID — the "find me more
+    like this class" retrieval shape (few-shot data selection, cluster
+    naming, prototype audit). Exact across engines: vectors are
+    fixed-point quantized (``round(x*scale)`` int64, the gram-matrix
+    lattice), each label's centroid is the INTEGER SUM vector (same
+    direction as the mean, so cosine ranking is identical), and the
+    score ``dot / sqrt(q·q)`` is an integer-exact dot followed by two
+    exactly-rounded IEEE ops — bit-identical in any engine. (The
+    centroid's own norm is constant per label and cannot change its
+    ranking.)
+
+    100 TB design: centroids are labels × dims cells from one map-side-
+    combinable aggregate, reassembled into 10 array rows and BROADCAST
+    against the corpus scan; the per-label top-k window sees only
+    (label, vec_id, score) rows. Output: (label, vec_id, rank,
+    same_label)."""
+    q = embeddings.select(
+        "vec_id",
+        F.col("label").alias("vlabel"),
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: F.round(x * scale, 0).cast("long"),
+        ).alias("q"),
+    ).transform(_spread)
+    cells = q.select(
+        F.col("vlabel").alias("label"), F.posexplode("q").alias("d", "qv")
+    )
+    cent = (
+        cells.groupBy("label", "d")
+        .agg(F.sum("qv").alias("s"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("d", "s"))), lambda x: x["s"]
+            ).alias("c")
+        )
+    )
+    dot = F.aggregate(
+        F.zip_with("c", "q", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    qq = F.aggregate(
+        F.zip_with("q", "q", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = q.join(F.broadcast(cent)).select(
+        "label",
+        "vec_id",
+        "vlabel",
+        (dot.cast("double") / F.sqrt(qq.cast("double"))).alias("score"),
+    )
+    w = Window.partitionBy("label").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select(
+            "label",
+            "vec_id",
+            "rank",
+            (F.col("vlabel") == F.col("label")).alias("same_label"),
+        )
+    )
+
+
+def label_centroid_topk_sql(
+    table: str = "embeddings", k: int = 5, scale: int = 1024
+) -> str:
+    return f"""
+WITH q AS (
+  SELECT vec_id, label AS vlabel,
+         list_transform(embedding::DOUBLE[],
+                        x -> CAST(round(x * {scale}) AS BIGINT)) AS q
+  FROM {table}
+),
+cells AS (
+  SELECT vlabel AS label,
+         unnest(range(1, len(q) + 1)) AS d,
+         unnest(q) AS qv
+  FROM q
+),
+cent AS (
+  SELECT label, list(s ORDER BY d) AS c FROM (
+    SELECT label, d, CAST(sum(qv) AS BIGINT) AS s FROM cells GROUP BY label, d
+  ) GROUP BY label
+),
+scored AS (
+  SELECT cent.label, q.vec_id, q.vlabel,
+         CAST(list_sum(list_transform(cent.c, (x, i) -> x * q.q[i])) AS DOUBLE)
+             / sqrt(CAST(list_sum(list_transform(q.q, x -> x * x)) AS DOUBLE)) AS score
+  FROM q CROSS JOIN cent
+)
+SELECT label, vec_id, CAST(rank AS BIGINT) AS rank, (vlabel = label) AS same_label
+FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY label ORDER BY score DESC, vec_id) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""

@@ -435,3 +435,125 @@ def _ann_probe_curve_sql() -> str:
 
 QUERIES.update({"ann_ivf_probe_curve": ann_ivf_probe_curve})
 ORACLES.update({"ann_ivf_probe_curve": _ann_probe_curve_sql()})
+
+
+def funnel_within_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-CONSTRAINED funnel (view -> click -> purchase, each step
+    within one hour of the one before): a click qualifies if SOME view
+    precedes it by <= 1h, a purchase if some QUALIFIED click does. One
+    per-user window pass — a conditional running max of the previous
+    stage's timestamp — no self-joins, no per-step shuffle; the
+    unconstrained funnel gate (`event_funnel_counts`) cannot express
+    the deadline, and greedy earliest-event logic is WRONG here (an
+    early view can expire; the latest preceding view is the right
+    anchor). Output: per user, counts of qualified clicks/purchases
+    and the first qualified timestamps (0 when a user never
+    qualifies — NULL longs degrade to float64 through Arrow/pandas on
+    the oracle side, so the sentinel keeps both engines integer)."""
+    from pyspark.sql import Window, functions as F
+
+    from . import ts_us
+
+    ev = load(spark, sf_dir, "events")
+    ev = ev.withColumn("__us", ts_us(ev)).select(
+        "user_id", "event_type", "__us", "event_id"
+    )
+    hour = 3_600_000_000
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("__us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    # last view at-or-before each row (inclusive ordering keeps a
+    # same-microsecond view usable by a click tied on ts — matched by
+    # the oracle's <= comparisons)
+    stage1 = ev.withColumn(
+        "last_view_us",
+        F.max(F.when(F.col("event_type") == "view", F.col("__us"))).over(w),
+    )
+    stage1 = stage1.withColumn(
+        "click_ok",
+        (F.col("event_type") == "click")
+        & F.col("last_view_us").isNotNull()
+        & (F.col("__us") - F.col("last_view_us") <= hour),
+    )
+    stage2 = stage1.withColumn(
+        "last_qclick_us",
+        F.max(F.when(F.col("click_ok"), F.col("__us"))).over(w),
+    ).withColumn(
+        "purchase_ok",
+        (F.col("event_type") == "purchase")
+        & F.col("last_qclick_us").isNotNull()
+        & (F.col("__us") - F.col("last_qclick_us") <= hour),
+    )
+    return (
+        stage2.groupBy("user_id")
+        .agg(
+            F.sum(F.col("click_ok").cast("long")).cast("long").alias("q_clicks"),
+            F.sum(F.col("purchase_ok").cast("long")).cast("long").alias("q_purchases"),
+            F.coalesce(
+                F.min(F.when(F.col("click_ok"), F.col("__us"))), F.lit(0)
+            ).cast("long").alias("first_q_click_us"),
+            F.coalesce(
+                F.min(F.when(F.col("purchase_ok"), F.col("__us"))), F.lit(0)
+            ).cast("long").alias("first_q_purchase_us"),
+        )
+    )
+
+
+_FUNNEL_HOUR_SQL = """
+WITH ev AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us, event_id FROM events
+),
+s1 AS (
+  SELECT *, max(CASE WHEN event_type = 'view' THEN us END) OVER w AS last_view_us
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+s1b AS (
+  SELECT *, (event_type = 'click' AND last_view_us IS NOT NULL
+             AND us - last_view_us <= 3600000000) AS click_ok
+  FROM s1
+),
+s2 AS (
+  SELECT *, max(CASE WHEN click_ok THEN us END) OVER w AS last_qclick_us
+  FROM s1b
+  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+s2b AS (
+  SELECT *, (event_type = 'purchase' AND last_qclick_us IS NOT NULL
+             AND us - last_qclick_us <= 3600000000) AS purchase_ok
+  FROM s2
+)
+SELECT user_id,
+       CAST(sum(CASE WHEN click_ok THEN 1 ELSE 0 END) AS BIGINT) AS q_clicks,
+       CAST(sum(CASE WHEN purchase_ok THEN 1 ELSE 0 END) AS BIGINT) AS q_purchases,
+       CAST(COALESCE(min(CASE WHEN click_ok THEN us END), 0) AS BIGINT) AS first_q_click_us,
+       CAST(COALESCE(min(CASE WHEN purchase_ok THEN us END), 0) AS BIGINT) AS first_q_purchase_us
+FROM s2b GROUP BY user_id
+"""
+
+
+QUERIES.update({"funnel_within_hour": funnel_within_hour})
+ORACLES.update({"funnel_within_hour": _FUNNEL_HOUR_SQL})
+
+
+def centroid_label_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest vectors to each label centroid (`operators/similarity.py:
+    label_centroid_topk`): integer-lattice sum centroids broadcast
+    against the corpus, exact bit-identical scores."""
+    from ..operators.similarity import label_centroid_topk
+
+    return label_centroid_topk(load(spark, sf_dir, "embeddings"))
+
+
+def _centroid_topk_sql() -> str:
+    from ..operators.similarity import label_centroid_topk_sql
+
+    return label_centroid_topk_sql()
+
+
+QUERIES.update({"centroid_label_topk": centroid_label_topk})
+ORACLES.update({"centroid_label_topk": _centroid_topk_sql()})

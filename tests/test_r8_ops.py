@@ -212,3 +212,82 @@ def test_fano_dispersion_poisson_boundary(spark):
     # counts [9,1,1,1]: n=4, S=12, Q=84 -> (4*84-144)*1e6 // (4*12)
     assert out["b"]["fano_micro"] == (4 * 84 - 144) * 1_000_000 // 48
     assert out["b"]["overdispersed"]
+
+
+# ---------------------------------------------------------------- funnel-1h
+
+
+def test_funnel_within_hour_window_semantics(spark):
+    """The deadline semantics: an early view expires; a later view can
+    rescue the click (greedy earliest-view logic would miss it)."""
+    from bunsen_spark.queries.pipeline_r8 import funnel_within_hour
+    import pyspark.sql.functions as F
+
+    H = 3_600_000_000
+    rows = [
+        # user 1: view@0, click@90min -> too late; view@50min rescues it
+        (1, "view", 0), (1, "view", 50 * 60_000_000), (1, "click", 90 * 60_000_000),
+        # purchase 30min after qualified click -> qualifies
+        (1, "purchase", 120 * 60_000_000),
+        # user 2: click with no view, purchase with no qualified click
+        (2, "click", 10), (2, "purchase", 20),
+        # user 3: view then click at exactly +1h (inclusive), purchase at +1h+1us (fails)
+        (3, "view", 0), (3, "click", H), (3, "purchase", 2 * H + 1),
+    ]
+    df = spark.createDataFrame(
+        [(u, t, us, i) for i, (u, t, us) in enumerate(rows)],
+        "user_id long, event_type string, us long, event_id long",
+    )
+    # exercise the same logic the gate runs, on a synthetic events frame
+    ev = df.select(
+        "user_id", "event_type",
+        F.timestamp_micros(F.col("us")).alias("ts"), "event_id", F.lit(1.0).alias("value"),
+        F.lit("{}").alias("props"),
+    )
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        ev.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+        out = {r["user_id"]: r for r in funnel_within_hour(spark, d).collect()}
+    assert out[1]["q_clicks"] == 1 and out[1]["q_purchases"] == 1
+    assert out[2]["q_clicks"] == 0 and out[2]["q_purchases"] == 0
+    assert out[3]["q_clicks"] == 1 and out[3]["q_purchases"] == 0
+    assert out[1]["first_q_click_us"] == 90 * 60_000_000
+
+
+# ---------------------------------------------------------------- centroid
+
+
+def test_label_centroid_topk_matches_reference(spark):
+    import numpy as np
+
+    from bunsen_spark.operators.similarity import label_centroid_topk
+
+    rng = np.random.default_rng(7)
+    rows = [
+        (i, int(i % 3), [float(x) for x in rng.normal(size=64)]) for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, label int, embedding array<double>")
+    got = sorted(
+        (r["label"], r["vec_id"], r["rank"], r["same_label"])
+        for r in label_centroid_topk(df, k=3).collect()
+    )
+
+    # pure-python reference on the same integer lattice
+    q = {i: [round(x * 1024) for x in v] for i, (l, v) in ((r[0], (r[1], r[2])) for r in rows)}
+    labels = {r[0]: r[1] for r in rows}
+    cents = {}
+    for i, l, v in rows:
+        c = cents.setdefault(l, [0] * 64)
+        for d_ in range(64):
+            c[d_] += q[i][d_]
+    want = []
+    for l, c in cents.items():
+        scored = sorted(
+            (
+                -sum(a * b for a, b in zip(c, q[i])) / (sum(x * x for x in q[i]) ** 0.5),
+                i,
+            )
+            for i in q
+        )[:3]
+        want.extend((l, i, r + 1, labels[i] == l) for r, (_, i) in enumerate(scored))
+    assert got == sorted(want)
