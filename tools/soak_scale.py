@@ -74,6 +74,18 @@ HEAVY = [
     "ann_recall_jl",
     "ann_recall_scorecard",
     "cusum_event_alerts",
+    "segment_dedup_texts",
+    "ann_hamming_topk",
+    "retrieval_mrr_variants",
+    "centroid_label_topk",
+    "funnel_within_hour",
+    "gini_source_concentration",
+    "shard_snake_mass",
+    "bursty_event_types",
+    "user_activity_islands",
+    "cumulative_distinct_users",
+    "rolling_7d_value_extrema",
+    "ann_ivf_probe_curve",
 ]
 
 
