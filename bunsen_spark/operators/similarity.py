@@ -2077,8 +2077,9 @@ FROM diff WHERE rn = 1
 
 
 def _sign_words(v: Column) -> list[Column]:
-    """Two 32-bit sign words for a 64-dim vector: bit ``i`` of word
-    ``w`` set iff ``v[w*32 + i] > 0``. Distinct powers of two, so the
+    """Two 32-bit sign words for a 64-dim vector (the ANN family's
+    EMBED_DIM contract; missing trailing dims read as sign 0): bit
+    ``i`` of word ``w`` set iff ``v[w*32 + i] > 0``. Distinct powers of two, so the
     integer SUM is exact and equals the bitwise OR — the same packing
     expression runs on Spark and DuckDB (neither can shift into bit 63
     portably, hence two half-words instead of one 64-bit word)."""

@@ -21,7 +21,7 @@ resampling a multi-year key at seconds is a caller bug, not data.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 

@@ -557,3 +557,97 @@ def _centroid_topk_sql() -> str:
 
 QUERIES.update({"centroid_label_topk": centroid_label_topk})
 ORACLES.update({"centroid_label_topk": _centroid_topk_sql()})
+
+
+def peak_concurrency_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent users per day via the SWEEP LINE
+    (`operators/range_join.py:sweep_line_peak`): each user-day activity
+    interval (first..last event) emits +1/-1 boundaries; a per-day
+    running sum is the live-user count. One sort of 2n boundary rows
+    per day — overlap COUNTING without the pairwise join, which would
+    be quadratic on a dense day."""
+    from pyspark.sql import functions as F
+
+    from . import ts_us
+    from ..operators.range_join import sweep_line_peak
+
+    ev = load(spark, sf_dir, "events")
+    ev = ev.withColumn("__us", ts_us(ev))
+    iv = (
+        ev.select("user_id", F.expr("__us div 86400000000").alias("day"), "__us")
+        .groupBy("user_id", "day")
+        .agg(F.min("__us").alias("start_us"), F.max("__us").alias("end_us"))
+    )
+    return sweep_line_peak(iv, "day")
+
+
+def _peak_concurrency_sql() -> str:
+    from ..operators.range_join import sweep_line_peak_sql
+
+    iv = (
+        "SELECT user_id, epoch_us(ts) // 86400000000 AS day,"
+        " CAST(min(epoch_us(ts)) AS BIGINT) AS start_us,"
+        " CAST(max(epoch_us(ts)) AS BIGINT) AS end_us"
+        " FROM events GROUP BY user_id, epoch_us(ts) // 86400000000"
+    )
+    return sweep_line_peak_sql(iv, "day")
+
+
+def purchase_session_overlaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed interval-overlap SELF-join (`operators/range_join.py:
+    interval_overlap_pairs`): per-user-hour error bursts (>= 2 error
+    events in an hour, interval = first..last) overlapping OTHER
+    users' bursts — the correlated-failure screen. Each true pair is
+    emitted exactly once via the canonical-bucket rule, no distinct."""
+    from pyspark.sql import functions as F
+
+    from . import ts_us
+    from ..operators.range_join import interval_overlap_pairs
+
+    ev = load(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    ev = ev.withColumn("__us", ts_us(ev))
+    iv = (
+        ev.select("user_id", F.expr("__us div 86400000000").alias("day"), "__us")
+        .groupBy("user_id", "day")
+        .agg(
+            F.min("__us").alias("start_us"),
+            F.max("__us").alias("end_us"),
+            F.count("*").alias("n"),
+        )
+        .where(F.col("n") >= 2)
+        .select(
+            # one interval id per (user, day) session; users are < 2^20
+            (F.col("user_id") * 1_000_000 + F.col("day") % 1_000_000).alias("iv_id"),
+            "start_us",
+            "end_us",
+        )
+    )
+    return interval_overlap_pairs(iv, "iv_id")
+
+
+def _error_burst_sql() -> str:
+    from ..operators.range_join import interval_overlap_pairs_sql
+
+    iv = (
+        "SELECT user_id * 1000000 + (epoch_us(ts) // 86400000000) % 1000000 AS iv_id,"
+        " CAST(min(epoch_us(ts)) AS BIGINT) AS start_us,"
+        " CAST(max(epoch_us(ts)) AS BIGINT) AS end_us"
+        " FROM events WHERE event_type = 'purchase'"
+        " GROUP BY user_id, epoch_us(ts) // 86400000000"
+        " HAVING count(*) >= 2"
+    )
+    return interval_overlap_pairs_sql(iv, "iv_id")
+
+
+QUERIES.update(
+    {
+        "peak_concurrency_daily": peak_concurrency_daily,
+        "purchase_session_overlaps": purchase_session_overlaps,
+    }
+)
+ORACLES.update(
+    {
+        "peak_concurrency_daily": _peak_concurrency_sql(),
+        "purchase_session_overlaps": _error_burst_sql(),
+    }
+)

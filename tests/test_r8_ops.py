@@ -291,3 +291,45 @@ def test_label_centroid_topk_matches_reference(spark):
         )[:3]
         want.extend((l, i, r + 1, labels[i] == l) for r, (_, i) in enumerate(scored))
     assert got == sorted(want)
+
+
+# ---------------------------------------------------------------- sweep line
+
+
+def test_sweep_line_peak_boundary_convention(spark):
+    from bunsen_spark.operators.range_join import sweep_line_peak
+
+    iv = spark.createDataFrame(
+        [
+            # group "g": [0,10], [10,20] touch at 10 -> concurrent (closed)
+            ("g", 0, 10), ("g", 10, 20),
+            # plus [5, 12]: at t=10 three are live
+            ("g", 5, 12),
+            # group "h": disjoint intervals -> peak 1 at earliest start
+            ("h", 0, 1), ("h", 5, 6),
+        ],
+        "grp string, start_us long, end_us long",
+    )
+    out = {r["grp"]: r for r in sweep_line_peak(iv, "grp").collect()}
+    assert out["g"]["peak"] == 3 and out["g"]["at_us"] == 10
+    assert out["h"]["peak"] == 1 and out["h"]["at_us"] == 0
+
+
+def test_interval_overlap_pairs_canonical_bucket_dedup(spark):
+    from bunsen_spark.operators.range_join import interval_overlap_pairs
+
+    B = 100  # small bucket: intervals span many buckets
+    iv = spark.createDataFrame(
+        [
+            (1, 0, 350),   # buckets 0..3
+            (2, 120, 500), # overlaps 1 in [120, 350] -> emitted once
+            (3, 360, 380), # disjoint from 1, overlaps 2
+            (4, 1000, 1100),  # disjoint from all
+        ],
+        "iv_id long, start_us long, end_us long",
+    )
+    got = sorted(
+        (r["a_id"], r["b_id"], r["overlap_us"])
+        for r in interval_overlap_pairs(iv, "iv_id", bucket_us=B).collect()
+    )
+    assert got == [(1, 2, 230), (2, 3, 20)]
