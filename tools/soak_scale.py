@@ -86,6 +86,8 @@ HEAVY = [
     "cumulative_distinct_users",
     "rolling_7d_value_extrema",
     "ann_ivf_probe_curve",
+    "peak_concurrency_daily",
+    "purchase_session_overlaps",
 ]
 
 
