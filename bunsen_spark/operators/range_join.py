@@ -122,6 +122,24 @@ GROUP BY {group_col}
 """
 
 
+def _floor_div_sql(x: str, b: int) -> str:
+    """Exact int64 floor-division expression for Spark SQL (``pmod``
+    makes the numerator divisible, so ``div``'s truncation IS floor).
+    Stays in integer arithmetic — no double round-trip, exact for any
+    int64 timestamp, positive or pre-epoch."""
+    if b <= 0:
+        raise ValueError("bucket width must be positive")
+    return f"(({x}) - pmod({x}, {b})) div {b}"
+
+
+def _floor_div_duck(x: str, b: int) -> str:
+    """The same exact floor division spelled for DuckDB (no pmod
+    builtin; ``%`` is remainder, so fold it positive by hand)."""
+    if b <= 0:
+        raise ValueError("bucket width must be positive")
+    return f"(({x}) - ((({x}) % {b} + {b}) % {b})) // {b}"
+
+
 def interval_overlap_pairs(
     intervals: DataFrame,
     id_col: str,
@@ -142,17 +160,21 @@ def interval_overlap_pairs(
 
     Output: (a_id, b_id, overlap_us) with a_id < b_id,
     ``overlap_us = least(ends) - greatest(starts)`` (>= 0; 0 means
-    they touch at a point under the closed convention)."""
+    they touch at a point under the closed convention).
+
+    Bucket ids use EXACT integer floor division (``(x - pmod(x, b))
+    div b``), not ``div``: truncate-toward-zero would make bucket 0
+    span (-b, b) and leave the bucket grid engine-version-dependent
+    for pre-epoch timestamps. The SQL twin spells the identical floor
+    out with ``%``-based pmod, so both engines agree on every int64
+    input with no float round-trip."""
+    fd_s = _floor_div_sql(start_col, bucket_us)
+    fd_e = _floor_div_sql(end_col, bucket_us)
     buck = intervals.select(
         F.col(id_col),
         F.col(start_col).alias("s"),
         F.col(end_col).alias("e"),
-        F.explode(
-            F.sequence(
-                F.expr(f"{start_col} div {bucket_us}"),
-                F.expr(f"{end_col} div {bucket_us}"),
-            )
-        ).alias("bk"),
+        F.explode(F.sequence(F.expr(fd_s), F.expr(fd_e))).alias("bk"),
     )
     a, b = buck.alias("a"), buck.alias("b")
     pair_start = F.greatest(F.col("a.s"), F.col("b.s"))
@@ -166,7 +188,10 @@ def interval_overlap_pairs(
             & (F.col("b.s") <= F.col("a.e"))
             # canonical-bucket dedup: only the bucket holding the
             # overlap's left edge emits the pair
-            & (F.expr(f"greatest(a.s, b.s) div {bucket_us}") == F.col("a.bk")),
+            & (
+                F.expr(_floor_div_sql("greatest(a.s, b.s)", bucket_us))
+                == F.col("a.bk")
+            ),
         )
         .select(
             F.col(f"a.{id_col}").alias("a_id"),
@@ -185,11 +210,14 @@ def interval_overlap_pairs_sql(
     end_col: str = "end_us",
     bucket_us: int = 3_600_000_000,
 ) -> str:
+    fd_s = _floor_div_duck(start_col, bucket_us)
+    fd_e = _floor_div_duck(end_col, bucket_us)
+    fd_left = _floor_div_duck("greatest(a.s, b.s)", bucket_us)
     return f"""
 WITH iv AS ({intervals_sql}),
 buck AS (
   SELECT {id_col}, {start_col} AS s, {end_col} AS e,
-         unnest(generate_series({start_col} // {bucket_us}, {end_col} // {bucket_us})) AS bk
+         unnest(generate_series({fd_s}, {fd_e})) AS bk
   FROM iv
 )
 SELECT a.{id_col} AS a_id, b.{id_col} AS b_id,
@@ -197,5 +225,5 @@ SELECT a.{id_col} AS a_id, b.{id_col} AS b_id,
 FROM buck a JOIN buck b
   ON a.bk = b.bk AND a.{id_col} < b.{id_col}
  AND a.s <= b.e AND b.s <= a.e
- AND greatest(a.s, b.s) // {bucket_us} = a.bk
+ AND {fd_left} = a.bk
 """

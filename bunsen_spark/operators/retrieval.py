@@ -491,12 +491,18 @@ def mrr_by_query(
     every reciprocal is a whole integer and the metric is bit-exact
     across engines (the same trick as RRF fusion). Queries whose top-k
     contains no relevant neighbor score 0 with ``first_rel = 0``,
-    never dropped.
+    never dropped. ``k`` is capped at 42: lcm(1..43) exceeds int64, so
+    larger cutoffs cannot keep the scaled metric exact.
 
     100 TB design: ``run`` is a rank table (queries x k rows) and is
     BROADCAST against the corpus-sized label table twice (query label,
     neighbor label) — the labels never shuffle. Output:
     (query_id, first_rel, mrr_scaled)."""
+    if not 1 <= k <= 42:
+        raise ValueError(
+            "k must be in [1, 42]: lcm(1..43) overflows int64 and the "
+            "lcm-scaled reciprocal would stop being exact"
+        )
     scale = _lcm_1_to_k(k)
     lab = labels.select(F.col(id_col).alias("__id"), F.col(label_col).alias("__lab"))
     tagged = (
@@ -523,8 +529,11 @@ def mrr_by_query(
         .select(
             "query_id",
             F.coalesce(F.col("__fr"), F.lit(0)).cast("long").alias("first_rel"),
+            # integral division, NOT double `/`: lcm(1..k) exceeds the
+            # 2^53 double mantissa for k >= 41, so a float round-trip
+            # would diverge from the DuckDB oracle's integer `//`
             F.coalesce(
-                (F.lit(scale) / F.col("__fr")).cast("long"), F.lit(0).cast("long")
+                F.expr(f"{scale} div __fr"), F.lit(0).cast("long")
             ).alias("mrr_scaled"),
         )
     )

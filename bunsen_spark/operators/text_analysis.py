@@ -1183,17 +1183,26 @@ def gini_concentration(
         )
         .withColumn(
             "__num",
-            (2 * F.col("__ic") - (F.col("n_terms") + 1) * F.col("total_tokens"))
+            (
+                2 * F.col("__ic").cast("decimal(38,0)")
+                - (F.col("n_terms") + 1).cast("decimal(38,0)")
+                * F.col("total_tokens")
+            )
             * 1000000,
         )
-        .withColumn("__den", F.col("n_terms") * F.col("total_tokens"))
+        .withColumn(
+            "__den",
+            F.col("n_terms").cast("decimal(38,0)") * F.col("total_tokens"),
+        )
         .select(
             group_col,
             "n_terms",
             "total_tokens",
-            # integer floor division — matches DuckDB's // exactly (the
-            # numerator is >= 0 by the Chebyshev sum inequality, so
-            # floor == truncate here, but stay in int64 regardless)
+            # decimal(38,0) intermediates, same as fano_dispersion: at
+            # corpus scale n_terms·total_tokens·10⁶ blows past 2^63 and
+            # non-ANSI int64 would wrap silently while the DuckDB twin
+            # promotes to HUGEINT. div floor == trunc here since the
+            # numerator is >= 0 by the Chebyshev sum inequality.
             F.expr("__num div __den").cast("long").alias("gini_micro"),
         )
     )

@@ -75,13 +75,21 @@ def valueset_membership_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_linestatus")
         .agg(
             F.count("*").alias("n_items"),
-            F.sum("l_quantity").alias("sum_qty"),
+            # decimal-sum like every other qty/revenue gate (_dsum):
+            # emits double on BOTH engines regardless of whether the
+            # fixture types l_quantity as double or int64 — an int64
+            # column would otherwise sum to long in Spark but render
+            # float through DuckDB's hugeint→pandas path
+            F.sum(F.col("l_quantity").cast("decimal(20,6)"))
+            .cast("double")
+            .alias("sum_qty"),
         )
     )
 
 
 VALUESET_MEMBERSHIP_SQL = f"""
-SELECT l_linestatus, count(*) AS n_items, sum(l_quantity) AS sum_qty
+SELECT l_linestatus, count(*) AS n_items,
+       CAST(sum(CAST(l_quantity AS DECIMAL(20,6))) AS DOUBLE) AS sum_qty
 FROM lineitem
 WHERE EXISTS (
   SELECT 1 FROM part

@@ -595,10 +595,11 @@ def _peak_concurrency_sql() -> str:
 
 def purchase_session_overlaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucketed interval-overlap SELF-join (`operators/range_join.py:
-    interval_overlap_pairs`): per-user-hour error bursts (>= 2 error
-    events in an hour, interval = first..last) overlapping OTHER
-    users' bursts — the correlated-failure screen. Each true pair is
-    emitted exactly once via the canonical-bucket rule, no distinct."""
+    interval_overlap_pairs`): per-user-day purchase sessions (>= 2
+    purchase events in a day, interval = first..last purchase)
+    overlapping OTHER users' sessions — the concurrent-shopping
+    screen. Each true pair is emitted exactly once via the
+    canonical-bucket rule, no distinct."""
     from pyspark.sql import functions as F
 
     from . import ts_us
@@ -625,7 +626,7 @@ def purchase_session_overlaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return interval_overlap_pairs(iv, "iv_id")
 
 
-def _error_burst_sql() -> str:
+def _purchase_session_sql() -> str:
     from ..operators.range_join import interval_overlap_pairs_sql
 
     iv = (
@@ -648,6 +649,6 @@ QUERIES.update(
 ORACLES.update(
     {
         "peak_concurrency_daily": _peak_concurrency_sql(),
-        "purchase_session_overlaps": _error_burst_sql(),
+        "purchase_session_overlaps": _purchase_session_sql(),
     }
 )

@@ -333,3 +333,64 @@ def test_interval_overlap_pairs_canonical_bucket_dedup(spark):
         for r in interval_overlap_pairs(iv, "iv_id", bucket_us=B).collect()
     )
     assert got == [(1, 2, 230), (2, 3, 20)]
+
+
+def test_interval_overlap_pairs_pre_epoch_floor_buckets(spark):
+    """Negative (pre-epoch) timestamps: bucket ids must come from FLOOR
+    division on both engines. Truncate-toward-zero would give bucket 0
+    the doubled span (-B, B) and break the canonical-bucket dedup rule
+    for pairs whose overlap left edge is negative."""
+    import duckdb
+
+    from bunsen_spark.operators.range_join import (
+        interval_overlap_pairs,
+        interval_overlap_pairs_sql,
+    )
+
+    B = 100
+    rows = [
+        (1, -250, -30),   # floor buckets -3..-1
+        (2, -120, 40),    # overlaps 1 in [-120, -30], left edge bucket -2
+        (3, -95, -90),    # inside bucket -1, overlaps 1 and 2
+        (4, 150, 260),    # positive-side control, disjoint
+    ]
+    iv = spark.createDataFrame(rows, "iv_id long, start_us long, end_us long")
+    got = sorted(
+        (r["a_id"], r["b_id"], r["overlap_us"])
+        for r in interval_overlap_pairs(iv, "iv_id", bucket_us=B).collect()
+    )
+    assert got == [(1, 2, 90), (1, 3, 5), (2, 3, 5)]
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE ivsrc AS SELECT * FROM (VALUES "
+        + ", ".join(f"({a}, {s}, {e})" for a, s, e in rows)
+        + ") t(iv_id, start_us, end_us)"
+    )
+    sql = interval_overlap_pairs_sql("SELECT * FROM ivsrc", "iv_id", bucket_us=B)
+    want = sorted(tuple(r) for r in con.execute(sql).fetchall())
+    assert got == [tuple(map(int, w)) for w in want]
+
+
+def test_mrr_by_query_k_guard_and_integral_division(spark):
+    """k is capped where lcm(1..k) still fits int64, and the scaled
+    reciprocal must come from integer division: lcm(1..42) exceeds the
+    2^53 double mantissa, so a float round-trip would be off-by-ulp."""
+    import pytest as _pytest
+
+    from bunsen_spark.operators.retrieval import _lcm_1_to_k, mrr_by_query
+
+    labels = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b")], "vec_id long, label string"
+    )
+    run = spark.createDataFrame(
+        [(1, 3, 1), (1, 2, 41)], "query_id long, neighbor_id long, rank int"
+    )
+    out = {r["query_id"]: r for r in mrr_by_query(run, labels, 42).collect()}
+    scale = _lcm_1_to_k(42)
+    assert scale > 2**53  # the regime double division would corrupt
+    assert out[1]["first_rel"] == 41
+    assert out[1]["mrr_scaled"] == scale // 41  # exact integer quotient
+
+    with _pytest.raises(ValueError, match="42"):
+        mrr_by_query(run, labels, 43)

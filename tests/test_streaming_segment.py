@@ -6,6 +6,7 @@ the streamed state must equal the batch segment_state union."""
 from __future__ import annotations
 
 import json as jsonlib
+import os
 
 import pyspark.sql.types as T
 
@@ -60,6 +61,11 @@ def test_stream_segment_dedup_parity_with_batch(spark, tmp_path):
     with open(src / "b1.jsonl", "w") as f:
         for i, t in B1.items():
             f.write(jsonlib.dumps({"doc_id": i, "text": t}) + "\n")
+    # FileStreamSource orders files by modification time; back-to-back
+    # writes can land with equal mtimes and process b1 first, breaking
+    # the batch-order parity assumption. Pin distinct mtimes.
+    os.utime(src / "b0.jsonl", (1_000_000_000, 1_000_000_000))
+    os.utime(src / "b1.jsonl", (1_000_000_100, 1_000_000_100))
     stream = (
         spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", 1).json(str(src))
     )
