@@ -133,12 +133,72 @@ def _with_shingles(docs: DataFrame, n: int = SHINGLE_N) -> DataFrame:
 # -- exact set-Jaccard via inverted index ------------------------------------
 
 
+def _guarded_prefix_inputs(
+    docs: DataFrame,
+    n,
+    max_df: int,
+    portable: bool,
+    num: int,
+    den: int,
+    asymmetric: bool,
+    candidate_budget: int | None,
+):
+    """Shared regime guard of the exact set-overlap operators: build
+    the df-pruned postings + prefix ranking for shingle width ``n``,
+    then PROBE the prefix join's candidate volume from token histograms
+    (:func:`setjoin.prefix_candidate_volume`) BEFORE running it.
+
+    Prefix filtering is subquadratic only while rarest-prefix document
+    frequencies stay small; a saturated token space (tiny vocabulary at
+    short n — boilerplate mills, templated corpora) silently degrades
+    to the Σ df² ~ n² regime (PERF.md round-8: n=3 on the 61-word sf10
+    fixture ≈ 1e9 candidates, >1500 s). The guard costs two
+    vocabulary-sized aggregate jobs per tried width — constant work —
+    and either proves the join safe or refuses to run it.
+
+    ``n`` may be an int (probe once; raise if over budget) or ``"auto"``
+    (escalate 3→5→7→9 and use the first width whose probed volume fits
+    — wider shingles shrink df geometrically on saturated vocab).
+    ``candidate_budget`` defaults to ``max(2_000_000, 500 · n_docs)``:
+    generous linear headroom, but categorically below quadratic.
+    Returns ``(width, posts, ranked, sizes)``."""
+    from ..persist import release
+    from .setjoin import prefix_candidate_volume, ranked_tokens
+
+    widths = (n,) if isinstance(n, int) else (SHINGLE_N, 5, 7, 9)
+    if not isinstance(n, int) and n != "auto":
+        raise ValueError(f"n must be an int or 'auto', got {n!r}")
+    tried: list[tuple[int, int, int]] = []
+    for w in widths:
+        posts = materialize(_pruned_postings(docs, w, max_df, portable))
+        ranked, sizes = ranked_tokens(posts, has_df=True)
+        n_docs = sizes.count()
+        cap = (
+            candidate_budget
+            if candidate_budget is not None
+            else max(2_000_000, 500 * n_docs)
+        )
+        vol = prefix_candidate_volume(ranked, num, den, asymmetric=asymmetric)
+        if vol <= cap:
+            return w, posts, ranked, sizes
+        release(posts)
+        tried.append((w, vol, cap))
+    trail = "; ".join(f"n={w}: ~{v:,} candidates (budget {c:,})" for w, v, c in tried)
+    raise ValueError(
+        "shingle token space is saturated: the rarest-prefix candidate "
+        f"join would go quadratic ({trail}). Pass a larger shingle "
+        "width (n='auto' escalates 3→5→7→9 automatically), or raise "
+        "candidate_budget to force the join anyway."
+    )
+
+
 def jaccard_pairs(
     docs: DataFrame,
     n: int = SHINGLE_N,
     threshold: float = 0.5,
     max_df: int = 1000,
     portable: bool = False,
+    candidate_budget: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard near-dup pairs over word ``n``-gram shingle sets,
     via prefix-filtered candidate join; shingles with document
@@ -160,17 +220,24 @@ def jaccard_pairs(
     exact token equality and the positional-filter anchor argument
     holds. The pre-filters use a rational lower bound of ``threshold``
     (lossless — they may only relax), and the final comparison stays
-    the IEEE double ``inter/union >= threshold`` the oracle pins."""
+    the IEEE double ``inter/union >= threshold`` the oracle pins.
+
+    ``n='auto'`` (or any int width) runs through the saturation guard
+    (:func:`_guarded_prefix_inputs`): a histogram probe refuses — or,
+    for auto, escalates past — token spaces where the prefix join
+    would go quadratic."""
     from .setjoin import (
         _lossless_fraction,
         exact_intersections,
         jaccard_prefix_candidates,
-        ranked_tokens,
     )
 
     frac = _lossless_fraction(threshold)
-    posts = materialize(_pruned_postings(docs, n, max_df, portable))
-    ranked, sizes = ranked_tokens(posts, has_df=True)
+    _, posts, ranked, sizes = _guarded_prefix_inputs(
+        docs, n, max_df, portable,
+        frac.numerator, frac.denominator,
+        asymmetric=False, candidate_budget=candidate_budget,
+    )
     cands = jaccard_prefix_candidates(ranked, frac.numerator, frac.denominator)
     j = (
         exact_intersections(posts.select("doc_id", "tok"), cands, sizes)
@@ -214,6 +281,7 @@ def containment_pairs(
     threshold: float = 0.8,
     max_df: int = 1000,
     portable: bool = False,
+    candidate_budget: int | None = None,
 ) -> DataFrame:
     """Asymmetric containment near-dup pairs: C(A→B) = |A∩B| / |A| over
     word ``n``-gram shingle sets. Catches the doc-inside-doc cases that
@@ -232,17 +300,24 @@ def containment_pairs(
     contained side probed against full posting lists, lossless for the
     direction-either-way output), never an all-pairs posting expansion.
     The division is a single IEEE-exact op on integer-valued doubles,
-    so the DuckDB oracle reproduces it bit-for-bit."""
+    so the DuckDB oracle reproduces it bit-for-bit.
+
+    ``n='auto'`` (or any int width) runs through the saturation guard
+    (:func:`_guarded_prefix_inputs`): a histogram probe refuses — or,
+    for auto, escalates past — the saturated-vocabulary regime where
+    even the prefix×full join degrades to Σ df² (PERF.md round-8)."""
     from .setjoin import (
         _lossless_fraction,
         containment_prefix_candidates,
         exact_intersections,
-        ranked_tokens,
     )
 
     frac = _lossless_fraction(threshold)
-    posts = materialize(_pruned_postings(docs, n, max_df, portable))
-    ranked, sizes = ranked_tokens(posts, has_df=True)
+    _, posts, ranked, sizes = _guarded_prefix_inputs(
+        docs, n, max_df, portable,
+        frac.numerator, frac.denominator,
+        asymmetric=True, candidate_budget=candidate_budget,
+    )
     cands = containment_prefix_candidates(ranked, frac.numerator, frac.denominator)
     both = exact_intersections(
         posts.select("doc_id", "tok"), cands, sizes

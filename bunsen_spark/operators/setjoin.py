@@ -108,19 +108,71 @@ def ranked_tokens(toks: DataFrame, has_df: bool = False) -> tuple[DataFrame, Dat
     return ranked, sizes
 
 
+def _prefix_rows(ranked: DataFrame, num: int, den: int) -> DataFrame:
+    """The PPJoin prefix relation: each doc's first
+    ``sz - ceil(t*sz) + 1`` rarest tokens (integer ceil on ``t =
+    num/den``). Shared by both candidate generators and the
+    saturation probe so the three always agree on what "prefix"
+    means."""
+    prefix_len = (
+        F.col("sz") - ((F.col("sz") * num + (den - 1)) / den).cast("long") + 1
+    )
+    return ranked.where(F.col("rnk") <= prefix_len).select(
+        "doc_id", "tok", "sz", "rnk"
+    )
+
+
+def prefix_candidate_volume(
+    ranked: DataFrame, num: int, den: int, asymmetric: bool = False
+) -> int:
+    """Upper bound on the candidate-match rows the prefix join would
+    produce, computed from TOKEN HISTOGRAMS alone — Θ(distinct tokens),
+    never a pair row. This is the cheap df-distribution probe that
+    keeps the exact set-join family out of the silent-quadratic regime:
+    prefix filtering is only subquadratic when the rarest-prefix
+    document frequencies stay O(1), which real Zipf corpora deliver but
+    a SATURATED token space (tiny vocabulary, e.g. short n over a
+    boilerplate corpus) does not — there every prefix token is shared
+    by a constant fraction of the corpus and the join explodes as
+    Σ df² ~ n² (PERF.md round-8: the 61-word sf10 fixture put the n=3
+    join at ~1e9 candidates, >1500 s).
+
+    ``asymmetric=False`` bounds the Jaccard prefix×prefix self-join
+    (Σ c·(c-1)/2 over per-token prefix counts c); ``asymmetric=True``
+    bounds the containment prefix×full join (Σ p·(f-1) over prefix
+    count p and full df f). Both ignore the size and positional
+    filters, so they only over-estimate — a volume under budget is
+    PROOF the join is safe. Sums run in decimal(38,0): c² terms
+    overflow int64 exactly in the regimes the probe exists to catch.
+
+    One 1-row collect — driver coordination, documented; the aggregate
+    itself is map-side combinable and vocabulary-sized."""
+    prefix = _prefix_rows(ranked, num, den)
+    pc = prefix.groupBy("tok").agg(F.count(F.lit(1)).alias("p"))
+    if asymmetric:
+        fc = ranked.groupBy("tok").agg(F.count(F.lit(1)).alias("f"))
+        vol = pc.join(fc, "tok").select(
+            F.sum(
+                F.col("p").cast("decimal(38,0)") * (F.col("f") - 1)
+            ).alias("v")
+        )
+    else:
+        vol = pc.select(
+            F.sum(
+                F.col("p").cast("decimal(38,0)") * (F.col("p") - 1) / 2
+            ).cast("decimal(38,0)").alias("v")
+        )
+    row = vol.collect()[0][0]
+    return int(row) if row is not None else 0
+
+
 def jaccard_prefix_candidates(ranked: DataFrame, num: int, den: int) -> DataFrame:
     """PPJoin candidate pairs ``(doc_a, doc_b)`` with ``doc_a < doc_b``
     whose Jaccard CAN reach ``num/den`` — lossless by the prefix-filter
     theorem (pigeonhole on the required overlap), tightened by the size
     filter inside the join and the positional filter after it. See the
     module docstring for the plan shape and proof sketches."""
-    # prefix_len = sz - ceil(t*sz) + 1; ceil(num*sz/den) in integers
-    prefix_len = (
-        F.col("sz") - ((F.col("sz") * num + (den - 1)) / den).cast("long") + 1
-    )
-    prefix = ranked.where(F.col("rnk") <= prefix_len).select(
-        "doc_id", "tok", "sz", "rnk"
-    )
+    prefix = _prefix_rows(ranked, num, den)
     a, b = prefix.alias("a"), prefix.alias("b")
     matches = a.join(
         b,
@@ -177,12 +229,7 @@ def containment_prefix_candidates(ranked: DataFrame, num: int, den: int) -> Data
     prefix_df × df — rare-token-biased — instead of the df² of a full
     posting self-join. Size filter inside the join: containment needs
     inter <= min(|A|,|B|) >= t·|A|, i.e. |B|·den >= |A|·num."""
-    prefix_len = (
-        F.col("sz") - ((F.col("sz") * num + (den - 1)) / den).cast("long") + 1
-    )
-    prefix = ranked.where(F.col("rnk") <= prefix_len).select(
-        "doc_id", "tok", "sz", "rnk"
-    )
+    prefix = _prefix_rows(ranked, num, den)
     full = ranked.select("doc_id", "tok", "sz", "rnk")
     a, b = prefix.alias("a"), full.alias("b")
     matches = a.join(
@@ -254,7 +301,10 @@ def exact_intersections(
 
 
 def prefix_jaccard_pairs(
-    docs: DataFrame, threshold: float = 0.5, shingle_n: int = 0
+    docs: DataFrame,
+    threshold: float = 0.5,
+    shingle_n: int = 0,
+    candidate_budget: int | None = None,
 ) -> DataFrame:
     """ALL pairs of documents whose set-Jaccard similarity is
     ``>= threshold`` — exact, no probabilistic misses. The set is the
@@ -262,6 +312,13 @@ def prefix_jaccard_pairs(
     shingles (``shingle_n>=2``, the same sets the MinHash family
     banding approximates). Returns ``(doc_a, doc_b, inter, uni)``
     with ``doc_a < doc_b`` and exact intersection / union sizes.
+
+    Guarded against the saturated-token regime: before the candidate
+    join runs, a histogram probe (:func:`prefix_candidate_volume`)
+    bounds its row count and raises if it exceeds
+    ``candidate_budget`` (default ``max(2_000_000, 500 · n_docs)``)
+    — prefix filtering is only subquadratic while rarest-prefix dfs
+    stay O(1), and this operator's token space is caller-chosen.
     """
     frac = _threshold_fraction(threshold)
     num, den = frac.numerator, frac.denominator
@@ -281,6 +338,20 @@ def prefix_jaccard_pairs(
     # four times dominated the runtime (15.8 s -> see PERF.md)
     toks = materialize(sets.select("doc_id", F.explode("__s").alias("tok")))
     ranked, sizes = ranked_tokens(toks)
+    cap = (
+        candidate_budget
+        if candidate_budget is not None
+        else max(2_000_000, 500 * sizes.count())
+    )
+    vol = prefix_candidate_volume(ranked, num, den)
+    if vol > cap:
+        raise ValueError(
+            "token space is saturated for prefix filtering: the "
+            f"candidate join would produce ~{vol:,} match rows "
+            f"(budget {cap:,}). Use a larger shingle_n (wider shingles "
+            "shrink document frequencies geometrically) or raise "
+            "candidate_budget to force the join anyway."
+        )
     cands = jaccard_prefix_candidates(ranked, num, den)
     return (
         exact_intersections(toks, cands, sizes)

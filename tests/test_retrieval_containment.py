@@ -168,3 +168,40 @@ def test_bm25_rejects_bad_terms(spark):
         bm25_topk(df, ["ok", "bad term'"])
     with pytest.raises(ValueError, match="empty query"):
         bm25_topk(df, [])
+
+
+def test_saturation_guard_refuses_and_auto_escalates(spark):
+    """A saturated token space (every doc drawn from a 6-word vocab)
+    makes the n=3 prefix join quadratic; the histogram probe must
+    refuse it under a tight budget, name the measured volume, and the
+    'auto' width must escalate to a safe wider shingle instead."""
+    import itertools
+
+    from bunsen_spark.operators.dedup import containment_pairs, jaccard_pairs
+
+    vocab = ["ada", "bob", "cat", "dog", "eel", "fox"]
+    rows = [
+        (i, " ".join(p))
+        for i, p in enumerate(itertools.permutations(vocab))  # 720 docs
+    ]
+    df = _docs(spark, rows)
+
+    with pytest.raises(ValueError, match="saturated"):
+        jaccard_pairs(df, threshold=0.5, candidate_budget=1000).count()
+    with pytest.raises(ValueError, match="candidates"):
+        containment_pairs(df, threshold=0.8, candidate_budget=1000).count()
+
+    # auto: n=3 (and n=5) are saturated on 6-token docs, but width 7
+    # exceeds every doc's length, so each doc collapses to ONE 6-word
+    # shingle — unique per permutation — and the join is trivially safe
+    out = jaccard_pairs(df[df.doc_id < 20], n="auto", threshold=0.5,
+                        candidate_budget=1000)
+    assert out.count() == 0  # all 20 docs distinct at the chosen width
+
+
+def test_prefix_jaccard_pairs_budget_guard(spark):
+    from bunsen_spark.operators.setjoin import prefix_jaccard_pairs
+
+    rows = [(i, "same five words every doc") for i in range(30)]
+    with pytest.raises(ValueError, match="saturated"):
+        prefix_jaccard_pairs(_docs(spark, rows), 0.5, candidate_budget=10).count()
