@@ -142,42 +142,66 @@ def select_outliers(
     return outliers
 
 
-def _fresh_rerun(names: list[str], runs: int) -> dict[str, dict]:
-    """Re-measure each query in its own FRESH JVM: subprocess
-    re-invocation of this script with $SPARK_GRAFT_BENCH_ONLY=<name>.
-    One query per process — subprocesses run sequentially, after the
-    parent session is stopped, so only one Spark JVM exists at a time.
-    Returns name -> {"median": s, "spread": s} for runs that parsed."""
+def _fresh_once(name: str, runs: int) -> dict | None:
+    """One fresh-JVM measurement of one query: subprocess re-invocation
+    of this script with $SPARK_GRAFT_BENCH_ONLY=<name>. Returns
+    {"median": s, "spread": s, "runs": n} or None if the run failed."""
     import subprocess
 
+    env = dict(os.environ)
+    env["SPARK_GRAFT_BENCH_ONLY"] = name
+    env["SPARK_GRAFT_BENCH_RUNS"] = str(runs)
+    try:
+        proc = subprocess.run(
+            [sys.executable, str(Path(__file__).resolve())],
+            env=env,
+            capture_output=True,
+            text=True,
+            timeout=600,
+        )
+        last = proc.stdout.strip().splitlines()[-1]
+        child = json.loads(last)
+        med = child["queries"][name]
+        if med < 0:
+            return None
+        return {"median": med, "spread": child["spread"][name], "runs": runs}
+    except Exception as e:  # noqa: BLE001 — keep the in-session number
+        print(f"# fresh-session re-run failed for {name}: {e}", file=sys.stderr)
+        return None
+
+
+def _fresh_rerun(
+    names: list[str], runs: int, spread_thresh: float
+) -> dict[str, dict]:
+    """Re-measure each query in fresh JVMs until its spread clears the
+    bar — the artifact's own invariant ("no committed row above
+    spread_thresh"), ENFORCED rather than asserted: a first attempt
+    that still exceeds the bar gets one escalated retry with more
+    timed runs (more samples tighten the median AND the relative
+    spread of a genuinely stable query; a genuinely bimodal one keeps
+    its spread and is then committed with ``"unsettled": true`` so the
+    artifact never silently carries an unreproducible number).
+    Subprocesses run sequentially, after the parent session stops —
+    one Spark JVM at a time. Returns name -> {"median", "spread",
+    "runs"[, "unsettled"]} for runs that parsed."""
     out: dict[str, dict] = {}
     for name in names:
-        env = dict(os.environ)
-        env["SPARK_GRAFT_BENCH_ONLY"] = name
-        env["SPARK_GRAFT_BENCH_RUNS"] = str(runs)
-        try:
-            proc = subprocess.run(
-                [sys.executable, str(Path(__file__).resolve())],
-                env=env,
-                capture_output=True,
-                text=True,
-                timeout=600,
-            )
-            last = proc.stdout.strip().splitlines()[-1]
-            child = json.loads(last)
-            med = child["queries"][name]
-            if med >= 0:
-                out[name] = {
-                    "median": med,
-                    "spread": child["spread"][name],
-                }
-                print(
-                    f"# fresh-session {name}: {med}s "
-                    f"(spread {child['spread'][name]:.0%})",
-                    file=sys.stderr,
-                )
-        except Exception as e:  # noqa: BLE001 — keep the in-session number
-            print(f"# fresh-session re-run failed for {name}: {e}", file=sys.stderr)
+        best = _fresh_once(name, runs)
+        if best is not None and best["spread"] > spread_thresh and best["median"] > 0.15:
+            retry = _fresh_once(name, runs * 2 + 1)
+            if retry is not None and retry["spread"] < best["spread"]:
+                best = retry
+        if best is None:
+            continue
+        if best["spread"] > spread_thresh and best["median"] > 0.15:
+            best["unsettled"] = True
+        out[name] = best
+        note = " UNSETTLED" if best.get("unsettled") else ""
+        print(
+            f"# fresh-session {name}: {best['median']}s "
+            f"(spread {best['spread']:.0%}, n={best['runs']}){note}",
+            file=sys.stderr,
+        )
     return out
 
 
@@ -307,12 +331,20 @@ def main() -> None:
             file=sys.stderr,
         )
         spark.stop()  # one Spark JVM at a time
-        fresh = _fresh_rerun(outliers[:fresh_max], runs)
+        fresh = _fresh_rerun(outliers[:fresh_max], runs, spread_thresh)
         for n, f in fresh.items():
             f["in_session"] = {"median": timings[n], "spread": spreads[n]}
             timings[n] = f["median"]
             spreads[n] = f["spread"]
 
+    # The committed invariant: every row above the spread bar is either
+    # fresh-measured below it or explicitly annotated. Rows past the
+    # fresh-session cap (or whose re-runs stayed noisy) land here.
+    unsettled = sorted(
+        n
+        for n, s in spreads.items()
+        if s > spread_thresh and timings[n] > 0.15
+    )
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     full = {
         "metric": "headline_queries_total",
@@ -325,6 +357,7 @@ def main() -> None:
         "loadavg": {"before": load_before, "after": _loadavg()},
         "load_gate": load_gate,
         "fresh_session": fresh,
+        "unsettled": unsettled,
     }
     # The driver's capture keeps only the last ~2 KB of output, so a
     # 130-query JSON line gets its head truncated and fails to parse
@@ -353,6 +386,7 @@ def main() -> None:
         "n_queries": len(timings),
         "n_errors": len(errors),
         "n_fresh_session": len(fresh),
+        "n_unsettled": len(unsettled),
         "runs": runs,
         "loadavg": {"before": load_before, "after": _loadavg()},
         "load_gate": load_gate,
