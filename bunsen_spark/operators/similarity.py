@@ -1508,6 +1508,181 @@ def pq_index_topk(
     )
 
 
+def _ivfpq_residual_subs(embeddings: DataFrame, coarse: DataFrame, n_subs: int) -> DataFrame:
+    """(vec_id, ccid, sub, sq): coarse-assign each vector to its
+    nearest centroid and slice the integral residual (x − centroid)
+    into PQ subvectors — the shared encode substrate of the persisted
+    IVF-PQ index (same arithmetic as the inline :func:`ivfpq_topk`
+    corpus side, against a FROZEN ``coarse`` table)."""
+    full = _sub_quantized(embeddings, 1).transform(_spread)
+    resid = (
+        full.join(F.broadcast(coarse))
+        .select(
+            "vec_id",
+            "sq",
+            F.struct(
+                _d2(F.col("sq"), F.col("ccv")).alias("d2"),
+                F.col("ccid").alias("ccid"),
+                F.col("ccv").alias("ccv"),
+            ).alias("s"),
+        )
+        .groupBy("vec_id")
+        .agg(F.min("s").alias("s"), F.first("sq").alias("sq"))
+        .select(
+            "vec_id",
+            F.col("s.ccid").alias("ccid"),
+            F.zip_with("sq", "s.ccv", lambda x, y: x - y).alias("r"),
+        )
+    )
+    return resid.select("vec_id", "ccid", _slices("r", n_subs)).select(
+        "vec_id", "ccid", "p.sub", "p.sq"
+    )
+
+
+def _assign_residual_codes(rsubs: DataFrame, books: DataFrame) -> DataFrame:
+    """(vec_id, ccid, sub, code): nearest residual codeword per
+    subspace (ties by smallest cid, matching :func:`ivfpq_topk`).
+    Broadcast join + map-side argmin only."""
+    return (
+        rsubs.join(F.broadcast(books), "sub")
+        .select(
+            "vec_id",
+            "ccid",
+            "sub",
+            F.struct(
+                _d2(F.col("sq"), F.col("cv")).alias("d2"), F.col("cid").alias("cid")
+            ).alias("s"),
+        )
+        .groupBy("vec_id", "ccid", "sub")
+        .agg(F.min("s").alias("s"))
+        .select("vec_id", "ccid", "sub", F.col("s.cid").alias("code"))
+    )
+
+
+def ivfpq_encode(
+    embeddings: DataFrame,
+    coarse: DataFrame,
+    books: DataFrame,
+    n_subs: int = PQ_SUBS,
+) -> DataFrame:
+    """(vec_id, ccid, sub, code): full IVF-PQ encoding of vectors
+    against FROZEN quantizers — coarse cell assignment plus residual
+    codewords. This is what the index builder persists and what
+    streaming arrivals run
+    (:func:`bunsen_spark.streaming.ann.stream_ivfpq_encode`)."""
+    return _assign_residual_codes(
+        _ivfpq_residual_subs(embeddings, coarse, n_subs), books
+    )
+
+
+def write_ivfpq_index(
+    embeddings: DataFrame,
+    path: str,
+    n_coarse: int = IVF_CENTROIDS,
+    n_subs: int = PQ_SUBS,
+    n_codewords: int = PQ_K,
+    n_iters: int = KMEANS_ITERS,
+    mode: str = "error",
+) -> None:
+    """Train + persist an IVF-PQ index — the variant a 100 TB corpus
+    actually deploys (probe pruning × 8-byte codes COMPOSE):
+    ``{path}/coarse`` (ccid, ccv — the cell centroids),
+    ``{path}/books`` (sub, cid, cv — the residual codebooks, shared
+    across cells per standard IVFADC), and ``{path}/codes`` (vec_id,
+    ccid, sub, code). The raw vectors are read ONCE at build time;
+    every later search touches only codes + the two tiny broadcast
+    tables (:func:`ivfpq_index_topk`), and streaming arrivals append
+    codes against the frozen quantizers without retraining
+    (:func:`bunsen_spark.streaming.ann.stream_ivfpq_encode`).
+    ``(n_coarse, n_subs, n_codewords, n_iters)`` must stay constant
+    per index path. Same integer-lattice Lloyd as :func:`ivfpq_topk`,
+    so an index built and searched here reproduces the inline gate's
+    arithmetic bit-for-bit."""
+    full = materialize(_sub_quantized(embeddings, 1).transform(_spread))
+    coarse = _pq_train(full, _seed_ids(embeddings, n_coarse), n_iters).select(
+        F.col("cid").alias("ccid"), F.col("cv").alias("ccv")
+    ).transform(materialize)
+    coarse.write.mode(mode).parquet(f"{path}/coarse")
+    rsubs = materialize(_ivfpq_residual_subs(embeddings, coarse, n_subs))
+    books = _pq_train(
+        rsubs.select("vec_id", "sub", "sq"),
+        _seed_ids(embeddings, n_codewords),
+        n_iters,
+    ).transform(materialize)
+    books.write.mode(mode).parquet(f"{path}/books")
+    _assign_residual_codes(rsubs, books).write.mode(mode).parquet(f"{path}/codes")
+
+
+def read_ivfpq_index(spark, path: str) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(coarse, books, codes) of a persisted IVF-PQ index; codes merge
+    the batch-built base table with any ``{path}/codes_stream``
+    partitions the streaming encoder appended (same reader contract as
+    :func:`read_pq_index`)."""
+    from ..streaming.ann import read_stream_ivfpq_codes
+
+    return (
+        spark.read.parquet(f"{path}/coarse"),
+        spark.read.parquet(f"{path}/books"),
+        read_stream_ivfpq_codes(spark, path),
+    )
+
+
+def ivfpq_index_topk(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = IVF_PROBE,
+    n_subs: int = PQ_SUBS,
+) -> DataFrame:
+    """IVFADC top-k against a PERSISTED index: queries are (vec_id,
+    embedding) rows; each query probes its ``n_probe`` nearest coarse
+    cells and ADC-scores ONLY the codes in those cells through the
+    broadcast residual LUT — the raw corpus vectors are never touched,
+    and the scan is cut corpus/n_coarse × n_probe on top of the 8-byte
+    reads. Output: (query_id, neighbor_id, rank); self-matches
+    excluded so querying corpus members behaves like
+    :func:`ivfpq_topk`."""
+    coarse, books, codes = read_ivfpq_index(spark, path)
+    qfull = _sub_quantized(queries, 1).select(
+        F.col("vec_id").alias("query_id"), F.col("sq").alias("qsq")
+    )
+    qscored = qfull.join(F.broadcast(coarse)).select(
+        "query_id",
+        "ccid",
+        _d2(F.col("qsq"), F.col("ccv")).alias("cd2"),
+        F.zip_with("qsq", "ccv", lambda x, y: x - y).alias("qr"),
+    )
+    pw = Window.partitionBy("query_id").orderBy(F.asc("cd2"), F.asc("ccid"))
+    probes = (
+        qscored.withColumn("rn", F.row_number().over(pw))
+        .where(F.col("rn") <= n_probe)
+        .select("query_id", "ccid", "qr")
+    )
+    qrsubs = probes.select("query_id", "ccid", _slices("qr", n_subs)).select(
+        "query_id", "ccid", F.col("p.sub").alias("sub"), F.col("p.sq").alias("qsq")
+    )
+    lut = qrsubs.join(F.broadcast(books), "sub").select(
+        "query_id",
+        "ccid",
+        "sub",
+        F.col("cid").alias("code"),
+        _d2(F.col("qsq"), F.col("cv")).alias("d2"),
+    )
+    adc = (
+        codes.join(F.broadcast(lut), ["ccid", "sub", "code"])
+        .where(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("d2").alias("adc"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("neighbor_id"))
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
 def mmr_select(
     embeddings: DataFrame,
     query_id: int = 0,

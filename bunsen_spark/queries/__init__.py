@@ -280,7 +280,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # stdlib, so a failure here is a bug that must surface, not a
     # missing optional dependency (silently dropping a module would
     # shrink the correctness gate by 20+ queries)
-    from . import domain, pipeline, pipeline_extra, pipeline_r5, pipeline_r5b, pipeline_r7, pipeline_r7b, pipeline_r8, relational, tpch_extra
+    from . import domain, pipeline, pipeline_extra, pipeline_r5, pipeline_r5b, pipeline_r7, pipeline_r7b, pipeline_r8, pipeline_r9, relational, tpch_extra
 
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     out.update(relational.QUERIES)
@@ -292,12 +292,13 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(pipeline_r7.QUERIES)
     out.update(pipeline_r7b.QUERIES)
     out.update(pipeline_r8.QUERIES)
+    out.update(pipeline_r9.QUERIES)
     out.update(domain.QUERIES)
     return _reorder(out)
 
 
 def all_oracles() -> dict[str, str]:
-    from . import domain, pipeline, pipeline_extra, pipeline_r5, pipeline_r5b, pipeline_r7, pipeline_r7b, pipeline_r8, relational, tpch_extra
+    from . import domain, pipeline, pipeline_extra, pipeline_r5, pipeline_r5b, pipeline_r7, pipeline_r7b, pipeline_r8, pipeline_r9, relational, tpch_extra
 
     out: dict[str, str] = {}
     out.update(relational.ORACLES)
@@ -309,5 +310,6 @@ def all_oracles() -> dict[str, str]:
     out.update(pipeline_r7.ORACLES)
     out.update(pipeline_r7b.ORACLES)
     out.update(pipeline_r8.ORACLES)
+    out.update(pipeline_r9.ORACLES)
     out.update(domain.ORACLES)
     return _reorder(out)

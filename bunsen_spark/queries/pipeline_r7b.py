@@ -351,34 +351,11 @@ QUERIES.update({"quality_dup_decile_counts": quality_dup_decile_counts})
 ORACLES.update({"quality_dup_decile_counts": _qdup_sql()})
 
 
-def ann_recall_jl(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall@5 of the JL-projected ANN against the exact scan
-    (`operators/retrieval.py:topk_overlap`) — the index-quality
-    regression gate for the whole approximate family."""
-    from ..operators.retrieval import topk_overlap
-    from ..operators.similarity import brute_force_topk, jl_topk
-
-    emb = load(spark, sf_dir, "embeddings")
-    return topk_overlap(
-        brute_force_topk(emb, 5, 32), jl_topk(emb, 5, 32), 5
-    )
-
-
-def _ann_recall_sql() -> str:
-    from ..operators.retrieval import topk_overlap_sql
-    from ..operators.similarity import brute_force_topk_sql, jl_topk_sql
-
-    return topk_overlap_sql(
-        brute_force_topk_sql("embeddings", 5, 32),
-        jl_topk_sql("embeddings", 5, 32),
-        5,
-    )
-
-
-QUERIES.update({"ann_recall_jl": ann_recall_jl})
-ORACLES.update({"ann_recall_jl": _ann_recall_sql()})
-
-
+# ann_recall_jl was folded into ann_recall_scorecard (round 9): the
+# scorecard's "jl" row is the identical topk_overlap(brute, jl) table,
+# so the standalone gate was a strict near-duplicate. Its registry
+# slot paid for ann_ivfpq_index_topk (registry frozen at 182 per
+# VERDICT r8 #1).
 def ann_recall_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@5 of every closed-form ANN variant (JL projection,
     hyperplane LSH, seeded IVF) against the exact scan in ONE table

@@ -61,11 +61,62 @@ def read_stream_codes(spark, index_path: str) -> DataFrame:
     """All codes of a streamed-into index: the batch-built base codes
     plus every streaming append — the frame :func:`pq_index_topk`-style
     scoring consumes."""
-    base = spark.read.parquet(f"{index_path}/codes").select("vec_id", "sub", "code")
+    return _merged_codes(spark, index_path, ["vec_id", "sub", "code"])
+
+
+def _merged_codes(spark, index_path: str, cols: list[str]) -> DataFrame:
+    base = spark.read.parquet(f"{index_path}/codes").select(*cols)
     try:
-        extra = spark.read.parquet(f"{index_path}/codes_stream").select(
-            "vec_id", "sub", "code"
-        )
+        extra = spark.read.parquet(f"{index_path}/codes_stream").select(*cols)
     except Exception:  # noqa: BLE001 — no streaming appends yet
         return base
     return base.unionByName(extra)
+
+
+def stream_ivfpq_encode(
+    embeddings_stream: DataFrame,
+    index_path: str,
+    checkpoint: str,
+    n_subs: int | None = None,
+    trigger_available_now: bool = True,
+):
+    """Append IVF-PQ codes for streaming (vec_id, embedding) rows to
+    ``{index_path}/codes_stream``: each arrival is coarse-assigned to
+    its nearest FROZEN cell centroid and its residual encoded against
+    the FROZEN shared codebooks — the standard IVFADC online-insert
+    path (no retraining; geometry pinned by
+    :func:`operators.similarity.write_ivfpq_index`). Both quantizer
+    tables are read once per micro-batch (tiny; broadcast by the
+    encoder); replayed batches dynamic-overwrite their own partition
+    (idempotent). Readers merge base + stream via
+    :func:`read_stream_ivfpq_codes`, which
+    :func:`operators.similarity.read_ivfpq_index` delegates to."""
+    from ..operators.similarity import PQ_SUBS, ivfpq_encode
+
+    subs = PQ_SUBS if n_subs is None else n_subs
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        coarse = spark.read.parquet(f"{index_path}/coarse")
+        books = spark.read.parquet(f"{index_path}/books")
+        (
+            ivfpq_encode(batch_df, coarse, books, subs)
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(f"{index_path}/codes_stream")
+        )
+
+    writer = embeddings_stream.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_stream_ivfpq_codes(spark, index_path: str) -> DataFrame:
+    """All (vec_id, ccid, sub, code) rows of a streamed-into IVF-PQ
+    index — batch-built base plus streaming appends."""
+    return _merged_codes(spark, index_path, ["vec_id", "ccid", "sub", "code"])

@@ -89,3 +89,80 @@ def test_stream_pq_encode_equals_batch(spark, sf_dir, tmp_path):
         (r["vec_id"], r["sub"], r["code"]) for r in codes.collect()
     )
     assert merged == want
+
+
+def test_ivfpq_index_roundtrip_equals_operator(spark, sf_dir, tmp_path):
+    """Build-once/search-many: an IVF-PQ search that reads only the
+    persisted codes (+ broadcast coarse/books) must equal the inline
+    operator on the same corpus — training is deterministic, so any
+    drift would be a persistence bug."""
+    from bunsen_spark.operators.similarity import (
+        ivfpq_index_topk,
+        ivfpq_topk,
+        write_ivfpq_index,
+    )
+
+    emb = _emb(spark, sf_dir)
+    path = str(tmp_path / "ivfpq")
+    write_ivfpq_index(emb, path)
+    queries = emb.where(F.col("vec_id") < 8)
+    got = sorted(
+        map(tuple, ivfpq_index_topk(spark, path, queries, k=5).collect())
+    )
+    want = sorted(map(tuple, ivfpq_topk(emb, k=5, num_queries=8).collect()))
+    assert got == want
+
+
+def test_stream_ivfpq_encode_equals_batch(spark, sf_dir, tmp_path):
+    """Streaming arrivals encoded against the FROZEN coarse centroids +
+    residual books must byte-equal the batch encoder, and the merged
+    index view must include them."""
+    import json as jsonlib
+    import os
+
+    from bunsen_spark.operators.similarity import (
+        ivfpq_encode,
+        read_ivfpq_index,
+        write_ivfpq_index,
+    )
+    from bunsen_spark.streaming.ann import (
+        read_stream_ivfpq_codes,
+        stream_ivfpq_encode,
+    )
+
+    emb = _emb(spark, sf_dir)
+    base = emb.where(F.col("vec_id") < 300)
+    late = emb.where(F.col("vec_id") >= 300)
+    path = str(tmp_path / "ivfpq")
+    # quantizers train on the BASE sample only — the production split
+    write_ivfpq_index(base, path)
+
+    src = tmp_path / "arrivals"
+    src.mkdir()
+    rows = late.collect()
+    for b in range(2):
+        with open(src / f"b{b}.jsonl", "w") as f:
+            for r in rows[b::2]:
+                f.write(
+                    jsonlib.dumps(
+                        {"vec_id": r["vec_id"], "embedding": list(r["embedding"])}
+                    )
+                    + "\n"
+                )
+        os.utime(src / f"b{b}.jsonl", (1_000_000_000 + b, 1_000_000_000 + b))
+    stream = (
+        spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", 1).json(str(src))
+    )
+    q = stream_ivfpq_encode(stream, path, str(tmp_path / "ckpt"))
+    q.awaitTermination(180)
+
+    coarse = spark.read.parquet(f"{path}/coarse")
+    books = spark.read.parquet(f"{path}/books")
+    key = lambda r: (r["vec_id"], r["ccid"], r["sub"], r["code"])  # noqa: E731
+    got = sorted(map(key, read_stream_ivfpq_codes(spark, path).collect()))
+    want = sorted(map(key, ivfpq_encode(emb, coarse, books).collect()))
+    assert got == want
+
+    # the index reader must see the SAME merged view
+    _, _, codes = read_ivfpq_index(spark, path)
+    assert sorted(map(key, codes.collect())) == want
