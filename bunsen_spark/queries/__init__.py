@@ -62,49 +62,19 @@ def ts_us(df: DataFrame, col: str = "ts"):
 #      stalest-check-first (regenerate with
 #      ``python tools/gen_driver_order.py --write`` each round).
 
-# round 8: gates whose operator code was touched this round (appended
-# as modules change; reset at round start per VERDICT r7 #6).
-# So far: engagement.py rfm null-safety (ADVICE r7), sampling.py
-# interleave typed weights, similarity.py spread-cache key + pq-index
-# stream merge (the ann gates share _spread).
-_CHANGED_THIS_ROUND: list[str] = [
-    "valueset_membership_lineitem",
-    "dedup_containment",
-    "dedup_minhash_lsh",
-    "dedup_embedding",
-    "rfm_user_segments",
-    "interleave_mix_positions",
-    "ann_brute_topk",
-    "ann_lsh_topk",
-    "ann_ivf_topk",
-    "ann_ivf_kmeans_topk",
-    "ann_pq_topk",
-    "ann_ivfpq_topk",
-    "ann_jl_topk",
-]
+# round 9: EMPTY by exception. The driver prefix (50 rows) is dedicated
+# to the 51-gate staleness backlog this round (VERDICT r8 #1: every gate
+# whose last driver row is round 4-5 must get a fresh row). Gates whose
+# operator code DID change this round (valueset_membership_lineitem,
+# dedup_containment/jaccard/prefix_jaccard, gini_source_concentration,
+# retrieval_mrr_variants, purchase_session_overlaps, + new
+# ann_ivfpq_index_topk) were each hash-verified locally against the
+# DuckDB oracle on canonical /root/testdata/sf0.01 this round and are
+# pinned in _DRIVER_ORDER immediately AFTER the backlog, so they lead
+# the round-10 prefix.
+_CHANGED_THIS_ROUND: list[str] = []
 _DRIVER_ORDER = [
     # last driver row: round 4
-    "cube_revenue",
-    "customers_without_orders",
-    "dedup_embedding",
-    "dedup_exact",
-    "dedup_incremental",
-    "dedup_keep_best",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "events_daily_active_users",
-    "hopping_window_counts",
-    "pivot_user_events",
-    "q11_important_parts",
-    "q12_priority_shipping",
-    "q13_customer_distribution",
-    "q20_significant_suppliers",
-    "q6_forecast_revenue",
-    "q8_market_share",
-    "q9_product_profit",
-    "rollup_returns",
-    "sessionize_events_bucketed",
-    "skew_salted_order_totals",
     "suppliers_with_large_shipments",
     "text_language_id",
     "text_quality",
@@ -157,6 +127,17 @@ _DRIVER_ORDER = [
     "split_leakage_pairs",
     "temperature_mix_counts",
     "text_bigram_surprisal",
+    # round-9 code-touched (locally hash-verified this round; queued
+    # AFTER the staleness backlog per VERDICT r8 #1 — see note above
+    # _CHANGED_THIS_ROUND) + the one new gate ann_ivfpq_index_topk
+    "valueset_membership_lineitem",
+    "dedup_containment",
+    "dedup_jaccard",
+    "dedup_prefix_jaccard",
+    "gini_source_concentration",
+    "retrieval_mrr_variants",
+    "purchase_session_overlaps",
+    "ann_ivfpq_index_topk",
     # last driver row: round 6
     "asof_forward_next_view",
     "asof_purchase_last_view",
@@ -201,13 +182,6 @@ _DRIVER_ORDER = [
     "window_running_value_bucketed",
     "window_running_value_hotkey",
     # last driver row: round 7
-    "ann_brute_topk",
-    "ann_ivf_kmeans_topk",
-    "ann_ivf_topk",
-    "ann_ivfpq_topk",
-    "ann_jl_topk",
-    "ann_lsh_topk",
-    "ann_pq_topk",
     "ann_recall_jl",
     "ann_recall_scorecard",
     "bot_cadence_users",
@@ -219,9 +193,6 @@ _DRIVER_ORDER = [
     "cluster_safe_split_counts",
     "coverage_select_docs",
     "cusum_event_alerts",
-    "dedup_containment",
-    "dedup_jaccard",
-    "dedup_prefix_jaccard",
     "dsir_importance_scores",
     "embedding_drift_labels",
     "embedding_gram_matrix",
@@ -231,7 +202,6 @@ _DRIVER_ORDER = [
     "global_rank_orders",
     "hard_negatives_topk",
     "histogram_drift_chars",
-    "interleave_mix_positions",
     "knn_label_accuracy",
     "mad_outlier_orders",
     "mmr_diverse_topk",
@@ -241,16 +211,60 @@ _DRIVER_ORDER = [
     "pareto_docs",
     "pmi_collocations",
     "quality_dup_decile_counts",
-    "rfm_user_segments",
     "rrf_fused_topk",
     "semantic_dedup_drops",
     "text_fingerprint",
     "text_surprisal_score",
-    "valueset_membership_lineitem",
     "vocab_encode_checksums",
     "vocab_shift_even_odd",
     "waterfill_lang_budget",
     "winsorized_price_stats",
+    # last driver row: round 8
+    "ann_brute_topk",
+    "ann_hamming_topk",
+    "ann_ivf_kmeans_topk",
+    "ann_ivf_probe_curve",
+    "ann_ivf_topk",
+    "ann_ivfpq_topk",
+    "ann_jl_topk",
+    "ann_lsh_topk",
+    "ann_pq_topk",
+    "bursty_event_types",
+    "centroid_label_topk",
+    "cube_revenue",
+    "cumulative_distinct_users",
+    "customers_without_orders",
+    "dedup_embedding",
+    "dedup_exact",
+    "dedup_incremental",
+    "dedup_keep_best",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "events_daily_active_users",
+    "funnel_within_hour",
+    "grouping_sets_revenue",
+    "hopping_window_counts",
+    "interleave_mix_positions",
+    "peak_concurrency_daily",
+    "pivot_shipmode_year",
+    "pivot_user_events",
+    "q11_important_parts",
+    "q12_priority_shipping",
+    "q13_customer_distribution",
+    "q20_significant_suppliers",
+    "q6_forecast_revenue",
+    "q8_market_share",
+    "q9_product_profit",
+    "rfm_user_segments",
+    "rolling_7d_value_extrema",
+    "rollup_returns",
+    "segment_dedup_texts",
+    "sessionize_events_bucketed",
+    "shard_snake_mass",
+    "skew_salted_order_totals",
+    "user_activity_islands",
+    "weighted_median_prices",
+    "zipf_stats_by_source",
 ]
 
 
