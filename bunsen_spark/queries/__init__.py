@@ -182,7 +182,6 @@ _DRIVER_ORDER = [
     "window_running_value_bucketed",
     "window_running_value_hotkey",
     # last driver row: round 7
-    "ann_recall_jl",
     "ann_recall_scorecard",
     "bot_cadence_users",
     "bpe_fertility_by_lang",

@@ -71,7 +71,6 @@ HEAVY = [
     "embedding_drift_labels",
     "zipf_stats_by_source",
     "quality_dup_decile_counts",
-    "ann_recall_jl",
     "ann_recall_scorecard",
     "cusum_event_alerts",
     "segment_dedup_texts",
