@@ -87,6 +87,7 @@ HEAVY = [
     "ann_ivf_probe_curve",
     "peak_concurrency_daily",
     "purchase_session_overlaps",
+    "ann_ivfpq_index_topk",
 ]
 
 
