@@ -172,13 +172,16 @@ def _guarded_prefix_inputs(
     for w in widths:
         posts = materialize(_pruned_postings(docs, w, max_df, portable))
         ranked, sizes = ranked_tokens(posts, has_df=True)
-        n_docs = sizes.count()
-        cap = (
-            candidate_budget
-            if candidate_budget is not None
-            else max(2_000_000, 500 * n_docs)
-        )
         vol = prefix_candidate_volume(ranked, num, den, asymmetric=asymmetric)
+        # the n_docs count job only runs when the absolute floor alone
+        # can't already admit the join — the common (healthy-corpus)
+        # case pays exactly one probe aggregate
+        if candidate_budget is not None:
+            cap = candidate_budget
+        elif vol <= 2_000_000:
+            cap = 2_000_000
+        else:
+            cap = max(2_000_000, 500 * sizes.count())
         if vol <= cap:
             return w, posts, ranked, sizes
         release(posts)

@@ -338,12 +338,14 @@ def prefix_jaccard_pairs(
     # four times dominated the runtime (15.8 s -> see PERF.md)
     toks = materialize(sets.select("doc_id", F.explode("__s").alias("tok")))
     ranked, sizes = ranked_tokens(toks)
-    cap = (
-        candidate_budget
-        if candidate_budget is not None
-        else max(2_000_000, 500 * sizes.count())
-    )
     vol = prefix_candidate_volume(ranked, num, den)
+    if candidate_budget is not None:
+        cap = candidate_budget
+    elif vol <= 2_000_000:
+        # absolute floor admits the join without the n_docs count job
+        cap = 2_000_000
+    else:
+        cap = max(2_000_000, 500 * sizes.count())
     if vol > cap:
         raise ValueError(
             "token space is saturated for prefix filtering: the "

@@ -394,3 +394,32 @@ def test_mrr_by_query_k_guard_and_integral_division(spark):
 
     with _pytest.raises(ValueError, match="42"):
         mrr_by_query(run, labels, 43)
+
+
+def test_floor_div_helpers_match_python_floor(spark):
+    """Property check: both engines' spelled-out floor divisions equal
+    Python's // on a hostile grid of signed values and bucket widths
+    (exact multiples, off-by-one around them, int64-extreme-ish)."""
+    import duckdb
+
+    from bunsen_spark.operators.range_join import _floor_div_duck, _floor_div_sql
+
+    xs = [0, 1, -1, 99, 100, 101, -99, -100, -101, 2**40 + 7, -(2**40) - 7,
+          3_600_000_000, -3_600_000_001]
+    for b in (1, 7, 100, 3_600_000_000):
+        want = [x // b for x in xs]
+        got_spark = [
+            r[0]
+            for r in spark.createDataFrame([(x,) for x in xs], "x long")
+            .selectExpr(_floor_div_sql("x", b))
+            .collect()
+        ]
+        assert got_spark == want, f"spark floor-div mismatch at b={b}"
+        con = duckdb.connect()
+        got_duck = [
+            con.execute(
+                f"SELECT {_floor_div_duck(str(x), b)}"
+            ).fetchone()[0]
+            for x in xs
+        ]
+        assert got_duck == want, f"duckdb floor-div mismatch at b={b}"
