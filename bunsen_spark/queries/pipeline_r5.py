@@ -390,13 +390,25 @@ def curation_pipeline_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.sampling import cap_per_group, quantile_filter, split_assign
     from ..operators.text_analysis import quality_score
 
+    from ..persist import materialize
+
     docs = load(spark, sf_dir, "documents")
     scored = docs.join(
         quality_score(docs).select("doc_id", "quality_score"), "doc_id"
     )
-    bar = quantile_filter(scored, "lang", "quality_score", q=CURATION_QUANTILE)
-    exact = bar.join(
-        exact_dedup(bar).select(F.col("keep_id").alias("doc_id")), "doc_id"
+    # bar and exact each feed TWO consumers (the dedup digest aggregate
+    # AND the survivor join-back; the LSH signature build AND the
+    # keep-best join). Unmaterialized, each subtree — including the
+    # corpus scan + quality scoring under it — executes twice in the
+    # final plan: measured 6.1 s -> 4.5 s at sf0.1, and at 100 TB the
+    # recompute would be two extra full-corpus passes.
+    bar = materialize(
+        quantile_filter(scored, "lang", "quality_score", q=CURATION_QUANTILE)
+    )
+    exact = materialize(
+        bar.join(
+            exact_dedup(bar).select(F.col("keep_id").alias("doc_id")), "doc_id"
+        )
     )
     near = near_dup_filter_best(
         exact, minhash_lsh_pairs(exact, portable=True), "quality_score"
