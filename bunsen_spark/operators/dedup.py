@@ -161,9 +161,12 @@ def _guarded_prefix_inputs(
     — wider shingles shrink df geometrically on saturated vocab).
     ``candidate_budget`` defaults to ``max(2_000_000, 500 · n_docs)``:
     generous linear headroom, but categorically below quadratic.
-    Returns ``(width, posts, ranked, sizes)``."""
+    Returns ``(width, posts, ranked, sizes, prefix)`` — ``prefix`` is
+    the MATERIALIZED prefix relation the probe already computed; the
+    caller passes it to its candidate generator so the per-doc ranking
+    window executes exactly once."""
     from ..persist import release
-    from .setjoin import prefix_candidate_volume, ranked_tokens
+    from .setjoin import _prefix_rows, prefix_candidate_volume, ranked_tokens
 
     widths = (n,) if isinstance(n, int) else (SHINGLE_N, 5, 7, 9)
     if not isinstance(n, int) and n != "auto":
@@ -172,7 +175,10 @@ def _guarded_prefix_inputs(
     for w in widths:
         posts = materialize(_pruned_postings(docs, w, max_df, portable))
         ranked, sizes = ranked_tokens(posts, has_df=True)
-        vol = prefix_candidate_volume(ranked, num, den, asymmetric=asymmetric)
+        prefix = materialize(_prefix_rows(ranked, num, den))
+        vol = prefix_candidate_volume(
+            ranked, num, den, asymmetric=asymmetric, prefix=prefix
+        )
         # the n_docs count job only runs when the absolute floor alone
         # can't already admit the join — the common (healthy-corpus)
         # case pays exactly one probe aggregate
@@ -183,7 +189,8 @@ def _guarded_prefix_inputs(
         else:
             cap = max(2_000_000, 500 * sizes.count())
         if vol <= cap:
-            return w, posts, ranked, sizes
+            return w, posts, ranked, sizes, prefix
+        release(prefix)
         release(posts)
         tried.append((w, vol, cap))
     trail = "; ".join(f"n={w}: ~{v:,} candidates (budget {c:,})" for w, v, c in tried)
@@ -236,12 +243,14 @@ def jaccard_pairs(
     )
 
     frac = _lossless_fraction(threshold)
-    _, posts, ranked, sizes = _guarded_prefix_inputs(
+    _, posts, ranked, sizes, prefix = _guarded_prefix_inputs(
         docs, n, max_df, portable,
         frac.numerator, frac.denominator,
         asymmetric=False, candidate_budget=candidate_budget,
     )
-    cands = jaccard_prefix_candidates(ranked, frac.numerator, frac.denominator)
+    cands = jaccard_prefix_candidates(
+        ranked, frac.numerator, frac.denominator, prefix=prefix
+    )
     j = (
         exact_intersections(posts.select("doc_id", "tok"), cands, sizes)
         .select(
@@ -316,12 +325,14 @@ def containment_pairs(
     )
 
     frac = _lossless_fraction(threshold)
-    _, posts, ranked, sizes = _guarded_prefix_inputs(
+    _, posts, ranked, sizes, prefix = _guarded_prefix_inputs(
         docs, n, max_df, portable,
         frac.numerator, frac.denominator,
         asymmetric=True, candidate_budget=candidate_budget,
     )
-    cands = containment_prefix_candidates(ranked, frac.numerator, frac.denominator)
+    cands = containment_prefix_candidates(
+        ranked, frac.numerator, frac.denominator, prefix=prefix
+    )
     both = exact_intersections(
         posts.select("doc_id", "tok"), cands, sizes
     ).withColumnsRenamed({"doc_a": "a_id", "doc_b": "b_id"})

@@ -113,17 +113,25 @@ def _prefix_rows(ranked: DataFrame, num: int, den: int) -> DataFrame:
     ``sz - ceil(t*sz) + 1`` rarest tokens (integer ceil on ``t =
     num/den``). Shared by both candidate generators and the
     saturation probe so the three always agree on what "prefix"
-    means."""
+    means. Carries ``df`` so the asymmetric probe can bound the
+    prefix×full join without touching the full relation. Callers that
+    consume the prefix twice (probe + candidates) should
+    ``materialize`` it once and pass it through the ``prefix=``
+    parameters — the ranking window then runs a single time."""
     prefix_len = (
         F.col("sz") - ((F.col("sz") * num + (den - 1)) / den).cast("long") + 1
     )
     return ranked.where(F.col("rnk") <= prefix_len).select(
-        "doc_id", "tok", "sz", "rnk"
+        "doc_id", "tok", "sz", "rnk", "df"
     )
 
 
 def prefix_candidate_volume(
-    ranked: DataFrame, num: int, den: int, asymmetric: bool = False
+    ranked: DataFrame,
+    num: int,
+    den: int,
+    asymmetric: bool = False,
+    prefix: DataFrame | None = None,
 ) -> int:
     """Upper bound on the candidate-match rows the prefix join would
     produce, computed from TOKEN HISTOGRAMS alone — Θ(distinct tokens),
@@ -139,24 +147,29 @@ def prefix_candidate_volume(
 
     ``asymmetric=False`` bounds the Jaccard prefix×prefix self-join
     (Σ c·(c-1)/2 over per-token prefix counts c); ``asymmetric=True``
-    bounds the containment prefix×full join (Σ p·(f-1) over prefix
-    count p and full df f). Both ignore the size and positional
-    filters, so they only over-estimate — a volume under budget is
-    PROOF the join is safe. Sums run in decimal(38,0): c² terms
-    overflow int64 exactly in the regimes the probe exists to catch.
+    bounds the containment prefix×full join (Σ (df−1) over the prefix
+    rows — each prefix row meets every OTHER posting of its token, and
+    the per-token document frequency already rides on the row, so no
+    second full-relation aggregate runs). Both ignore the size and
+    positional filters, so they only over-estimate — a volume under
+    budget is PROOF the join is safe. Sums run in decimal(38,0): c²
+    terms overflow int64 exactly in the regimes the probe exists to
+    catch.
+
+    Pass a pre-``materialize``d ``prefix`` (from :func:`_prefix_rows`)
+    when the caller will also feed it to a candidate generator — the
+    ranking window then executes once for both.
 
     One 1-row collect — driver coordination, documented; the aggregate
     itself is map-side combinable and vocabulary-sized."""
-    prefix = _prefix_rows(ranked, num, den)
-    pc = prefix.groupBy("tok").agg(F.count(F.lit(1)).alias("p"))
+    if prefix is None:
+        prefix = _prefix_rows(ranked, num, den)
     if asymmetric:
-        fc = ranked.groupBy("tok").agg(F.count(F.lit(1)).alias("f"))
-        vol = pc.join(fc, "tok").select(
-            F.sum(
-                F.col("p").cast("decimal(38,0)") * (F.col("f") - 1)
-            ).alias("v")
+        vol = prefix.select(
+            F.sum((F.col("df") - 1).cast("decimal(38,0)")).alias("v")
         )
     else:
+        pc = prefix.groupBy("tok").agg(F.count(F.lit(1)).alias("p"))
         vol = pc.select(
             F.sum(
                 F.col("p").cast("decimal(38,0)") * (F.col("p") - 1) / 2
@@ -166,13 +179,18 @@ def prefix_candidate_volume(
     return int(row) if row is not None else 0
 
 
-def jaccard_prefix_candidates(ranked: DataFrame, num: int, den: int) -> DataFrame:
+def jaccard_prefix_candidates(
+    ranked: DataFrame, num: int, den: int, prefix: DataFrame | None = None
+) -> DataFrame:
     """PPJoin candidate pairs ``(doc_a, doc_b)`` with ``doc_a < doc_b``
     whose Jaccard CAN reach ``num/den`` — lossless by the prefix-filter
     theorem (pigeonhole on the required overlap), tightened by the size
     filter inside the join and the positional filter after it. See the
-    module docstring for the plan shape and proof sketches."""
-    prefix = _prefix_rows(ranked, num, den)
+    module docstring for the plan shape and proof sketches. Pass the
+    saturation guard's materialized ``prefix`` to share one ranking
+    window with the probe."""
+    if prefix is None:
+        prefix = _prefix_rows(ranked, num, den)
     a, b = prefix.alias("a"), prefix.alias("b")
     matches = a.join(
         b,
@@ -216,7 +234,9 @@ def jaccard_prefix_candidates(ranked: DataFrame, num: int, den: int) -> DataFram
     )
 
 
-def containment_prefix_candidates(ranked: DataFrame, num: int, den: int) -> DataFrame:
+def containment_prefix_candidates(
+    ranked: DataFrame, num: int, den: int, prefix: DataFrame | None = None
+) -> DataFrame:
     """Asymmetric prefix filter for containment C(A→B) = |A∩B| / |A|:
     a directed pair with C >= t needs overlap o = ceil(t·|A|), which
     depends only on the CONTAINED side — so index the prefix of each
@@ -229,7 +249,8 @@ def containment_prefix_candidates(ranked: DataFrame, num: int, den: int) -> Data
     prefix_df × df — rare-token-biased — instead of the df² of a full
     posting self-join. Size filter inside the join: containment needs
     inter <= min(|A|,|B|) >= t·|A|, i.e. |B|·den >= |A|·num."""
-    prefix = _prefix_rows(ranked, num, den)
+    if prefix is None:
+        prefix = _prefix_rows(ranked, num, den)
     full = ranked.select("doc_id", "tok", "sz", "rnk")
     a, b = prefix.alias("a"), full.alias("b")
     matches = a.join(
@@ -338,7 +359,10 @@ def prefix_jaccard_pairs(
     # four times dominated the runtime (15.8 s -> see PERF.md)
     toks = materialize(sets.select("doc_id", F.explode("__s").alias("tok")))
     ranked, sizes = ranked_tokens(toks)
-    vol = prefix_candidate_volume(ranked, num, den)
+    # one materialized prefix feeds both the probe and the candidate
+    # join — the per-doc ranking window executes exactly once
+    prefix = materialize(_prefix_rows(ranked, num, den))
+    vol = prefix_candidate_volume(ranked, num, den, prefix=prefix)
     if candidate_budget is not None:
         cap = candidate_budget
     elif vol <= 2_000_000:
@@ -354,7 +378,7 @@ def prefix_jaccard_pairs(
             "shrink document frequencies geometrically) or raise "
             "candidate_budget to force the join anyway."
         )
-    cands = jaccard_prefix_candidates(ranked, num, den)
+    cands = jaccard_prefix_candidates(ranked, num, den, prefix=prefix)
     return (
         exact_intersections(toks, cands, sizes)
         .withColumn("uni", F.col("sza") + F.col("szb") - F.col("inter"))
