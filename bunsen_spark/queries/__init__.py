@@ -62,82 +62,16 @@ def ts_us(df: DataFrame, col: str = "ts"):
 #      stalest-check-first (regenerate with
 #      ``python tools/gen_driver_order.py --write`` each round).
 
-# round 9: EMPTY by exception. The driver prefix (50 rows) is dedicated
-# to the 51-gate staleness backlog this round (VERDICT r8 #1: every gate
-# whose last driver row is round 4-5 must get a fresh row). Gates whose
-# operator code DID change this round (valueset_membership_lineitem,
-# dedup_containment/jaccard/prefix_jaccard, gini_source_concentration,
-# retrieval_mrr_variants, purchase_session_overlaps, + new
-# ann_ivfpq_index_topk) were each hash-verified locally against the
-# DuckDB oracle on canonical /root/testdata/sf0.01 this round and are
-# pinned in _DRIVER_ORDER immediately AFTER the backlog, so they lead
-# the round-10 prefix.
+# round 10: the 50-row prefix is 1 never-driver-checked gate
+# (ann_ivfpq_index_topk — group 1, the only registry entry with no
+# CORRECTNESS row ever) + text_bigram_surprisal (last row r5) + all 42
+# r6-stale gates + the 6 stalest r7 gates (VERDICT r9 #1). Gates whose
+# operator code changes this round are appended here as they are
+# touched so they jump the queue next round if they miss this prefix.
 _CHANGED_THIS_ROUND: list[str] = []
 _DRIVER_ORDER = [
-    # last driver row: round 4
-    "suppliers_with_large_shipments",
-    "text_language_id",
-    "text_quality",
-    "text_repetition",
-    "text_scrub_counts",
-    "text_token_stats",
-    "tumbling_window_counts",
     # last driver row: round 5
-    "asof_bucketed_purchase_last_view",
-    "bloom_prefilter_supplier_volume",
-    "bm25_multiquery_topk",
-    "bm25_search_topk",
-    "budget_select_per_lang",
-    "chunk_positive_pairs",
-    "cohort_retention_counts",
-    "compaction_plan_bins",
-    "corpus_mix_counts",
-    "corpus_report_by_source",
-    "countmin_user_frequencies",
-    "curation_pipeline_counts",
-    "daily_top_event_types",
-    "decayed_user_engagement",
-    "dedup_cluster_keep_best",
-    "dedup_incremental_near",
-    "dedup_substring_spans",
-    "doc_chunk_windows",
-    "engagement_pipeline_users",
-    "event_funnel_counts",
-    "event_transition_counts",
-    "fuzzy_join_even_odd",
-    "heavy_hitter_users",
-    "linkage_candidates_customers",
-    "median_quantity_by_flag",
-    "minmax_order_prices",
-    "multimodal_audio_features",
-    "multimodal_frame_stats",
-    "multimodal_resize_means",
-    "negative_pairs_sample",
-    "outlier_event_values",
-    "pagerank_trade_network",
-    "part_basket_triangles",
-    "quality_quantile_filter",
-    "resample_user_days",
-    "scd2_documents",
-    "session_path_top",
-    "sessionize_events_hotkey",
-    "snapshot_diff_documents",
-    "source_cap_kept",
-    "source_overlap_mirror",
-    "split_leakage_pairs",
-    "temperature_mix_counts",
     "text_bigram_surprisal",
-    # round-9 code-touched (locally hash-verified this round; queued
-    # AFTER the staleness backlog per VERDICT r8 #1 — see note above
-    # _CHANGED_THIS_ROUND) + the one new gate ann_ivfpq_index_topk
-    "valueset_membership_lineitem",
-    "dedup_containment",
-    "dedup_jaccard",
-    "dedup_prefix_jaccard",
-    "gini_source_concentration",
-    "retrieval_mrr_variants",
-    "purchase_session_overlaps",
-    "ann_ivfpq_index_topk",
     # last driver row: round 6
     "asof_forward_next_view",
     "asof_purchase_last_view",
@@ -192,6 +126,8 @@ _DRIVER_ORDER = [
     "cluster_safe_split_counts",
     "coverage_select_docs",
     "cusum_event_alerts",
+    "dedup_jaccard",
+    "dedup_prefix_jaccard",
     "dsir_importance_scores",
     "embedding_drift_labels",
     "embedding_gram_matrix",
@@ -233,6 +169,7 @@ _DRIVER_ORDER = [
     "cube_revenue",
     "cumulative_distinct_users",
     "customers_without_orders",
+    "dedup_containment",
     "dedup_embedding",
     "dedup_exact",
     "dedup_incremental",
@@ -241,12 +178,14 @@ _DRIVER_ORDER = [
     "dedup_simhash",
     "events_daily_active_users",
     "funnel_within_hour",
+    "gini_source_concentration",
     "grouping_sets_revenue",
     "hopping_window_counts",
     "interleave_mix_positions",
     "peak_concurrency_daily",
     "pivot_shipmode_year",
     "pivot_user_events",
+    "purchase_session_overlaps",
     "q11_important_parts",
     "q12_priority_shipping",
     "q13_customer_distribution",
@@ -254,6 +193,7 @@ _DRIVER_ORDER = [
     "q6_forecast_revenue",
     "q8_market_share",
     "q9_product_profit",
+    "retrieval_mrr_variants",
     "rfm_user_segments",
     "rolling_7d_value_extrema",
     "rollup_returns",
@@ -262,8 +202,60 @@ _DRIVER_ORDER = [
     "shard_snake_mass",
     "skew_salted_order_totals",
     "user_activity_islands",
+    "valueset_membership_lineitem",
     "weighted_median_prices",
     "zipf_stats_by_source",
+    # last driver row: round 9
+    "asof_bucketed_purchase_last_view",
+    "bloom_prefilter_supplier_volume",
+    "bm25_multiquery_topk",
+    "bm25_search_topk",
+    "budget_select_per_lang",
+    "chunk_positive_pairs",
+    "cohort_retention_counts",
+    "compaction_plan_bins",
+    "corpus_mix_counts",
+    "corpus_report_by_source",
+    "countmin_user_frequencies",
+    "curation_pipeline_counts",
+    "daily_top_event_types",
+    "decayed_user_engagement",
+    "dedup_cluster_keep_best",
+    "dedup_incremental_near",
+    "dedup_substring_spans",
+    "doc_chunk_windows",
+    "engagement_pipeline_users",
+    "event_funnel_counts",
+    "event_transition_counts",
+    "fuzzy_join_even_odd",
+    "heavy_hitter_users",
+    "linkage_candidates_customers",
+    "median_quantity_by_flag",
+    "minmax_order_prices",
+    "multimodal_audio_features",
+    "multimodal_frame_stats",
+    "multimodal_resize_means",
+    "negative_pairs_sample",
+    "outlier_event_values",
+    "pagerank_trade_network",
+    "part_basket_triangles",
+    "quality_quantile_filter",
+    "resample_user_days",
+    "scd2_documents",
+    "session_path_top",
+    "sessionize_events_hotkey",
+    "snapshot_diff_documents",
+    "source_cap_kept",
+    "source_overlap_mirror",
+    "split_leakage_pairs",
+    "suppliers_with_large_shipments",
+    "temperature_mix_counts",
+    "text_language_id",
+    "text_quality",
+    "text_repetition",
+    "text_scrub_counts",
+    "text_token_stats",
+    "tumbling_window_counts",
 ]
 
 

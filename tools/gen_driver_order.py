@@ -38,9 +38,23 @@ def last_checked() -> dict[str, int]:
     return seen
 
 
+def registry_names() -> set[str]:
+    """Names currently registered in the oracle registry (no Spark
+    session needed — the query modules only build closures at import).
+    Folded/renamed gates keep their CORRECTNESS history rows but must
+    not re-enter _DRIVER_ORDER as dead names."""
+    sys.path.insert(0, str(REPO))
+    from bunsen_spark.queries import all_oracles
+
+    return set(all_oracles())
+
+
 def stalest_first() -> list[str]:
     seen = last_checked()
-    return sorted(seen, key=lambda n: (seen[n], n))
+    live = registry_names()
+    return sorted(
+        (n for n in seen if n in live), key=lambda n: (seen[n], n)
+    )
 
 
 def render(names: list[str]) -> str:
