@@ -132,6 +132,17 @@ def _with_shingles(docs: DataFrame, n: int = SHINGLE_N) -> DataFrame:
 
 # -- exact set-Jaccard via inverted index ------------------------------------
 
+#: Decision log of the saturation guard, one dict per probed width:
+#: ``{"width", "volume", "cap", "admitted", "asymmetric"}``. Appended by
+#: every :func:`_guarded_prefix_inputs` call; harnesses (tools/
+#: soak_scale.py) drain it to pin the probe's bound and the auto-width
+#: choice per scale in a committed artifact, so a regression in either
+#: (e.g. after a tokenizer change silently shrinks the token space) is
+#: caught mechanically rather than by a wall-clock blowup. Bounded: the
+#: guard tries at most 4 widths per operator call; callers that care
+#: clear it before the call.
+GUARD_TRACE: list[dict] = []
+
 
 def _guarded_prefix_inputs(
     docs: DataFrame,
@@ -188,6 +199,15 @@ def _guarded_prefix_inputs(
             cap = 2_000_000
         else:
             cap = max(2_000_000, 500 * sizes.count())
+        GUARD_TRACE.append(
+            {
+                "width": w,
+                "volume": vol,
+                "cap": cap,
+                "admitted": vol <= cap,
+                "asymmetric": asymmetric,
+            }
+        )
         if vol <= cap:
             return w, posts, ranked, sizes, prefix
         release(prefix)

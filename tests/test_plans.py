@@ -253,3 +253,68 @@ def test_countmin_build_is_one_aggregation(spark, sf_dir):
 
     assert len(re.findall(r"\bExchange\b", plan)) == 1
     assert "HashAggregate" in plan
+
+
+def test_unpartitioned_window_detector():
+    """Pure-python check of the audit's WindowExec partition parser:
+    three top-level bracket groups = partitioned, two = global. Nested
+    brackets inside window expressions must not miscount, and
+    WindowGroupLimit (top-k pushdown) is not a Window node."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    from plan_audit import _unpartitioned_windows
+
+    part = (
+        "   +- Window [row_number() windowspecdefinition(u#1, d#2 ASC NULLS "
+        "FIRST, specifiedwindowframe(RowFrame, unboundedpreceding$(), "
+        "currentrow$())) AS _we0#3], [u#1], [d#2 ASC NULLS FIRST]"
+    )
+    glob = (
+        "   +- Window [sum(n#1L) windowspecdefinition(h#2L ASC NULLS FIRST, "
+        "specifiedwindowframe(RowFrame, unboundedpreceding$(), "
+        "currentrow$())) AS _we0#3L], [h#2L ASC NULLS FIRST]"
+    )
+    nested = (
+        "   +- Window [max(arr#3[0]) windowspecdefinition(k#1, v#2 ASC NULLS "
+        "FIRST, specifiedwindowframe(RowFrame, unboundedpreceding$(), "
+        "currentrow$())) AS m#9], [k#1], [v#2 ASC NULLS FIRST]"
+    )
+    limit = "   +- WindowGroupLimit [k#1], [v#2 ASC NULLS FIRST], row_number(), 5"
+    # partition-only whole-frame aggregate: 2 groups but the second is
+    # bare attribute refs (no ASC/DESC NULLS suffix) — NOT global (the
+    # shape that false-positived six gates on first deployment)
+    part_only = (
+        "   +- Window [count(1) windowspecdefinition(p#29, "
+        "specifiedwindowframe(RowFrame, unboundedpreceding$(), "
+        "unboundedfollowing$())) AS __n#11L], [p#29]"
+    )
+    glob_frame = "   +- Window [count(1) windowspecdefinition(specifiedwindowframe(RowFrame, unboundedpreceding$(), unboundedfollowing$())) AS n#1L]"
+    assert _unpartitioned_windows(part) == 0
+    assert _unpartitioned_windows(glob) == 1
+    assert _unpartitioned_windows(nested) == 0
+    assert _unpartitioned_windows(limit) == 0
+    assert _unpartitioned_windows(part_only) == 0
+    assert _unpartitioned_windows(glob_frame) == 1
+    assert _unpartitioned_windows("\n".join([part, glob, part_only, glob])) == 2
+
+
+def test_global_window_gates_are_whitelisted(spark, sf_dir):
+    """Every gate with an unpartitioned WindowExec must be in the
+    audit's whitelist with a bounded-input justification — live check
+    on the one known carrier plus a known-partitioned control."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    from plan_audit import GLOBAL_WINDOW_WHITELIST, _unpartitioned_windows
+
+    from bunsen_spark.queries.pipeline_r8 import (
+        cumulative_distinct_users,
+        user_activity_islands,
+    )
+
+    assert _unpartitioned_windows(_plan(cumulative_distinct_users(spark, sf_dir))) == 1
+    assert "cumulative_distinct_users" in GLOBAL_WINDOW_WHITELIST
+    assert _unpartitioned_windows(_plan(user_activity_islands(spark, sf_dir))) == 0

@@ -205,3 +205,38 @@ def test_prefix_jaccard_pairs_budget_guard(spark):
     rows = [(i, "same five words every doc") for i in range(30)]
     with pytest.raises(ValueError, match="saturated"):
         prefix_jaccard_pairs(_docs(spark, rows), 0.5, candidate_budget=10).count()
+
+
+def test_saturation_guard_trace_records_decisions(spark):
+    """GUARD_TRACE pins (probe_volume, chosen_n, cap, admitted) per
+    probed width — the mechanical record tools/soak_scale.py drains per
+    gate per scale so a probe-bound regression trips an artifact diff
+    instead of a wall-clock blowup (VERDICT r9 #5)."""
+    import itertools
+
+    from bunsen_spark.operators.dedup import GUARD_TRACE, jaccard_pairs
+
+    vocab = ["ada", "bob", "cat", "dog", "eel", "fox"]
+    rows = [
+        (i, " ".join(p))
+        for i, p in enumerate(itertools.permutations(vocab))  # 720 docs
+    ]
+    df = _docs(spark, rows)
+
+    GUARD_TRACE.clear()
+    out = jaccard_pairs(df, n="auto", threshold=0.5, candidate_budget=1000)
+    out.count()
+    # auto tried 3 (and maybe 5) — refused — then settled on a width
+    # that fits: every entry but the last must be a refusal, the last
+    # an admission, each carrying the probed volume and its cap
+    assert len(GUARD_TRACE) >= 2
+    assert all(not d["admitted"] for d in GUARD_TRACE[:-1])
+    last = GUARD_TRACE[-1]
+    assert last["admitted"] and last["volume"] <= last["cap"]
+    assert [d["width"] for d in GUARD_TRACE] == sorted(
+        {3, 5, 7, 9} & set(d["width"] for d in GUARD_TRACE)
+    )
+    assert all(
+        d["volume"] > d["cap"] for d in GUARD_TRACE[:-1]
+    ) and all(not d["asymmetric"] for d in GUARD_TRACE)
+    GUARD_TRACE.clear()

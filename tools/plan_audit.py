@@ -26,6 +26,68 @@ _JOINS = [
     "CartesianProduct",
 ]
 
+# Gates ALLOWED to carry an unpartitioned WindowExec, each with the reason
+# the single-partition sort is not a scale hazard. The audit fails any
+# OTHER gate whose plan contains one (the class the round-9 verdict found
+# the audit blind to).
+GLOBAL_WINDOW_WHITELIST = {
+    "cumulative_distinct_users": (
+        "window input is the per-hour first-seen aggregate — row count is "
+        "bounded by the calendar span (~9k rows/year), not corpus size; "
+        "the corpus-scale work is the two upstream groupBys"
+    ),
+}
+
+
+def _unpartitioned_windows(plan: str) -> int:
+    """Count Window nodes with NO partition spec (Spark then requires
+    AllTuples and inserts ``Exchange SinglePartition`` below them —
+    the whole input on one task). Node print shapes, top-level bracket
+    groups tracked with depth so nested ``[..]`` inside expressions
+    can't miscount:
+
+    - ``[exprs], [partition], [order]`` (3 groups)  -> partitioned, ok
+    - ``[exprs], [partition]``          (2 groups)  -> whole-partition
+      frame aggregate, ok — the second group is bare attribute refs
+    - ``[exprs], [order]``              (2 groups)  -> GLOBAL ordered
+      window — the second group carries the ``ASC/DESC NULLS`` order
+      suffix a partition spec never prints
+    - ``[exprs]`` / ``[exprs], []``                 -> GLOBAL frame
+
+    The 2-group ambiguity is exactly how the first version of this
+    detector false-positived six partition-only gates (mad/winsorize/
+    median/report/sweep-line/substring-spans)."""
+    n = 0
+    for line in plan.splitlines():
+        m = re.search(r"(?:^|[\s:+-])Window (\[.*)$", line)
+        if not m:
+            continue
+        groups: list[str] = []
+        depth = 0
+        buf: list[str] = []
+        for ch in m.group(1):
+            if ch == "[":
+                depth += 1
+                if depth == 1:
+                    buf = []
+                    continue
+            elif ch == "]":
+                depth -= 1
+                if depth == 0:
+                    groups.append("".join(buf))
+                    continue
+                depth = max(0, depth)
+            if depth >= 1:
+                buf.append(ch)
+        if len(groups) >= 3:
+            continue
+        if len(groups) == 2 and groups[1].strip() and not re.search(
+            r"(ASC|DESC) NULLS", groups[1]
+        ):
+            continue  # partition-only whole-frame aggregate
+        n += 1
+    return n
+
 
 def audit(plan: str) -> dict:
     out = {j: plan.count(j + " ") + plan.count(j + "\n") for j in _JOINS}
@@ -36,6 +98,7 @@ def audit(plan: str) -> dict:
     out["pushed"] = bool(pushed and pushed.group(1).strip())
     schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
     out["scan_cols"] = max((s.count(":") for s in schemas), default=0)
+    out["global_window"] = _unpartitioned_windows(plan)
     return out
 
 
@@ -67,6 +130,12 @@ def main() -> int:
         if a["CartesianProduct"]:
             flags.append("!!CARTESIAN")
             bad += 1
+        if a["global_window"]:
+            if name in GLOBAL_WINDOW_WHITELIST:
+                flags.append("global-window(whitelisted)")
+            else:
+                flags.append("!!GLOBAL-WINDOW")
+                bad += 1
         print(
             f"{name}: exchanges={a['Exchange']} scan_cols<={a['scan_cols']} "
             f"{joins or 'no-joins'} {' '.join(flags)}"

@@ -118,17 +118,37 @@ def main() -> None:
     lo = str(REPO / "scale_testdata" / lo_sf)
     hi = str(REPO / "scale_testdata" / hi_sf)
     spark.range(1).count()
+
+    # saturation-guard decision trace: pins (probe_volume, chosen_n)
+    # per set-join gate per scale so a probe-bound regression (e.g. a
+    # tokenizer change shrinking the token space) trips THIS artifact,
+    # not a wall-clock blowup (VERDICT r9 #5)
+    from bunsen_spark.operators.dedup import GUARD_TRACE
+
+    def drain_guard(name: str, sf: str) -> None:
+        for d in GUARD_TRACE:
+            verdict = "ADMIT" if d["admitted"] else "refuse"
+            print(
+                f"  guard[{name} @ {sf}]: n={d['width']} "
+                f"probe_volume={d['volume']:,} cap={d['cap']:,} {verdict}",
+                flush=True,
+            )
+        GUARD_TRACE.clear()
+
     rows = []
     for name in names:
         fn = qs[name]
         try:
             fn(spark, lo).collect()  # warm (codegen/JIT for this plan)
+            GUARD_TRACE.clear()
             t0 = time.time()
             n_lo = fn(spark, lo).count()
             t_lo = time.time() - t0
+            drain_guard(name, lo_sf)
             t0 = time.time()
             n_hi = fn(spark, hi).count()
             t_hi = time.time() - t0
+            drain_guard(name, hi_sf)
             alpha = (
                 math.log(t_hi / t_lo) / math.log(ratio) if t_lo > 0 else float("nan")
             )
