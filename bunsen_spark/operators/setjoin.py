@@ -370,6 +370,20 @@ def prefix_jaccard_pairs(
         cap = 2_000_000
     else:
         cap = max(2_000_000, 500 * sizes.count())
+    # decision log shared with the dedup-side guard so soak harnesses
+    # pin (probe volume, width, verdict) for THIS operator too — it
+    # probes itself rather than going through _guarded_prefix_inputs
+    from .dedup import GUARD_TRACE
+
+    GUARD_TRACE.append(
+        {
+            "width": shingle_n,
+            "volume": vol,
+            "cap": cap,
+            "admitted": vol <= cap,
+            "asymmetric": False,
+        }
+    )
     if vol > cap:
         raise ValueError(
             "token space is saturated for prefix filtering: the "

@@ -1326,9 +1326,18 @@ def ivfpq_topk_sql(
     n_codewords: int = PQ_K,
     n_iters: int = KMEANS_ITERS,
     dim: int = EMBED_DIM,
+    train_pred: str = "TRUE",
 ) -> str:
     """DuckDB twin of :func:`ivfpq_topk` — coarse books, residuals,
-    residual books, codes, probe LUTs, and integral ADC, all bit-exact."""
+    residual books, codes, probe LUTs, and integral ADC, all bit-exact.
+
+    ``train_pred`` (a predicate over ``vec_id``) restricts which rows
+    the seeds and BOTH Lloyd trainings see; encoding, probing, and ADC
+    still cover every row. ``TRUE`` reproduces the inline operator;
+    ``vec_id % 5 < 4`` reproduces the build-then-append index
+    lifecycle (:func:`write_ivfpq_index` on the base subset +
+    :func:`append_ivfpq_index` for the rest against the frozen
+    quantizers)."""
     subdim = dim // n_subs
     h = md5int_sql("CAST(vec_id AS VARCHAR)")
     d2full = (
@@ -1347,14 +1356,17 @@ def ivfpq_topk_sql(
   FROM {table}
 ),
 fullsubs AS (SELECT vec_id, 0 AS sub, q AS sq FROM e_q),
+trainfull AS (SELECT * FROM fullsubs WHERE {train_pred}),
 seeds_coarse AS (
-  SELECT vec_id AS cid FROM e_q ORDER BY {h}, vec_id LIMIT {n_coarse}
+  SELECT vec_id AS cid FROM e_q WHERE {train_pred}
+  ORDER BY {h}, vec_id LIMIT {n_coarse}
 ),
 seeds_pq AS (
-  SELECT vec_id AS cid FROM e_q ORDER BY {h}, vec_id LIMIT {n_codewords}
+  SELECT vec_id AS cid FROM e_q WHERE {train_pred}
+  ORDER BY {h}, vec_id LIMIT {n_codewords}
 )"""
     ]
-    parts += _lloyd_sql_parts("fullsubs", "co", dim, n_coarse, n_iters, "seeds_coarse")
+    parts += _lloyd_sql_parts("trainfull", "co", dim, n_coarse, n_iters, "seeds_coarse")
     parts.append(
         f"""coarse AS (SELECT cid AS ccid, cv AS ccv FROM cocent{n_iters}),
 resid AS (
@@ -1376,9 +1388,10 @@ resid AS (
 rsubs AS (
   SELECT vec_id, s AS sub, r[(s * {subdim} + 1):((s + 1) * {subdim})] AS sq
   FROM resid, range(0, {n_subs}) t(s)
-)"""
+),
+trainrsubs AS (SELECT * FROM rsubs WHERE {train_pred})"""
     )
-    parts += _lloyd_sql_parts("rsubs", "pq", subdim, n_codewords, n_iters, "seeds_pq")
+    parts += _lloyd_sql_parts("trainrsubs", "pq", subdim, n_codewords, n_iters, "seeds_pq")
     parts.append(
         f"""books AS (SELECT sub, cid, cv FROM pqcent{n_iters}),
 codes AS (
@@ -1611,6 +1624,44 @@ def write_ivfpq_index(
     ).transform(materialize)
     books.write.mode(mode).parquet(f"{path}/books")
     _assign_residual_codes(rsubs, books).write.mode(mode).parquet(f"{path}/codes")
+
+
+def append_ivfpq_index(
+    embeddings: DataFrame,
+    path: str,
+    batch_id: int = 0,
+    n_subs: int = PQ_SUBS,
+) -> None:
+    """Batch-append new vectors to a persisted IVF-PQ index WITHOUT
+    retraining: coarse-assign each row to its nearest FROZEN cell
+    centroid, encode its residual against the FROZEN shared codebooks
+    (:func:`ivfpq_encode` — the exact arithmetic the builder ran on the
+    base corpus), and write the codes to
+    ``{path}/codes_stream/batch_id={batch_id}`` — the same layout the
+    streaming encoder uses
+    (:func:`bunsen_spark.streaming.ann.stream_ivfpq_encode`), so
+    :func:`read_ivfpq_index` merges batch and streaming appends
+    uniformly and replayed batch ids overwrite their own partition
+    (idempotent backfill).
+
+    This is the bulk-ingest half of the index lifecycle a 100 TB
+    deployment runs: train once on a base snapshot, then absorb each
+    new data drop with ONE bounded encode pass over just the new rows
+    (two tiny broadcast quantizer tables; no shuffle of the existing
+    index, which is never read). Quantizer geometry is pinned by
+    :func:`write_ivfpq_index`; rebuild when drift audits
+    (``operators/drift.py``) say the frozen cells stopped fitting."""
+    spark = embeddings.sparkSession
+    coarse = spark.read.parquet(f"{path}/coarse")
+    books = spark.read.parquet(f"{path}/books")
+    (
+        ivfpq_encode(embeddings, coarse, books, n_subs)
+        .withColumn("batch_id", F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(f"{path}/codes_stream")
+    )
 
 
 def read_ivfpq_index(spark, path: str) -> tuple[DataFrame, DataFrame, DataFrame]:

@@ -68,7 +68,12 @@ def ts_us(df: DataFrame, col: str = "ts"):
 # r6-stale gates + the 6 stalest r7 gates (VERDICT r9 #1). Gates whose
 # operator code changes this round are appended here as they are
 # touched so they jump the queue next round if they miss this prefix.
-_CHANGED_THIS_ROUND: list[str] = []
+_CHANGED_THIS_ROUND: list[str] = [
+    # round 10: prefix_jaccard_pairs now logs its guard decision
+    # (operators/setjoin.py) — plan/results unchanged, but the gate
+    # runs new code
+    "dedup_prefix_jaccard",
+]
 _DRIVER_ORDER = [
     # last driver row: round 5
     "text_bigram_surprisal",
@@ -285,7 +290,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # stdlib, so a failure here is a bug that must surface, not a
     # missing optional dependency (silently dropping a module would
     # shrink the correctness gate by 20+ queries)
-    from . import domain, pipeline, pipeline_extra, pipeline_r5, pipeline_r5b, pipeline_r7, pipeline_r7b, pipeline_r8, pipeline_r9, relational, tpch_extra
+    from . import domain, pipeline, pipeline_extra, pipeline_r5, pipeline_r5b, pipeline_r7, pipeline_r7b, pipeline_r8, pipeline_r9, pipeline_r10, relational, tpch_extra
 
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     out.update(relational.QUERIES)
@@ -298,12 +303,13 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(pipeline_r7b.QUERIES)
     out.update(pipeline_r8.QUERIES)
     out.update(pipeline_r9.QUERIES)
+    out.update(pipeline_r10.QUERIES)
     out.update(domain.QUERIES)
     return _reorder(out)
 
 
 def all_oracles() -> dict[str, str]:
-    from . import domain, pipeline, pipeline_extra, pipeline_r5, pipeline_r5b, pipeline_r7, pipeline_r7b, pipeline_r8, pipeline_r9, relational, tpch_extra
+    from . import domain, pipeline, pipeline_extra, pipeline_r5, pipeline_r5b, pipeline_r7, pipeline_r7b, pipeline_r8, pipeline_r9, pipeline_r10, relational, tpch_extra
 
     out: dict[str, str] = {}
     out.update(relational.ORACLES)
@@ -316,5 +322,6 @@ def all_oracles() -> dict[str, str]:
     out.update(pipeline_r7b.ORACLES)
     out.update(pipeline_r8.ORACLES)
     out.update(pipeline_r9.ORACLES)
+    out.update(pipeline_r10.ORACLES)
     out.update(domain.ORACLES)
     return _reorder(out)

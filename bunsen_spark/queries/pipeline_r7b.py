@@ -351,66 +351,14 @@ QUERIES.update({"quality_dup_decile_counts": quality_dup_decile_counts})
 ORACLES.update({"quality_dup_decile_counts": _qdup_sql()})
 
 
-# ann_recall_jl was folded into ann_recall_scorecard (round 9): the
-# scorecard's "jl" row is the identical topk_overlap(brute, jl) table,
-# so the standalone gate was a strict near-duplicate. Its registry
-# slot paid for ann_ivfpq_index_topk (registry frozen at 182 per
-# VERDICT r8 #1).
-def ann_recall_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall@5 of every closed-form ANN variant (JL projection,
-    hyperplane LSH, seeded IVF) against the exact scan in ONE table
-    (`operators/retrieval.py:topk_overlap` unioned with a variant
-    column) — the index-selection scorecard: which approximation is
-    safe to deploy at which recall budget."""
-    from ..operators.retrieval import topk_overlap
-    from ..operators.similarity import (
-        brute_force_topk,
-        ivf_topk,
-        jl_topk,
-        lsh_topk,
-    )
-    from ..persist import materialize
-
-    emb = load(spark, sf_dir, "embeddings")
-    exact = materialize(brute_force_topk(emb, 5, 32))
-    out = None
-    for name, run in (
-        ("ivf", ivf_topk(emb, 5, 32)),
-        ("jl", jl_topk(emb, 5, 32)),
-        ("lsh", lsh_topk(emb, 5, 32)),
-    ):
-        part = topk_overlap(exact, run, 5).select(
-            F.lit(name).alias("variant"), "query_id", "hits"
-        )
-        out = part if out is None else out.unionByName(part)
-    return out
-
-
-def _ann_scorecard_sql() -> str:
-    from ..operators.retrieval import topk_overlap_sql
-    from ..operators.similarity import (
-        brute_force_topk_sql,
-        ivf_topk_sql,
-        jl_topk_sql,
-        lsh_topk_sql,
-    )
-
-    exact = brute_force_topk_sql("embeddings", 5, 32)
-    parts = []
-    for name, run in (
-        ("ivf", ivf_topk_sql("embeddings", 5, 32)),
-        ("jl", jl_topk_sql("embeddings", 5, 32)),
-        ("lsh", lsh_topk_sql("embeddings", 5, 32)),
-    ):
-        parts.append(
-            f"SELECT '{name}' AS variant, query_id, hits FROM"
-            f" ({topk_overlap_sql(exact, run, 5)}) __{name}"
-        )
-    return "\nUNION ALL\n".join(parts)
-
-
-QUERIES.update({"ann_recall_scorecard": ann_recall_scorecard})
-ORACLES.update({"ann_recall_scorecard": _ann_scorecard_sql()})
+# ann_recall_jl was folded into ann_recall_scorecard (round 9), which
+# was itself folded — together with pipeline_r8's
+# retrieval_mrr_variants — into pipeline_r10.ann_eval_scorecard
+# (round 10): the two gates ran five variant searches between them
+# with the exact brute scan and the JL run duplicated; the union gate
+# runs each distinct variant once. The freed slots paid for
+# ann_ivfpq_index_topk (r9) and ann_ivfpq_index_append_topk (r10);
+# registry frozen at 182 per VERDICT r8 #1.
 
 
 def cusum_event_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:

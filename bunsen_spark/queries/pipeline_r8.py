@@ -266,58 +266,9 @@ ORACLES.update(
 )
 
 
-def retrieval_mrr_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """lcm-scaled exact-integer MRR (`operators/retrieval.py:
-    mrr_by_query`) of three ANN variants — exact scan, JL projection,
-    binary Hamming+rerank — against label relevance: the retrieval-
-    quality scorecard complementing the recall@k gates."""
-    from pyspark.sql import functions as F
-
-    from ..operators.retrieval import mrr_by_query
-    from ..operators.similarity import (
-        brute_force_topk,
-        hamming_rerank_topk,
-        jl_topk,
-    )
-
-    emb = load(spark, sf_dir, "embeddings")
-    out = None
-    for name, run in (
-        ("exact", brute_force_topk(emb)),
-        ("jl", jl_topk(emb)),
-        ("hamming", hamming_rerank_topk(emb).select("query_id", "neighbor_id", "rank")),
-    ):
-        scored = mrr_by_query(run, emb, k=5).withColumn("variant", F.lit(name))
-        out = scored if out is None else out.unionByName(scored)
-    return out.select("variant", "query_id", "first_rel", "mrr_scaled")
-
-
-def _mrr_sql() -> str:
-    from ..operators.retrieval import mrr_by_query_sql
-    from ..operators.similarity import (
-        brute_force_topk_sql,
-        hamming_rerank_topk_sql,
-        jl_topk_sql,
-    )
-
-    runs = {
-        "exact": brute_force_topk_sql(),
-        "jl": jl_topk_sql(),
-        "hamming": (
-            "SELECT query_id, neighbor_id, rank FROM ("
-            + hamming_rerank_topk_sql()
-            + ")"
-        ),
-    }
-    parts = [
-        f"SELECT '{name}' AS variant, query_id, first_rel, mrr_scaled FROM ({mrr_by_query_sql(sql, k=5)})"
-        for name, sql in runs.items()
-    ]
-    return "\nUNION ALL\n".join(parts)
-
-
-QUERIES.update({"retrieval_mrr_variants": retrieval_mrr_variants})
-ORACLES.update({"retrieval_mrr_variants": _mrr_sql()})
+# retrieval_mrr_variants was folded into
+# pipeline_r10.ann_eval_scorecard (round 10) together with
+# pipeline_r7b's ann_recall_scorecard — see the fold note there.
 
 
 def bursty_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:

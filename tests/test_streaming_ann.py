@@ -166,3 +166,43 @@ def test_stream_ivfpq_encode_equals_batch(spark, sf_dir, tmp_path):
     # the index reader must see the SAME merged view
     _, _, codes = read_ivfpq_index(spark, path)
     assert sorted(map(key, codes.collect())) == want
+
+
+def test_append_ivfpq_index_equals_batch_encode(spark, sf_dir, tmp_path):
+    """Bulk ingest: batch-appended codes against the FROZEN quantizers
+    must equal the batch encoder over the whole corpus, replaying the
+    same batch_id must be idempotent, and the merged-index search must
+    rank appended vectors among the neighbors."""
+    from bunsen_spark.operators.similarity import (
+        append_ivfpq_index,
+        ivfpq_encode,
+        ivfpq_index_topk,
+        read_ivfpq_index,
+        write_ivfpq_index,
+    )
+
+    emb = _emb(spark, sf_dir)
+    base = emb.where(F.col("vec_id") % 5 < 4)
+    late = emb.where(F.col("vec_id") % 5 >= 4)
+    path = str(tmp_path / "ivfpq")
+    write_ivfpq_index(base, path)
+    append_ivfpq_index(late, path)
+
+    coarse = spark.read.parquet(f"{path}/coarse")
+    books = spark.read.parquet(f"{path}/books")
+    key = lambda r: (r["vec_id"], r["ccid"], r["sub"], r["code"])  # noqa: E731
+    _, _, codes = read_ivfpq_index(spark, path)
+    got = sorted(map(key, codes.collect()))
+    want = sorted(map(key, ivfpq_encode(emb, coarse, books).collect()))
+    assert got == want
+
+    # replayed batch_id dynamic-overwrites its own partition — a rerun
+    # backfill must not duplicate codes
+    append_ivfpq_index(late, path)
+    _, _, codes = read_ivfpq_index(spark, path)
+    assert sorted(map(key, codes.collect())) == want
+
+    # merged search actually surfaces appended vectors as neighbors
+    res = ivfpq_index_topk(spark, path, emb.where(F.col("vec_id") < 8), k=5)
+    neigh = {r["neighbor_id"] for r in res.collect()}
+    assert any(n % 5 == 4 for n in neigh)

@@ -11,6 +11,17 @@ stalest-first ordering (ascending last-checked round, then name).
 their existing driver rows predate the code they now run, the round-6
 process gap flagged in VERDICT r6 'What's wrong #3').
 
+Staleness floor (VERDICT r9 #6): the driver caps each round's gate at
+50 rows (observed r4–r9), so with N live gates the stalest-first
+rotation re-checks every gate once per ceil(N/50) rounds — at N=182
+that is a STRUCTURAL worst-case staleness of 4 rounds; reaching ≤3
+would require shrinking the registry to ≤150, i.e. deleting 32 gates'
+worth of coverage, a worse trade than the staleness. What the rotation
+does guarantee: the worst-case age never exceeds the floor, new gates
+get a row their first round (group 1), and code-touched gates jump
+the queue (group 0), so no gate's driver row can silently predate the
+code it runs by more than one round.
+
 Usage: python tools/gen_driver_order.py        # print the list
        python tools/gen_driver_order.py --write # rewrite __init__.py
 """

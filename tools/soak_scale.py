@@ -71,11 +71,10 @@ HEAVY = [
     "embedding_drift_labels",
     "zipf_stats_by_source",
     "quality_dup_decile_counts",
-    "ann_recall_scorecard",
+    "ann_eval_scorecard",
     "cusum_event_alerts",
     "segment_dedup_texts",
     "ann_hamming_topk",
-    "retrieval_mrr_variants",
     "centroid_label_topk",
     "funnel_within_hour",
     "gini_source_concentration",
@@ -88,6 +87,7 @@ HEAVY = [
     "peak_concurrency_daily",
     "purchase_session_overlaps",
     "ann_ivfpq_index_topk",
+    "ann_ivfpq_index_append_topk",
 ]
 
 
@@ -164,6 +164,9 @@ def main() -> None:
                 flush=True,
             )
         except Exception as e:  # noqa: BLE001
+            # a guard REFUSAL is a decision worth pinning too — drain
+            # whatever the probe logged before it raised
+            drain_guard(name, f"{lo_sf}|{hi_sf}")
             print(f"{name:32s} ERROR {e}", flush=True)
     bad = [r for r in rows if r[5] >= 1.5]
     print(f"\n{len(rows)} queries; {len(bad)} with alpha >= 1.5"
