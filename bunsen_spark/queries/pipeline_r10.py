@@ -135,16 +135,17 @@ def ann_eval_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
             hamming_rerank_topk(emb).select("query_id", "neighbor_id", "rank"),
         ),
     ):
-        scored = mrr_by_query(run, emb, k=5)
-        for metric in ("first_rel", "mrr_scaled"):
-            parts.append(
-                scored.select(
-                    F.lit(metric).alias("metric"),
-                    F.lit(name).alias("variant"),
-                    "query_id",
-                    F.col(metric).alias("value"),
-                )
-            )
+        # stack() unpivots both metrics in ONE pass over the scored
+        # table — two per-metric selects would execute the whole
+        # mrr_by_query subtree (ANN run included) twice per variant
+        parts.append(
+            mrr_by_query(run, emb, k=5).selectExpr(
+                "stack(2, 'first_rel', first_rel,"
+                " 'mrr_scaled', mrr_scaled) AS (metric, value)",
+                f"'{name}' AS variant",
+                "query_id",
+            ).select("metric", "variant", "query_id", "value")
+        )
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
