@@ -50,81 +50,61 @@ def ts_us(df: DataFrame, col: str = "ts"):
 # registration order (r1: first 34, r2/r3: 47, r4/r5/r6: 50), so queries
 # registered late may never receive a driver-verified row even though they
 # pass the local oracle (tools/oracle_check.py). ``_reorder`` therefore
-# emits four priority groups:
+# emits three priority groups:
 #   0: ``_CHANGED_THIS_ROUND`` — queries whose operator code changed this
 #      round: their existing driver rows predate the code they now run,
 #      so a fresh row matters MORE than a merely-stale one (the round-6
 #      process gap: none of the 15 shingle-family gates modified by
 #      38c0c47 landed in the r06 prefix). Maintained by hand as operator
 #      modules are touched; reset each round.
-#   1: brand-new entries (absent from ``_DRIVER_ORDER``), alphabetically;
-#   2: the rest of ``_DRIVER_ORDER`` — already driver-checked, ordered
-#      stalest-check-first (regenerate with
-#      ``python tools/gen_driver_order.py --write`` each round).
+#   1: never-driver-checked entries (no CORRECTNESS row in any round),
+#      alphabetically;
+#   2: the rest, stalest-driver-row-first — DERIVED AT IMPORT TIME from
+#      the committed ``CORRECTNESS_r*.json`` artifacts at the repo root
+#      (``_last_checked_rounds``), so the stalest-first rotation can
+#      never run on a stale committed snapshot again. This was the twice
+#      -recurring failure mode (VERDICT r9 #1, r10 #1): a hand
+#      -regenerated ``_DRIVER_ORDER`` list was forgotten after the
+#      driver consumed its prefix, wasting a full round of staleness
+#      budget. ``_DRIVER_ORDER_FALLBACK`` (regenerable with
+#      ``python tools/gen_driver_order.py --write``) is used only when
+#      no CORRECTNESS artifact is readable (fresh clone).
 
-# round 10: the 50-row prefix is 1 never-driver-checked gate
-# (ann_ivfpq_index_topk — group 1, the only registry entry with no
-# CORRECTNESS row ever) + text_bigram_surprisal (last row r5) + all 42
-# r6-stale gates + the 6 stalest r7 gates (VERDICT r9 #1). Gates whose
-# operator code changes this round are appended here as they are
-# touched so they jump the queue next round if they miss this prefix.
-_CHANGED_THIS_ROUND: list[str] = [
-    # round 10: prefix_jaccard_pairs now logs its guard decision
-    # (operators/setjoin.py) — plan/results unchanged, but the gate
-    # runs new code
-    "dedup_prefix_jaccard",
-]
-_DRIVER_ORDER = [
-    # last driver row: round 5
-    "text_bigram_surprisal",
-    # last driver row: round 6
-    "asof_forward_next_view",
-    "asof_purchase_last_view",
-    "closure_part_hierarchy",
-    "corpus_length_quantiles",
-    "corpus_top_ngrams",
-    "dataset_split_counts",
-    "decontaminate_overlap",
-    "dedup_clusters",
-    "doc_top_terms",
-    "events_props_extract",
-    "multimodal_image_features",
-    "nations_with_customers_and_suppliers",
-    "orders_above_customer_avg",
-    "pack_chunks",
-    "parts_never_ordered",
-    "q10_returned_revenue",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_parts_supplier_counts",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_orders",
-    "q19_disjunctive_revenue",
-    "q1_pricing_summary",
-    "q21_sole_late_shipper",
-    "q22_dormant_customers",
-    "q2_min_cost_supplier",
-    "q3_shipping_priority",
-    "q4_priority_late_ship",
-    "q5_region_volume",
-    "q7_nation_volume",
-    "quality_filter_funnel",
-    "range_join_purchase_views",
-    "sample_per_lang",
-    "sessionize_events",
-    "stratified_sample_counts",
-    "topk_brands_by_revenue",
-    "translate_order_priority",
-    "weighted_sample_counts",
-    "window_order_rank",
-    "window_running_value",
-    "window_running_value_bucketed",
-    "window_running_value_hotkey",
+# round 11: gates whose operator code changes this round are appended
+# here as they are touched so they jump the queue next round if they
+# miss this round's prefix.
+_CHANGED_THIS_ROUND: list[str] = []
+
+
+def _last_checked_rounds() -> dict[str, int]:
+    """name -> last round with a driver CORRECTNESS row, read from the
+    committed ``CORRECTNESS_r*.json`` files at the repo root. Pure
+    bookkeeping (no Spark); unreadable files are skipped, and an empty
+    result signals the caller to fall back to the static list."""
+    import json
+    import re
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parents[2]
+    seen: dict[str, int] = {}
+    for p in sorted(repo.glob("CORRECTNESS_r*.json")):
+        m = re.search(r"_r(\d+)", p.name)
+        if m is None:
+            continue
+        rnd = int(m.group(1))
+        try:
+            data = json.loads(p.read_text())
+        except (OSError, json.JSONDecodeError, UnicodeDecodeError):
+            continue
+        if not isinstance(data, dict):
+            continue
+        for name in data:
+            seen[name] = max(seen.get(name, 0), rnd)
+    return seen
+
+
+_DRIVER_ORDER_FALLBACK = [
     # last driver row: round 7
-    "ann_recall_scorecard",
-    "bot_cadence_users",
-    "bpe_fertility_by_lang",
-    "bpe_learned_merges",
     "bpe_subword_top",
     "bpe_top_pairs",
     "cluster_purity_embeddings",
@@ -132,7 +112,6 @@ _DRIVER_ORDER = [
     "coverage_select_docs",
     "cusum_event_alerts",
     "dedup_jaccard",
-    "dedup_prefix_jaccard",
     "dsir_importance_scores",
     "embedding_drift_labels",
     "embedding_gram_matrix",
@@ -198,7 +177,6 @@ _DRIVER_ORDER = [
     "q6_forecast_revenue",
     "q8_market_share",
     "q9_product_profit",
-    "retrieval_mrr_variants",
     "rfm_user_segments",
     "rolling_7d_value_extrema",
     "rollup_returns",
@@ -261,11 +239,68 @@ _DRIVER_ORDER = [
     "text_scrub_counts",
     "text_token_stats",
     "tumbling_window_counts",
+    # last driver row: round 10
+    "ann_eval_scorecard",
+    "ann_ivfpq_index_append_topk",
+    "ann_ivfpq_index_topk",
+    "asof_forward_next_view",
+    "asof_purchase_last_view",
+    "bot_cadence_users",
+    "bpe_fertility_by_lang",
+    "bpe_learned_merges",
+    "closure_part_hierarchy",
+    "corpus_length_quantiles",
+    "corpus_top_ngrams",
+    "dataset_split_counts",
+    "decontaminate_overlap",
+    "dedup_clusters",
+    "dedup_prefix_jaccard",
+    "doc_top_terms",
+    "events_props_extract",
+    "multimodal_image_features",
+    "nations_with_customers_and_suppliers",
+    "orders_above_customer_avg",
+    "pack_chunks",
+    "parts_never_ordered",
+    "q10_returned_revenue",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_parts_supplier_counts",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_orders",
+    "q19_disjunctive_revenue",
+    "q1_pricing_summary",
+    "q21_sole_late_shipper",
+    "q22_dormant_customers",
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q4_priority_late_ship",
+    "q5_region_volume",
+    "q7_nation_volume",
+    "quality_filter_funnel",
+    "range_join_purchase_views",
+    "sample_per_lang",
+    "sessionize_events",
+    "stratified_sample_counts",
+    "text_bigram_surprisal",
+    "topk_brands_by_revenue",
+    "translate_order_priority",
+    "weighted_sample_counts",
+    "window_order_rank",
+    "window_running_value",
+    "window_running_value_bucketed",
+    "window_running_value_hotkey",
 ]
 
 
 def _reorder(out: dict) -> dict:
-    rank = {n: i for i, n in enumerate(_DRIVER_ORDER)}
+    seen = _last_checked_rounds()
+    if seen:
+        # derived stalest-first: rank = (last-checked round, name)
+        rank = {n: (seen[n], n) for n in seen}
+    else:
+        # fresh clone with no CORRECTNESS artifacts: static fallback
+        rank = {n: (i, n) for i, n in enumerate(_DRIVER_ORDER_FALLBACK)}
     changed = {n: i for i, n in enumerate(_CHANGED_THIS_ROUND)}
 
     # Priority groups for the driver's prefix-sampled gate — see the

@@ -1,6 +1,10 @@
 """Registry-order invariants: the driver's correctness gate samples a
 registration-order PREFIX, so ordering is a correctness-visibility
-contract, not cosmetics."""
+contract, not cosmetics. Since round 11 the stalest-first ordering is
+DERIVED AT IMPORT TIME from the committed CORRECTNESS_r*.json
+artifacts (VERDICT r10 #1 — the hand-regenerated list was forgotten
+two rounds running), so these tests check the derived order against
+the artifacts themselves."""
 
 from __future__ import annotations
 
@@ -26,35 +30,66 @@ def test_changed_this_round_entries_lead():
 
 
 def test_new_entries_precede_already_checked_ones():
-    from bunsen_spark.queries import _CHANGED_THIS_ROUND, _DRIVER_ORDER
+    from bunsen_spark.queries import _CHANGED_THIS_ROUND, _last_checked_rounds
 
     import __spark_entry__ as e
 
     names = list(e.queries())
-    known = set(_DRIVER_ORDER) | set(_CHANGED_THIS_ROUND)
+    seen = _last_checked_rounds()
+    changed = set(_CHANGED_THIS_ROUND)
     first_checked = next(
-        i for i, n in enumerate(names)
-        if n in set(_DRIVER_ORDER) and n not in set(_CHANGED_THIS_ROUND)
+        i for i, n in enumerate(names) if n in seen and n not in changed
     )
-    # every brand-new (unknown) entry sorts before the first merely-
+    # every never-driver-checked entry sorts before the first merely-
     # stale already-driver-checked entry
     for i, n in enumerate(names):
-        if n not in known:
+        if n not in seen and n not in changed:
             assert i < first_checked, f"{n} registered after checked entries"
 
 
 def test_stalest_first_within_checked_group():
-    from bunsen_spark.queries import _CHANGED_THIS_ROUND, _DRIVER_ORDER
+    """The core r9/r10 regression: the checked group must be ordered by
+    ascending last-driver-row round AS RECORDED IN THE COMMITTED
+    ARTIFACTS — if a new CORRECTNESS_r*.json lands, the order follows
+    it with no manual regeneration step."""
+    from bunsen_spark.queries import _CHANGED_THIS_ROUND, _last_checked_rounds
 
     import __spark_entry__ as e
 
     names = list(e.queries())
-    checked = [
-        n for n in names
-        if n in set(_DRIVER_ORDER) and n not in set(_CHANGED_THIS_ROUND)
+    seen = _last_checked_rounds()
+    changed = set(_CHANGED_THIS_ROUND)
+    keys = [
+        (seen[n], n) for n in names if n in seen and n not in changed
     ]
-    ranks = [_DRIVER_ORDER.index(n) for n in checked]
-    assert ranks == sorted(ranks), "checked group must stay stalest-first"
+    assert keys == sorted(keys), "checked group must stay stalest-first"
+
+
+def test_derived_order_covers_live_registry():
+    """Sanity: the artifacts cover the registry (every live gate has
+    been driver-checked at least once as of r10), so group 1 is empty
+    until a new gate is added — and the artifact parser actually read
+    the files (non-empty)."""
+    from bunsen_spark.queries import _last_checked_rounds
+
+    import __spark_entry__ as e
+
+    seen = _last_checked_rounds()
+    assert seen, "CORRECTNESS_r*.json artifacts must be readable"
+    live = set(e.queries())
+    # dead (folded/renamed) names keep artifact rows but must not be
+    # emitted by the registry
+    assert live - set(seen) == set(), "unexpected never-checked gates"
+
+
+def test_fallback_used_when_no_artifacts(monkeypatch):
+    """A fresh clone without CORRECTNESS artifacts falls back to the
+    committed static list instead of degenerating to alphabetical."""
+    import bunsen_spark.queries as qmod
+
+    monkeypatch.setattr(qmod, "_last_checked_rounds", dict)
+    out = qmod._reorder({n: None for n in qmod._DRIVER_ORDER_FALLBACK[:5][::-1]})
+    assert list(out) == qmod._DRIVER_ORDER_FALLBACK[:5]
 
 
 def test_every_query_has_an_oracle():

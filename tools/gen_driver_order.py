@@ -1,5 +1,14 @@
-"""Regenerate the ``_DRIVER_ORDER`` list in ``bunsen_spark/queries/
-__init__.py`` from the accumulated ``CORRECTNESS_r*.json`` artifacts.
+"""Regenerate the ``_DRIVER_ORDER_FALLBACK`` list in ``bunsen_spark/
+queries/__init__.py`` from the accumulated ``CORRECTNESS_r*.json``
+artifacts.
+
+Since round 11 the live ordering is DERIVED AT IMPORT TIME
+(``bunsen_spark.queries._last_checked_rounds``) — the registry reads
+the CORRECTNESS artifacts itself, so the stalest-first rotation can
+never run on a stale committed snapshot (the r9/r10 recurring chore).
+This tool now only refreshes the static fallback used when no
+artifact is readable (fresh clone), and serves as a human-readable
+printer of the derived order.
 
 The driver's per-round correctness gate samples a PREFIX of the
 registration order, so the registry must put the queries that most
@@ -70,7 +79,7 @@ def stalest_first() -> list[str]:
 
 def render(names: list[str]) -> str:
     seen = last_checked()
-    lines = ["_DRIVER_ORDER = ["]
+    lines = ["_DRIVER_ORDER_FALLBACK = ["]
     cur_round = None
     for n in names:
         if seen[n] != cur_round:
@@ -87,7 +96,7 @@ def main() -> None:
         init = REPO / "bunsen_spark" / "queries" / "__init__.py"
         src = init.read_text()
         new, n = re.subn(
-            r"_DRIVER_ORDER = \[.*?\n\]", block, src, count=1, flags=re.S
+            r"_DRIVER_ORDER_FALLBACK = \[.*?\n\]", block, src, count=1, flags=re.S
         )
         if n != 1:
             raise SystemExit("could not locate _DRIVER_ORDER block")
