@@ -63,30 +63,121 @@ def _wait_for_idle() -> dict:
     round-over-round comparison (the r6 driver bench was 1.5× inflated
     by loadavg 5.65 — VERDICT r6 'Performance'). Wait for the 1-minute
     loadavg to drop below $SPARK_GRAFT_BENCH_IDLE_LOAD (default 1.0)
-    for up to $SPARK_GRAFT_BENCH_IDLE_WAIT seconds (default 600), then
-    run REGARDLESS — refusing would leave the round with no bench at
-    all — and record the gate outcome in the JSON so a loaded run is
-    self-describing instead of silently polluting the record."""
+    AND the 5-minute loadavg below $SPARK_GRAFT_BENCH_IDLE_LOAD5
+    (default 2.5 — a box that just finished a heavy soak shows a quiet
+    1-minute average while still thermally/cache-polluted; the r10
+    driver artifact needed after-the-fact adjudication for exactly
+    this, VERDICT r10 #3) for up to $SPARK_GRAFT_BENCH_IDLE_WAIT
+    seconds (default 600), then run REGARDLESS — refusing would leave
+    the round with no bench at all — and record the gate outcome in
+    the JSON so a loaded run is self-describing instead of silently
+    polluting the record."""
     thresh = float(os.environ.get("SPARK_GRAFT_BENCH_IDLE_LOAD", "1.0"))
+    thresh5 = float(os.environ.get("SPARK_GRAFT_BENCH_IDLE_LOAD5", "2.5"))
     max_wait = float(os.environ.get("SPARK_GRAFT_BENCH_IDLE_WAIT", "600"))
     t0 = time.time()
     load = _loadavg()
-    while load and load[0] >= thresh and time.time() - t0 < max_wait:
+
+    def busy(ld: list[float]) -> bool:
+        return bool(ld) and (ld[0] >= thresh or ld[1] >= thresh5)
+
+    while busy(load) and time.time() - t0 < max_wait:
         print(
-            f"# box busy (loadavg1 {load[0]} >= {thresh}); waiting...",
+            f"# box busy (loadavg {load[:2]} vs gates [{thresh}, {thresh5}]);"
+            " waiting...",
             file=sys.stderr,
         )
         time.sleep(10)
         load = _loadavg()
     waited = round(time.time() - t0, 1)
-    satisfied = bool(load) and load[0] < thresh
+    satisfied = bool(load) and not busy(load)
     if not satisfied:
         print(
-            f"# WARNING: starting bench on a busy box (loadavg1 "
-            f"{load[0] if load else '?'}); timings are suspect",
+            f"# WARNING: starting bench on a busy box (loadavg "
+            f"{load[:2] if load else '?'}); timings are suspect",
             file=sys.stderr,
         )
-    return {"threshold": thresh, "waited_sec": waited, "idle": satisfied}
+    return {
+        "threshold": thresh,
+        "threshold5": thresh5,
+        "waited_sec": waited,
+        "idle": satisfied,
+    }
+
+
+def _canary() -> dict:
+    """Fixed CPU work whose wall time is a machine-speed probe,
+    recorded in the artifact next to a committed reference
+    (BENCH_CANARY_REF.json, captured on a verified-idle box). A
+    driver-triggered bench on a degraded box (post-soak thermal state,
+    background load the loadavg gate missed, page-cache pressure) then
+    carries its own evidence — the canary ratio — instead of needing
+    after-the-fact prose adjudication of phantom regressions
+    (VERDICT r10 #3: two same-protocol runs 25 s apart). Two probes:
+    a single-thread pure-Python loop (interpreter/cycle speed, immune
+    to BLAS threading) and a parallel numpy matmul (effective
+    multi-core throughput, the profile Spark tasks see)."""
+    import hashlib
+
+    t0 = time.perf_counter()
+    h = hashlib.md5()
+    buf = b"x" * 65536
+    for _ in range(800):
+        h.update(buf)
+    acc = 0
+    for i in range(2_000_000):
+        acc += i * i
+    py_s = round(time.perf_counter() - t0, 4)
+
+    try:
+        import numpy as np
+
+        a = np.ones((1024, 1024))
+        a @ a  # untimed warm-up: BLAS thread-pool spin-up
+        t0 = time.perf_counter()
+        for _ in range(3):
+            (a @ a).sum()
+        np_s = round(time.perf_counter() - t0, 4)
+    except Exception:  # noqa: BLE001 - canary is best-effort
+        np_s = None
+    return {"python_loop_s": py_s, "numpy_matmul_s": np_s}
+
+
+def classify_machine_state(
+    ref: dict | None, measured: dict, tol: float = 1.25
+) -> dict:
+    """Pure classification of a canary measurement against the
+    committed reference: ``ok`` (all ratios <= tol), ``degraded``
+    (any probe slower than tol x reference — timings are suspect and
+    the artifact says so), or ``unreferenced`` (no committed
+    reference). Unit-tested without Spark."""
+    if not ref:
+        return {"state": "unreferenced", "ratios": {}}
+    ratios = {}
+    for k, m in measured.items():
+        r = ref.get(k)
+        if isinstance(m, (int, float)) and isinstance(r, (int, float)) and r > 0:
+            ratios[k] = round(m / r, 3)
+    state = "degraded" if any(v > tol for v in ratios.values()) else "ok"
+    return {"state": state, "ratios": ratios, "tolerance": tol}
+
+
+def _preflight() -> dict:
+    """Idle gate + machine-speed canary, recorded in the artifact."""
+    gate = _wait_for_idle()
+    measured = _canary()
+    try:
+        ref = json.loads((REPO / "BENCH_CANARY_REF.json").read_text())
+    except (OSError, json.JSONDecodeError):
+        ref = None
+    cls = classify_machine_state(ref and ref.get("canary"), measured)
+    if cls["state"] == "degraded":
+        print(
+            f"# WARNING: machine-speed canary degraded vs committed "
+            f"reference (ratios {cls['ratios']}); timings are suspect",
+            file=sys.stderr,
+        )
+    return {"load_gate": gate, "canary": measured, **cls}
 
 
 def _previous_medians(sf_val) -> dict[str, float]:
@@ -231,7 +322,8 @@ def main() -> None:
         qs = {n: qs[n] for n in only.split(",")}
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
-    load_gate = _wait_for_idle() if not only else {"skipped": "child mode"}
+    preflight = _preflight() if not only else {"skipped": "child mode"}
+    load_gate = preflight.get("load_gate", preflight)
     load_before = _loadavg()
     # Warm the session once: a trivial JVM job, the Python->JVM
     # createDataFrame bridge (first use costs seconds of class loading
@@ -356,6 +448,7 @@ def main() -> None:
         "runs": runs,
         "loadavg": {"before": load_before, "after": _loadavg()},
         "load_gate": load_gate,
+        "preflight": preflight,
         "fresh_session": fresh,
         "unsettled": unsettled,
     }
@@ -390,6 +483,8 @@ def main() -> None:
         "runs": runs,
         "loadavg": {"before": load_before, "after": _loadavg()},
         "load_gate": load_gate,
+        "machine_state": preflight.get("state"),
+        "canary_ratios": preflight.get("ratios"),
         "queries": worst,
         "queries_note": f"worst 10 of {len(timings)} medians; full per-query JSON in bench_full_latest.json",
     }

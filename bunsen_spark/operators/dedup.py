@@ -36,7 +36,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .text_analysis import MERSENNE31, hash31, md5int, md5int_sql
+from .text_analysis import MERSENNE31, gram_regex as _gram_regex, hash31, md5int, md5int_sql
 from ..persist import materialize, materialize_eager, release
 
 #: word n-gram order used by the similarity-family dedup operators —
@@ -74,13 +74,28 @@ FROM {table} GROUP BY md5(text)
 
 
 def shingles_expr(n: int) -> str:
-    """Distinct word ``n``-gram shingles of ``text`` (Spark SQL expr)."""
+    """Distinct word ``n``-gram shingles of ``text`` (Spark SQL expr).
+
+    One regex pass over the space-normalized token sentence via a
+    zero-width lookahead capture (see :func:`_gram_regex`) instead of
+    the former n-1 interpreted ``zip_with`` passes: measured 2.9×
+    faster at gen-sf1 (8.39 s -> 2.86 s for construction + per-gram
+    hash force, identical row count AND value hash; PERF.md "Round-11:
+    vectorized shingle constructor"). The fully-codegen
+    explode(sequence)+slice form is 8.2× but loses per-doc
+    distinctness, which downstream jaccard/novelty semantics need —
+    re-deduplicating would cost a (doc_id, gram) shuffle, the wrong
+    trade at 100 TB where this map-only shape keeps shingling inside
+    the scan stage. Documents with fewer than ``n`` words produce one
+    shingle joining all their words (the DuckDB twins pin it)."""
     words = "regexp_extract_all(lower(text), '[a-z0-9]+', 0)"
     if n == 1:
         return WORDS_DISTINCT
     return (
-        f"array_distinct(transform(sequence(1, greatest(size({words}) - {n - 1}, 1)),"
-        f" i -> concat_ws(' ', slice({words}, i, {n}))))"
+        f"array_distinct(CASE WHEN size({words}) < {n}"
+        f" THEN array(concat_ws(' ', {words}))"
+        f" ELSE regexp_extract_all(concat_ws(' ', {words}), '{_gram_regex(n)}', 1)"
+        f" END)"
     )
 
 
@@ -96,36 +111,26 @@ def shingles_sql(n: int) -> str:
 
 
 def _with_shingles(docs: DataFrame, n: int = SHINGLE_N) -> DataFrame:
-    """(doc_id, shingles array<string>): word n-gram shingles built as
-    a chain of ``zip_with`` over n parallel slices of the word array —
-    n-1 whole-array passes per document. The naive
-    ``transform(sequence(1, L), i -> concat_ws(' ', slice(__w, i, n)))``
-    form allocates a fresh slice copy PER POSITION inside an
-    interpreted higher-order lambda, which measured 3.4× slower at
-    sf0.1 (3.3 s -> 0.97 s for the tokenize stage of
-    prefix_jaccard_pairs; PERF.md "Round-6: shingle zip_with"). A
-    window/lead formulation is ~1.8× faster still but costs a shuffle
-    of every word by doc_id — wrong trade at 100 TB, where this map-only
-    shape keeps shingling embarrassingly parallel inside the scan stage.
+    """(doc_id, shingles array<string>): word n-gram shingles via one
+    zero-width-lookahead regex pass over the space-joined token
+    sentence (see :func:`shingles_expr` for semantics, the measured
+    A/B history — round-6 zip_with 3.4× over naive transform, round-11
+    regex 2.9× over zip_with — and why the 8.2× non-distinct codegen
+    form is the wrong trade). Map-only: shingling stays embarrassingly
+    parallel inside the scan stage at any scale.
 
     Documents with fewer than ``n`` words produce one shingle joining
-    all their words (the ``sequence(1, greatest(..,1))`` semantics of
-    the original form, preserved exactly — the DuckDB twins pin it)."""
+    all their words (preserved exactly — the DuckDB twins pin it)."""
     words = F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), 0)
     base = docs.select("doc_id", words.alias("__w"))
     if n == 1:
         sh = F.array_distinct(F.col("__w"))
     else:
-        length = f"(size(__w) - {n - 1})"
-        acc = f"slice(__w, 1, {length})"
-        for j in range(2, n + 1):
-            acc = (
-                f"zip_with({acc}, slice(__w, {j}, {length}),"
-                f" (x, y) -> concat(x, ' ', y))"
-            )
         sh = F.expr(
             f"array_distinct(CASE WHEN size(__w) < {n}"
-            f" THEN array(concat_ws(' ', __w)) ELSE {acc} END)"
+            f" THEN array(concat_ws(' ', __w))"
+            f" ELSE regexp_extract_all(concat_ws(' ', __w), '{_gram_regex(n)}', 1)"
+            f" END)"
         )
     return base.select("doc_id", sh.alias("shingles"))
 
@@ -138,10 +143,16 @@ def _with_shingles(docs: DataFrame, n: int = SHINGLE_N) -> DataFrame:
 #: soak_scale.py) drain it to pin the probe's bound and the auto-width
 #: choice per scale in a committed artifact, so a regression in either
 #: (e.g. after a tokenizer change silently shrinks the token space) is
-#: caught mechanically rather than by a wall-clock blowup. Bounded: the
-#: guard tries at most 4 widths per operator call; callers that care
-#: clear it before the call.
-GUARD_TRACE: list[dict] = []
+#: caught mechanically rather than by a wall-clock blowup. Bounded
+#: deque (maxlen 64 ≫ the ≤4 widths any single call probes): long-lived
+#: sessions running the dedup gates repeatedly must not accumulate
+#: entries without end (ADVICE r10). CONSUMER CONTRACT: clear()
+#: immediately before the call whose decisions you want to pin (as
+#: tools/soak_scale.py and tools/soak_setjoin_auto.py do) — the tail
+#: may otherwise contain entries from unrelated earlier calls.
+from collections import deque as _deque
+
+GUARD_TRACE: "_deque[dict]" = _deque(maxlen=64)
 
 
 def _guarded_prefix_inputs(

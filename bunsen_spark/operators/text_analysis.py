@@ -57,6 +57,37 @@ def words_col(text: Column) -> Column:
     return F.regexp_extract_all(F.lower(text), F.lit("[a-z0-9]+"), 0)
 
 
+def gram_regex(n: int) -> str:
+    """Java regex that captures every overlapping ``n``-word window of a
+    single-space-joined token sentence: a zero-width word-boundary
+    anchor (``\\b`` — matches at each token start; at token ENDS the
+    lookahead fails on the following space) wrapping a lookahead whose
+    group 1 is the next ``n`` space-separated tokens. Zero-width
+    matches advance one char at a time, so every token start with
+    ``n-1`` following tokens yields exactly one gram — the overlapping
+    windows a plain (consuming) regex cannot produce. One regex pass
+    replaces the former per-position interpreted ``transform``/
+    ``zip_with`` higher-order chains: 2.9× (word 3-grams) to 5.8×
+    (char 8-grams) measured at gen-sf1 with identical value hashes
+    (PERF.md "Round-11: vectorized shingle constructor")."""
+    return r"\\b(?=(" + "[a-z0-9]+" + " [a-z0-9]+" * (n - 1) + "))"
+
+
+def ngrams_expr(n: int, col: str = "__w") -> str:
+    """NON-distinct overlapping word ``n``-grams of a tokenized-array
+    column (tokens are ``[a-z0-9]+``, so the space-joined sentence has
+    single-space separators only), via one :func:`gram_regex` pass.
+    Documents with fewer than ``n`` tokens emit an EMPTY array — the
+    bigram-family semantics (surprisal/repetition/PMI count every
+    occurrence with multiplicity; contrast ``dedup.shingles_expr``,
+    which is distinct with a join-all-words short-doc fallback)."""
+    return (
+        f"CASE WHEN size({col}) >= {n}"
+        f" THEN regexp_extract_all(concat_ws(' ', {col}), '{gram_regex(n)}', 1)"
+        f" ELSE cast(array() AS array<string>) END"
+    )
+
+
 WORDS_SQL = "regexp_extract_all(lower(text), '[a-z0-9]+')"
 
 # language marker stopwords: tiny per-language lists with no overlap.
@@ -250,11 +281,17 @@ def fingerprint(docs: DataFrame, portable: bool = False) -> DataFrame:
     the winnowed-set size. Per-gram hashing dominates this operator's
     CPU; ``portable`` selects the :func:`hash31` family (xxhash64
     default; md5 for the DuckDB-twin gate)."""
-    # lower(text) is materialized first: substr-ing lower(text) inside
-    # the lambda would re-lower the whole text per gram position
+    # lower(text) is materialized first (substr/regex over the raw text
+    # would re-lower per use). Char k-grams via one DOTALL zero-width-
+    # lookahead regex pass — every position captures its next FP_K
+    # chars — instead of an interpreted per-position transform+substr:
+    # 5.8× at gen-sf1 (20.7 s -> 3.55 s construction force, identical
+    # count AND hash; PERF.md "Round-11"). Short docs (< FP_K chars)
+    # match nothing under .{FP_K}, so the CASE preserves the original
+    # whole-text single gram.
     grams = F.expr(
-        f"transform(sequence(1, greatest(char_length(__t) - {FP_K - 1}, 1)),"
-        f" i -> substr(__t, i, {FP_K}))"
+        f"CASE WHEN char_length(__t) < {FP_K} THEN array(__t)"
+        f" ELSE regexp_extract_all(__t, '(?s)(?=(.{{{FP_K}}}))', 1) END"
     )
     hashes = F.transform(grams, lambda g: hash31(g, portable))
     # Sliding-window minima via sparse-table DOUBLING: window-2p minima
@@ -338,17 +375,9 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
     # re-evaluating it per derived expression tripled the query time)
     toks = docs.select("doc_id", words_col(F.col("text")).alias("ws"))
     words = F.col("ws")
-    # guard: 0/1-word docs have NO bigrams (element_at would fault
-    # under ANSI on the empty array; the oracle mirrors the guard)
-    bigrams = F.when(
-        F.size(words) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(words) - 1),
-            lambda i: F.concat_ws(
-                " ", F.element_at(words, i), F.element_at(words, i + 1)
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    # 0/1-word docs emit NO bigrams (the CASE guard inside ngrams_expr;
+    # the oracle mirrors it)
+    bigrams = F.expr(ngrams_expr(2, "ws"))
     base = toks.select(
         "doc_id",
         "ws",
@@ -564,11 +593,7 @@ def bigram_surprisal_score(docs: DataFrame) -> DataFrame:
     words = words_col(F.col("text"))
     # CASE guard: sequence(1, 0) is DESCENDING in Spark ([1, 0]), so a
     # 0/1-token doc would index past the array — emit no bigrams instead
-    bigrams = F.expr(
-        "CASE WHEN size(__w) >= 2 THEN transform(sequence(1, size(__w) - 1),"
-        " i -> concat(__w[i - 1], ' ', __w[i]))"
-        " ELSE cast(array() AS array<string>) END"
-    )
+    bigrams = F.expr(ngrams_expr(2, "__w"))
     toks = (
         docs.select("doc_id", words.alias("__w"))
         .select("doc_id", F.explode(bigrams).alias("bg"))
@@ -669,11 +694,7 @@ def importance_score(
     if n_buckets < 1:
         raise ValueError("n_buckets must be >= 1")
     words = words_col(F.col("text"))
-    bigrams = F.expr(
-        "CASE WHEN size(__w) >= 2 THEN transform(sequence(1, size(__w) - 1),"
-        " i -> concat(__w[i - 1], ' ', __w[i]))"
-        " ELSE cast(array() AS array<string>) END"
-    )
+    bigrams = F.expr(ngrams_expr(2, "__w"))
     toks = (
         docs.select(
             "doc_id",
@@ -774,8 +795,8 @@ def ngram_novelty(docs: DataFrame, n: int = 3) -> DataFrame:
     corpus-wide ``sum(novel_grams)`` = the corpus's distinct-gram count
     exactly — duplicates never double-count.
 
-    Plan: distinct-gram explode (the shared ``zip_with`` shingle
-    shape, `dedup.py:shingles_expr`) → one map-side-combined
+    Plan: distinct-gram explode (the shared lookahead-regex shingle
+    builder, `dedup.py:shingles_expr`) → one map-side-combined
     ``min(doc_id)`` per gram, from which the per-doc NOVEL counts are
     a direct second aggregate (``groupBy(first_doc)``) — no join back
     to the corpus-scale gram table at all (the join formulation

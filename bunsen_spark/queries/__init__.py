@@ -73,7 +73,36 @@ def ts_us(df: DataFrame, col: str = "ts"):
 # round 11: gates whose operator code changes this round are appended
 # here as they are touched so they jump the queue next round if they
 # miss this round's prefix.
-_CHANGED_THIS_ROUND: list[str] = []
+_CHANGED_THIS_ROUND: list[str] = [
+    # round 11: every gate that flows through the rewritten word-shingle
+    # constructor (dedup.py:shingles_expr / _with_shingles — the
+    # zero-width-lookahead regex form replacing the zip_with chain):
+    # results hash-verified unchanged, but the gates run new code
+    "ngram_novelty_scores",
+    "novelty_incremental",
+    "dedup_jaccard",
+    "dedup_containment",
+    "dedup_prefix_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_clusters",
+    "dedup_cluster_keep_best",
+    "dedup_incremental_near",
+    "dedup_substring_spans",
+    "decontaminate_overlap",
+    "quality_dup_decile_counts",
+    "cluster_safe_split_counts",
+    "coverage_select_docs",
+    "corpus_top_ngrams",
+    "curation_pipeline_counts",
+    "segment_dedup_texts",
+    # round 11: gates over the rewritten char-gram fingerprint and the
+    # shared non-distinct bigram builder (text_analysis.py:ngrams_expr)
+    "text_fingerprint",
+    "text_repetition",
+    "text_bigram_surprisal",
+    "dsir_importance_scores",
+]
 
 
 def _last_checked_rounds() -> dict[str, int]:

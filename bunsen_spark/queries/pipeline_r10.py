@@ -36,8 +36,13 @@ def _cached_index(spark: SparkSession, sf_dir: str, tag: str, build) -> str:
 
     src = f"{sf_dir}/embeddings.parquet"
     ident = f"{os.path.abspath(src)}|{os.path.getmtime(src)}"
+    # the build closure also depends on THIS module (split predicates,
+    # build composition), so hash it alongside the operator module —
+    # editing e.g. APPEND_BASE_PRED must invalidate the cache without
+    # anyone remembering to bump the tag (ADVICE r10)
     code = hashlib.md5(open(similarity.__file__, "rb").read()).hexdigest()
-    key = hashlib.md5(f"{ident}|{code}|{tag}".encode()).hexdigest()[:12]
+    here = hashlib.md5(open(__file__, "rb").read()).hexdigest()
+    key = hashlib.md5(f"{ident}|{code}|{here}|{tag}".encode()).hexdigest()[:12]
     path = f"/tmp/bunsen_ivfpq_idx_{key}"
     marker = f"{path}/_COMPLETE"
     if not os.path.exists(marker):

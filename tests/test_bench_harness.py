@@ -92,3 +92,37 @@ def test_fresh_rerun_keeps_better_attempt_and_fast_rows_exempt(monkeypatch):
     out = bench._fresh_rerun(["fast", "worse"], 3, 0.5)
     assert "unsettled" not in out["fast"]
     assert out["worse"]["median"] == 1.0 and out["worse"]["unsettled"] is True
+
+
+def test_classify_machine_state_ok_and_degraded():
+    import bench
+
+    ref = {"python_loop_s": 0.2, "numpy_matmul_s": 0.1}
+    ok = bench.classify_machine_state(ref, {"python_loop_s": 0.21, "numpy_matmul_s": 0.11})
+    assert ok["state"] == "ok"
+    assert ok["ratios"]["python_loop_s"] == 1.05
+    bad = bench.classify_machine_state(ref, {"python_loop_s": 0.4, "numpy_matmul_s": 0.1})
+    assert bad["state"] == "degraded"
+
+
+def test_classify_machine_state_unreferenced_and_partial():
+    import bench
+
+    assert bench.classify_machine_state(None, {"python_loop_s": 0.2})["state"] == "unreferenced"
+    assert bench.classify_machine_state({}, {"python_loop_s": 0.2})["state"] == "unreferenced"
+    # a probe missing from the reference (e.g. numpy import failed at
+    # capture time) is skipped, not treated as degraded
+    part = bench.classify_machine_state(
+        {"python_loop_s": 0.2}, {"python_loop_s": 0.2, "numpy_matmul_s": None}
+    )
+    assert part["state"] == "ok" and list(part["ratios"]) == ["python_loop_s"]
+
+
+def test_classify_machine_state_faster_box_is_ok():
+    import bench
+
+    # a box FASTER than the reference is fine — only slowness pollutes
+    fast = bench.classify_machine_state(
+        {"python_loop_s": 0.2}, {"python_loop_s": 0.1}
+    )
+    assert fast["state"] == "ok"

@@ -88,8 +88,13 @@ def test_fallback_used_when_no_artifacts(monkeypatch):
     import bunsen_spark.queries as qmod
 
     monkeypatch.setattr(qmod, "_last_checked_rounds", dict)
-    out = qmod._reorder({n: None for n in qmod._DRIVER_ORDER_FALLBACK[:5][::-1]})
-    assert list(out) == qmod._DRIVER_ORDER_FALLBACK[:5]
+    picks = [
+        n
+        for n in qmod._DRIVER_ORDER_FALLBACK
+        if n not in set(qmod._CHANGED_THIS_ROUND)
+    ][:5]
+    out = qmod._reorder({n: None for n in picks[::-1]})
+    assert list(out) == picks
 
 
 def test_every_query_has_an_oracle():

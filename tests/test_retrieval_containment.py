@@ -229,14 +229,15 @@ def test_saturation_guard_trace_records_decisions(spark):
     # auto tried 3 (and maybe 5) — refused — then settled on a width
     # that fits: every entry but the last must be a refusal, the last
     # an admission, each carrying the probed volume and its cap
-    assert len(GUARD_TRACE) >= 2
-    assert all(not d["admitted"] for d in GUARD_TRACE[:-1])
-    last = GUARD_TRACE[-1]
+    trace = list(GUARD_TRACE)  # bounded deque: snapshot for slicing
+    assert len(trace) >= 2
+    assert all(not d["admitted"] for d in trace[:-1])
+    last = trace[-1]
     assert last["admitted"] and last["volume"] <= last["cap"]
-    assert [d["width"] for d in GUARD_TRACE] == sorted(
-        {3, 5, 7, 9} & set(d["width"] for d in GUARD_TRACE)
+    assert [d["width"] for d in trace] == sorted(
+        {3, 5, 7, 9} & set(d["width"] for d in trace)
     )
     assert all(
-        d["volume"] > d["cap"] for d in GUARD_TRACE[:-1]
+        d["volume"] > d["cap"] for d in trace[:-1]
     ) and all(not d["asymmetric"] for d in GUARD_TRACE)
     GUARD_TRACE.clear()

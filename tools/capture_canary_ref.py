@@ -1,0 +1,58 @@
+"""Capture the committed machine-speed canary reference
+(BENCH_CANARY_REF.json) for bench.py's pre-flight machine-state
+classifier. REFUSES to capture on a busy box (unlike the bench itself,
+which runs regardless and annotates) — a polluted reference would make
+every later clean run look "fast" and every polluted run look "ok".
+
+The committed value per probe is the MINIMUM of N runs: the canary is
+fixed CPU work, so the minimum is the least-interfered sample and the
+right denominator for "how much slower is this box than its best".
+
+Usage: python tools/capture_canary_ref.py [N]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from datetime import datetime, timezone
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+
+def main() -> None:
+    import bench
+
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 5
+    load = os.getloadavg()
+    if load[0] >= 1.0 or load[1] >= 2.5:
+        raise SystemExit(
+            f"REFUSED: box busy (loadavg {load[:2]}); a reference captured "
+            "under load is worse than none"
+        )
+    samples = []
+    for _ in range(n):
+        samples.append(bench._canary())
+        time.sleep(0.5)
+    ref = {
+        k: min(s[k] for s in samples if isinstance(s[k], (int, float)))
+        for k in samples[0]
+        if any(isinstance(s[k], (int, float)) for s in samples)
+    }
+    out = {
+        "canary": ref,
+        "samples": samples,
+        "loadavg": [round(x, 2) for x in load],
+        "captured_utc": datetime.now(timezone.utc).isoformat(timespec="seconds"),
+    }
+    path = REPO / "BENCH_CANARY_REF.json"
+    path.write_text(json.dumps(out, indent=1) + "\n")
+    print(f"wrote {path}: {ref}")
+
+
+if __name__ == "__main__":
+    main()

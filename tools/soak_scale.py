@@ -138,13 +138,21 @@ def main() -> None:
     rows = []
     for name in names:
         fn = qs[name]
+        # which scale is in flight, so the refusal-path drain labels
+        # guard entries with the ACTUAL scale that refused instead of
+        # the ambiguous "lo|hi" (ADVICE r10 — a gate that passed lo
+        # but refused hi was indistinguishable in the artifact)
+        at = "warm"
         try:
+            at = f"warm@{lo_sf}"
             fn(spark, lo).collect()  # warm (codegen/JIT for this plan)
             GUARD_TRACE.clear()
+            at = lo_sf
             t0 = time.time()
             n_lo = fn(spark, lo).count()
             t_lo = time.time() - t0
             drain_guard(name, lo_sf)
+            at = hi_sf
             t0 = time.time()
             n_hi = fn(spark, hi).count()
             t_hi = time.time() - t0
@@ -165,9 +173,10 @@ def main() -> None:
             )
         except Exception as e:  # noqa: BLE001
             # a guard REFUSAL is a decision worth pinning too — drain
-            # whatever the probe logged before it raised
-            drain_guard(name, f"{lo_sf}|{hi_sf}")
-            print(f"{name:32s} ERROR {e}", flush=True)
+            # whatever the probe logged before it raised, labeled with
+            # the scale that was actually running
+            drain_guard(name, at)
+            print(f"{name:32s} ERROR at {at}: {e}", flush=True)
     bad = [r for r in rows if r[5] >= 1.5]
     print(f"\n{len(rows)} queries; {len(bad)} with alpha >= 1.5"
           + (": " + ", ".join(r[0] for r in bad) if bad else ""))
