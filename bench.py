@@ -119,38 +119,65 @@ def _canary() -> dict:
     multi-core throughput, the profile Spark tasks see)."""
     import hashlib
 
-    t0 = time.perf_counter()
-    h = hashlib.md5()
-    buf = b"x" * 65536
-    for _ in range(800):
-        h.update(buf)
-    acc = 0
-    for i in range(2_000_000):
-        acc += i * i
-    py_s = round(time.perf_counter() - t0, 4)
+    def py_once() -> float:
+        t0 = time.perf_counter()
+        h = hashlib.md5()
+        buf = b"x" * 65536
+        for _ in range(800):
+            h.update(buf)
+        acc = 0
+        for i in range(2_000_000):
+            acc += i * i
+        return time.perf_counter() - t0
+
+    # MIN of individually-timed reps: interference only ever slows a
+    # fixed-work probe, so the minimum is the least-interfered sample.
+    # A single timed batch was measured 4.4x jittery for the matmul on
+    # an IDLE box (BLAS thread-pool scheduling), which would flag clean
+    # runs as degraded.
+    py_s = round(min(py_once() for _ in range(3)), 4)
 
     try:
         import numpy as np
 
         a = np.ones((1024, 1024))
         a @ a  # untimed warm-up: BLAS thread-pool spin-up
-        t0 = time.perf_counter()
-        for _ in range(3):
+        times = []
+        for _ in range(5):
+            t0 = time.perf_counter()
             (a @ a).sum()
-        np_s = round(time.perf_counter() - t0, 4)
+            times.append(time.perf_counter() - t0)
+        np_s = round(min(times), 4)
     except Exception:  # noqa: BLE001 - canary is best-effort
         np_s = None
     return {"python_loop_s": py_s, "numpy_matmul_s": np_s}
 
 
+#: per-probe degraded thresholds (ratio vs the committed reference,
+#: which tools/capture_canary_ref.py pins as a long-window minimum —
+#: the box's true best). python_loop is single-thread and stable to
+#: ~5% on an idle box, so a 1.3x slowdown is a real signal (CPU steal
+#: / frequency state). The parallel matmul is the probe that sees
+#: multi-core contention — the thing that actually inflates local[32]
+#: query times — but even at loadavg < 1 its minimum oscillates up to
+#: ~5x with sub-minute external bursts (measured while building this:
+#: 0.010 s fast state, 0.036-0.05 s ambient), so only a slowdown past
+#: 8x the pinned best is flagged; the r10-style polluted state that
+#: inflated the whole suite ~27% measured ~12x, comfortably inside
+#: the flag and far outside the ambient band. Raw ratios are always
+#: recorded — the classification is the tripwire, not the evidence.
+CANARY_TOL = {"python_loop_s": 1.3, "numpy_matmul_s": 8.0}
+
+
 def classify_machine_state(
-    ref: dict | None, measured: dict, tol: float = 1.25
+    ref: dict | None, measured: dict, tol: dict | None = None
 ) -> dict:
     """Pure classification of a canary measurement against the
-    committed reference: ``ok`` (all ratios <= tol), ``degraded``
-    (any probe slower than tol x reference — timings are suspect and
-    the artifact says so), or ``unreferenced`` (no committed
-    reference). Unit-tested without Spark."""
+    committed reference: ``ok`` (every probe within its tolerance),
+    ``degraded`` (any probe slower than tol x reference — timings are
+    suspect and the artifact says so), or ``unreferenced`` (no
+    committed reference). Unit-tested without Spark."""
+    tol = tol or CANARY_TOL
     if not ref:
         return {"state": "unreferenced", "ratios": {}}
     ratios = {}
@@ -158,7 +185,11 @@ def classify_machine_state(
         r = ref.get(k)
         if isinstance(m, (int, float)) and isinstance(r, (int, float)) and r > 0:
             ratios[k] = round(m / r, 3)
-    state = "degraded" if any(v > tol for v in ratios.values()) else "ok"
+    state = (
+        "degraded"
+        if any(v > tol.get(k, 1.3) for k, v in ratios.items())
+        else "ok"
+    )
     return {"state": state, "ratios": ratios, "tolerance": tol}
 
 

@@ -103,6 +103,10 @@ def test_classify_machine_state_ok_and_degraded():
     assert ok["ratios"]["python_loop_s"] == 1.05
     bad = bench.classify_machine_state(ref, {"python_loop_s": 0.4, "numpy_matmul_s": 0.1})
     assert bad["state"] == "degraded"
+    # per-probe tolerance: a 5x matmul is within ITS (oscillating)
+    # band while a 2x python loop is degraded
+    assert bench.classify_machine_state(ref, {"python_loop_s": 0.2, "numpy_matmul_s": 0.5})["state"] == "ok"
+    assert bench.classify_machine_state(ref, {"python_loop_s": 0.2, "numpy_matmul_s": 0.9})["state"] == "degraded"
 
 
 def test_classify_machine_state_unreferenced_and_partial():

@@ -4,9 +4,12 @@ classifier. REFUSES to capture on a busy box (unlike the bench itself,
 which runs regardless and annotates) — a polluted reference would make
 every later clean run look "fast" and every polluted run look "ok".
 
-The committed value per probe is the MINIMUM of N runs: the canary is
-fixed CPU work, so the minimum is the least-interfered sample and the
-right denominator for "how much slower is this box than its best".
+The committed value per probe is the MINIMUM of N runs spread over
+~30 s: the canary is fixed CPU work, so the minimum is the least-
+interfered sample and the right denominator for "how much slower is
+this box than its best" — the long window matters because the box's
+multi-core throughput oscillates with sub-minute external bursts even
+at loadavg < 1 (see bench.py:CANARY_TOL).
 
 Usage: python tools/capture_canary_ref.py [N]
 """
@@ -27,7 +30,7 @@ sys.path.insert(0, str(REPO))
 def main() -> None:
     import bench
 
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 5
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 12
     load = os.getloadavg()
     if load[0] >= 1.0 or load[1] >= 2.5:
         raise SystemExit(
@@ -37,7 +40,7 @@ def main() -> None:
     samples = []
     for _ in range(n):
         samples.append(bench._canary())
-        time.sleep(0.5)
+        time.sleep(2.0)
     ref = {
         k: min(s[k] for s in samples if isinstance(s[k], (int, float)))
         for k in samples[0]
