@@ -1327,6 +1327,7 @@ def ivfpq_topk_sql(
     n_iters: int = KMEANS_ITERS,
     dim: int = EMBED_DIM,
     train_pred: str = "TRUE",
+    delete_pred: str = "FALSE",
 ) -> str:
     """DuckDB twin of :func:`ivfpq_topk` — coarse books, residuals,
     residual books, codes, probe LUTs, and integral ADC, all bit-exact.
@@ -1337,7 +1338,12 @@ def ivfpq_topk_sql(
     ``vec_id % 5 < 4`` reproduces the build-then-append index
     lifecycle (:func:`write_ivfpq_index` on the base subset +
     :func:`append_ivfpq_index` for the rest against the frozen
-    quantizers)."""
+    quantizers). ``delete_pred`` (over ``vec_id``) excludes matching
+    rows from the CANDIDATE side only — queries, training, and
+    encoding are untouched — reproducing the tombstone semantics of
+    :func:`delete_from_ivfpq_index`; ``FALSE`` leaves the SQL
+    byte-identical to the pre-delete twin (the committed append/index
+    gate oracles)."""
     subdim = dim // n_subs
     h = md5int_sql("CAST(vec_id AS VARCHAR)")
     d2full = (
@@ -1392,6 +1398,15 @@ rsubs AS (
 trainrsubs AS (SELECT * FROM rsubs WHERE {train_pred})"""
     )
     parts += _lloyd_sql_parts("trainrsubs", "pq", subdim, n_codewords, n_iters, "seeds_pq")
+    # tombstone semantics: candidates only. Empty when delete_pred is
+    # the default so the committed pre-delete gate oracles stay
+    # byte-identical.
+    tomb_clause = (
+        ""
+        if delete_pred == "FALSE"
+        else "\n    AND codes.vec_id NOT IN"
+        f" (SELECT vec_id FROM e_q WHERE {delete_pred})"
+    )
     parts.append(
         f"""books AS (SELECT sub, cid, cv FROM pqcent{n_iters}),
 codes AS (
@@ -1432,7 +1447,7 @@ lut AS (
 adc AS (
   SELECT l.query_id, codes.vec_id AS neighbor_id, sum(l.d2) AS adc
   FROM codes JOIN lut l USING (ccid, sub, code)
-  WHERE codes.vec_id <> l.query_id
+  WHERE codes.vec_id <> l.query_id{tomb_clause}
   GROUP BY 1, 2
 )"""
     )
@@ -1664,17 +1679,65 @@ def append_ivfpq_index(
     )
 
 
+def delete_from_ivfpq_index(ids: DataFrame, path: str, batch_id: int = 0) -> None:
+    """Tombstone deletion from a persisted IVF-PQ index WITHOUT
+    rewriting a single code: ``ids`` (any DataFrame with a ``vec_id``
+    column) is written to ``{path}/tombstones/batch_id={batch_id}``
+    (dynamic partition overwrite — a replayed delete batch overwrites
+    its own partition, idempotent exactly like
+    :func:`append_ivfpq_index`), and :func:`read_ivfpq_index`
+    anti-joins the merged code table against the tombstone set, so
+    every search path (:func:`ivfpq_index_topk`) stops returning the
+    deleted vectors immediately.
+
+    This is the right-to-erasure half of the index lifecycle: at
+    100 TB a rebuild-per-delete is unpayable, and an in-place rewrite
+    of the cell files turns every GDPR request into a random-write
+    storm. A tombstone partition is one bounded append; the search
+    overhead is one anti-join against a table that AQE broadcasts
+    while small. When the tombstone fraction grows past a few percent,
+    fold them into the codes with one compaction rewrite (the same
+    train-frozen encode guarantees byte-identical codes for the
+    survivors) and truncate the tombstone directory."""
+    (
+        ids.select("vec_id")
+        .withColumn("batch_id", F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(f"{path}/tombstones")
+    )
+
+
+def _read_tombstones(spark, path: str) -> DataFrame | None:
+    """(vec_id) tombstone set of an index, or None when no delete was
+    ever issued (missing directory is the common case and must stay
+    free). Storage-agnostic: probed via the reader, not the local
+    filesystem."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(f"{path}/tombstones").select("vec_id")
+    except AnalysisException:
+        return None
+
+
 def read_ivfpq_index(spark, path: str) -> tuple[DataFrame, DataFrame, DataFrame]:
     """(coarse, books, codes) of a persisted IVF-PQ index; codes merge
     the batch-built base table with any ``{path}/codes_stream``
     partitions the streaming encoder appended (same reader contract as
-    :func:`read_pq_index`)."""
+    :func:`read_pq_index`), minus any tombstoned vec_ids
+    (:func:`delete_from_ivfpq_index`)."""
     from ..streaming.ann import read_stream_ivfpq_codes
 
+    codes = read_stream_ivfpq_codes(spark, path)
+    tomb = _read_tombstones(spark, path)
+    if tomb is not None:
+        codes = codes.join(tomb, "vec_id", "left_anti")
     return (
         spark.read.parquet(f"{path}/coarse"),
         spark.read.parquet(f"{path}/books"),
-        read_stream_ivfpq_codes(spark, path),
+        codes,
     )
 
 

@@ -102,6 +102,8 @@ _CHANGED_THIS_ROUND: list[str] = [
     "text_repetition",
     "text_bigram_surprisal",
     "dsir_importance_scores",
+    # round 11: the probe-curve fold (ivf_p1/ivf_p4 variants added)
+    "ann_eval_scorecard",
 ]
 
 
@@ -354,7 +356,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # stdlib, so a failure here is a bug that must surface, not a
     # missing optional dependency (silently dropping a module would
     # shrink the correctness gate by 20+ queries)
-    from . import domain, pipeline, pipeline_extra, pipeline_r5, pipeline_r5b, pipeline_r7, pipeline_r7b, pipeline_r8, pipeline_r9, pipeline_r10, relational, tpch_extra
+    from . import domain, pipeline, pipeline_extra, pipeline_r5, pipeline_r5b, pipeline_r7, pipeline_r7b, pipeline_r8, pipeline_r9, pipeline_r10, pipeline_r11, relational, tpch_extra
 
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     out.update(relational.QUERIES)
@@ -368,12 +370,13 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(pipeline_r8.QUERIES)
     out.update(pipeline_r9.QUERIES)
     out.update(pipeline_r10.QUERIES)
+    out.update(pipeline_r11.QUERIES)
     out.update(domain.QUERIES)
     return _reorder(out)
 
 
 def all_oracles() -> dict[str, str]:
-    from . import domain, pipeline, pipeline_extra, pipeline_r5, pipeline_r5b, pipeline_r7, pipeline_r7b, pipeline_r8, pipeline_r9, pipeline_r10, relational, tpch_extra
+    from . import domain, pipeline, pipeline_extra, pipeline_r5, pipeline_r5b, pipeline_r7, pipeline_r7b, pipeline_r8, pipeline_r9, pipeline_r10, pipeline_r11, relational, tpch_extra
 
     out: dict[str, str] = {}
     out.update(relational.ORACLES)
@@ -387,5 +390,6 @@ def all_oracles() -> dict[str, str]:
     out.update(pipeline_r8.ORACLES)
     out.update(pipeline_r9.ORACLES)
     out.update(pipeline_r10.ORACLES)
+    out.update(pipeline_r11.ORACLES)
     out.update(domain.ORACLES)
     return _reorder(out)

@@ -98,9 +98,10 @@ def ann_eval_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Every closed-form ANN variant scored on BOTH retrieval-quality
     axes in one table (`operators/retrieval.py:topk_overlap` +
     `mrr_by_query`): recall@5 against the exact scan for the geometric
-    approximations (IVF, JL, LSH), and label-relevance MRR — exact
-    lcm-scaled integers — for the exact scan, JL, and binary
-    Hamming+rerank. Output rows are (metric, variant, query_id, value)
+    approximations (IVF at n_probe 1/2/4 — the probe recall-vs-cost
+    curve folded in from the former ann_ivf_probe_curve gate in round
+    11 — plus JL and LSH), and label-relevance MRR — exact lcm-scaled
+    integers — for the exact scan, JL, and binary Hamming+rerank. Output rows are (metric, variant, query_id, value)
     with value a bit-exact long (`hits`, `first_rel`, or `mrr_scaled`)
     — the index-selection scorecard: which approximation is safe to
     deploy at which recall/MRR budget. The shared runs (exact brute
@@ -119,8 +120,14 @@ def ann_eval_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = materialize(brute_force_topk(emb, 5, 32))
     jl = materialize(jl_topk(emb, 5, 32))
     parts = []
+    # ivf_p1/ivf_p4 (round 11): the folded-in IVF probe curve — 'ivf'
+    # is the default n_probe=2, so the three rows together are the
+    # recall-vs-scan-cost schedule the standalone ann_ivf_probe_curve
+    # gate used to pin, now sharing this gate's materialized exact run
     for name, run in (
         ("ivf", ivf_topk(emb, 5, 32)),
+        ("ivf_p1", ivf_topk(emb, 5, 32, n_probe=1)),
+        ("ivf_p4", ivf_topk(emb, 5, 32, n_probe=4)),
         ("jl", jl),
         ("lsh", lsh_topk(emb, 5, 32)),
     ):
@@ -171,6 +178,8 @@ def _ann_eval_sql() -> str:
     parts = []
     for name, run in (
         ("ivf", ivf_topk_sql("embeddings", 5, 32)),
+        ("ivf_p1", ivf_topk_sql("embeddings", 5, 32, n_probe=1)),
+        ("ivf_p4", ivf_topk_sql("embeddings", 5, 32, n_probe=4)),
         ("jl", jl_topk_sql("embeddings", 5, 32)),
         ("lsh", lsh_topk_sql("embeddings", 5, 32)),
     ):

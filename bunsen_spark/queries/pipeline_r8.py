@@ -347,47 +347,6 @@ QUERIES.update({"rolling_7d_value_extrema": rolling_7d_value_extrema})
 ORACLES.update({"rolling_7d_value_extrema": _ROLLING_7D_SQL})
 
 
-def ann_ivf_probe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall-vs-cost tuning curve for the IVF index: recall@5 against
-    the exact scan at n_probe in {1, 2, 4} in one table — the scan cut
-    is centroids/n_probe, so this gate IS the accuracy-for-speed
-    schedule an index operator publishes. The exact run is
-    materialized once and shared across the three overlaps."""
-    from pyspark.sql import functions as F
-
-    from ..operators.retrieval import topk_overlap
-    from ..operators.similarity import brute_force_topk, ivf_topk
-    from ..persist import materialize
-
-    emb = load(spark, sf_dir, "embeddings")
-    exact = materialize(brute_force_topk(emb, 5, 32))
-    out = None
-    for probe in (1, 2, 4):
-        part = topk_overlap(exact, ivf_topk(emb, 5, 32, n_probe=probe), 5).select(
-            F.lit(probe).cast("long").alias("n_probe"), "query_id", "hits"
-        )
-        out = part if out is None else out.unionByName(part)
-    return out
-
-
-def _ann_probe_curve_sql() -> str:
-    from ..operators.retrieval import topk_overlap_sql
-    from ..operators.similarity import brute_force_topk_sql, ivf_topk_sql
-
-    exact = brute_force_topk_sql("embeddings", 5, 32)
-    parts = [
-        f"SELECT CAST({p} AS BIGINT) AS n_probe, query_id, hits FROM ("
-        + topk_overlap_sql(exact, ivf_topk_sql("embeddings", 5, 32, n_probe=p), 5)
-        + ")"
-        for p in (1, 2, 4)
-    ]
-    return "\nUNION ALL\n".join(parts)
-
-
-QUERIES.update({"ann_ivf_probe_curve": ann_ivf_probe_curve})
-ORACLES.update({"ann_ivf_probe_curve": _ann_probe_curve_sql()})
-
-
 def funnel_within_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TIME-CONSTRAINED funnel (view -> click -> purchase, each step
     within one hour of the one before): a click qualifies if SOME view

@@ -206,3 +206,78 @@ def test_append_ivfpq_index_equals_batch_encode(spark, sf_dir, tmp_path):
     res = ivfpq_index_topk(spark, path, emb.where(F.col("vec_id") < 8), k=5)
     neigh = {r["neighbor_id"] for r in res.collect()}
     assert any(n % 5 == 4 for n in neigh)
+
+
+def test_delete_from_ivfpq_index_tombstones(spark, sf_dir, tmp_path):
+    """Right-to-erasure lifecycle: tombstoned ids vanish from the code
+    table and from search results WITHOUT any code rewrite; surviving
+    ranks match a search over the same index filtered after the fact;
+    a replayed delete batch is idempotent; an index with no tombstone
+    directory reads exactly as before."""
+    from bunsen_spark.operators.similarity import (
+        append_ivfpq_index,
+        delete_from_ivfpq_index,
+        ivfpq_index_topk,
+        read_ivfpq_index,
+        write_ivfpq_index,
+    )
+
+    emb = _emb(spark, sf_dir)
+    base = emb.where(F.col("vec_id") % 5 < 4)
+    late = emb.where(F.col("vec_id") % 5 >= 4)
+    path = str(tmp_path / "ivfpq")
+    write_ivfpq_index(base, path)
+    append_ivfpq_index(late, path)
+
+    # no tombstone dir: reader is unchanged (the common free case)
+    _, _, codes_before = read_ivfpq_index(spark, path)
+    n_before = codes_before.count()
+    queries = emb.where(F.col("vec_id") < 8)
+    res_before = sorted(
+        map(tuple, ivfpq_index_topk(spark, path, queries, k=5).collect())
+    )
+
+    # the deleted slice crosses base AND appended codes
+    deleted = emb.where(F.col("vec_id") % 7 == 3)
+    del_ids = {r["vec_id"] for r in deleted.select("vec_id").collect()}
+    assert any(i % 5 < 4 for i in del_ids) and any(i % 5 >= 4 for i in del_ids)
+    delete_from_ivfpq_index(deleted, path)
+
+    _, _, codes = read_ivfpq_index(spark, path)
+    got_ids = {r["vec_id"] for r in codes.select("vec_id").distinct().collect()}
+    assert got_ids.isdisjoint(del_ids)
+    # codes themselves were never rewritten: surviving rows identical
+    assert codes.count() == n_before - len(
+        [r for r in codes_before.select("vec_id").collect() if r["vec_id"] in del_ids]
+    )
+
+    res = ivfpq_index_topk(spark, path, queries, k=5)
+    rows = res.collect()
+    assert {r["neighbor_id"] for r in rows}.isdisjoint(del_ids)
+    # every query still gets a full top-5 (corpus is far larger than k)
+    from collections import Counter
+
+    per_q = Counter(r["query_id"] for r in rows)
+    assert set(per_q.values()) == {5}
+    # deleted ids may still QUERY (only the candidate side is filtered)
+    assert set(per_q) == {r["vec_id"] for r in queries.collect()}
+    # deletion can only PROMOTE: for each query, every surviving member
+    # of the old top-5 must still be present in the new top-5
+    old_by_q = {}
+    for q, n, rk in res_before:
+        old_by_q.setdefault(q, []).append(n)
+    new_by_q = {}
+    for r in rows:
+        new_by_q.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for q, olds in old_by_q.items():
+        for n in olds:
+            if n not in del_ids:
+                assert n in new_by_q[q], (q, n)
+
+    # replayed delete batch: idempotent, nothing double-removed (count
+    # captured BEFORE the replay — the overwrite invalidates the old
+    # plan's file listing, so the comparison must re-read the index)
+    n_after_delete = codes.count()
+    delete_from_ivfpq_index(deleted, path)
+    _, _, codes2 = read_ivfpq_index(spark, path)
+    assert codes2.count() == n_after_delete
