@@ -194,9 +194,27 @@ def classify_machine_state(
 
 
 def _preflight() -> dict:
-    """Idle gate + machine-speed canary, recorded in the artifact."""
+    """Idle gate + machine-speed canary, recorded in the artifact.
+    The canary takes the per-probe MIN over three samples spread a few
+    seconds apart: the box's throughput oscillates with sub-minute
+    bursts, and a single point sample at an unlucky instant flags a
+    clean run as degraded (observed: matmul ratio 8.45 at loadavg
+    0.25). If even the best of three is past the band, the pollution
+    is sustained — exactly what the flag is for."""
     gate = _wait_for_idle()
-    measured = _canary()
+    samples = []
+    for i in range(3):
+        samples.append(_canary())
+        if i < 2:
+            time.sleep(3)
+    measured = {
+        k: (
+            min(v for v in (s.get(k) for s in samples) if v is not None)
+            if any(s.get(k) is not None for s in samples)
+            else None
+        )
+        for k in samples[0]
+    }
     try:
         ref = json.loads((REPO / "BENCH_CANARY_REF.json").read_text())
     except (OSError, json.JSONDecodeError):

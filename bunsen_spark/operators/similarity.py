@@ -228,6 +228,108 @@ def ivf_topk(
     )
 
 
+def ivf_probe_sweep(
+    embeddings: DataFrame,
+    k: int = 5,
+    num_queries: int = 32,
+    n_centroids: int = IVF_CENTROIDS,
+    probes: tuple[int, ...] = (1, 2, 4),
+) -> DataFrame:
+    """:func:`ivf_topk` at several ``n_probe`` settings in ONE pass
+    over the corpus: the centroid scoring and cell assignment — the
+    corpus-sized work — run once; each candidate (query, neighbor)
+    pair carries the probe rank of the one cell it is reachable
+    through (a vector lives in exactly one cell), so every probe
+    level's result is a filter + per-query window over the same
+    materialized candidate table. Output: (n_probe, query_id,
+    neighbor_id, rank), bit-identical per level to the standalone
+    operator (the scorecard gate's DuckDB twin pins it per level).
+    This is the recall-vs-scan-cost curve an index operator publishes;
+    computing it naively re-scores the corpus once per level."""
+    from ..persist import materialize
+    from .text_analysis import md5int
+
+    max_p = max(probes)
+    base = _with_norm(embeddings).transform(_spread)
+    centroids = (
+        base.withColumn("h", md5int(F.col("vec_id").cast("string")))
+        .orderBy("h", "vec_id")
+        .limit(n_centroids)
+        .select(
+            F.col("vec_id").alias("cid"),
+            F.col("v").alias("cv"),
+            F.col("norm").alias("cnorm"),
+        )
+    )
+
+    def scored(src: DataFrame) -> DataFrame:
+        return src.join(F.broadcast(centroids)).select(
+            "vec_id",
+            "v",
+            "norm",
+            "cid",
+            _cosine(
+                F.col("v"), F.col("cv"), F.col("norm"), F.col("cnorm")
+            ).alias("csim"),
+        )
+
+    aw = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("cid"))
+    # the CORPUS is scored exactly once, into the materialized 1-row-
+    # per-vector cell assignment (the IVF index structure itself); the
+    # probe cells re-score only the num_queries query vectors — re-
+    # deriving them from the corpus pass would either re-scan it per
+    # level or checkpoint max(probes) duplicated copies of every vector
+    assigned = materialize(
+        scored(base)
+        .withColumn("rn", F.row_number().over(aw))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "v", "norm", "cid")
+    )
+    probe_cells = (
+        scored(base.where(F.col("vec_id") < num_queries))
+        .withColumn("rn", F.row_number().over(aw))
+        .where(F.col("rn") <= max_p)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("norm").alias("qnorm"),
+            "cid",
+            F.col("rn").alias("probe_rn"),
+        )
+    )
+    # each (query, neighbor) pair is reachable through exactly one cell
+    # (a vector lives in one cell), so it carries ONE probe_rn and the
+    # candidate table is level-filterable after a single join
+    cand = materialize(
+        assigned.join(F.broadcast(probe_cells), "cid")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            _cosine(
+                F.col("qv"), F.col("v"), F.col("qnorm"), F.col("norm")
+            ).alias("sim"),
+            "probe_rn",
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    out = None
+    for p in probes:
+        part = (
+            cand.where(F.col("probe_rn") <= p)
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select(
+                F.lit(p).cast("long").alias("n_probe"),
+                "query_id",
+                "neighbor_id",
+                "rank",
+            )
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
 def ivf_topk_sql(
     table: str = "embeddings",
     k: int = 5,

@@ -110,7 +110,7 @@ def ann_eval_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import (
         brute_force_topk,
         hamming_rerank_topk,
-        ivf_topk,
+        ivf_probe_sweep,
         jl_topk,
         lsh_topk,
     )
@@ -119,15 +119,19 @@ def ann_eval_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     exact = materialize(brute_force_topk(emb, 5, 32))
     jl = materialize(jl_topk(emb, 5, 32))
+    # ivf/ivf_p1/ivf_p4 (round 11): the folded-in IVF probe curve —
+    # 'ivf' is the default n_probe=2, so the three rows together are
+    # the recall-vs-scan-cost schedule the standalone
+    # ann_ivf_probe_curve gate used to pin. All three levels come from
+    # ONE corpus scan (`similarity.py:ivf_probe_sweep` — shared
+    # centroid scoring + cell assignment, per-level filter+window),
+    # and they share this gate's materialized exact run.
+    sweep = materialize(ivf_probe_sweep(emb, 5, 32, probes=(1, 2, 4)))
     parts = []
-    # ivf_p1/ivf_p4 (round 11): the folded-in IVF probe curve — 'ivf'
-    # is the default n_probe=2, so the three rows together are the
-    # recall-vs-scan-cost schedule the standalone ann_ivf_probe_curve
-    # gate used to pin, now sharing this gate's materialized exact run
     for name, run in (
-        ("ivf", ivf_topk(emb, 5, 32)),
-        ("ivf_p1", ivf_topk(emb, 5, 32, n_probe=1)),
-        ("ivf_p4", ivf_topk(emb, 5, 32, n_probe=4)),
+        ("ivf", sweep.where(F.col("n_probe") == 2).drop("n_probe")),
+        ("ivf_p1", sweep.where(F.col("n_probe") == 1).drop("n_probe")),
+        ("ivf_p4", sweep.where(F.col("n_probe") == 4).drop("n_probe")),
         ("jl", jl),
         ("lsh", lsh_topk(emb, 5, 32)),
     ):
