@@ -51,12 +51,12 @@ def ts_us(df: DataFrame, col: str = "ts"):
 # registered late may never receive a driver-verified row even though they
 # pass the local oracle (tools/oracle_check.py). ``_reorder`` therefore
 # emits three priority groups:
-#   0: ``_CHANGED_THIS_ROUND`` — queries whose operator code changed this
-#      round: their existing driver rows predate the code they now run,
-#      so a fresh row matters MORE than a merely-stale one (the round-6
-#      process gap: none of the 15 shingle-family gates modified by
-#      38c0c47 landed in the r06 prefix). Maintained by hand as operator
-#      modules are touched; reset each round.
+#   0: live ``_CHANGED_GATES`` — queries whose operator code changed in
+#      the tagged round: their existing driver rows predate the code
+#      they now run, so a fresh row matters MORE than a merely-stale one
+#      (the round-6 process gap: none of the 15 shingle-family gates
+#      modified by 38c0c47 landed in the r06 prefix). Entries SELF-
+#      EXPIRE — see the comment on ``_CHANGED_GATES``.
 #   1: never-driver-checked entries (no CORRECTNESS row in any round),
 #      alphabetically;
 #   2: the rest, stalest-driver-row-first — DERIVED AT IMPORT TIME from
@@ -70,40 +70,25 @@ def ts_us(df: DataFrame, col: str = "ts"):
 #      ``python tools/gen_driver_order.py --write``) is used only when
 #      no CORRECTNESS artifact is readable (fresh clone).
 
-# round 11: gates whose operator code changes this round are appended
-# here as they are touched so they jump the queue next round if they
-# miss this round's prefix.
-_CHANGED_THIS_ROUND: list[str] = [
-    # round 11: every gate that flows through the rewritten word-shingle
-    # constructor (dedup.py:shingles_expr / _with_shingles — the
-    # zero-width-lookahead regex form replacing the zip_with chain):
-    # results hash-verified unchanged, but the gates run new code
-    "ngram_novelty_scores",
-    "novelty_incremental",
-    "dedup_jaccard",
-    "dedup_containment",
-    "dedup_prefix_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_clusters",
-    "dedup_cluster_keep_best",
-    "dedup_incremental_near",
-    "dedup_substring_spans",
-    "decontaminate_overlap",
-    "quality_dup_decile_counts",
-    "cluster_safe_split_counts",
-    "coverage_select_docs",
-    "corpus_top_ngrams",
-    "curation_pipeline_counts",
-    "segment_dedup_texts",
-    # round 11: gates over the rewritten char-gram fingerprint and the
-    # shared non-distinct bigram builder (text_analysis.py:ngrams_expr)
-    "text_fingerprint",
-    "text_repetition",
-    "text_bigram_surprisal",
-    "dsir_importance_scores",
-    # round 11: the probe-curve fold (ivf_p1/ivf_p4 variants added)
-    "ann_eval_scorecard",
+# Gates whose operator code changed, tagged ``(name, round_changed)``.
+# Appended as operator modules are touched so the gates jump the queue
+# if they miss that round's driver prefix. Entries SELF-EXPIRE (VERDICT
+# r11 #1 — the manual reset was the same chore class that bit r9/r10
+# for _DRIVER_ORDER): an entry is live only while the gate's newest
+# CORRECTNESS row is OLDER than the tagged round; once the driver has a
+# row from that round or later, the gate was re-checked on the new code
+# and the entry silently demotes to the stalest-first group. Expired
+# entries never need a hand edit — prune them cosmetically whenever
+# convenient. (Round 11's 24 entries all received r11 rows and were
+# pruned when expiry landed in round 12.)
+_CHANGED_GATES: list[tuple[str, int]] = [
+    # round 12: the persisted IVF-PQ index lifecycle gates — delete
+    # batch ids are now content-derived (ADVICE r11), the reader is
+    # manifest-aware for compaction, and the delete gate's oracle SQL
+    # moved from NOT IN to NOT EXISTS
+    ("ann_ivfpq_index_delete_topk", 12),
+    ("ann_ivfpq_index_append_topk", 12),
+    ("ann_ivfpq_index_topk", 12),
 ]
 
 
@@ -324,6 +309,17 @@ _DRIVER_ORDER_FALLBACK = [
 ]
 
 
+def _live_changed(seen: dict[str, int]) -> list[str]:
+    """The not-yet-expired slice of ``_CHANGED_GATES``: entries whose
+    gate has no CORRECTNESS row at or after the round the change was
+    tagged with. With no artifacts at all (fresh clone) every entry is
+    conservatively live — there is no evidence the new code was ever
+    driver-checked."""
+    return [
+        n for n, rnd in _CHANGED_GATES if seen.get(n, -1) < rnd
+    ]
+
+
 def _reorder(out: dict) -> dict:
     seen = _last_checked_rounds()
     if seen:
@@ -332,10 +328,10 @@ def _reorder(out: dict) -> dict:
     else:
         # fresh clone with no CORRECTNESS artifacts: static fallback
         rank = {n: (i, n) for i, n in enumerate(_DRIVER_ORDER_FALLBACK)}
-    changed = {n: i for i, n in enumerate(_CHANGED_THIS_ROUND)}
+    changed = {n: i for i, n in enumerate(_live_changed(seen))}
 
     # Priority groups for the driver's prefix-sampled gate — see the
-    # comment above _CHANGED_THIS_ROUND. Group 1 sorts alphabetically
+    # comment above _CHANGED_GATES. Group 1 sorts alphabetically
     # because the QUERIES and ORACLES dicts may register new entries in
     # different module order, and the two registries must align.
     def key(n: str):

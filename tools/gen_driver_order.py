@@ -16,7 +16,7 @@ need a fresh driver row first. This tool computes, for every query
 ever driver-checked, the LAST round it received a row, and prints a
 stalest-first ordering (ascending last-checked round, then name).
 ``_reorder`` combines it with the manually-maintained
-``_CHANGED_THIS_ROUND`` list (code-touched queries jump the queue —
+``_CHANGED_GATES`` list (code-touched queries jump the queue —
 their existing driver rows predate the code they now run, the round-6
 process gap flagged in VERDICT r6 'What's wrong #3').
 
