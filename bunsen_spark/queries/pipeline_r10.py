@@ -25,25 +25,40 @@ from . import load
 APPEND_BASE_PRED = "vec_id % 5 < 4"
 
 
-def _cached_index(spark: SparkSession, sf_dir: str, tag: str, build) -> str:
-    """Build-at-most-once index cache shared by the index gates: the
-    path is keyed on the embeddings file's identity plus a hash of the
-    operator module plus ``tag``, so repeated invocations (bench
-    warm-up + timed runs, repeated driver checks) reuse the index and
-    time what the lifecycle sells — searches that never read raw
-    vectors. ``build(emb_df, path)`` runs only on a cache miss."""
+def _index_cache_path(src: str, tag: str, build) -> str:
+    """Deterministic cache location for a built index: keyed on the
+    embeddings file's identity, a hash of the operator module, a hash
+    of every module that DEFINES part of the build (this module's split
+    predicates plus the module the ``build`` closure itself lives in —
+    round 12 gates define their predicates in their own files, so
+    hashing only ``__file__`` left e.g. ``pipeline_r11.DELETE_PRED``
+    outside the key and editing it silently served a stale index:
+    ADVICE r11), and ``tag``."""
+    import inspect
+
     from ..operators import similarity
 
-    src = f"{sf_dir}/embeddings.parquet"
     ident = f"{os.path.abspath(src)}|{os.path.getmtime(src)}"
-    # the build closure also depends on THIS module (split predicates,
-    # build composition), so hash it alongside the operator module —
-    # editing e.g. APPEND_BASE_PRED must invalidate the cache without
-    # anyone remembering to bump the tag (ADVICE r10)
-    code = hashlib.md5(open(similarity.__file__, "rb").read()).hexdigest()
-    here = hashlib.md5(open(__file__, "rb").read()).hexdigest()
-    key = hashlib.md5(f"{ident}|{code}|{here}|{tag}".encode()).hexdigest()[:12]
-    path = f"/tmp/bunsen_ivfpq_idx_{key}"
+    files = {similarity.__file__, __file__}
+    try:
+        files.add(inspect.getfile(build))
+    except TypeError:
+        pass  # builtins / callables without source: covered by tag
+    hashes = "|".join(
+        hashlib.md5(open(f, "rb").read()).hexdigest() for f in sorted(files)
+    )
+    key = hashlib.md5(f"{ident}|{hashes}|{tag}".encode()).hexdigest()[:12]
+    return f"/tmp/bunsen_ivfpq_idx_{key}"
+
+
+def _cached_index(spark: SparkSession, sf_dir: str, tag: str, build) -> str:
+    """Build-at-most-once index cache shared by the index gates: the
+    path is keyed by :func:`_index_cache_path`, so repeated invocations
+    (bench warm-up + timed runs, repeated driver checks) reuse the
+    index and time what the lifecycle sells — searches that never read
+    raw vectors. ``build(emb_df, path)`` runs only on a cache miss."""
+    src = f"{sf_dir}/embeddings.parquet"
+    path = _index_cache_path(src, tag, build)
     marker = f"{path}/_COMPLETE"
     if not os.path.exists(marker):
         shutil.rmtree(path, ignore_errors=True)
