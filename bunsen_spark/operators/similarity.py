@@ -1429,7 +1429,7 @@ def ivfpq_topk_sql(
     n_iters: int = KMEANS_ITERS,
     dim: int = EMBED_DIM,
     train_pred: str = "TRUE",
-    delete_pred: str = "FALSE",
+    delete_pred: str | None = None,
 ) -> str:
     """DuckDB twin of :func:`ivfpq_topk` — coarse books, residuals,
     residual books, codes, probe LUTs, and integral ADC, all bit-exact.
@@ -1443,9 +1443,12 @@ def ivfpq_topk_sql(
     quantizers). ``delete_pred`` (over ``vec_id``) excludes matching
     rows from the CANDIDATE side only — queries, training, and
     encoding are untouched — reproducing the tombstone semantics of
-    :func:`delete_from_ivfpq_index`; ``FALSE`` leaves the SQL
+    :func:`delete_from_ivfpq_index`; ``None`` (or the normalized
+    literal ``FALSE``, accepted for back-compat) leaves the SQL
     byte-identical to the pre-delete twin (the committed append/index
-    gate oracles)."""
+    gate oracles). The exclusion is a correlated ``NOT EXISTS``, not
+    ``NOT IN`` — equivalent here, but robust if ``vec_id`` were ever
+    nullable (ADVICE r11)."""
     subdim = dim // n_subs
     h = md5int_sql("CAST(vec_id AS VARCHAR)")
     d2full = (
@@ -1502,12 +1505,15 @@ trainrsubs AS (SELECT * FROM rsubs WHERE {train_pred})"""
     parts += _lloyd_sql_parts("trainrsubs", "pq", subdim, n_codewords, n_iters, "seeds_pq")
     # tombstone semantics: candidates only. Empty when delete_pred is
     # the default so the committed pre-delete gate oracles stay
-    # byte-identical.
+    # byte-identical. Normalized sentinel check (ADVICE r11: only the
+    # exact string "FALSE" was recognized, so "false"/"0=1" silently
+    # emitted an exclusion clause).
+    no_delete = delete_pred is None or delete_pred.strip().upper() == "FALSE"
     tomb_clause = (
         ""
-        if delete_pred == "FALSE"
-        else "\n    AND codes.vec_id NOT IN"
-        f" (SELECT vec_id FROM e_q WHERE {delete_pred})"
+        if no_delete
+        else "\n    AND NOT EXISTS (SELECT 1 FROM e_q WHERE"
+        f" ({delete_pred}) AND e_q.vec_id = codes.vec_id)"
     )
     parts.append(
         f"""books AS (SELECT sub, cid, cv FROM pqcent{n_iters}),
@@ -1743,12 +1749,76 @@ def write_ivfpq_index(
     _assign_residual_codes(rsubs, books).write.mode(mode).parquet(f"{path}/codes")
 
 
+def _index_manifest(path: str) -> dict:
+    """Current manifest of a persisted IVF-PQ index: which directory
+    holds the base codes and which stream/tombstone batch ids have been
+    FOLDED into it by :func:`compact_ivfpq_index` (and must therefore
+    be ignored by readers even if their partitions still exist on
+    disk — a replayed, already-folded batch is a no-op by construction
+    because its content is already IN the codes). An index that was
+    never compacted has no manifest file and reads with this legacy
+    default — the pre-round-12 layout unchanged."""
+    import json
+    import os
+
+    p = f"{path}/manifest.json"
+    default = {
+        "gen": 0,
+        "codes": "codes",
+        "folded_stream_batches": [],
+        "folded_tombstone_batches": [],
+    }
+    if not os.path.exists(p):
+        return default
+    with open(p) as f:
+        m = json.load(f)
+    return {**default, **m}
+
+
+def _write_index_manifest(path: str, manifest: dict) -> None:
+    """Atomically flip the index manifest (write-temp + ``os.replace``):
+    a reader sees either the old generation (old codes + live stream/
+    tombstone partitions) or the new one (compacted codes, folded
+    partitions ignored) — never a half-state. This single atomic
+    metadata flip is what makes compaction crash-correct at every
+    instant; on an object store the same role is played by a
+    conditional-put of this one small object."""
+    import json
+    import os
+
+    tmp = f"{path}/manifest.json.tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1)
+    os.replace(tmp, f"{path}/manifest.json")
+
+
+def _content_batch_id(ids: DataFrame) -> int:
+    """Order-independent content hash of a vec_id set, used as the
+    default partition id for batch appends/deletes (ADVICE r11: a
+    fixed default of 0 made a SECOND distinct batch dynamic-overwrite
+    the first one's partition — for deletes that silently RESURRECTED
+    previously erased vectors). Same id set -> same batch id (replays
+    stay idempotent); distinct sets can never share a partition. One
+    tiny 1-row aggregate job — the same bounded coordination class as
+    the greedy selectors."""
+    row = (
+        ids.select("vec_id")
+        .distinct()
+        .agg(
+            F.expr("bit_xor(xxhash64(vec_id))").alias("h"),
+            F.count(F.lit(1)).alias("c"),
+        )
+        .first()
+    )
+    return ((row["h"] or 0) ^ row["c"]) & ((1 << 63) - 1)
+
+
 def append_ivfpq_index(
     embeddings: DataFrame,
     path: str,
-    batch_id: int = 0,
+    batch_id: int | None = None,
     n_subs: int = PQ_SUBS,
-) -> None:
+) -> int:
     """Batch-append new vectors to a persisted IVF-PQ index WITHOUT
     retraining: coarse-assign each row to its nearest FROZEN cell
     centroid, encode its residual against the FROZEN shared codebooks
@@ -1759,7 +1829,17 @@ def append_ivfpq_index(
     (:func:`bunsen_spark.streaming.ann.stream_ivfpq_encode`), so
     :func:`read_ivfpq_index` merges batch and streaming appends
     uniformly and replayed batch ids overwrite their own partition
-    (idempotent backfill).
+    (idempotent backfill). When ``batch_id`` is None (default) it is
+    DERIVED from a content hash of the appended vec_ids
+    (:func:`_content_batch_id`): replays of the same drop stay
+    idempotent, distinct drops can never collide on a shared default
+    partition, and the derived ids (63-bit) cannot collide with the
+    small monotonic engine batch ids the streaming encoder writes.
+    Returns the batch id used. Appending under a batch id that
+    :func:`compact_ivfpq_index` already folded raises — the partition
+    would be silently ignored by readers; pick a fresh id (a replay of
+    the folded batch itself needs no action: its content is already in
+    the codes).
 
     This is the bulk-ingest half of the index lifecycle a 100 TB
     deployment runs: train once on a base snapshot, then absorb each
@@ -1768,6 +1848,17 @@ def append_ivfpq_index(
     index, which is never read). Quantizer geometry is pinned by
     :func:`write_ivfpq_index`; rebuild when drift audits
     (``operators/drift.py``) say the frozen cells stopped fitting."""
+    if batch_id is None:
+        batch_id = _content_batch_id(embeddings)
+        if batch_id in set(_index_manifest(path)["folded_stream_batches"]):
+            return batch_id  # replay of an already-compacted drop: no-op
+    elif batch_id in set(_index_manifest(path)["folded_stream_batches"]):
+        raise ValueError(
+            f"batch_id {batch_id} was already folded into the base codes by"
+            " compact_ivfpq_index; readers ignore its partition, so new data"
+            " written under it would be silently invisible. Use a fresh"
+            " batch id (or omit it to derive one from the content)."
+        )
     spark = embeddings.sparkSession
     coarse = spark.read.parquet(f"{path}/coarse")
     books = spark.read.parquet(f"{path}/books")
@@ -1779,9 +1870,12 @@ def append_ivfpq_index(
         .partitionBy("batch_id")
         .parquet(f"{path}/codes_stream")
     )
+    return batch_id
 
 
-def delete_from_ivfpq_index(ids: DataFrame, path: str, batch_id: int = 0) -> None:
+def delete_from_ivfpq_index(
+    ids: DataFrame, path: str, batch_id: int | None = None
+) -> int:
     """Tombstone deletion from a persisted IVF-PQ index WITHOUT
     rewriting a single code: ``ids`` (any DataFrame with a ``vec_id``
     column) is written to ``{path}/tombstones/batch_id={batch_id}``
@@ -1790,7 +1884,17 @@ def delete_from_ivfpq_index(ids: DataFrame, path: str, batch_id: int = 0) -> Non
     :func:`append_ivfpq_index`), and :func:`read_ivfpq_index`
     anti-joins the merged code table against the tombstone set, so
     every search path (:func:`ivfpq_index_topk`) stops returning the
-    deleted vectors immediately.
+    deleted vectors immediately. When ``batch_id`` is None (default)
+    it is DERIVED from a content hash of the id set
+    (:func:`_content_batch_id`) — ADVICE r11: with a fixed default, a
+    second distinct delete batch silently REPLACED the first tombstone
+    partition, resurrecting previously erased vectors; content-derived
+    ids keep replays idempotent while distinct deletes accumulate.
+    Returns the batch id used. A delete under a batch id that
+    :func:`compact_ivfpq_index` already folded is a no-op when derived
+    (same content hash -> same ids -> already erased from the codes)
+    and raises when explicit (new ids under a folded id would be
+    silently ignored).
 
     This is the right-to-erasure half of the index lifecycle: at
     100 TB a rebuild-per-delete is unpayable, and an in-place rewrite
@@ -1798,9 +1902,22 @@ def delete_from_ivfpq_index(ids: DataFrame, path: str, batch_id: int = 0) -> Non
     storm. A tombstone partition is one bounded append; the search
     overhead is one anti-join against a table that AQE broadcasts
     while small. When the tombstone fraction grows past a few percent,
-    fold them into the codes with one compaction rewrite (the same
-    train-frozen encode guarantees byte-identical codes for the
-    survivors) and truncate the tombstone directory."""
+    :func:`compact_ivfpq_index` folds them into the codes with one
+    rewrite (the codes are frozen-quantizer, so survivors are
+    byte-identical by construction) and retires the tombstone
+    partitions."""
+    m = _index_manifest(path)
+    if batch_id is None:
+        batch_id = _content_batch_id(ids)
+        if batch_id in set(m["folded_tombstone_batches"]):
+            return batch_id  # replay of an already-compacted delete: no-op
+    elif batch_id in set(m["folded_tombstone_batches"]):
+        raise ValueError(
+            f"tombstone batch_id {batch_id} was already folded by"
+            " compact_ivfpq_index; readers ignore its partition, so new ids"
+            " written under it would NOT be erased. Use a fresh batch id"
+            " (or omit it to derive one from the content)."
+        )
     (
         ids.select("vec_id")
         .withColumn("batch_id", F.lit(batch_id))
@@ -1809,31 +1926,62 @@ def delete_from_ivfpq_index(ids: DataFrame, path: str, batch_id: int = 0) -> Non
         .partitionBy("batch_id")
         .parquet(f"{path}/tombstones")
     )
+    return batch_id
 
 
-def _read_tombstones(spark, path: str) -> DataFrame | None:
-    """(vec_id) tombstone set of an index, or None when no delete was
-    ever issued (missing directory is the common case and must stay
-    free). Storage-agnostic: probed via the reader, not the local
-    filesystem."""
+def _read_tombstones(spark, path: str, manifest: dict | None = None) -> DataFrame | None:
+    """(vec_id) LIVE tombstone set of an index — every tombstone
+    partition except those :func:`compact_ivfpq_index` already folded
+    into the codes — or None when no delete was ever issued (missing
+    directory is the common case and must stay free). Storage-agnostic:
+    probed via the reader, not the local filesystem."""
     from pyspark.errors import AnalysisException
 
+    m = manifest if manifest is not None else _index_manifest(path)
     try:
-        return spark.read.parquet(f"{path}/tombstones").select("vec_id")
+        t = spark.read.parquet(f"{path}/tombstones")
     except AnalysisException:
         return None
+    folded = m["folded_tombstone_batches"]
+    if folded and "batch_id" in t.columns:
+        # partition-column filter: folded partitions are pruned at
+        # planning time, never scanned
+        t = t.where(~F.col("batch_id").isin(folded))
+    return t.select("vec_id")
+
+
+def _merged_ivfpq_codes(spark, path: str, manifest: dict | None = None) -> DataFrame:
+    """All live (vec_id, ccid, sub, code) rows of a persisted IVF-PQ
+    index: the manifest's base codes generation plus every
+    ``codes_stream`` partition not yet folded by
+    :func:`compact_ivfpq_index` (batch appends and streaming arrivals
+    share the layout). Tombstones are NOT applied here — that is
+    :func:`read_ivfpq_index`'s job."""
+    from pyspark.errors import AnalysisException
+
+    m = manifest if manifest is not None else _index_manifest(path)
+    cols = ["vec_id", "ccid", "sub", "code"]
+    base = spark.read.parquet(f"{path}/{m['codes']}").select(*cols)
+    try:
+        extra = spark.read.parquet(f"{path}/codes_stream")
+    except AnalysisException:
+        return base
+    folded = m["folded_stream_batches"]
+    if folded:
+        extra = extra.where(~F.col("batch_id").isin(folded))
+    return base.unionByName(extra.select(*cols))
 
 
 def read_ivfpq_index(spark, path: str) -> tuple[DataFrame, DataFrame, DataFrame]:
     """(coarse, books, codes) of a persisted IVF-PQ index; codes merge
-    the batch-built base table with any ``{path}/codes_stream``
-    partitions the streaming encoder appended (same reader contract as
-    :func:`read_pq_index`), minus any tombstoned vec_ids
+    the manifest's base generation with any unfolded
+    ``{path}/codes_stream`` partitions the streaming encoder or batch
+    appends added (same reader contract as :func:`read_pq_index`),
+    minus any live tombstoned vec_ids
     (:func:`delete_from_ivfpq_index`)."""
-    from ..streaming.ann import read_stream_ivfpq_codes
-
-    codes = read_stream_ivfpq_codes(spark, path)
-    tomb = _read_tombstones(spark, path)
+    m = _index_manifest(path)
+    codes = _merged_ivfpq_codes(spark, path, m)
+    tomb = _read_tombstones(spark, path, m)
     if tomb is not None:
         codes = codes.join(tomb, "vec_id", "left_anti")
     return (
@@ -1841,6 +1989,114 @@ def read_ivfpq_index(spark, path: str) -> tuple[DataFrame, DataFrame, DataFrame]
         spark.read.parquet(f"{path}/books"),
         codes,
     )
+
+
+def _pending_batch_ids(spark, directory: str, folded: list[int]) -> list[int]:
+    """Distinct batch ids present under ``directory`` that the manifest
+    has not folded yet; [] when the directory does not exist."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        rows = (
+            spark.read.parquet(directory).select("batch_id").distinct().collect()
+        )
+    except AnalysisException:
+        return []
+    return sorted({r["batch_id"] for r in rows} - set(folded))
+
+
+def _gc_index(path: str, manifest: dict) -> None:
+    """Best-effort removal of directories the manifest no longer
+    references: superseded code generations and folded stream/tombstone
+    partitions. Correctness never depends on this — readers filter by
+    the manifest — so a crash mid-GC just leaves ignorable orphans that
+    the next compaction sweep removes. Local-filesystem only; on an
+    object store, expire the same prefixes with a lifecycle rule."""
+    import os
+    import re
+    import shutil
+
+    if "://" in path:
+        return
+    keep = manifest["codes"]
+    for name in os.listdir(path):
+        is_gen = name == "codes" or re.fullmatch(r"codes_g\d+", name)
+        if is_gen and name != keep:
+            shutil.rmtree(os.path.join(path, name), ignore_errors=True)
+    for sub, folded in (
+        ("codes_stream", manifest["folded_stream_batches"]),
+        ("tombstones", manifest["folded_tombstone_batches"]),
+    ):
+        d = os.path.join(path, sub)
+        if not os.path.isdir(d):
+            continue
+        dead = set(folded)
+        for part in os.listdir(d):
+            if (
+                part.startswith("batch_id=")
+                and int(part.split("=", 1)[1]) in dead
+            ):
+                shutil.rmtree(os.path.join(d, part), ignore_errors=True)
+        if not any(p.startswith("batch_id=") for p in os.listdir(d)):
+            shutil.rmtree(d, ignore_errors=True)
+
+
+def compact_ivfpq_index(spark, path: str) -> bool:
+    """Fold every pending stream-append partition and tombstone into
+    ONE new base codes generation — the escape hatch the delete path
+    promises: tombstones keep searches correct immediately, but the
+    anti-join cost grows with every accumulated delete, so when the
+    tombstone fraction passes a few percent this rewrite restores the
+    steady state (codes only, no anti-join, no stream union). The codes
+    are frozen-quantizer, so surviving rows are byte-identical by
+    construction — compaction moves bytes, never re-encodes.
+
+    Protocol (single concurrent writer; readers need no coordination):
+    write the merged live view — exactly what :func:`read_ivfpq_index`
+    serves — to ``{path}/codes_g{gen+1}``, then atomically flip
+    ``manifest.json`` to point at it and mark every folded batch id,
+    then best-effort GC the superseded directories. A reader at any
+    instant sees either the old manifest (old codes + live stream/
+    tombstone partitions) or the new one (compacted codes; folded
+    partitions ignored even if GC has not removed them yet) — both are
+    value-identical views. A crash before the flip leaves an orphan
+    generation directory the next run overwrites; a crash after it
+    leaves orphans GC sweeps later; re-running after success is a
+    no-op. Returns True when a new generation was written."""
+    m = _index_manifest(path)
+    pend_stream = _pending_batch_ids(
+        spark, f"{path}/codes_stream", m["folded_stream_batches"]
+    )
+    pend_tomb = _pending_batch_ids(
+        spark, f"{path}/tombstones", m["folded_tombstone_batches"]
+    )
+    if not pend_stream and not pend_tomb:
+        _gc_index(path, m)  # self-heal orphans from a crashed prior GC
+        spark.catalog.refreshByPath(path)
+        return False
+    _, _, survivors = read_ivfpq_index(spark, path)
+    gen = m["gen"] + 1
+    new_dir = f"codes_g{gen}"
+    survivors.write.mode("overwrite").parquet(f"{path}/{new_dir}")
+    new_m = {
+        "gen": gen,
+        "codes": new_dir,
+        "folded_stream_batches": sorted(
+            set(m["folded_stream_batches"]) | set(pend_stream)
+        ),
+        "folded_tombstone_batches": sorted(
+            set(m["folded_tombstone_batches"]) | set(pend_tomb)
+        ),
+    }
+    _write_index_manifest(path, new_m)
+    _gc_index(path, new_m)
+    # THIS session's cached file listings for the removed directories
+    # are now stale (Spark caches leaf-file lists per path); drop them
+    # so later reads re-list instead of failing on vanished files.
+    # Other long-lived sessions must refreshByPath on their side —
+    # the same contract dynamic partition overwrite already imposes.
+    spark.catalog.refreshByPath(path)
+    return True
 
 
 def ivfpq_index_topk(

@@ -117,6 +117,12 @@ def stream_ivfpq_encode(
 
 
 def read_stream_ivfpq_codes(spark, index_path: str) -> DataFrame:
-    """All (vec_id, ccid, sub, code) rows of a streamed-into IVF-PQ
-    index — batch-built base plus streaming appends."""
-    return _merged_codes(spark, index_path, ["vec_id", "ccid", "sub", "code"])
+    """All live (vec_id, ccid, sub, code) rows of a streamed-into
+    IVF-PQ index — batch-built base plus streaming appends, minus
+    partitions a compaction already folded into the base. Delegates to
+    the manifest-aware merge so batch and streaming readers can never
+    disagree about which partitions are live
+    (:func:`operators.similarity.compact_ivfpq_index`)."""
+    from ..operators.similarity import _merged_ivfpq_codes
+
+    return _merged_ivfpq_codes(spark, index_path)

@@ -281,3 +281,157 @@ def test_delete_from_ivfpq_index_tombstones(spark, sf_dir, tmp_path):
     delete_from_ivfpq_index(deleted, path)
     _, _, codes2 = read_ivfpq_index(spark, path)
     assert codes2.count() == n_after_delete
+
+
+def test_distinct_default_delete_batches_accumulate(spark, sf_dir, tmp_path):
+    """ADVICE r11: with a fixed default batch_id, a SECOND delete batch
+    dynamic-overwrote the first one's tombstone partition and
+    resurrected the previously erased vectors. Content-derived default
+    ids must make distinct deletes accumulate while a replay of either
+    stays idempotent."""
+    from bunsen_spark.operators.similarity import (
+        delete_from_ivfpq_index,
+        read_ivfpq_index,
+        write_ivfpq_index,
+    )
+
+    emb = _emb(spark, sf_dir)
+    path = str(tmp_path / "ivfpq")
+    write_ivfpq_index(emb, path)
+
+    first = emb.where(F.col("vec_id") % 7 == 3)
+    second = emb.where(F.col("vec_id") % 11 == 5)
+    b1 = delete_from_ivfpq_index(first, path)
+    b2 = delete_from_ivfpq_index(second, path)
+    assert b1 != b2, "distinct delete sets must never share a partition"
+
+    gone = {r["vec_id"] for r in first.select("vec_id").collect()} | {
+        r["vec_id"] for r in second.select("vec_id").collect()
+    }
+    _, _, codes = read_ivfpq_index(spark, path)
+    live = {r["vec_id"] for r in codes.select("vec_id").distinct().collect()}
+    assert live.isdisjoint(gone), "second delete resurrected the first batch"
+
+    # replaying the FIRST delete after the second must change nothing
+    assert delete_from_ivfpq_index(first, path) == b1
+    _, _, codes2 = read_ivfpq_index(spark, path)
+    live2 = {r["vec_id"] for r in codes2.select("vec_id").distinct().collect()}
+    assert live2 == live
+
+
+def test_compact_ivfpq_index_lifecycle(spark, sf_dir, tmp_path):
+    """The tombstone-fold rewrite the delete docstring promises: after
+    compaction the index serves hash-identical search results from ONE
+    base codes generation — no stream union, no anti-join — the folded
+    partitions are gone from disk, re-running is a no-op, and the
+    lifecycle (append, delete, compact again) continues on top."""
+    import os
+
+    from bunsen_spark.operators.similarity import (
+        append_ivfpq_index,
+        compact_ivfpq_index,
+        delete_from_ivfpq_index,
+        ivfpq_index_topk,
+        read_ivfpq_index,
+        write_ivfpq_index,
+    )
+
+    emb = _emb(spark, sf_dir)
+    base = emb.where(F.col("vec_id") % 5 < 4)
+    late = emb.where(F.col("vec_id") % 5 >= 4)
+    path = str(tmp_path / "ivfpq")
+    write_ivfpq_index(base, path)
+    append_ivfpq_index(late, path)
+    delete_from_ivfpq_index(emb.where(F.col("vec_id") % 7 == 3), path)
+
+    queries = emb.where(F.col("vec_id") < 8)
+    res_before = sorted(
+        map(tuple, ivfpq_index_topk(spark, path, queries, k=5).collect())
+    )
+    key = lambda r: (r["vec_id"], r["ccid"], r["sub"], r["code"])  # noqa: E731
+    _, _, codes_before = read_ivfpq_index(spark, path)
+    rows_before = sorted(map(key, codes_before.collect()))
+
+    assert compact_ivfpq_index(spark, path) is True
+    # one generation, no live stream/tombstone partitions on disk
+    assert os.path.isdir(f"{path}/codes_g1")
+    assert not os.path.exists(f"{path}/codes")
+    assert not os.path.exists(f"{path}/codes_stream")
+    assert not os.path.exists(f"{path}/tombstones")
+
+    # value-identical view: codes byte-equal, search results identical
+    _, _, codes_after = read_ivfpq_index(spark, path)
+    assert sorted(map(key, codes_after.collect())) == rows_before
+    res_after = sorted(
+        map(tuple, ivfpq_index_topk(spark, path, queries, k=5).collect())
+    )
+    assert res_after == res_before
+
+    # replay-idempotent: nothing pending -> no new generation
+    assert compact_ivfpq_index(spark, path) is False
+    assert os.path.isdir(f"{path}/codes_g1")
+
+    # lifecycle continues post-compaction: append new rows, delete some
+    # pre-existing ones, compact again into generation 2
+    extra = emb.where(F.col("vec_id") % 11 == 5)
+    delete_from_ivfpq_index(extra, path)
+    _, _, codes3 = read_ivfpq_index(spark, path)
+    # materialize BEFORE compacting: a pre-compaction plan references
+    # partitions GC removes, so it cannot be re-collected afterwards
+    # (same re-read contract dynamic partition overwrite imposes)
+    rows3 = sorted(map(key, codes3.collect()))
+    live = {v for v, _, _, _ in rows3}
+    assert live.isdisjoint(
+        {r["vec_id"] for r in extra.select("vec_id").collect()}
+    )
+    assert compact_ivfpq_index(spark, path) is True
+    assert os.path.isdir(f"{path}/codes_g2")
+    assert not os.path.exists(f"{path}/codes_g1")
+    _, _, codes4 = read_ivfpq_index(spark, path)
+    assert sorted(map(key, codes4.collect())) == rows3
+
+
+def test_reuse_of_folded_batch_id_raises(spark, sf_dir, tmp_path):
+    """New data under a batch id the manifest already folded would be
+    silently invisible to readers — both writers must fail loud on an
+    explicit reuse, while a content-derived replay stays a no-op."""
+    import pytest
+
+    from bunsen_spark.operators.similarity import (
+        append_ivfpq_index,
+        compact_ivfpq_index,
+        delete_from_ivfpq_index,
+        read_ivfpq_index,
+        write_ivfpq_index,
+    )
+
+    import os
+
+    emb = _emb(spark, sf_dir)
+    base = emb.where(F.col("vec_id") % 5 < 4)
+    late = emb.where(F.col("vec_id") % 5 >= 4)
+    deleted = emb.where(F.col("vec_id") % 7 == 3)
+    path = str(tmp_path / "ivfpq")
+    write_ivfpq_index(base, path)
+    abatch = append_ivfpq_index(late, path)
+    dbatch = delete_from_ivfpq_index(deleted, path)
+    assert compact_ivfpq_index(spark, path) is True
+
+    # explicit reuse of a folded id for OTHER data: fail loud
+    with pytest.raises(ValueError, match="folded"):
+        append_ivfpq_index(base.limit(3), path, batch_id=abatch)
+    with pytest.raises(ValueError, match="folded"):
+        delete_from_ivfpq_index(
+            emb.where(F.col("vec_id") < 3), path, batch_id=dbatch
+        )
+
+    # derived-id replays of the folded batches: silent no-ops that
+    # write nothing (content already lives in the compacted codes)
+    assert append_ivfpq_index(late, path) == abatch
+    assert delete_from_ivfpq_index(deleted, path) == dbatch
+    assert not os.path.exists(f"{path}/codes_stream")
+    assert not os.path.exists(f"{path}/tombstones")
+    _, _, codes = read_ivfpq_index(spark, path)
+    live = {r["vec_id"] for r in codes.select("vec_id").distinct().collect()}
+    assert all(v % 7 != 3 for v in live)
+    assert any(v % 5 == 4 for v in live)
