@@ -31,11 +31,17 @@ def main() -> None:
     import bench
 
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 12
+    # the same gates (env vars AND defaults) bench._wait_for_idle uses —
+    # a tuned environment must gate the bench and the reference capture
+    # consistently (ADVICE r11)
+    thresh = float(os.environ.get("SPARK_GRAFT_BENCH_IDLE_LOAD", "1.0"))
+    thresh5 = float(os.environ.get("SPARK_GRAFT_BENCH_IDLE_LOAD5", "2.5"))
     load = os.getloadavg()
-    if load[0] >= 1.0 or load[1] >= 2.5:
+    if load[0] >= thresh or load[1] >= thresh5:
         raise SystemExit(
-            f"REFUSED: box busy (loadavg {load[:2]}); a reference captured "
-            "under load is worse than none"
+            f"REFUSED: box busy (loadavg {load[:2]} vs gates "
+            f"[{thresh}, {thresh5}]); a reference captured under load is "
+            "worse than none"
         )
     samples = []
     for _ in range(n):
