@@ -150,7 +150,55 @@ def _canary() -> dict:
         np_s = round(min(times), 4)
     except Exception:  # noqa: BLE001 - canary is best-effort
         np_s = None
-    return {"python_loop_s": py_s, "numpy_matmul_s": np_s}
+
+    # Memory-bandwidth probe (round 12): the r11→r12 A/B showed the
+    # CPU probes' blind spot — byte-identical r10-close code measured
+    # 10-16% slower than its commit-time bench while BOTH CPU probes
+    # read FASTER than the committed reference. A cache-blocked matmul
+    # is compute-bound and a pure-Python loop fits in L1; neither sees
+    # host-level memory-bandwidth contention, which is exactly what
+    # wide-shuffle Spark stages feel first. One streaming reduction
+    # over a 256 MB array is the missing class.
+    try:
+        import numpy as np
+
+        big = np.ones(32 * 1024 * 1024)  # 256 MB of float64
+        big.sum()  # untimed warm-up: faulting the pages in
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            big.sum()
+            times.append(time.perf_counter() - t0)
+        mem_s = round(min(times), 4)
+        del big
+    except Exception:  # noqa: BLE001 - canary is best-effort
+        mem_s = None
+
+    # Disk-write probe (round 12): shuffle spill / index-cache writes
+    # land on the same device; a contended or throttled disk inflates
+    # bench totals invisibly to every CPU probe. 64 MB write + fsync.
+    try:
+        import tempfile
+
+        times = []
+        buf = b"\x5a" * (8 * 1024 * 1024)
+        for _ in range(3):
+            with tempfile.NamedTemporaryFile(dir="/tmp", delete=True) as f:
+                t0 = time.perf_counter()
+                for _ in range(8):
+                    f.write(buf)
+                f.flush()
+                os.fsync(f.fileno())
+                times.append(time.perf_counter() - t0)
+        io_s = round(min(times), 4)
+    except Exception:  # noqa: BLE001 - canary is best-effort
+        io_s = None
+    return {
+        "python_loop_s": py_s,
+        "numpy_matmul_s": np_s,
+        "mem_bw_s": mem_s,
+        "disk_write_s": io_s,
+    }
 
 
 #: per-probe degraded thresholds (ratio vs the committed reference,
@@ -166,7 +214,16 @@ def _canary() -> dict:
 #: inflated the whole suite ~27% measured ~12x, comfortably inside
 #: the flag and far outside the ambient band. Raw ratios are always
 #: recorded — the classification is the tripwire, not the evidence.
-CANARY_TOL = {"python_loop_s": 1.3, "numpy_matmul_s": 8.0}
+#: mem_bw is a streaming reduction — stable to ~10% on a healthy box,
+#: so 2.5x is sustained bandwidth theft, not jitter. disk_write on
+#: shared/virtualized storage legitimately oscillates several-fold;
+#: only an order-of-magnitude slowdown is a flag.
+CANARY_TOL = {
+    "python_loop_s": 1.3,
+    "numpy_matmul_s": 8.0,
+    "mem_bw_s": 2.5,
+    "disk_write_s": 10.0,
+}
 
 
 def classify_machine_state(

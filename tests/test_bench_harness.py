@@ -130,3 +130,40 @@ def test_classify_machine_state_faster_box_is_ok():
         {"python_loop_s": 0.2}, {"python_loop_s": 0.1}
     )
     assert fast["state"] == "ok"
+
+
+def test_canary_new_probes_classified_and_referenced():
+    """Round 12: the A/B adjudication showed byte-identical code 10-16%
+    slower while BOTH CPU probes read faster than reference — the
+    canary's blind spot. The memory-bandwidth and disk-write probes
+    must be measured, carried in the committed reference, and
+    classified with their own tolerance bands."""
+    import json
+
+    import bench
+
+    ref = json.loads((bench.REPO / "BENCH_CANARY_REF.json").read_text())
+    for k in ("mem_bw_s", "disk_write_s"):
+        assert isinstance(ref["canary"].get(k), (int, float)), k
+        assert k in bench.CANARY_TOL
+
+    base = {"mem_bw_s": 0.02, "disk_write_s": 0.1}
+    # within band: ok even when one CPU probe is absent
+    ok = bench.classify_machine_state(
+        base, {"mem_bw_s": 0.03, "disk_write_s": 0.3}
+    )
+    assert ok["state"] == "ok"
+    # sustained bandwidth theft past 2.5x: degraded
+    bad = bench.classify_machine_state(base, {"mem_bw_s": 0.06})
+    assert bad["state"] == "degraded"
+    # disk oscillates legitimately — only order-of-magnitude flags
+    assert bench.classify_machine_state(base, {"disk_write_s": 0.9})["state"] == "ok"
+    assert bench.classify_machine_state(base, {"disk_write_s": 1.5})["state"] == "degraded"
+
+
+def test_canary_measures_all_probes():
+    import bench
+
+    s = bench._canary()
+    for k in ("python_loop_s", "numpy_matmul_s", "mem_bw_s", "disk_write_s"):
+        assert isinstance(s.get(k), (int, float)) and s[k] > 0, k
