@@ -1596,16 +1596,58 @@ def write_pq_index(
     pq_encode(embeddings, books, n_subs).write.mode(mode).parquet(f"{path}/codes")
 
 
-def read_pq_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
-    """(books, codes) of a persisted PQ index. Codes are the batch-built
-    base table UNIONED with any ``{path}/codes_stream`` partitions the
-    streaming encoder appended (ADVICE r7: the old read skipped the
-    stream side, so index searches silently missed streamed vectors).
-    Delegates the merge to
-    :func:`bunsen_spark.streaming.ann.read_stream_codes`."""
-    from ..streaming.ann import read_stream_codes
+def append_pq_index(
+    embeddings: DataFrame,
+    path: str,
+    batch_id: int | None = None,
+    n_subs: int = PQ_SUBS,
+) -> int:
+    """Batch-append new vectors to a persisted PQ index WITHOUT
+    retraining — the plain-PQ twin of :func:`append_ivfpq_index`:
+    encode against the FROZEN codebooks (:func:`pq_encode`, the exact
+    arithmetic the builder ran) and write to
+    ``{path}/codes_stream/batch_id={batch_id}``, the layout the
+    streaming encoder shares. ``batch_id`` defaults to the
+    content-derived id (:func:`_content_batch_id`) with the same
+    replay/collision/folded-id semantics as the IVF-PQ form. Returns
+    the batch id used."""
+    if batch_id is None:
+        batch_id = _content_batch_id(embeddings)
+        if batch_id in set(_index_manifest(path)["folded_stream_batches"]):
+            return batch_id  # replay of an already-compacted drop: no-op
+    elif batch_id in set(_index_manifest(path)["folded_stream_batches"]):
+        raise ValueError(
+            f"batch_id {batch_id} was already folded into the base codes by"
+            " compact_pq_index; readers ignore its partition, so new data"
+            " written under it would be silently invisible. Use a fresh"
+            " batch id (or omit it to derive one from the content)."
+        )
+    spark = embeddings.sparkSession
+    books = spark.read.parquet(f"{path}/books")
+    (
+        pq_encode(embeddings, books, n_subs)
+        .withColumn("batch_id", F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(f"{path}/codes_stream")
+    )
+    return batch_id
 
-    return spark.read.parquet(f"{path}/books"), read_stream_codes(spark, path)
+
+def read_pq_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
+    """(books, codes) of a persisted PQ index. Codes merge the
+    manifest's base generation with any unfolded ``{path}/codes_stream``
+    partitions (ADVICE r7: the old read skipped the stream side, so
+    index searches silently missed streamed vectors), minus any live
+    tombstoned vec_ids — the full lifecycle contract
+    :func:`read_ivfpq_index` serves, on the plain-PQ layout."""
+    m = _index_manifest(path)
+    codes = _merged_index_codes(spark, path, ["vec_id", "sub", "code"], m)
+    tomb = _read_tombstones(spark, path, m)
+    if tomb is not None:
+        codes = codes.join(tomb, "vec_id", "left_anti")
+    return spark.read.parquet(f"{path}/books"), codes
 
 
 def pq_index_topk(
@@ -1950,17 +1992,18 @@ def _read_tombstones(spark, path: str, manifest: dict | None = None) -> DataFram
     return t.select("vec_id")
 
 
-def _merged_ivfpq_codes(spark, path: str, manifest: dict | None = None) -> DataFrame:
-    """All live (vec_id, ccid, sub, code) rows of a persisted IVF-PQ
-    index: the manifest's base codes generation plus every
-    ``codes_stream`` partition not yet folded by
-    :func:`compact_ivfpq_index` (batch appends and streaming arrivals
-    share the layout). Tombstones are NOT applied here — that is
-    :func:`read_ivfpq_index`'s job."""
+def _merged_index_codes(
+    spark, path: str, cols: list[str], manifest: dict | None = None
+) -> DataFrame:
+    """All live code rows of a persisted index (PQ or IVF-PQ — they
+    share the layout; only ``cols`` differs): the manifest's base
+    codes generation plus every ``codes_stream`` partition not yet
+    folded by compaction (batch appends and streaming arrivals share
+    the partition scheme). Tombstones are NOT applied here — that is
+    the ``read_*_index`` readers' job."""
     from pyspark.errors import AnalysisException
 
     m = manifest if manifest is not None else _index_manifest(path)
-    cols = ["vec_id", "ccid", "sub", "code"]
     base = spark.read.parquet(f"{path}/{m['codes']}").select(*cols)
     try:
         extra = spark.read.parquet(f"{path}/codes_stream")
@@ -1970,6 +2013,14 @@ def _merged_ivfpq_codes(spark, path: str, manifest: dict | None = None) -> DataF
     if folded:
         extra = extra.where(~F.col("batch_id").isin(folded))
     return base.unionByName(extra.select(*cols))
+
+
+def _merged_ivfpq_codes(spark, path: str, manifest: dict | None = None) -> DataFrame:
+    """All live (vec_id, ccid, sub, code) rows of a persisted IVF-PQ
+    index — :func:`_merged_index_codes` on the IVF-PQ column set."""
+    return _merged_index_codes(
+        spark, path, ["vec_id", "ccid", "sub", "code"], manifest
+    )
 
 
 def read_ivfpq_index(spark, path: str) -> tuple[DataFrame, DataFrame, DataFrame]:
@@ -2041,22 +2092,15 @@ def _gc_index(path: str, manifest: dict) -> None:
             shutil.rmtree(d, ignore_errors=True)
 
 
-def compact_ivfpq_index(spark, path: str) -> bool:
-    """Fold every pending stream-append partition and tombstone into
-    ONE new base codes generation — the escape hatch the delete path
-    promises: tombstones keep searches correct immediately, but the
-    anti-join cost grows with every accumulated delete, so when the
-    tombstone fraction passes a few percent this rewrite restores the
-    steady state (codes only, no anti-join, no stream union). The codes
-    are frozen-quantizer, so surviving rows are byte-identical by
-    construction — compaction moves bytes, never re-encodes.
-
+def _compact_index(spark, path: str, live_codes) -> bool:
+    """Shared compaction core for both persisted index layouts:
+    ``live_codes()`` must return exactly the live view the index's
+    reader serves (merged unfolded codes minus live tombstones).
     Protocol (single concurrent writer; readers need no coordination):
-    write the merged live view — exactly what :func:`read_ivfpq_index`
-    serves — to ``{path}/codes_g{gen+1}``, then atomically flip
-    ``manifest.json`` to point at it and mark every folded batch id,
-    then best-effort GC the superseded directories. A reader at any
-    instant sees either the old manifest (old codes + live stream/
+    write the live view to ``{path}/codes_g{gen+1}``, then atomically
+    flip ``manifest.json`` to point at it and mark every folded batch
+    id, then best-effort GC the superseded directories. A reader at
+    any instant sees either the old manifest (old codes + live stream/
     tombstone partitions) or the new one (compacted codes; folded
     partitions ignored even if GC has not removed them yet) — both are
     value-identical views. A crash before the flip leaves an orphan
@@ -2074,7 +2118,7 @@ def compact_ivfpq_index(spark, path: str) -> bool:
         _gc_index(path, m)  # self-heal orphans from a crashed prior GC
         spark.catalog.refreshByPath(path)
         return False
-    _, _, survivors = read_ivfpq_index(spark, path)
+    survivors = live_codes()
     gen = m["gen"] + 1
     new_dir = f"codes_g{gen}"
     survivors.write.mode("overwrite").parquet(f"{path}/{new_dir}")
@@ -2097,6 +2141,43 @@ def compact_ivfpq_index(spark, path: str) -> bool:
     # the same contract dynamic partition overwrite already imposes.
     spark.catalog.refreshByPath(path)
     return True
+
+
+def compact_ivfpq_index(spark, path: str) -> bool:
+    """Fold every pending stream-append partition and tombstone into
+    ONE new base codes generation — the escape hatch the delete path
+    promises: tombstones keep searches correct immediately, but the
+    anti-join cost grows with every accumulated delete, so when the
+    tombstone fraction passes a few percent this rewrite restores the
+    steady state (codes only, no anti-join, no stream union). The codes
+    are frozen-quantizer, so surviving rows are byte-identical by
+    construction — compaction moves bytes, never re-encodes. Crash
+    semantics and the atomic manifest-flip protocol: see
+    :func:`_compact_index`. Returns True when a new generation was
+    written."""
+    return _compact_index(
+        spark, path, lambda: read_ivfpq_index(spark, path)[2]
+    )
+
+
+def delete_from_pq_index(
+    ids: DataFrame, path: str, batch_id: int | None = None
+) -> int:
+    """Tombstone deletion from a persisted plain-PQ index — the
+    tombstone layout is index-type-agnostic (vec_ids only), so the
+    mechanics, content-derived batch ids, replay semantics, and
+    folded-id guards are exactly :func:`delete_from_ivfpq_index`'s;
+    :func:`read_pq_index` applies the anti-join on its side."""
+    return delete_from_ivfpq_index(ids, path, batch_id)
+
+
+def compact_pq_index(spark, path: str) -> bool:
+    """:func:`compact_ivfpq_index` for the plain-PQ layout: fold
+    pending stream partitions and tombstones into one new base codes
+    generation behind the same atomic manifest flip
+    (:func:`_compact_index`); survivors byte-identical because the
+    codes are frozen-codebook."""
+    return _compact_index(spark, path, lambda: read_pq_index(spark, path)[1])
 
 
 def ivfpq_index_topk(

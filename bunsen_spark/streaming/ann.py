@@ -58,19 +58,14 @@ def stream_pq_encode(
 
 
 def read_stream_codes(spark, index_path: str) -> DataFrame:
-    """All codes of a streamed-into index: the batch-built base codes
-    plus every streaming append — the frame :func:`pq_index_topk`-style
-    scoring consumes."""
-    return _merged_codes(spark, index_path, ["vec_id", "sub", "code"])
+    """All live codes of a streamed-into PQ index: the manifest's base
+    generation plus every streaming/batch append partition a compaction
+    has not folded — the frame :func:`pq_index_topk`-style scoring
+    consumes (tombstones are applied by
+    :func:`operators.similarity.read_pq_index`, not here)."""
+    from ..operators.similarity import _merged_index_codes
 
-
-def _merged_codes(spark, index_path: str, cols: list[str]) -> DataFrame:
-    base = spark.read.parquet(f"{index_path}/codes").select(*cols)
-    try:
-        extra = spark.read.parquet(f"{index_path}/codes_stream").select(*cols)
-    except Exception:  # noqa: BLE001 — no streaming appends yet
-        return base
-    return base.unionByName(extra)
+    return _merged_index_codes(spark, index_path, ["vec_id", "sub", "code"])
 
 
 def stream_ivfpq_encode(

@@ -435,3 +435,69 @@ def test_reuse_of_folded_batch_id_raises(spark, sf_dir, tmp_path):
     live = {r["vec_id"] for r in codes.select("vec_id").distinct().collect()}
     assert all(v % 7 != 3 for v in live)
     assert any(v % 5 == 4 for v in live)
+
+
+def test_pq_index_full_lifecycle_parity(spark, sf_dir, tmp_path):
+    """The plain-PQ index carries the SAME lifecycle contract as
+    IVF-PQ: frozen-codebook batch append, accumulating content-derived
+    deletes, and manifest-flip compaction with identical search
+    results and a single surviving generation."""
+    import os
+
+    from bunsen_spark.operators.similarity import (
+        append_pq_index,
+        compact_pq_index,
+        delete_from_pq_index,
+        pq_encode,
+        pq_index_topk,
+        read_pq_index,
+        write_pq_index,
+    )
+
+    emb = _emb(spark, sf_dir)
+    base = emb.where(F.col("vec_id") % 5 < 4)
+    late = emb.where(F.col("vec_id") % 5 >= 4)
+    path = str(tmp_path / "pq")
+    write_pq_index(base, path)
+    abatch = append_pq_index(late, path)
+
+    # appended codes equal the batch encoder under the frozen books
+    books = spark.read.parquet(f"{path}/books")
+    key = lambda r: (r["vec_id"], r["sub"], r["code"])  # noqa: E731
+    _, codes = read_pq_index(spark, path)
+    assert sorted(map(key, codes.collect())) == sorted(
+        map(key, pq_encode(emb, books).collect())
+    )
+    # replay idempotent on the derived id
+    assert append_pq_index(late, path) == abatch
+
+    # two DISTINCT deletes accumulate; neither resurrects the other
+    first = emb.where(F.col("vec_id") % 7 == 3)
+    second = emb.where(F.col("vec_id") % 11 == 5)
+    b1 = delete_from_pq_index(first, path)
+    b2 = delete_from_pq_index(second, path)
+    assert b1 != b2
+    gone = {r["vec_id"] for r in first.select("vec_id").collect()} | {
+        r["vec_id"] for r in second.select("vec_id").collect()
+    }
+    queries = emb.where(F.col("vec_id") < 8)
+    res_before = sorted(
+        map(tuple, pq_index_topk(spark, path, queries, k=5).collect())
+    )
+    assert {n for _, n, _ in res_before}.isdisjoint(gone)
+    _, codes2 = read_pq_index(spark, path)
+    rows_before = sorted(map(key, codes2.collect()))
+    assert {v for v, _, _ in rows_before}.isdisjoint(gone)
+
+    # compaction: one generation, identical reads and search results
+    assert compact_pq_index(spark, path) is True
+    assert os.path.isdir(f"{path}/codes_g1")
+    assert not os.path.exists(f"{path}/codes")
+    assert not os.path.exists(f"{path}/codes_stream")
+    assert not os.path.exists(f"{path}/tombstones")
+    _, codes3 = read_pq_index(spark, path)
+    assert sorted(map(key, codes3.collect())) == rows_before
+    assert sorted(
+        map(tuple, pq_index_topk(spark, path, queries, k=5).collect())
+    ) == res_before
+    assert compact_pq_index(spark, path) is False
