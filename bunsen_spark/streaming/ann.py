@@ -121,3 +121,41 @@ def read_stream_ivfpq_codes(spark, index_path: str) -> DataFrame:
     from ..operators.similarity import _merged_ivfpq_codes
 
     return _merged_ivfpq_codes(spark, index_path)
+
+
+def stream_tombstones(
+    ids_stream: DataFrame,
+    index_path: str,
+    checkpoint: str,
+    trigger_available_now: bool = True,
+):
+    """Append tombstone partitions for streaming (vec_id, ...) rows —
+    the erasure half of the online index lifecycle (a GDPR/takedown
+    queue is a stream exactly like the ingest side): each micro-batch
+    writes ``{index_path}/tombstones/batch_id={engine_batch_id}`` with
+    dynamic partition overwrite, so a replayed micro-batch overwrites
+    its own partition (idempotent) while distinct batches accumulate —
+    the same discipline as :func:`stream_pq_encode` /
+    :func:`stream_ivfpq_encode`, and the same layout batch deletes
+    write (:func:`operators.similarity.delete_from_ivfpq_index`;
+    engine batch ids are small monotonic ints, content-derived batch
+    ids 63-bit hashes, so the two writers cannot collide). Readers of
+    BOTH index types apply the merged live tombstone set on their
+    side; ``compact_*_index`` folds and retires the partitions."""
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.select("vec_id")
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(f"{index_path}/tombstones")
+        )
+
+    writer = ids_stream.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

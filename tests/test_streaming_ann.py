@@ -501,3 +501,56 @@ def test_pq_index_full_lifecycle_parity(spark, sf_dir, tmp_path):
         map(tuple, pq_index_topk(spark, path, queries, k=5).collect())
     ) == res_before
     assert compact_pq_index(spark, path) is False
+
+
+def test_stream_tombstones_equals_batch_delete(spark, sf_dir, tmp_path):
+    """Streamed erasure parity: tombstones arriving as micro-batches
+    must produce the same live index view as one batch delete of the
+    same ids, accumulate across micro-batches, and fold under
+    compaction like their batch twins."""
+    import json as jsonlib
+    import os
+
+    from bunsen_spark.operators.similarity import (
+        compact_ivfpq_index,
+        ivfpq_index_topk,
+        read_ivfpq_index,
+        write_ivfpq_index,
+    )
+    from bunsen_spark.streaming.ann import stream_tombstones
+
+    emb = _emb(spark, sf_dir)
+    path = str(tmp_path / "ivfpq")
+    write_ivfpq_index(emb, path)
+
+    # two micro-batches of erasure requests (distinct id slices)
+    doomed = emb.where((F.col("vec_id") % 7 == 3) | (F.col("vec_id") % 11 == 5))
+    rows = sorted(r["vec_id"] for r in doomed.select("vec_id").collect())
+    src = tmp_path / "erasures"
+    src.mkdir()
+    for b in range(2):
+        with open(src / f"b{b}.jsonl", "w") as f:
+            for v in rows[b::2]:
+                f.write(jsonlib.dumps({"vec_id": v}) + "\n")
+        os.utime(src / f"b{b}.jsonl", (1_000_000_000 + b, 1_000_000_000 + b))
+    schema = T.StructType([T.StructField("vec_id", T.LongType())])
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(str(src))
+    )
+    q = stream_tombstones(stream, path, str(tmp_path / "ckpt"))
+    q.awaitTermination(180)
+
+    # all streamed ids erased across BOTH micro-batch partitions
+    _, _, codes = read_ivfpq_index(spark, path)
+    live = {r["vec_id"] for r in codes.select("vec_id").distinct().collect()}
+    assert live.isdisjoint(rows)
+    queries = emb.where(F.col("vec_id") < 8)
+    res = sorted(map(tuple, ivfpq_index_topk(spark, path, queries, k=5).collect()))
+    assert {n for _, n, _ in res}.isdisjoint(rows)
+
+    # compaction folds the streamed tombstone partitions like batch ones
+    assert compact_ivfpq_index(spark, path) is True
+    assert not os.path.exists(f"{path}/tombstones")
+    assert sorted(
+        map(tuple, ivfpq_index_topk(spark, path, queries, k=5).collect())
+    ) == res
