@@ -1612,7 +1612,7 @@ def append_pq_index(
     replay/collision/folded-id semantics as the IVF-PQ form. Returns
     the batch id used."""
     if batch_id is None:
-        batch_id = _content_batch_id(embeddings)
+        batch_id = _content_batch_id(embeddings, ("vec_id", "embedding"))
         if batch_id in set(_index_manifest(path)["folded_stream_batches"]):
             return batch_id  # replay of an already-compacted drop: no-op
     elif batch_id in set(_index_manifest(path)["folded_stream_batches"]):
@@ -1834,24 +1834,42 @@ def _write_index_manifest(path: str, manifest: dict) -> None:
     os.replace(tmp, f"{path}/manifest.json")
 
 
-def _content_batch_id(ids: DataFrame) -> int:
-    """Order-independent content hash of a vec_id set, used as the
-    default partition id for batch appends/deletes (ADVICE r11: a
+# Fixed derived id for an EMPTY batch: hashing zero rows XORs to 0,
+# which is also the first engine micro-batch id — a deterministic
+# collision (ADVICE r12). An empty write is a no-op either way (dynamic
+# overwrite of an empty frame writes nothing), but the id it RETURNS
+# must still be outside the small-integer range other writers use.
+_EMPTY_BATCH_ID = (1 << 62) | 0x0E5E
+
+def _content_batch_id(rows: DataFrame, cols: tuple[str, ...] = ("vec_id",)) -> int:
+    """Order-independent content hash over ``cols`` of a batch, used as
+    the default partition id for batch appends/deletes (ADVICE r11: a
     fixed default of 0 made a SECOND distinct batch dynamic-overwrite
     the first one's partition — for deletes that silently RESURRECTED
-    previously erased vectors). Same id set -> same batch id (replays
-    stay idempotent); distinct sets can never share a partition. One
-    tiny 1-row aggregate job — the same bounded coordination class as
-    the greedy selectors."""
+    previously erased vectors). Same content -> same batch id (replays
+    stay idempotent); distinct batches can never share a partition.
+    Deletes hash the vec_id set alone (erasing the same ids twice IS
+    the same delete); appends pass ``("vec_id", "embedding")`` so that
+    re-appending the same ids with DIFFERENT vectors derives a fresh
+    id instead of silently no-opping against a folded replay guard
+    (ADVICE r12 — note the index stays insert-only: such a re-append
+    lands as a second live row per vec_id; erase first to replace).
+    An empty batch gets the fixed :data:`_EMPTY_BATCH_ID` (zero rows
+    would hash to 0, a small-integer collision). One tiny 1-row
+    aggregate job — the same bounded coordination class as the greedy
+    selectors."""
+    hash_cols = ", ".join(cols)
     row = (
-        ids.select("vec_id")
+        rows.select(*cols)
         .distinct()
         .agg(
-            F.expr("bit_xor(xxhash64(vec_id))").alias("h"),
+            F.expr(f"bit_xor(xxhash64({hash_cols}))").alias("h"),
             F.count(F.lit(1)).alias("c"),
         )
         .first()
     )
+    if row["c"] == 0:
+        return _EMPTY_BATCH_ID
     return ((row["h"] or 0) ^ row["c"]) & ((1 << 63) - 1)
 
 
@@ -1891,7 +1909,7 @@ def append_ivfpq_index(
     :func:`write_ivfpq_index`; rebuild when drift audits
     (``operators/drift.py``) say the frozen cells stopped fitting."""
     if batch_id is None:
-        batch_id = _content_batch_id(embeddings)
+        batch_id = _content_batch_id(embeddings, ("vec_id", "embedding"))
         if batch_id in set(_index_manifest(path)["folded_stream_batches"]):
             return batch_id  # replay of an already-compacted drop: no-op
     elif batch_id in set(_index_manifest(path)["folded_stream_batches"]):
@@ -2067,7 +2085,7 @@ def _gc_index(path: str, manifest: dict) -> None:
     import re
     import shutil
 
-    if "://" in path:
+    if "://" in path or not os.path.isdir(path):
         return
     keep = manifest["codes"]
     for name in os.listdir(path):
@@ -2092,21 +2110,50 @@ def _gc_index(path: str, manifest: dict) -> None:
             shutil.rmtree(d, ignore_errors=True)
 
 
-def _compact_index(spark, path: str, live_codes) -> bool:
-    """Shared compaction core for both persisted index layouts:
-    ``live_codes()`` must return exactly the live view the index's
-    reader serves (merged unfolded codes minus live tombstones).
-    Protocol (single concurrent writer; readers need no coordination):
-    write the live view to ``{path}/codes_g{gen+1}``, then atomically
-    flip ``manifest.json`` to point at it and mark every folded batch
-    id, then best-effort GC the superseded directories. A reader at
-    any instant sees either the old manifest (old codes + live stream/
-    tombstone partitions) or the new one (compacted codes; folded
-    partitions ignored even if GC has not removed them yet) — both are
-    value-identical views. A crash before the flip leaves an orphan
-    generation directory the next run overwrites; a crash after it
-    leaves orphans GC sweeps later; re-running after success is a
-    no-op. Returns True when a new generation was written."""
+def _compact_index(spark, path: str, cols: list[str]) -> bool:
+    """Shared compaction core for both persisted index layouts
+    (``cols`` is the layout's code-row column set). Protocol (readers
+    need no coordination): SNAPSHOT the pending stream/tombstone batch
+    ids, write exactly that snapshot's live view — the manifest's base
+    codes plus the snapshotted stream partitions, minus the snapshotted
+    tombstones — to ``{path}/codes_g{gen+1}``, then atomically flip
+    ``manifest.json`` to point at it and mark the SNAPSHOTTED ids (and
+    only them) folded, then best-effort GC the superseded directories.
+    Scoping both the fold and the manifest to one snapshot is what
+    makes concurrent appends safe (ADVICE r12): a stream/batch append
+    landing after the snapshot is neither copied into the new base nor
+    marked folded, so it stays a live partition readers union in —
+    with a lazily-evaluated "current live view" it would have been
+    folded into the base while its partition stayed live, and every
+    reader would have double-counted its rows. A reader at any instant
+    sees either the old manifest (old codes + live partitions) or the
+    new one (compacted codes; folded partitions ignored even if GC has
+    not removed them yet) — value-identical views. A crash before the
+    flip leaves an orphan generation directory the next run
+    overwrites; a crash after it leaves orphans GC sweeps later;
+    re-running after success is a no-op. Returns True when a new
+    generation was written.
+
+    Local-filesystem only: the manifest flip is an ``os.replace`` and
+    GC walks the directory, so an object-store path fails fast here
+    instead of writing a full codes generation and then orphaning it
+    at the manifest write (ADVICE r12). On an object store, run
+    compaction against a local mirror or re-implement the flip as a
+    conditional-put (see :func:`_write_index_manifest`)."""
+    import os
+
+    if "://" in path:
+        raise ValueError(
+            "compaction requires a local index path: the manifest flip is a"
+            f" local-filesystem atomic rename, and {path!r} looks like an"
+            " object-store URI. Readers, appends, and deletes remain"
+            " storage-agnostic; only compact_*_index needs local storage."
+        )
+    if not os.path.isdir(path):
+        raise FileNotFoundError(
+            f"no persisted index at {path!r} — build one with"
+            " write_pq_index / write_ivfpq_index before compacting."
+        )
     m = _index_manifest(path)
     pend_stream = _pending_batch_ids(
         spark, f"{path}/codes_stream", m["folded_stream_batches"]
@@ -2118,7 +2165,21 @@ def _compact_index(spark, path: str, live_codes) -> bool:
         _gc_index(path, m)  # self-heal orphans from a crashed prior GC
         spark.catalog.refreshByPath(path)
         return False
-    survivors = live_codes()
+    survivors = spark.read.parquet(f"{path}/{m['codes']}").select(*cols)
+    if pend_stream:
+        survivors = survivors.unionByName(
+            spark.read.parquet(f"{path}/codes_stream")
+            .where(F.col("batch_id").isin(pend_stream))
+            .select(*cols)
+        )
+    if pend_tomb:
+        survivors = survivors.join(
+            spark.read.parquet(f"{path}/tombstones")
+            .where(F.col("batch_id").isin(pend_tomb))
+            .select("vec_id"),
+            "vec_id",
+            "left_anti",
+        )
     gen = m["gen"] + 1
     new_dir = f"codes_g{gen}"
     survivors.write.mode("overwrite").parquet(f"{path}/{new_dir}")
@@ -2155,9 +2216,7 @@ def compact_ivfpq_index(spark, path: str) -> bool:
     semantics and the atomic manifest-flip protocol: see
     :func:`_compact_index`. Returns True when a new generation was
     written."""
-    return _compact_index(
-        spark, path, lambda: read_ivfpq_index(spark, path)[2]
-    )
+    return _compact_index(spark, path, ["vec_id", "ccid", "sub", "code"])
 
 
 def delete_from_pq_index(
@@ -2177,7 +2236,7 @@ def compact_pq_index(spark, path: str) -> bool:
     generation behind the same atomic manifest flip
     (:func:`_compact_index`); survivors byte-identical because the
     codes are frozen-codebook."""
-    return _compact_index(spark, path, lambda: read_pq_index(spark, path)[1])
+    return _compact_index(spark, path, ["vec_id", "sub", "code"])
 
 
 def ivfpq_index_topk(

@@ -6,6 +6,27 @@ retraining). Follows this package's foreachBatch conventions
 (per-batch-partition writes, dynamic overwrite for replay idempotence,
 availableNow triggers for bounded catch-up runs).
 
+Each micro-batch is handed to the BATCH lifecycle API
+(:func:`operators.similarity.append_pq_index` /
+:func:`append_ivfpq_index` / :func:`delete_from_ivfpq_index`), which
+derives the partition id from a content hash of the micro-batch
+(:func:`operators.similarity._content_batch_id`) instead of stamping
+the engine's monotonic micro-batch id (VERDICT r12): engine ids
+restart at 0 on a fresh checkpoint, so after a compaction had folded
+ids 0..N a reset stream re-issued folded ids and its new rows (or new
+erasures) were silently invisible to every reader. Content-derived
+ids make the folded set content-addressed — a reset stream replaying
+OLD data re-derives the folded id and no-ops (the content already
+lives in the compacted base), while genuinely new data always lands
+in a fresh, visible partition. The replay-idempotence contract is
+therefore per micro-batch CONTENT: an at-least-once source that
+redelivers the same rows in the same micro-batch grouping overwrites
+its own partition, but a source that re-feeds old rows under
+DIFFERENT batch boundaries appends them again (the index is
+insert-only; duplicate tombstone rows are harmless, duplicate code
+rows are the upstream's to prevent — erase first or keep feed
+batching stable).
+
 No reference counterpart (the reference is batch-only; SURVEY §2) —
 beyond-reference extension composing `operators/similarity.py`'s PQ
 family with Structured Streaming.
@@ -14,7 +35,6 @@ family with Structured Streaming.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 
 
 def stream_pq_encode(
@@ -29,25 +49,20 @@ def stream_pq_encode(
     ``codes`` so replayed micro-batches can dynamic-overwrite their own
     partition; readers merge both sides via :func:`read_stream_codes`,
     which :func:`operators.similarity.read_pq_index` delegates to).
-    The codebooks are read from
-    ``{index_path}/books`` once per micro-batch (tiny; broadcast by the
-    encoder) and NEVER modified — geometry is pinned by the index
-    builder (:func:`operators.similarity.write_pq_index`). Replayed
-    batches overwrite their own partition (idempotent)."""
-    from ..operators.similarity import PQ_SUBS, pq_encode
+    Each micro-batch runs :func:`operators.similarity.append_pq_index`
+    under its content-derived batch id — see the module docstring for
+    why engine micro-batch ids are NOT used (checkpoint resets after a
+    compaction would silently drop new rows into folded partitions).
+    The codebooks are read from ``{index_path}/books`` once per
+    micro-batch (tiny; broadcast by the encoder) and NEVER modified —
+    geometry is pinned by the index builder
+    (:func:`operators.similarity.write_pq_index`)."""
+    from ..operators.similarity import PQ_SUBS, append_pq_index
 
     subs = PQ_SUBS if n_subs is None else n_subs
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
-        books = batch_df.sparkSession.read.parquet(f"{index_path}/books")
-        (
-            pq_encode(batch_df, books, subs)
-            .withColumn("batch_id", F.lit(batch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id")
-            .parquet(f"{index_path}/codes_stream")
-        )
+        append_pq_index(batch_df, index_path, batch_id=None, n_subs=subs)
 
     writer = embeddings_stream.writeStream.foreachBatch(_process).option(
         "checkpointLocation", checkpoint
@@ -80,28 +95,19 @@ def stream_ivfpq_encode(
     its nearest FROZEN cell centroid and its residual encoded against
     the FROZEN shared codebooks — the standard IVFADC online-insert
     path (no retraining; geometry pinned by
-    :func:`operators.similarity.write_ivfpq_index`). Both quantizer
-    tables are read once per micro-batch (tiny; broadcast by the
-    encoder); replayed batches dynamic-overwrite their own partition
-    (idempotent). Readers merge base + stream via
-    :func:`read_stream_ivfpq_codes`, which
-    :func:`operators.similarity.read_ivfpq_index` delegates to."""
-    from ..operators.similarity import PQ_SUBS, ivfpq_encode
+    :func:`operators.similarity.write_ivfpq_index`). Each micro-batch
+    runs :func:`operators.similarity.append_ivfpq_index` under its
+    content-derived batch id (module docstring: engine ids are unsafe
+    across checkpoint resets once a compaction has folded them).
+    Readers merge base + stream via :func:`read_stream_ivfpq_codes`,
+    which :func:`operators.similarity.read_ivfpq_index` delegates
+    to."""
+    from ..operators.similarity import PQ_SUBS, append_ivfpq_index
 
     subs = PQ_SUBS if n_subs is None else n_subs
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        coarse = spark.read.parquet(f"{index_path}/coarse")
-        books = spark.read.parquet(f"{index_path}/books")
-        (
-            ivfpq_encode(batch_df, coarse, books, subs)
-            .withColumn("batch_id", F.lit(batch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id")
-            .parquet(f"{index_path}/codes_stream")
-        )
+        append_ivfpq_index(batch_df, index_path, batch_id=None, n_subs=subs)
 
     writer = embeddings_stream.writeStream.foreachBatch(_process).option(
         "checkpointLocation", checkpoint
@@ -132,26 +138,22 @@ def stream_tombstones(
     """Append tombstone partitions for streaming (vec_id, ...) rows —
     the erasure half of the online index lifecycle (a GDPR/takedown
     queue is a stream exactly like the ingest side): each micro-batch
-    writes ``{index_path}/tombstones/batch_id={engine_batch_id}`` with
-    dynamic partition overwrite, so a replayed micro-batch overwrites
-    its own partition (idempotent) while distinct batches accumulate —
-    the same discipline as :func:`stream_pq_encode` /
-    :func:`stream_ivfpq_encode`, and the same layout batch deletes
-    write (:func:`operators.similarity.delete_from_ivfpq_index`;
-    engine batch ids are small monotonic ints, content-derived batch
-    ids 63-bit hashes, so the two writers cannot collide). Readers of
+    runs :func:`operators.similarity.delete_from_ivfpq_index` under
+    its content-derived batch id, the exact layout and semantics of a
+    batch delete (tombstone partitions accumulate; a replayed
+    micro-batch with identical content overwrites its own partition).
+    Engine micro-batch ids are NOT used: after a compaction folds them
+    a reset checkpoint would re-issue them, and new erasure requests
+    written under a folded id would be silently IGNORED by readers —
+    silent non-erasure (VERDICT r12). With content-derived ids a reset
+    stream replaying old requests no-ops (already folded into the
+    codes) and genuinely new requests always land live. Readers of
     BOTH index types apply the merged live tombstone set on their
     side; ``compact_*_index`` folds and retires the partitions."""
+    from ..operators.similarity import delete_from_ivfpq_index
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
-        (
-            batch_df.select("vec_id")
-            .withColumn("batch_id", F.lit(batch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id")
-            .parquet(f"{index_path}/tombstones")
-        )
+        delete_from_ivfpq_index(batch_df, index_path, batch_id=None)
 
     writer = ids_stream.writeStream.foreachBatch(_process).option(
         "checkpointLocation", checkpoint

@@ -554,3 +554,267 @@ def test_stream_tombstones_equals_batch_delete(spark, sf_dir, tmp_path):
     assert sorted(
         map(tuple, ivfpq_index_topk(spark, path, queries, k=5).collect())
     ) == res
+
+
+def _write_jsonl(path, dicts, mtime):
+    import json as jsonlib
+    import os
+
+    with open(path, "w") as f:
+        for d in dicts:
+            f.write(jsonlib.dumps(d) + "\n")
+    os.utime(path, (mtime, mtime))
+
+
+def test_stream_append_survives_checkpoint_reset_after_compaction(
+    spark, sf_dir, tmp_path
+):
+    """VERDICT r12: engine micro-batch ids restart at 0 on a FRESH
+    checkpoint, so after compaction folded ids 0..N a reset stream
+    wrote new rows into folded partition ids and every reader silently
+    dropped them. Content-derived ids must make the reset run no-op on
+    replayed old data and land genuinely NEW data in live, visible
+    partitions — with no duplicates of the old rows."""
+    from bunsen_spark.operators.similarity import (
+        compact_ivfpq_index,
+        ivfpq_encode,
+        read_ivfpq_index,
+        write_ivfpq_index,
+    )
+    from bunsen_spark.streaming.ann import stream_ivfpq_encode
+
+    emb = _emb(spark, sf_dir)
+    base = emb.where(F.col("vec_id") < 300)
+    late = emb.where((F.col("vec_id") >= 300) & (F.col("vec_id") < 360))
+    newer = emb.where(F.col("vec_id") >= 360)
+    path = str(tmp_path / "ivfpq")
+    write_ivfpq_index(base, path)
+
+    src = tmp_path / "arrivals"
+    src.mkdir()
+    rows = late.collect()
+    for b in range(2):
+        _write_jsonl(
+            src / f"b{b}.jsonl",
+            [
+                {"vec_id": r["vec_id"], "embedding": list(r["embedding"])}
+                for r in rows[b::2]
+            ],
+            1_000_000_000 + b,
+        )
+    stream = (
+        spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", 1).json(str(src))
+    )
+    q = stream_ivfpq_encode(stream, path, str(tmp_path / "ckptA"))
+    q.awaitTermination(180)
+    assert compact_ivfpq_index(spark, path) is True
+
+    # new arrivals + a FRESH checkpoint: the engine reprocesses b0/b1
+    # from scratch (their content ids are folded -> no-op) and then b2
+    _write_jsonl(
+        src / "b2.jsonl",
+        [
+            {"vec_id": r["vec_id"], "embedding": list(r["embedding"])}
+            for r in newer.collect()
+        ],
+        1_000_000_002,
+    )
+    stream2 = (
+        spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", 1).json(str(src))
+    )
+    q2 = stream_ivfpq_encode(stream2, path, str(tmp_path / "ckptB"))
+    q2.awaitTermination(180)
+
+    coarse = spark.read.parquet(f"{path}/coarse")
+    books = spark.read.parquet(f"{path}/books")
+    key = lambda r: (r["vec_id"], r["ccid"], r["sub"], r["code"])  # noqa: E731
+    _, _, codes = read_ivfpq_index(spark, path)
+    got = sorted(map(key, codes.collect()))
+    want = sorted(map(key, ivfpq_encode(emb, coarse, books).collect()))
+    # every new row visible exactly once; no old row duplicated
+    assert got == want
+
+
+def test_stream_tombstones_survive_checkpoint_reset_after_compaction(
+    spark, sf_dir, tmp_path
+):
+    """The erasure twin of the checkpoint-reset case: after compaction
+    folded the first erasure batches, a reset stream's NEW requests
+    must still erase (engine ids would land in folded partitions —
+    silent NON-erasure, the worst failure this subsystem can have)."""
+    from bunsen_spark.operators.similarity import (
+        compact_ivfpq_index,
+        read_ivfpq_index,
+        write_ivfpq_index,
+    )
+    from bunsen_spark.streaming.ann import stream_tombstones
+
+    emb = _emb(spark, sf_dir)
+    path = str(tmp_path / "ivfpq")
+    write_ivfpq_index(emb, path)
+
+    first = sorted(
+        r["vec_id"]
+        for r in emb.where(F.col("vec_id") % 7 == 3).select("vec_id").collect()
+    )
+    second = sorted(
+        r["vec_id"]
+        for r in emb.where(F.col("vec_id") % 11 == 5).select("vec_id").collect()
+    )
+    src = tmp_path / "erasures"
+    src.mkdir()
+    schema = T.StructType([T.StructField("vec_id", T.LongType())])
+    _write_jsonl(src / "b0.jsonl", [{"vec_id": v} for v in first], 1_000_000_000)
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(str(src))
+    )
+    q = stream_tombstones(stream, path, str(tmp_path / "ckptA"))
+    q.awaitTermination(180)
+    assert compact_ivfpq_index(spark, path) is True
+
+    # fresh checkpoint; b0 replays (folded content -> no-op), b1 is new
+    _write_jsonl(src / "b1.jsonl", [{"vec_id": v} for v in second], 1_000_000_001)
+    stream2 = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(str(src))
+    )
+    q2 = stream_tombstones(stream2, path, str(tmp_path / "ckptB"))
+    q2.awaitTermination(180)
+
+    _, _, codes = read_ivfpq_index(spark, path)
+    live = {r["vec_id"] for r in codes.select("vec_id").distinct().collect()}
+    assert live.isdisjoint(first), "reset stream resurrected folded erasures"
+    assert live.isdisjoint(second), "post-reset erasure requests silently dropped"
+
+
+def test_compaction_crash_before_manifest_flip(spark, sf_dir, tmp_path, monkeypatch):
+    """Crash-injection for the flip window (VERDICT r12): a compaction
+    that dies AFTER writing the new generation but BEFORE the manifest
+    flip must leave readers on the old (correct) view, and the next
+    compaction must overwrite the orphan generation and complete."""
+    import bunsen_spark.operators.similarity as sim
+
+    emb = _emb(spark, sf_dir)
+    base = emb.where(F.col("vec_id") % 5 < 4)
+    late = emb.where(F.col("vec_id") % 5 >= 4)
+    path = str(tmp_path / "ivfpq")
+    sim.write_ivfpq_index(base, path)
+    sim.append_ivfpq_index(late, path)
+    sim.delete_from_ivfpq_index(emb.where(F.col("vec_id") % 7 == 3), path)
+
+    key = lambda r: (r["vec_id"], r["ccid"], r["sub"], r["code"])  # noqa: E731
+    _, _, codes0 = sim.read_ivfpq_index(spark, path)
+    rows_before = sorted(map(key, codes0.collect()))
+
+    import pytest
+
+    def boom(p, m):
+        raise RuntimeError("injected crash before manifest flip")
+
+    monkeypatch.setattr(sim, "_write_index_manifest", boom)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        sim.compact_ivfpq_index(spark, path)
+    monkeypatch.undo()
+
+    import os
+
+    # orphan generation written, but the manifest still serves gen 0:
+    # readers see the OLD view (stream partitions + tombstones live)
+    assert os.path.isdir(f"{path}/codes_g1")
+    assert sim._index_manifest(path)["gen"] == 0
+    assert os.path.isdir(f"{path}/codes_stream")
+    assert os.path.isdir(f"{path}/tombstones")
+    _, _, codes1 = sim.read_ivfpq_index(spark, path)
+    assert sorted(map(key, codes1.collect())) == rows_before
+
+    # the rerun overwrites the orphan and completes the fold
+    assert sim.compact_ivfpq_index(spark, path) is True
+    assert sim._index_manifest(path)["codes"] == "codes_g1"
+    assert not os.path.exists(f"{path}/codes_stream")
+    assert not os.path.exists(f"{path}/tombstones")
+    _, _, codes2 = sim.read_ivfpq_index(spark, path)
+    assert sorted(map(key, codes2.collect())) == rows_before
+
+
+def test_concurrent_append_during_compaction_not_double_counted(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """ADVICE r12 TOCTOU: an append landing AFTER compaction snapshots
+    the pending batch ids but BEFORE the survivors write must stay a
+    LIVE partition (not folded) — with a lazily-evaluated live view it
+    was copied into the new base while its partition stayed live, and
+    readers double-counted its rows (doubling F.sum(d2) in ADC
+    scoring). Injected at the realistic interleave point: between the
+    stream-id snapshot and the tombstone-id snapshot."""
+    import bunsen_spark.operators.similarity as sim
+
+    emb = _emb(spark, sf_dir)
+    base = emb.where(F.col("vec_id") % 5 < 4)
+    late = emb.where((F.col("vec_id") % 5 == 4) & (F.col("vec_id") < 300))
+    racer = emb.where((F.col("vec_id") % 5 == 4) & (F.col("vec_id") >= 300))
+    path = str(tmp_path / "ivfpq")
+    sim.write_ivfpq_index(base, path)
+    sim.append_ivfpq_index(late, path)
+
+    orig = sim._pending_batch_ids
+    state = {"fired": False}
+
+    def hooked(spark_, directory, folded):
+        res = orig(spark_, directory, folded)
+        if directory.endswith("tombstones") and not state["fired"]:
+            state["fired"] = True
+            sim.append_ivfpq_index(racer, path)  # lands mid-compaction
+        return res
+
+    monkeypatch.setattr(sim, "_pending_batch_ids", hooked)
+    assert sim.compact_ivfpq_index(spark, path) is True
+    monkeypatch.undo()
+    assert state["fired"]
+
+    # racer rows: visible EXACTLY once (live partition, not folded)
+    coarse = spark.read.parquet(f"{path}/coarse")
+    books = spark.read.parquet(f"{path}/books")
+    key = lambda r: (r["vec_id"], r["ccid"], r["sub"], r["code"])  # noqa: E731
+    _, _, codes = sim.read_ivfpq_index(spark, path)
+    got = sorted(map(key, codes.collect()))
+    want = sorted(map(key, sim.ivfpq_encode(emb, coarse, books).collect()))
+    assert got == want, "mid-compaction append lost or double-counted"
+
+    # and the NEXT compaction folds the racer partition normally
+    assert sim.compact_ivfpq_index(spark, path) is True
+    _, _, codes2 = sim.read_ivfpq_index(spark, path)
+    assert sorted(map(key, codes2.collect())) == want
+
+
+def test_batch_id_edge_cases(spark, sf_dir, tmp_path):
+    """ADVICE r12 low-severity sweep: empty batches get the fixed
+    out-of-range id (zero rows hash to 0 — an engine-id collision);
+    re-appending the same vec_ids with DIFFERENT vectors derives a
+    FRESH id (content includes the embedding, so a folded-replay guard
+    cannot silently swallow changed data); compaction fails fast on an
+    object-store URI and on a missing index root."""
+    import pytest
+
+    import bunsen_spark.operators.similarity as sim
+
+    emb = _emb(spark, sf_dir)
+    empty = emb.where(F.lit(False))
+    assert sim._content_batch_id(empty) == sim._EMPTY_BATCH_ID
+    assert (
+        sim._content_batch_id(empty, ("vec_id", "embedding"))
+        == sim._EMPTY_BATCH_ID
+    )
+
+    some = emb.where(F.col("vec_id") < 20)
+    shifted = some.withColumn(
+        "embedding", F.transform("embedding", lambda x: x + F.lit(1.0))
+    )
+    same_ids = sim._content_batch_id(some) == sim._content_batch_id(shifted)
+    assert same_ids, "delete ids hash vec_id only"
+    assert sim._content_batch_id(
+        some, ("vec_id", "embedding")
+    ) != sim._content_batch_id(shifted, ("vec_id", "embedding"))
+
+    with pytest.raises(ValueError, match="local index path"):
+        sim.compact_ivfpq_index(spark, "s3://bucket/prefix/index")
+    with pytest.raises(FileNotFoundError, match="no persisted index"):
+        sim.compact_pq_index(spark, str(tmp_path / "never_built"))
