@@ -187,28 +187,42 @@ def ivf_topk(
             F.col("norm").alias("cnorm"),
         )
     )
-    scored = base.join(F.broadcast(centroids)).select(
-        "vec_id",
-        "v",
-        "norm",
-        "cid",
-        _cosine(F.col("v"), F.col("cv"), F.col("norm"), F.col("cnorm")).alias("csim"),
+    # map-only cell assignment (r13): the 16 centroids ride in ONE
+    # broadcast array row; argmax / top-n_probe are array expressions
+    # in the scan stage — the former per-vector row_number window
+    # shuffled the corpus × n_centroids scored rows. struct(negsim,
+    # cid) ascending is exactly the window's (csim DESC, cid ASC):
+    # negation is an exact sign flip, and -0.0 vs 0.0 cannot reorder
+    # (Spark's total order normalizes them equal; ties fall to cid).
+    carr = centroids.agg(
+        F.collect_list(F.struct("cid", "cv", "cnorm")).alias("cs")
     )
-    aw = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("cid"))
-    assigned = (
-        scored.withColumn("rn", F.row_number().over(aw))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "v", "norm", "cid")
+    spread_base = base.crossJoin(F.broadcast(carr))
+    scored_arr = F.transform(
+        F.col("cs"),
+        lambda c: F.struct(
+            (-_cosine(F.col("v"), c["cv"], F.col("norm"), c["cnorm"])).alias(
+                "negsim"
+            ),
+            c["cid"].alias("cid"),
+        ),
+    )
+    assigned = spread_base.select(
+        "vec_id", "v", "norm", F.array_min(scored_arr)["cid"].alias("cid")
     )
     probes = (
-        scored.where(F.col("vec_id") < num_queries)
-        .withColumn("rn", F.row_number().over(aw))
-        .where(F.col("rn") <= n_probe)
+        spread_base.where(F.col("vec_id") < num_queries)
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("v").alias("qv"),
             F.col("norm").alias("qnorm"),
-            "cid",
+            F.slice(F.array_sort(scored_arr), 1, n_probe).alias("pc"),
+        )
+        .select(
+            "query_id",
+            "qv",
+            "qnorm",
+            F.explode(F.col("pc")["cid"]).alias("cid"),
         )
     )
     cand = (
@@ -262,39 +276,53 @@ def ivf_probe_sweep(
         )
     )
 
-    def scored(src: DataFrame) -> DataFrame:
-        return src.join(F.broadcast(centroids)).select(
-            "vec_id",
-            "v",
-            "norm",
-            "cid",
-            _cosine(
-                F.col("v"), F.col("cv"), F.col("norm"), F.col("cnorm")
-            ).alias("csim"),
-        )
-
-    aw = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("cid"))
-    # the CORPUS is scored exactly once, into the materialized 1-row-
-    # per-vector cell assignment (the IVF index structure itself); the
-    # probe cells re-score only the num_queries query vectors — re-
-    # deriving them from the corpus pass would either re-scan it per
-    # level or checkpoint max(probes) duplicated copies of every vector
+    # map-only cell scoring (r13): centroids ride in ONE broadcast
+    # array row; the corpus argmax and the query top-max_p are array
+    # expressions inside the scan stage (the former shape shuffled the
+    # corpus × n_centroids scored rows through a per-vector window).
+    # struct(negsim, cid) ascending == the window's (csim DESC, cid
+    # ASC); see ivf_topk for the -0.0 note. The CORPUS is scored
+    # exactly once, into the materialized 1-row-per-vector cell
+    # assignment (the IVF index structure itself); the probe cells
+    # re-score only the num_queries query vectors.
+    carr = centroids.agg(
+        F.collect_list(F.struct("cid", "cv", "cnorm")).alias("cs")
+    )
+    spread_base = base.crossJoin(F.broadcast(carr))
+    scored_arr = F.transform(
+        F.col("cs"),
+        lambda c: F.struct(
+            (-_cosine(F.col("v"), c["cv"], F.col("norm"), c["cnorm"])).alias(
+                "negsim"
+            ),
+            c["cid"].alias("cid"),
+        ),
+    )
     assigned = materialize(
-        scored(base)
-        .withColumn("rn", F.row_number().over(aw))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "v", "norm", "cid")
+        spread_base.select(
+            "vec_id", "v", "norm", F.array_min(scored_arr)["cid"].alias("cid")
+        )
     )
     probe_cells = (
-        scored(base.where(F.col("vec_id") < num_queries))
-        .withColumn("rn", F.row_number().over(aw))
-        .where(F.col("rn") <= max_p)
+        spread_base.where(F.col("vec_id") < num_queries)
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("v").alias("qv"),
             F.col("norm").alias("qnorm"),
+            F.slice(F.array_sort(scored_arr), 1, max_p).alias("pc"),
+        )
+        .select(
+            "query_id",
+            "qv",
+            "qnorm",
+            F.posexplode(F.col("pc")["cid"]).alias("rn0", "cid"),
+        )
+        .select(
+            "query_id",
+            "qv",
+            "qnorm",
             "cid",
-            F.col("rn").alias("probe_rn"),
+            (F.col("rn0") + 1).alias("probe_rn"),
         )
     )
     # each (query, neighbor) pair is reachable through exactly one cell
@@ -428,45 +456,70 @@ def kmeans_codebook(
         cent = cents.select(
             "cid", "cv", F.sqrt(_dot(F.col("cv"), F.col("cv"))).alias("cnorm")
         )
-        # argmax centroid via max-of-struct — a map-side-combined
-        # aggregate in the same ordering as the row_number window it
-        # replaces ((csim DESC, cid ASC): larger -cid == smaller cid),
-        # but WITHOUT the window's per-vector sort after the shuffle.
-        # Measured 2.27 s -> 1.78 s on the full training at sf0.1 with
-        # bit-identical codebooks (PERF.md "Round-6: kmeans argmax").
-        assigned = (
-            base.join(F.broadcast(cent))
-            .select(
-                "vec_id",
-                "q",
-                F.struct(
-                    _cosine(
-                        F.col("q"), F.col("cv"), F.col("qnorm"), F.col("cnorm")
-                    ).alias("csim"),
-                    (-F.col("cid")).alias("negcid"),
-                    F.col("cid").alias("cid"),
-                ).alias("s"),
-            )
-            .groupBy("vec_id")
-            # q is functionally dependent on vec_id (every joined row
-            # carries the same vector), so first() is deterministic
-            # here — grouping by the id alone avoids hashing the
-            # 64-element array as a grouping key
-            .agg(F.max("s").alias("s"), F.first("q").alias("q"))
-            .select(F.col("s.cid").alias("cid"), "q")
+        # argmax centroid via map-only array_max (r13): the centroids
+        # ride in ONE broadcast array row and each vector scores all of
+        # them inside a single expression — same (csim DESC, cid ASC)
+        # struct ordering as the max-of-struct aggregate it replaces
+        # (PERF.md "Round-6: kmeans argmax"), with the k-way row
+        # expansion AND its corpus-sized groupBy exchange removed. The
+        # centroid update is one map-side-combined aggregate of
+        # EMBED_DIM element sums + a count per cid (the posexplode
+        # two-level mean shuffled corpus × dim rows); the mean stays
+        # the identical exact IEEE division of exact integer sums.
+        carr = cent.agg(F.collect_list(F.struct("cid", "cv", "cnorm")).alias("cs"))
+        assigned = base.crossJoin(F.broadcast(carr)).select(
+            F.array_max(
+                F.transform(
+                    F.col("cs"),
+                    lambda c: F.struct(
+                        _cosine(
+                            F.col("q"), c["cv"], F.col("qnorm"), c["cnorm"]
+                        ).alias("csim"),
+                        (-c["cid"]).alias("negcid"),
+                        c["cid"].alias("cid"),
+                    ),
+                )
+            )["cid"].alias("cid"),
+            "q",
         )
-        sums = (
-            assigned.select("cid", F.posexplode("q").alias("pos", "val"))
-            .groupBy("cid", "pos")
-            .agg((F.sum("val") / F.count(F.lit(1))).alias("cd"))
+        grp = assigned.groupBy("cid").agg(
+            F.count(F.lit(1)).alias("__n"),
+            *[F.sum(F.col("q")[i]).alias(f"__s{i}") for i in range(EMBED_DIM)],
         )
-        cents = sums.groupBy("cid").agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "cd"))), lambda s: s["cd"]
-            ).alias("cv")
+        cents = grp.select(
+            "cid",
+            F.array(
+                *[F.col(f"__s{i}") / F.col("__n") for i in range(EMBED_DIM)]
+            ).alias("cv"),
         )
     return cents.select(
         "cid", "cv", F.sqrt(_dot(F.col("cv"), F.col("cv"))).alias("cnorm")
+    )
+
+
+def _kmeans_assign(quant: DataFrame, cents: DataFrame) -> DataFrame:
+    """(vec_id, cid): max-cosine centroid per quantized vector — the
+    shared assignment step of :func:`semantic_dedup`,
+    :func:`cluster_label_purity` and :func:`ivf_kmeans_topk`. Map-only
+    (r13): the centroids ride in ONE broadcast array row and the
+    argmax is ``array_max`` over ``struct(csim, negcid, cid)`` — the
+    identical ordering of the former broadcast-join + max-of-struct
+    groupBy aggregate, with its corpus-sized exchange removed."""
+    carr = cents.agg(F.collect_list(F.struct("cid", "cv", "cnorm")).alias("cs"))
+    return quant.crossJoin(F.broadcast(carr)).select(
+        "vec_id",
+        F.array_max(
+            F.transform(
+                F.col("cs"),
+                lambda c: F.struct(
+                    _cosine(
+                        F.col("q"), c["cv"], F.col("qnorm"), c["cnorm"]
+                    ).alias("csim"),
+                    (-c["cid"]).alias("negcid"),
+                    c["cid"].alias("cid"),
+                ),
+            )
+        )["cid"].alias("cid"),
     )
 
 
@@ -492,28 +545,28 @@ def ivf_kmeans_topk(
     # the probe-list window runs only over the query vectors' scores.
     cents = kmeans_codebook(embeddings, n_centroids, n_iters).transform(materialize)
     quant = _quantized(embeddings).transform(_spread)
-    scored = quant.join(F.broadcast(cents)).select(
-        "vec_id",
-        "cid",
-        _cosine(F.col("q"), F.col("cv"), F.col("qnorm"), F.col("cnorm")).alias("csim"),
+    # map-only (r13): corpus argmax and query top-n_probe are array
+    # expressions over one broadcast centroid array — see ivf_topk for
+    # the struct(negsim, cid) == (csim DESC, cid ASC) argument
+    carr = cents.agg(F.collect_list(F.struct("cid", "cv", "cnorm")).alias("cs"))
+    qb = quant.crossJoin(F.broadcast(carr))
+    scored_arr = F.transform(
+        F.col("cs"),
+        lambda c: F.struct(
+            (-_cosine(F.col("q"), c["cv"], F.col("qnorm"), c["cnorm"])).alias(
+                "negsim"
+            ),
+            c["cid"].alias("cid"),
+        ),
     )
-    best = F.struct(
-        F.col("csim").alias("csim"),
-        (-F.col("cid")).alias("negcid"),
-        F.col("cid").alias("cid"),
-    )
-    assigned = (
-        scored.select("vec_id", best.alias("s"))
-        .groupBy("vec_id")
-        .agg(F.max("s").alias("s"))
-        .select("vec_id", F.col("s.cid").alias("cid"))
-    )
-    aw = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("cid"))
+    assigned = qb.select("vec_id", F.array_min(scored_arr)["cid"].alias("cid"))
     probes = (
-        scored.where(F.col("vec_id") < num_queries)
-        .withColumn("rn", F.row_number().over(aw))
-        .where(F.col("rn") <= n_probe)
-        .select(F.col("vec_id").alias("query_id"), "cid")
+        qb.where(F.col("vec_id") < num_queries)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.slice(F.array_sort(scored_arr), 1, n_probe).alias("pc"),
+        )
+        .select("query_id", F.explode(F.col("pc")["cid"]).alias("cid"))
     )
     base = _with_norm(embeddings).transform(_spread)
     queries = base.select(
@@ -611,18 +664,7 @@ def semantic_dedup(
     count, so prefer more centroids)."""
     cents = kmeans_codebook(embeddings, n_centroids, n_iters).transform(materialize)
     quant = _quantized(embeddings).transform(_spread)
-    best = F.struct(
-        _cosine(F.col("q"), F.col("cv"), F.col("qnorm"), F.col("cnorm")).alias("csim"),
-        (-F.col("cid")).alias("negcid"),
-        F.col("cid").alias("cid"),
-    )
-    assigned = (
-        quant.join(F.broadcast(cents))
-        .select("vec_id", best.alias("s"))
-        .groupBy("vec_id")
-        .agg(F.max("s").alias("s"))
-        .select("vec_id", F.col("s.cid").alias("cid"))
-    )
+    assigned = _kmeans_assign(quant, cents)
     base = materialize(
         _with_norm(embeddings).transform(_spread).join(assigned, "vec_id")
     )
@@ -742,10 +784,16 @@ SELECT query_id, neighbor_id, rank FROM (
 
 
 def _bucket_col() -> Column:
-    """NUM_PLANES-bit LSH bucket from hyperplane dot-product signs."""
+    """NUM_PLANES-bit LSH bucket from hyperplane dot-product signs.
+
+    Each plane is ONE array literal (``F.lit(list)``), not 64
+    element-wise ``F.lit`` calls — the per-element form cost ~2,000
+    py4j roundtrips per plan construction (r13; rebuilt on every
+    bench run and inside every scorecard run). Identical literal
+    values, identical plan."""
     bit = None
     for p in range(NUM_PLANES):
-        plane = F.array(*[F.lit(w) for w in PLANES[p]])
+        plane = F.lit(list(PLANES[p]))
         term = F.when(_dot(F.col("v"), plane) > 0, F.lit(1 << p).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
@@ -1035,7 +1083,7 @@ def pq_codebooks(
     pick of whole vectors (one seed set, each contributing its
     subvector to every subspace book)."""
     base = materialize(_sub_quantized(embeddings, n_subs).transform(_spread))
-    return _pq_train(base, _seed_ids(embeddings, k), n_iters)
+    return _pq_train(base, _seed_ids(embeddings, k), n_iters, EMBED_DIM // n_subs)
 
 
 def _seed_ids(embeddings: DataFrame, k: int) -> DataFrame:
@@ -1051,44 +1099,64 @@ def _seed_ids(embeddings: DataFrame, k: int) -> DataFrame:
     )
 
 
-def _pq_train(base: DataFrame, seed_ids: DataFrame, n_iters: int) -> DataFrame:
+def _pq_train(
+    base: DataFrame, seed_ids: DataFrame, n_iters: int, subdim: int
+) -> DataFrame:
     """Integer-lattice Lloyd over an integral subvector frame
     ``(vec_id, sub, sq)``: returns (sub, cid, cv). Shared by the plain
-    PQ books and the IVF-PQ residual books."""
+    PQ books and the IVF-PQ residual books.
+
+    Each refinement round is ONE corpus-side exchange (r13): the
+    previous round's centroids are collected per subspace into a
+    broadcast array and assignment is a map-only ``array_min`` argmin
+    over it — ``array_min`` on ``struct(d2, cid)`` compares fields in
+    order, exactly the ``min(struct(d2, cid))`` the former
+    join+groupBy computed — and the centroid update aggregates
+    ``subdim`` element sums plus a count per (sub, cid), map-side
+    combinable. The former shape shuffled the corpus twice per round
+    (the k-way-expanded argmin groupBy, then a posexplode mean over
+    rows × subdim); both were corpus-sized exchanges at scale, now the
+    only shuffled bytes per round are k × n_subs centroid partial
+    sums. Arithmetic is unchanged and order-free: integral-double
+    sums are exact under any accumulation order, and the rounded mean
+    is the identical single IEEE division."""
     cents = base.join(
         F.broadcast(seed_ids), base["vec_id"] == seed_ids["cid"]
     ).select("sub", "cid", F.col("sq").alias("cv"))
     for _ in range(n_iters):
-        assigned = (
-            base.join(F.broadcast(cents), "sub")
-            .select(
-                "vec_id",
-                "sub",
-                "sq",
-                F.struct(
-                    _d2(F.col("sq"), F.col("cv")).alias("d2"),
-                    F.col("cid").alias("cid"),
-                ).alias("s"),
-            )
-            .groupBy("vec_id", "sub")
-            # sq is functionally dependent on (vec_id, sub); first() is
-            # deterministic, and grouping avoids hashing the array key
-            .agg(F.min("s").alias("s"), F.first("sq").alias("sq"))
-            .select("sub", F.col("s.cid").alias("cid"), "sq")
+        carr = cents.groupBy("sub").agg(
+            F.collect_list(F.struct("cid", "cv")).alias("cs")
         )
-        sums = (
-            assigned.select("sub", "cid", F.posexplode("sq").alias("pos", "val"))
-            .groupBy("sub", "cid", "pos")
+        assigned = base.join(F.broadcast(carr), "sub").select(
+            "sub",
+            F.array_min(
+                F.transform(
+                    F.col("cs"),
+                    lambda c: F.struct(
+                        _d2(F.col("sq"), c["cv"]).alias("d2"),
+                        c["cid"].alias("cid"),
+                    ),
+                )
+            )["cid"].alias("cid"),
+            "sq",
+        )
+        grp = assigned.groupBy("sub", "cid").agg(
+            F.count(F.lit(1)).alias("__n"),
+            *[F.sum(F.col("sq")[i]).alias(f"__s{i}") for i in range(subdim)],
+        )
+        cents = grp.select(
+            "sub",
+            "cid",
             # rounded mean: centroids stay ON the integer lattice, so
             # the next round's distances remain integral-exact. The
             # mean itself is one exact IEEE division; round() of the
             # identical double agrees across engines.
-            .agg(F.round(F.sum("val") / F.count(F.lit(1)), 0).alias("cd"))
-        )
-        cents = sums.groupBy("sub", "cid").agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "cd"))), lambda s: s["cd"]
-            ).alias("cv")
+            F.array(
+                *[
+                    F.round(F.col(f"__s{i}") / F.col("__n"), 0)
+                    for i in range(subdim)
+                ]
+            ).alias("cv"),
         )
     return cents.select("sub", "cid", "cv")
 
@@ -1098,20 +1166,27 @@ def pq_encode(
 ) -> DataFrame:
     """(vec_id, sub, code): nearest-codeword assignment per subspace —
     the 8-byte-per-vector compressed representation (ties by smallest
-    cid). One broadcast join + a map-side-combined argmin."""
+    cid). Map-only (r13): the codebooks are collected into one
+    broadcast array per subspace and the argmin is an ``array_min``
+    over ``struct(d2, cid)`` — identical ordering to the former
+    ``min(struct(d2, cid))`` groupBy, with the k-way row expansion and
+    its corpus-sized exchange removed."""
     subs = _sub_quantized(embeddings, n_subs).transform(_spread)
-    return (
-        subs.join(F.broadcast(codebooks), "sub")
-        .select(
-            "vec_id",
-            "sub",
-            F.struct(
-                _d2(F.col("sq"), F.col("cv")).alias("d2"), F.col("cid").alias("cid")
-            ).alias("s"),
-        )
-        .groupBy("vec_id", "sub")
-        .agg(F.min("s").alias("s"))
-        .select("vec_id", "sub", F.col("s.cid").alias("code"))
+    carr = codebooks.groupBy("sub").agg(
+        F.collect_list(F.struct("cid", "cv")).alias("cs")
+    )
+    return subs.join(F.broadcast(carr), "sub").select(
+        "vec_id",
+        "sub",
+        F.array_min(
+            F.transform(
+                F.col("cs"),
+                lambda c: F.struct(
+                    _d2(F.col("sq"), c["cv"]).alias("d2"),
+                    c["cid"].alias("cid"),
+                ),
+            )
+        )["cid"].alias("code"),
     )
 
 
@@ -1296,49 +1371,47 @@ def ivfpq_topk(
     residual codebook is shared across cells (standard IVFADC), so the
     broadcast stays n_subs × k rows."""
     full = materialize(_sub_quantized(embeddings, 1).transform(_spread))
-    coarse = _pq_train(full, _seed_ids(embeddings, n_coarse), n_iters).select(
+    coarse = _pq_train(full, _seed_ids(embeddings, n_coarse), n_iters, EMBED_DIM).select(
         F.col("cid").alias("ccid"), F.col("cv").alias("ccv")
     ).transform(materialize)
-    # corpus coarse assignment + integral residuals
-    resid = materialize(
-        full.join(F.broadcast(coarse))
+    # corpus coarse assignment + integral residuals — map-only (r13):
+    # the 16 cell centroids ride in one broadcast array; array_min on
+    # struct(d2, ccid, ccv) is the former min(struct(...)) groupBy
+    # without the 16-way row expansion or its corpus-sized exchange
+    carr = coarse.agg(F.collect_list(F.struct("ccid", "ccv")).alias("cs"))
+    resid = (
+        full.crossJoin(F.broadcast(carr))
         .select(
             "vec_id",
-            "sq",
-            F.struct(
-                _d2(F.col("sq"), F.col("ccv")).alias("d2"),
-                F.col("ccid").alias("ccid"),
-                F.col("ccv").alias("ccv"),
+            F.array_min(
+                F.transform(
+                    F.col("cs"),
+                    lambda c: F.struct(
+                        _d2(F.col("sq"), c["ccv"]).alias("d2"),
+                        c["ccid"].alias("ccid"),
+                        c["ccv"].alias("ccv"),
+                    ),
+                )
             ).alias("s"),
+            "sq",
         )
-        .groupBy("vec_id")
-        .agg(F.min("s").alias("s"), F.first("sq").alias("sq"))
         .select(
             "vec_id",
             F.col("s.ccid").alias("ccid"),
             F.zip_with("sq", "s.ccv", lambda x, y: x - y).alias("r"),
         )
     )
-    rsubs = materialize(resid.select("vec_id", _slices("r", n_subs)).select(
-        "vec_id", "p.sub", "p.sq"
+    # ccid rides on rsubs, so the former codes⋈resid join-back is gone
+    rsubs = materialize(resid.select("vec_id", "ccid", _slices("r", n_subs)).select(
+        "vec_id", "ccid", "p.sub", "p.sq"
     ))
-    books = _pq_train(rsubs, _seed_ids(embeddings, n_codewords), n_iters).transform(
-        materialize
-    )
-    codes = (
-        rsubs.join(F.broadcast(books), "sub")
-        .select(
-            "vec_id",
-            "sub",
-            F.struct(
-                _d2(F.col("sq"), F.col("cv")).alias("d2"), F.col("cid").alias("cid")
-            ).alias("s"),
-        )
-        .groupBy("vec_id", "sub")
-        .agg(F.min("s").alias("s"))
-        .select("vec_id", "sub", F.col("s.cid").alias("code"))
-        .join(resid.select("vec_id", "ccid"), "vec_id")
-    )
+    books = _pq_train(
+        rsubs.select("vec_id", "sub", "sq"),
+        _seed_ids(embeddings, n_codewords),
+        n_iters,
+        EMBED_DIM // n_subs,
+    ).transform(materialize)
+    codes = _assign_residual_codes(rsubs, books)
     # query side: probe lists + per-cell residual LUTs
     qfull = full.where(F.col("vec_id") < num_queries).select(
         F.col("vec_id").alias("query_id"), F.col("sq").alias("qsq")
@@ -1693,19 +1766,23 @@ def _ivfpq_residual_subs(embeddings: DataFrame, coarse: DataFrame, n_subs: int) 
     IVF-PQ index (same arithmetic as the inline :func:`ivfpq_topk`
     corpus side, against a FROZEN ``coarse`` table)."""
     full = _sub_quantized(embeddings, 1).transform(_spread)
+    carr = coarse.agg(F.collect_list(F.struct("ccid", "ccv")).alias("cs"))
     resid = (
-        full.join(F.broadcast(coarse))
+        full.crossJoin(F.broadcast(carr))
         .select(
             "vec_id",
-            "sq",
-            F.struct(
-                _d2(F.col("sq"), F.col("ccv")).alias("d2"),
-                F.col("ccid").alias("ccid"),
-                F.col("ccv").alias("ccv"),
+            F.array_min(
+                F.transform(
+                    F.col("cs"),
+                    lambda c: F.struct(
+                        _d2(F.col("sq"), c["ccv"]).alias("d2"),
+                        c["ccid"].alias("ccid"),
+                        c["ccv"].alias("ccv"),
+                    ),
+                )
             ).alias("s"),
+            "sq",
         )
-        .groupBy("vec_id")
-        .agg(F.min("s").alias("s"), F.first("sq").alias("sq"))
         .select(
             "vec_id",
             F.col("s.ccid").alias("ccid"),
@@ -1720,20 +1797,24 @@ def _ivfpq_residual_subs(embeddings: DataFrame, coarse: DataFrame, n_subs: int) 
 def _assign_residual_codes(rsubs: DataFrame, books: DataFrame) -> DataFrame:
     """(vec_id, ccid, sub, code): nearest residual codeword per
     subspace (ties by smallest cid, matching :func:`ivfpq_topk`).
-    Broadcast join + map-side argmin only."""
-    return (
-        rsubs.join(F.broadcast(books), "sub")
-        .select(
-            "vec_id",
-            "ccid",
-            "sub",
-            F.struct(
-                _d2(F.col("sq"), F.col("cv")).alias("d2"), F.col("cid").alias("cid")
-            ).alias("s"),
-        )
-        .groupBy("vec_id", "ccid", "sub")
-        .agg(F.min("s").alias("s"))
-        .select("vec_id", "ccid", "sub", F.col("s.cid").alias("code"))
+    Map-only (r13): broadcast codebook array + ``array_min`` argmin —
+    no row expansion, no exchange."""
+    carr = books.groupBy("sub").agg(
+        F.collect_list(F.struct("cid", "cv")).alias("cs")
+    )
+    return rsubs.join(F.broadcast(carr), "sub").select(
+        "vec_id",
+        "ccid",
+        "sub",
+        F.array_min(
+            F.transform(
+                F.col("cs"),
+                lambda c: F.struct(
+                    _d2(F.col("sq"), c["cv"]).alias("d2"),
+                    c["cid"].alias("cid"),
+                ),
+            )
+        )["cid"].alias("code"),
     )
 
 
@@ -1777,7 +1858,7 @@ def write_ivfpq_index(
     so an index built and searched here reproduces the inline gate's
     arithmetic bit-for-bit."""
     full = materialize(_sub_quantized(embeddings, 1).transform(_spread))
-    coarse = _pq_train(full, _seed_ids(embeddings, n_coarse), n_iters).select(
+    coarse = _pq_train(full, _seed_ids(embeddings, n_coarse), n_iters, EMBED_DIM).select(
         F.col("cid").alias("ccid"), F.col("cv").alias("ccv")
     ).transform(materialize)
     coarse.write.mode(mode).parquet(f"{path}/coarse")
@@ -1786,6 +1867,7 @@ def write_ivfpq_index(
         rsubs.select("vec_id", "sub", "sq"),
         _seed_ids(embeddings, n_codewords),
         n_iters,
+        EMBED_DIM // n_subs,
     ).transform(materialize)
     books.write.mode(mode).parquet(f"{path}/books")
     _assign_residual_codes(rsubs, books).write.mode(mode).parquet(f"{path}/codes")
@@ -2578,12 +2660,15 @@ def jl_topk(
         F.col("embedding").cast("array<double>"),
         lambda x: F.round(x * F.lit(KMEANS_QUANT), 0).cast("long"),
     )
+    # each sign row is ONE array<long> literal (F.lit(list)) — the
+    # former per-element F.lit chain cost ~1,000 py4j roundtrips per
+    # plan construction (r13); identical literal values
     proj = F.array(
         *[
             F.aggregate(
                 F.zip_with(
                     F.col("__q"),
-                    F.array(*[F.lit(s).cast("long") for s in signs[j]]),
+                    F.lit([int(s) for s in signs[j]]),
                     lambda x, y: x * y,
                 ),
                 F.lit(0).cast("long"),
@@ -2686,20 +2771,7 @@ def cluster_label_purity(
         materialize
     )
     quant = _quantized(embeddings).transform(_spread)
-    best = F.struct(
-        _cosine(
-            F.col("q"), F.col("cv"), F.col("qnorm"), F.col("cnorm")
-        ).alias("csim"),
-        (-F.col("cid")).alias("negcid"),
-        F.col("cid").alias("cid"),
-    )
-    assigned = (
-        quant.join(F.broadcast(cents))
-        .select("vec_id", best.alias("s"))
-        .groupBy("vec_id")
-        .agg(F.max("s").alias("s"))
-        .select("vec_id", F.col("s.cid").alias("cid"))
-    )
+    assigned = _kmeans_assign(quant, cents)
     labeled = assigned.join(
         embeddings.select("vec_id", F.col("label").cast("long").alias("label")),
         "vec_id",
@@ -2872,17 +2944,25 @@ def _sign_words(v: Column) -> list[Column]:
     portably, hence two half-words instead of one 64-bit word)."""
     words = []
     for w in range(2):
-        terms = [
-            F.when(
-                F.element_at(v, w * 32 + bit + 1) > F.lit(0.0),
-                F.lit(1 << bit).cast("long"),
-            ).otherwise(F.lit(0).cast("long"))
-            for bit in range(32)
-        ]
-        acc = terms[0]
-        for t in terms[1:]:
-            acc = acc + t
-        words.append(acc)
+        # one Horner aggregate over the word's positions in DESCENDING
+        # order instead of a 32-term when-chain (r13): ~20 py4j
+        # roundtrips per word instead of ~150 at plan-construction
+        # time. ((b31·2 + b30)·2 + …)·2 + b0 == Σ b_i·2^i exactly
+        # (integers < 2^32), with the identical per-bit predicate —
+        # the packed words are bit-identical.
+        words.append(
+            F.aggregate(
+                F.sequence(
+                    F.lit(w * 32 + 32), F.lit(w * 32 + 1), F.lit(-1)
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, pos: acc * F.lit(2).cast("long")
+                + F.when(
+                    F.element_at(v, pos) > F.lit(0.0),
+                    F.lit(1).cast("long"),
+                ).otherwise(F.lit(0).cast("long")),
+            )
+        )
     return words
 
 

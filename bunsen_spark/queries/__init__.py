@@ -89,6 +89,22 @@ _CHANGED_GATES: list[tuple[str, int]] = [
     ("ann_ivfpq_index_delete_topk", 12),
     ("ann_ivfpq_index_append_topk", 12),
     ("ann_ivfpq_index_topk", 12),
+    # round 13 (optimization): map-only Lloyd/assignment rewrites in
+    # operators/similarity.py (array-broadcast argmin, single-exchange
+    # centroid update) and the tagged-union ann_eval_scorecard —
+    # results proven identical against the oracle, but these gates run
+    # new plan shapes and deserve fresh driver rows
+    ("ann_eval_scorecard", 13),
+    ("ann_pq_topk", 13),
+    ("ann_ivfpq_topk", 13),
+    ("ann_ivf_topk", 13),
+    ("ann_ivf_kmeans_topk", 13),
+    ("semantic_dedup_drops", 13),
+    ("cluster_purity_embeddings", 13),
+    # the index gates' build path shares the rewritten encode/train
+    ("ann_ivfpq_index_topk", 13),
+    ("ann_ivfpq_index_append_topk", 13),
+    ("ann_ivfpq_index_delete_topk", 13),
 ]
 
 

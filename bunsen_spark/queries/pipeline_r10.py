@@ -121,7 +121,7 @@ def ann_eval_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the index-selection scorecard: which approximation is safe to
     deploy at which recall/MRR budget. The shared runs (exact brute
     scan; JL) execute ONCE each and feed both metric families."""
-    from ..operators.retrieval import mrr_by_query, topk_overlap
+    from ..operators.retrieval import _lcm_1_to_k
     from ..operators.similarity import (
         brute_force_topk,
         hamming_rerank_topk,
@@ -131,56 +131,134 @@ def ann_eval_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from ..persist import materialize
 
+    k = 5
     emb = load(spark, sf_dir, "embeddings")
-    exact = materialize(brute_force_topk(emb, 5, 32))
-    jl = materialize(jl_topk(emb, 5, 32))
+    exact = materialize(brute_force_topk(emb, k, 32))
+    jl = materialize(jl_topk(emb, k, 32))
     # ivf/ivf_p1/ivf_p4 (round 11): the folded-in IVF probe curve —
     # 'ivf' is the default n_probe=2, so the three rows together are
     # the recall-vs-scan-cost schedule the standalone
     # ann_ivf_probe_curve gate used to pin. All three levels come from
     # ONE corpus scan (`similarity.py:ivf_probe_sweep` — shared
-    # centroid scoring + cell assignment, per-level filter+window),
-    # and they share this gate's materialized exact run.
-    sweep = materialize(ivf_probe_sweep(emb, 5, 32, probes=(1, 2, 4)))
-    parts = []
-    for name, run in (
-        ("ivf", sweep.where(F.col("n_probe") == 2).drop("n_probe")),
-        ("ivf_p1", sweep.where(F.col("n_probe") == 1).drop("n_probe")),
-        ("ivf_p4", sweep.where(F.col("n_probe") == 4).drop("n_probe")),
-        ("jl", jl),
-        ("lsh", lsh_topk(emb, 5, 32)),
-    ):
-        parts.append(
-            topk_overlap(exact, run, 5).select(
-                F.lit("recall_hits").alias("metric"),
-                F.lit(name).alias("variant"),
-                "query_id",
-                F.col("hits").alias("value"),
+    # centroid scoring + cell assignment) and map to variant tags in
+    # the SAME pass (the level row-sets are disjoint), so the sweep is
+    # consumed exactly once and needs no checkpoint.
+    #
+    # r13 restructure: the former shape built ELEVEN union branches,
+    # each its own topk_overlap / mrr_by_query join pipeline (~27
+    # exchanges, and with AQE every exchange is a separately planned
+    # query stage — the gate spent more wall time in driver re-planning
+    # than in tasks). Both metric families now run as ONE tagged-union
+    # pipeline each: recall joins the exact run against the union of
+    # all five candidate runs grouped by (variant, query), MRR labels
+    # the union of its three runs once. Row-for-row identical output
+    # (per-variant query sets preserved: recall uses exact's query set
+    # for every variant, exactly as topk_overlap did; MRR uses each
+    # run's own distinct query set, exactly as mrr_by_query did).
+    sweep_tagged = ivf_probe_sweep(emb, k, 32, probes=(1, 2, 4)).select(
+        F.element_at(
+            F.create_map(
+                F.lit(1), F.lit("ivf_p1"),
+                F.lit(2), F.lit("ivf"),
+                F.lit(4), F.lit("ivf_p4"),
+            ),
+            F.col("n_probe").cast("int"),
+        ).alias("variant"),
+        "query_id",
+        "neighbor_id",
+        "rank",
+    )
+    runs_b = (
+        sweep_tagged.unionByName(
+            jl.select(F.lit("jl").alias("variant"), "query_id", "neighbor_id", "rank")
+        )
+        .unionByName(
+            lsh_topk(emb, k, 32).select(
+                F.lit("lsh").alias("variant"), "query_id", "neighbor_id", "rank"
             )
         )
-    for name, run in (
-        ("exact", exact),
-        ("jl", jl),
-        (
-            "hamming",
-            hamming_rerank_topk(emb).select("query_id", "neighbor_id", "rank"),
-        ),
-    ):
+        .where(F.col("rank") <= k)
+        .select("variant", "query_id", "neighbor_id")
+    )
+    a = exact.where(F.col("rank") <= k).select("query_id", "neighbor_id")
+    hits = (
+        a.join(F.broadcast(runs_b), ["query_id", "neighbor_id"])
+        .groupBy("variant", "query_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("hits"))
+    )
+    variants = spark.createDataFrame(
+        [(v,) for v in ("ivf", "ivf_p1", "ivf_p4", "jl", "lsh")], "variant string"
+    )
+    recall = (
+        a.select("query_id")
+        .distinct()
+        .crossJoin(F.broadcast(variants))
+        .join(hits, ["variant", "query_id"], "left")
+        .select(
+            F.lit("recall_hits").alias("metric"),
+            "variant",
+            "query_id",
+            F.coalesce(F.col("hits"), F.lit(0)).cast("long").alias("value"),
+        )
+    )
+    # MRR side: one tagged union of the three runs, labelled once
+    # (same lcm-scaled integer arithmetic as retrieval.mrr_by_query).
+    scale = _lcm_1_to_k(k)
+    mrr_runs = (
+        exact.select(F.lit("exact").alias("variant"), "query_id", "neighbor_id", "rank")
+        .unionByName(
+            jl.select(F.lit("jl").alias("variant"), "query_id", "neighbor_id", "rank")
+        )
+        .unionByName(
+            hamming_rerank_topk(emb).select(
+                F.lit("hamming").alias("variant"), "query_id", "neighbor_id", "rank"
+            )
+        )
+    )
+    lab = emb.select(F.col("vec_id").alias("__id"), F.col("label").alias("__lab"))
+    tagged = (
+        lab.join(F.broadcast(mrr_runs), F.col("__id") == F.col("neighbor_id"))
+        .withColumnRenamed("__lab", "n_lab")
+        .drop("__id")
+    )
+    tagged = (
+        lab.join(F.broadcast(tagged), F.col("__id") == F.col("query_id"))
+        .withColumnRenamed("__lab", "q_lab")
+        .drop("__id")
+    )
+    per_q = (
+        tagged.where(F.col("rank") <= k)
+        .groupBy("variant", "query_id")
+        .agg(
+            F.min(
+                F.when(F.col("n_lab") == F.col("q_lab"), F.col("rank"))
+            ).alias("__fr")
+        )
+    )
+    mrr = (
+        mrr_runs.select("variant", "query_id")
+        .distinct()
+        .join(per_q, ["variant", "query_id"], "left")
+        .select(
+            "variant",
+            "query_id",
+            F.coalesce(F.col("__fr"), F.lit(0)).cast("long").alias("first_rel"),
+            F.coalesce(
+                F.expr(f"{scale} div __fr"), F.lit(0).cast("long")
+            ).alias("mrr_scaled"),
+        )
         # stack() unpivots both metrics in ONE pass over the scored
         # table — two per-metric selects would execute the whole
-        # mrr_by_query subtree (ANN run included) twice per variant
-        parts.append(
-            mrr_by_query(run, emb, k=5).selectExpr(
-                "stack(2, 'first_rel', first_rel,"
-                " 'mrr_scaled', mrr_scaled) AS (metric, value)",
-                f"'{name}' AS variant",
-                "query_id",
-            ).select("metric", "variant", "query_id", "value")
+        # subtree (ANN runs included) twice
+        .selectExpr(
+            "stack(2, 'first_rel', first_rel,"
+            " 'mrr_scaled', mrr_scaled) AS (metric, value)",
+            "variant",
+            "query_id",
         )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+        .select("metric", "variant", "query_id", "value")
+    )
+    return recall.unionByName(mrr)
 
 
 def _ann_eval_sql() -> str:
