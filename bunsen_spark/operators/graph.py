@@ -27,20 +27,34 @@ SCALE = 10**12
 DAMPING_PCT = 85
 
 
+#: node-table rows below which the rank/contribution tables are
+#: broadcast each iteration instead of shuffle-joined. (node, rank_q)
+#: is 16 bytes/row, so the default 10M rows is a ~300 MB built hash
+#: relation — comfortably under the 8 GB / 512M-row broadcast caps on
+#: production executors; raise/lower via conf per cluster memory.
+BROADCAST_NODES_CONF = "spark.bunsen.graph.broadcastNodes"
+BROADCAST_NODES_DEFAULT = 10_000_000
+
+
 def pagerank(edges: DataFrame, iters: int = 3) -> DataFrame:
     """Fixed-iteration simplified PageRank over directed ``(src, dst)``
     edges: ``rank = (1-d)/N + d * Σ_in rank/deg`` (no dangling-mass
     redistribution — dangling rank damps away; documented so the
     oracle matches by construction). Output: (node, rank_q, rank).
 
-    Plan shape per iteration: one hash join ranks⋈edges on src + one
-    aggregation on dst — both shuffle on node keys, so a cluster that
-    pre-partitions the edge table by src reuses that partitioning for
-    every iteration's build side. Degrees are joined ONCE before the
-    loop. The whole computation is one declarative plan (no driver
-    collect between iterations); for deep iteration counts, insert a
-    ``localCheckpoint`` every few rounds to cut lineage — at 3-5
-    iterations the plain plan is cheaper.
+    Scale shape (optimization guide §2.4/§3.1): the node count ``n`` is
+    computed ONCE on the driver (a scalar count over the materialized
+    node table — the checkpointed blocks are scanned, not the raw
+    edges) and folded into the arithmetic as a literal, so the unrolled
+    plan no longer recomputes the count aggregate + cross-join per
+    iteration. When ``n`` is under ``spark.bunsen.graph.broadcastNodes``
+    (default 10M — rank tables are 16 bytes/row), every per-iteration
+    join broadcasts the node-sized side (ranks into the edge join,
+    contributions into the rank update), leaving exactly ONE exchange
+    per iteration: the map-side-combined contribution aggregation.
+    The corpus-sized edge table is never shuffled after setup. Above
+    the threshold the joins fall back to shuffle joins on node keys —
+    the same declarative plan as before, minus the count subtrees.
 
     The per-iteration contribution ``rank_q div deg`` floors away up to
     ``deg-1`` units (≤1e-12·deg of mass) — deterministic in both
@@ -49,6 +63,10 @@ def pagerank(edges: DataFrame, iters: int = 3) -> DataFrame:
     """
     if iters < 1:
         raise ValueError("iters must be >= 1")
+    # the caller's edge plan feeds three derivations (nodes, outdeg,
+    # ed); materialize it once so an expensive upstream (join+distinct)
+    # is computed a single time instead of per-derivation
+    edges = materialize(edges)
     # nodes and the degree-annotated edge table appear in EVERY unrolled
     # iteration; lazy checkpoints materialize each once instead of
     # re-deriving them per round (and keep the single declarative plan
@@ -59,33 +77,46 @@ def pagerank(edges: DataFrame, iters: int = 3) -> DataFrame:
         .distinct()
         .transform(materialize)
     )
-    ncount = nodes.agg(F.count("*").alias("n"))
+    n = nodes.count()
+    if n == 0:
+        return nodes.select(
+            "node",
+            F.lit(0).cast("long").alias("rank_q"),
+            F.lit(0.0).alias("rank"),
+        )
+    spark = edges.sparkSession
+    bcast_cap = int(
+        spark.conf.get(BROADCAST_NODES_CONF, str(BROADCAST_NODES_DEFAULT))
+    )
+    small = n <= bcast_cap
+
+    def node_sized(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if small else df
+
     outdeg = edges.groupBy("src").agg(F.count("*").alias("deg"))
     ed = (
-        edges.join(outdeg, "src")
+        edges.join(node_sized(outdeg), "src")
         .select("src", "dst", "deg")
         .transform(materialize)
     )
 
-    # init: rank_q = SCALE div N
-    ranks = nodes.crossJoin(F.broadcast(ncount)).select(
-        "node", F.expr(f"{SCALE} div n").alias("rank_q")
-    )
-    base = f"(({SCALE} * {100 - DAMPING_PCT}) div 100) div n"
+    # init: rank_q = SCALE div N (n is a driver literal; identical
+    # floor division for positive operands)
+    ranks = nodes.select("node", F.lit(SCALE // n).cast("long").alias("rank_q"))
+    base = ((SCALE * (100 - DAMPING_PCT)) // 100) // n
     for _ in range(iters):
         contribs = (
-            ranks.join(ed, ranks.node == ed.src)
+            node_sized(ranks).join(ed, ranks.node == ed.src)
             .select(F.col("dst").alias("node"), F.expr("rank_q div deg").alias("c"))
             .groupBy("node")
             .agg(F.sum("c").alias("in_q"))
         )
         ranks = (
-            nodes.join(contribs, "node", "left")
-            .crossJoin(F.broadcast(ncount))
+            nodes.join(node_sized(contribs), "node", "left")
             .select(
                 "node",
                 F.expr(
-                    f"{base} + (coalesce(in_q, 0) * {DAMPING_PCT}) div 100"
+                    f"{base}L + (coalesce(in_q, 0L) * {DAMPING_PCT}) div 100"
                 ).alias("rank_q"),
             )
         )
