@@ -673,6 +673,27 @@ GROUP BY doc_id
 
 # -- near-dup clustering (connected components + keep list) ------------------
 
+#: label/min-frame rows below which the fixpoint loops broadcast the
+#: node-sized side of each round's join instead of shuffling the edge
+#: table by key every round (label rows are ~16-24 bytes, so the 10M
+#: default is a few hundred MB built — well under broadcast caps).
+#: A session that disables auto-broadcast (threshold -1/0) disables
+#: these explicit hints too, so "never broadcast" stays one switch.
+BROADCAST_LABELS_CONF = "spark.bunsen.dedup.broadcastLabels"
+BROADCAST_LABELS_DEFAULT = 10_000_000
+
+
+def _label_broadcast_cap(df: DataFrame) -> int:
+    spark = df.sparkSession
+    thr = str(
+        spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    ).strip()
+    if thr.startswith("-") or thr == "0":
+        return 0
+    return int(
+        spark.conf.get(BROADCAST_LABELS_CONF, str(BROADCAST_LABELS_DEFAULT))
+    )
+
 
 def near_dup_clusters(
     pairs: DataFrame, max_iterations: int = 20, algorithm: str = "auto"
@@ -704,10 +725,20 @@ def near_dup_clusters(
     """
     if algorithm not in ("auto", "label-propagation", "star"):
         raise ValueError(f"unknown algorithm {algorithm!r}")
+    # canonicalize BEFORE the distinct, symmetrize after (map-only
+    # union of two disjoint directions): the dedup exchange carries
+    # half the rows of the symmetrized-then-distinct form. u == v
+    # self-pairs are kept one-directional so their nodes still appear.
+    canon = pairs.select(
+        F.least("a_id", "b_id").alias("u"),
+        F.greatest("a_id", "b_id").alias("v"),
+    ).distinct()
     edges = (
-        pairs.select(F.col("a_id").alias("u"), F.col("b_id").alias("v"))
-        .union(pairs.select(F.col("b_id").alias("u"), F.col("a_id").alias("v")))
-        .distinct()
+        canon.union(
+            canon.where(F.col("u") != F.col("v")).select(
+                F.col("v").alias("u"), F.col("u").alias("v")
+            )
+        )
         .transform(materialize_eager)
     )
     if algorithm == "star":
@@ -738,20 +769,41 @@ def _label_propagation(edges: DataFrame, max_rounds: int) -> DataFrame | None:
     flag rides along in the new-label frame, the frame is LAZILY
     local-checkpointed, and the round's single ``sum(changed)`` action
     both answers convergence and materializes the checkpoint — no
-    separate eager-checkpoint job, no second compare-join job."""
+    separate eager-checkpoint job, no second compare-join job.
+
+    Round 1 needs no edges⋈labels join at all (labels are the identity,
+    so the neighborhood minimum is just ``min(v) per u``). Rounds ≥ 2
+    broadcast the node-sized label and min frames into their joins when
+    the node count — counted for free inside round 1's convergence
+    aggregate — is under :data:`BROADCAST_LABELS_CONF`, so the edge
+    table is never shuffled after its one materialization (guide
+    §2.4/§3.1); above the cap the joins stay shuffle joins."""
     labels = edges.select("u").distinct().withColumn("label", F.col("u"))
+    cap = _label_broadcast_cap(edges)
+    small = False
     prev: DataFrame | None = None
-    for _ in range(max_rounds):
-        nbr_min = (
-            edges.join(
-                labels.select(F.col("u").alias("v"), F.col("label").alias("vlabel")),
-                "v",
+
+    def nsized(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if small else df
+
+    for rnd in range(max_rounds):
+        if rnd == 0:
+            nbr_min = edges.groupBy("u").agg(F.min("v").alias("nl"))
+        else:
+            nbr_min = (
+                edges.join(
+                    nsized(
+                        labels.select(
+                            F.col("u").alias("v"), F.col("label").alias("vlabel")
+                        )
+                    ),
+                    "v",
+                )
+                .groupBy("u")
+                .agg(F.min("vlabel").alias("nl"))
             )
-            .groupBy("u")
-            .agg(F.min("vlabel").alias("nl"))
-        )
         new_labels = (
-            labels.join(nbr_min, "u", "left")
+            labels.join(nsized(nbr_min), "u", "left")
             .select(
                 "u",
                 F.least(F.col("label"), F.coalesce("nl", F.col("label"))).alias("label"),
@@ -759,9 +811,11 @@ def _label_propagation(edges: DataFrame, max_rounds: int) -> DataFrame | None:
             )
             .transform(materialize)
         )
-        changed = new_labels.agg(
-            F.coalesce(F.sum(F.col("__changed").cast("long")), F.lit(0))
-        ).first()[0]
+        changed, n_nodes = new_labels.agg(
+            F.coalesce(F.sum(F.col("__changed").cast("long")), F.lit(0)),
+            F.count(F.lit(1)),
+        ).first()
+        small = n_nodes <= cap
         if prev is not None:
             release(prev)  # persist mode: free the superseded round
         prev = new_labels
@@ -779,10 +833,18 @@ def _star_components(edges: DataFrame, max_iterations: int) -> DataFrame:
     (u, label) for every node of ``edges``; raises on budget overrun
     (star's bound makes that a genuine anomaly, not a tuning issue)."""
     nodes = edges.select("u").distinct().transform(materialize_eager)
+    cap = _label_broadcast_cap(edges)
+    small = False  # set from each round's signature edge count
+
+    def nsized(df: DataFrame) -> DataFrame:
+        # min/label frames are node-sized; node count <= the symmetric
+        # edge count the signature already measures, so that count
+        # gates the broadcast without an extra job
+        return F.broadcast(df) if small else df
 
     def star(e: DataFrame, large: bool) -> DataFrame:
         mins = e.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
-        joined = e.join(mins, "u")
+        joined = e.join(nsized(mins), "u")
         relinked = joined.where(
             F.col("v") > F.col("u") if large else F.col("v") < F.col("u")
         ).select(F.col("v").alias("a"), F.col("m").alias("b"))
@@ -809,6 +871,7 @@ def _star_components(edges: DataFrame, max_iterations: int) -> DataFrame:
 
     sig = signature(edges)
     for _ in range(max_iterations):
+        small = sig[0] <= cap
         prev_edges = edges
         edges = star(star(edges, large=True), large=False)
         new_sig = signature(edges)  # materializes the round
@@ -834,8 +897,8 @@ def _star_components(edges: DataFrame, max_iterations: int) -> DataFrame:
     lab_u = final_min.select(F.col("u"), F.col("label").alias("__lu"))
     lab_v = final_min.select(F.col("u").alias("v"), F.col("label").alias("__lv"))
     bad = (
-        edges.join(lab_u, "u")
-        .join(lab_v, "v")
+        edges.join(nsized(lab_u), "u")
+        .join(nsized(lab_v), "v")
         .where((F.col("v") != F.col("__lu")) & (F.col("u") != F.col("__lv")))
         .count()
     )
@@ -844,7 +907,7 @@ def _star_components(edges: DataFrame, max_iterations: int) -> DataFrame:
             f"star contraction fixpoint is not a star forest ({bad} stray "
             "edges) — labels would be wrong; report this input"
         )
-    return nodes.join(final_min, "u", "left").select(
+    return nodes.join(nsized(final_min), "u", "left").select(
         "u", F.coalesce("label", F.col("u")).alias("label")
     )
 
@@ -1202,8 +1265,11 @@ def cluster_keep_best(
     partial-max shape as :func:`keep_best`, so the shuffle carries one
     struct per (partition × cluster), never member rows, and a giant
     boilerplate cluster (the 100 TB skew case) needs no sort."""
-    labels = near_dup_clusters(pairs, max_iterations=max_iterations)
-    members = labels.join(
+    labels = materialize(near_dup_clusters(pairs, max_iterations=max_iterations))
+    # labels are paired-doc-sized (≪ corpus); broadcasting them into
+    # the scores join keeps the corpus-sized scores side unshuffled
+    small = labels.count() <= _label_broadcast_cap(labels)
+    members = (F.broadcast(labels) if small else labels).join(
         scores.select("doc_id", F.col(score_col).alias("__s")), "doc_id"
     )
     best = F.max(F.struct(F.col("__s"), (-F.col("doc_id")).alias("neg_id")))
@@ -1255,7 +1321,15 @@ def near_dup_filter_best(
     labels = near_dup_clusters(pairs, max_iterations=max_iterations).transform(
         materialize
     )
-    members = labels.join(
+    # labels are paired-doc-sized (≪ corpus): broadcast them into the
+    # score join and the loser list into the final anti join, so the
+    # corpus is scanned once and never shuffled (guide §3.1)
+    small = labels.count() <= _label_broadcast_cap(labels)
+
+    def nsized(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if small else df
+
+    members = nsized(labels).join(
         docs.select("doc_id", F.col(score_col).alias("__s")), "doc_id"
     )
     best = F.max(F.struct(F.col("__s"), (-F.col("doc_id")).alias("neg_id")))
@@ -1263,11 +1337,11 @@ def near_dup_filter_best(
         (-best.getField("neg_id")).alias("keep_id")
     )
     losers = (
-        labels.join(keepers, "cluster_id")
+        labels.join(nsized(keepers), "cluster_id")
         .where(F.col("doc_id") != F.col("keep_id"))
         .select("doc_id")
     )
-    return docs.join(losers, "doc_id", "left_anti")
+    return docs.join(nsized(losers), "doc_id", "left_anti")
 
 
 # -- incremental dedup -------------------------------------------------------

@@ -82,13 +82,10 @@ def ts_us(df: DataFrame, col: str = "ts"):
 # convenient. (Round 11's 24 entries all received r11 rows and were
 # pruned when expiry landed in round 12.)
 _CHANGED_GATES: list[tuple[str, int]] = [
-    # round 12: the persisted IVF-PQ index lifecycle gates — delete
-    # batch ids are now content-derived (ADVICE r11), the reader is
-    # manifest-aware for compaction, and the delete gate's oracle SQL
-    # moved from NOT IN to NOT EXISTS
-    ("ann_ivfpq_index_delete_topk", 12),
-    ("ann_ivfpq_index_append_topk", 12),
-    ("ann_ivfpq_index_topk", 12),
+    # (the round-12 index-lifecycle entries for the three persisted
+    # IVF-PQ gates were superseded by their round-13 re-listing below —
+    # one entry per name, latest change round, so expiry stays
+    # single-rowed)
     # round 13 (optimization): map-only Lloyd/assignment rewrites in
     # operators/similarity.py (array-broadcast argmin, single-exchange
     # centroid update) and the tagged-union ann_eval_scorecard —
@@ -105,6 +102,15 @@ _CHANGED_GATES: list[tuple[str, int]] = [
     ("ann_ivfpq_index_topk", 13),
     ("ann_ivfpq_index_append_topk", 13),
     ("ann_ivfpq_index_delete_topk", 13),
+    # round 13 (optimization): PageRank broadcast iterations
+    # (operators/graph.py) and the connected-components fixpoint's
+    # broadcast rounds + halved edge dedup (operators/dedup.py) —
+    # oracle-verified identical, new plan shapes
+    ("pagerank_trade_network", 13),
+    ("dedup_clusters", 13),
+    ("dedup_cluster_keep_best", 13),
+    ("curation_pipeline_counts", 13),
+    ("cluster_safe_split_counts", 13),
 ]
 
 
