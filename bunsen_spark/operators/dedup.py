@@ -183,10 +183,12 @@ def _guarded_prefix_inputs(
     — wider shingles shrink df geometrically on saturated vocab).
     ``candidate_budget`` defaults to ``max(2_000_000, 500 · n_docs)``:
     generous linear headroom, but categorically below quadratic.
-    Returns ``(width, posts, ranked, sizes, prefix)`` — ``prefix`` is
-    the MATERIALIZED prefix relation the probe already computed; the
+    Returns ``(width, posts, ranked, sizes, prefix, vol)`` — ``prefix``
+    is the MATERIALIZED prefix relation the probe already computed (the
     caller passes it to its candidate generator so the per-doc ranking
-    window executes exactly once."""
+    window executes exactly once) and ``vol`` the probed candidate
+    bound, which the verification stage reuses as its broadcast
+    gate."""
     from ..persist import release
     from .setjoin import _prefix_rows, prefix_candidate_volume, ranked_tokens
 
@@ -220,7 +222,7 @@ def _guarded_prefix_inputs(
             }
         )
         if vol <= cap:
-            return w, posts, ranked, sizes, prefix
+            return w, posts, ranked, sizes, prefix, vol
         release(prefix)
         release(posts)
         tried.append((w, vol, cap))
@@ -274,7 +276,7 @@ def jaccard_pairs(
     )
 
     frac = _lossless_fraction(threshold)
-    _, posts, ranked, sizes, prefix = _guarded_prefix_inputs(
+    _, posts, ranked, sizes, prefix, vol = _guarded_prefix_inputs(
         docs, n, max_df, portable,
         frac.numerator, frac.denominator,
         asymmetric=False, candidate_budget=candidate_budget,
@@ -283,7 +285,9 @@ def jaccard_pairs(
         ranked, frac.numerator, frac.denominator, prefix=prefix
     )
     j = (
-        exact_intersections(posts.select("doc_id", "tok"), cands, sizes)
+        exact_intersections(
+            posts.select("doc_id", "tok"), cands, sizes, candidate_volume=vol
+        )
         .select(
             F.col("doc_a").alias("a_id"),
             F.col("doc_b").alias("b_id"),
@@ -356,7 +360,7 @@ def containment_pairs(
     )
 
     frac = _lossless_fraction(threshold)
-    _, posts, ranked, sizes, prefix = _guarded_prefix_inputs(
+    _, posts, ranked, sizes, prefix, vol = _guarded_prefix_inputs(
         docs, n, max_df, portable,
         frac.numerator, frac.denominator,
         asymmetric=True, candidate_budget=candidate_budget,
@@ -365,7 +369,7 @@ def containment_pairs(
         ranked, frac.numerator, frac.denominator, prefix=prefix
     )
     both = exact_intersections(
-        posts.select("doc_id", "tok"), cands, sizes
+        posts.select("doc_id", "tok"), cands, sizes, candidate_volume=vol
     ).withColumnsRenamed({"doc_a": "a_id", "doc_b": "b_id"})
     directed = both.select(
         F.explode(
@@ -527,13 +531,28 @@ def _verify_jaccard_pairs(
     operator: join the candidates' hashed shingle sets, keep pairs with
     Jaccard ≥ threshold, emit (a_col, b_col, jaccard rounded 6). One
     place owns the threshold/rounding semantics the DuckDB twins
-    mirror."""
+    mirror.
+
+    The candidate list is materialized and counted (one cheap job);
+    when it is under ``spark.bunsen.dedup.broadcastLabels`` rows it is
+    BROADCAST into the a-side join and its b ids semi-join-prefilter
+    the b side, so the corpus-wide signature table is read map-only and
+    never shuffled by doc id (guide §3.1/§3.2); the join-key shuffle
+    then moves only candidate docs' shingle sets. A huge candidate list
+    falls back to the shuffle joins."""
     ha = ha_src.select(F.col("doc_id").alias(a_col), F.col("hs").alias("ha"))
     hb = hb_src.select(F.col("doc_id").alias(b_col), F.col("hs").alias("hb"))
+    cand = materialize(cand)
+    small = cand.count() <= _label_broadcast_cap(cand)
+    if small:
+        hb = hb.join(
+            F.broadcast(cand.select(b_col).distinct()), b_col, "left_semi"
+        )
+        joined = F.broadcast(cand).join(ha, a_col).join(hb, b_col)
+    else:
+        joined = cand.join(ha, a_col).join(hb, b_col)
     return (
-        cand.join(ha, a_col)
-        .join(hb, b_col)
-        .withColumn("i", F.size(F.array_intersect("ha", "hb")))
+        joined.withColumn("i", F.size(F.array_intersect("ha", "hb")))
         .select(
             a_col,
             b_col,

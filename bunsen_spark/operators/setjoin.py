@@ -53,6 +53,28 @@ from ..persist import materialize
 from .text_analysis import WORDS_SQL, words_col
 
 
+#: candidate-pair rows below which the verification stage broadcasts
+#: the candidate relation (and semi-join-prefilters the token side)
+#: instead of shuffling the corpus-wide token table by doc id — the
+#: probe volume that gates every prefix join is an upper bound on this
+#: count, so the decision needs no extra job. 4M pair rows is a
+#: ~100 MB built relation; honor a globally disabled auto-broadcast.
+BROADCAST_CANDS_CONF = "spark.bunsen.setjoin.broadcastCandidates"
+BROADCAST_CANDS_DEFAULT = 4_000_000
+
+
+def _candidate_broadcast_cap(df: DataFrame) -> int:
+    spark = df.sparkSession
+    thr = str(
+        spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    ).strip()
+    if thr.startswith("-") or thr == "0":
+        return 0
+    return int(
+        spark.conf.get(BROADCAST_CANDS_CONF, str(BROADCAST_CANDS_DEFAULT))
+    )
+
+
 def _threshold_fraction(threshold: float) -> Fraction:
     frac = Fraction(threshold).limit_denominator(1000)
     if not 0 < frac <= 1:
@@ -230,7 +252,9 @@ def jaccard_prefix_candidates(
             F.min("szb").alias("szb"),
         )
         .where(bound * (den + num) >= num * (F.col("sza") + F.col("szb")))
-        .select("doc_a", "doc_b")
+        # the set sizes ride along so verification never has to join
+        # them back from the corpus-wide sizes relation
+        .select("doc_a", "doc_b", "sza", "szb")
     )
 
 
@@ -292,30 +316,67 @@ def containment_prefix_candidates(
             F.min("szb").alias("szb"),
         )
         .where(bound * den >= F.col("sza") * num)
+        # canonicalize the unordered pair and keep the sizes aligned to
+        # (doc_a, doc_b); sizes are functionally determined by the ids,
+        # so the wider distinct dedups exactly the same pairs
         .select(
             F.least("da", "db").alias("doc_a"),
             F.greatest("da", "db").alias("doc_b"),
+            F.when(F.col("da") < F.col("db"), F.col("sza"))
+            .otherwise(F.col("szb"))
+            .alias("sza"),
+            F.when(F.col("da") < F.col("db"), F.col("szb"))
+            .otherwise(F.col("sza"))
+            .alias("szb"),
         )
         .distinct()
     )
 
 
 def exact_intersections(
-    toks: DataFrame, cands: DataFrame, sizes: DataFrame
+    toks: DataFrame,
+    cands: DataFrame,
+    sizes: DataFrame | None = None,
+    candidate_volume: int | None = None,
 ) -> DataFrame:
     """Verification stage shared by the prefix-filtered operators:
     exact intersection counts for the candidate pairs. Returns
-    ``(doc_a, doc_b, inter, sza, szb)``. The candidate→token joins
-    shuffle only candidate-pair token rows, whose volume the prefix
-    filters keep near-linear in the matching pairs."""
+    ``(doc_a, doc_b, inter, sza, szb)``.
+
+    ``cands`` carries ``sza``/``szb`` (both generators emit them), so
+    the two sizes joins of the old shape are gone; ``sizes`` is only
+    consulted for legacy candidate frames without size columns.
+
+    When ``candidate_volume`` (the guard probe's upper bound on match
+    rows ≥ candidate pairs) is under
+    ``spark.bunsen.setjoin.broadcastCandidates``, the candidate
+    relation is materialized once, BROADCAST into the first token join,
+    and its doc_b ids semi-join-prefilter the second join's token side
+    (guide §3.1/§3.2) — the corpus-wide token table is then never
+    shuffled by doc id; only candidate docs' token rows move. Above the
+    cap (or with no probe) the shuffle-join verification stands."""
     ta = toks.withColumnRenamed("doc_id", "doc_a")
     tb = toks.withColumnRenamed("doc_id", "doc_b")
+    carries = "sza" in cands.columns
+    cap = _candidate_broadcast_cap(toks)
+    if candidate_volume is not None and candidate_volume <= cap:
+        cands = materialize(cands)  # feeds the pair join + the id set
+        tb = tb.join(
+            F.broadcast(cands.select("doc_b").distinct()), "doc_b", "left_semi"
+        )
+        first = F.broadcast(cands).join(ta, "doc_a")
+    else:
+        first = cands.join(ta, "doc_a")
+    agg = [F.count(F.lit(1)).alias("inter")]
+    if carries:
+        agg += [F.min("sza").alias("sza"), F.min("szb").alias("szb")]
     inter = (
-        cands.join(ta, "doc_a")
-        .join(tb, ["doc_b", "tok"])  # equi-join: only shared tokens survive
+        first.join(tb, ["doc_b", "tok"])  # equi-join: only shared tokens survive
         .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
+        .agg(*agg)
     )
+    if carries:
+        return inter.select("doc_a", "doc_b", "inter", "sza", "szb")
     sa = sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sza")
     sb = sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "szb")
     return inter.join(sa, "doc_a").join(sb, "doc_b")
@@ -394,7 +455,7 @@ def prefix_jaccard_pairs(
         )
     cands = jaccard_prefix_candidates(ranked, num, den, prefix=prefix)
     return (
-        exact_intersections(toks, cands, sizes)
+        exact_intersections(toks, cands, sizes, candidate_volume=vol)
         .withColumn("uni", F.col("sza") + F.col("szb") - F.col("inter"))
         .where(F.col("inter") * den >= F.col("uni") * num)
         .select(
