@@ -533,26 +533,19 @@ def _verify_jaccard_pairs(
     place owns the threshold/rounding semantics the DuckDB twins
     mirror.
 
-    The candidate list is materialized and counted (one cheap job);
-    when it is under ``spark.bunsen.dedup.broadcastLabels`` rows it is
-    BROADCAST into the a-side join and its b ids semi-join-prefilter
-    the b side, so the corpus-wide signature table is read map-only and
-    never shuffled by doc id (guide §3.1/§3.2); the join-key shuffle
-    then moves only candidate docs' shingle sets. A huge candidate list
-    falls back to the shuffle joins."""
+    Join strategy is left to AQE: the candidate list's actual size is
+    only known at runtime (post-exchange), and AQE converts these
+    sort-merge joins to broadcast joins with a local shuffle read when
+    the candidate side turns out small — measured cheaper here than an
+    explicit materialize+count+hint, whose extra barrier jobs cost
+    more than the avoided map-side shuffle writes (guide §1.1's
+    "ideal plan gotcha": adjudicated by the r13 alternating A/B)."""
     ha = ha_src.select(F.col("doc_id").alias(a_col), F.col("hs").alias("ha"))
     hb = hb_src.select(F.col("doc_id").alias(b_col), F.col("hs").alias("hb"))
-    cand = materialize(cand)
-    small = cand.count() <= _label_broadcast_cap(cand)
-    if small:
-        hb = hb.join(
-            F.broadcast(cand.select(b_col).distinct()), b_col, "left_semi"
-        )
-        joined = F.broadcast(cand).join(ha, a_col).join(hb, b_col)
-    else:
-        joined = cand.join(ha, a_col).join(hb, b_col)
     return (
-        joined.withColumn("i", F.size(F.array_intersect("ha", "hb")))
+        cand.join(ha, a_col)
+        .join(hb, b_col)
+        .withColumn("i", F.size(F.array_intersect("ha", "hb")))
         .select(
             a_col,
             b_col,

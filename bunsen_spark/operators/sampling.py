@@ -550,8 +550,13 @@ def coverage_select(
         [r] = top
         winners.append((rank, r.doc_id, r.gain))
         newly = uncov.where(F.col("doc_id") == r.doc_id).select("tok")
+        # LAZY checkpoint: the next round's argmax is the first (and
+        # only) reader, so the covered-set union materializes inside
+        # that job instead of costing an eager job per pick; the
+        # winner-doc filter pushes below the anti-join, so the
+        # recompute inside the checkpoint touches one doc's postings
         covered = materialize(
-            newly if covered is None else covered.union(newly), eager=True
+            newly if covered is None else covered.union(newly)
         )
     return spark.createDataFrame(
         winners, "sel_rank long, doc_id long, gain long"

@@ -350,20 +350,17 @@ def exact_intersections(
     When ``candidate_volume`` (the guard probe's upper bound on match
     rows ≥ candidate pairs) is under
     ``spark.bunsen.setjoin.broadcastCandidates``, the candidate
-    relation is materialized once, BROADCAST into the first token join,
-    and its doc_b ids semi-join-prefilter the second join's token side
-    (guide §3.1/§3.2) — the corpus-wide token table is then never
-    shuffled by doc id; only candidate docs' token rows move. Above the
-    cap (or with no probe) the shuffle-join verification stands."""
+    relation is BROADCAST into the first token join (guide §3.1), so
+    the a-side of the corpus token table is read map-only instead of
+    shuffled by doc id — one corpus shuffle (the b-side token join)
+    instead of two, with zero extra jobs (the hint consumes the probe
+    the guard already ran). Above the cap (or with no probe) the
+    shuffle-join verification stands."""
     ta = toks.withColumnRenamed("doc_id", "doc_a")
     tb = toks.withColumnRenamed("doc_id", "doc_b")
     carries = "sza" in cands.columns
     cap = _candidate_broadcast_cap(toks)
     if candidate_volume is not None and candidate_volume <= cap:
-        cands = materialize(cands)  # feeds the pair join + the id set
-        tb = tb.join(
-            F.broadcast(cands.select("doc_b").distinct()), "doc_b", "left_semi"
-        )
         first = F.broadcast(cands).join(ta, "doc_a")
     else:
         first = cands.join(ta, "doc_a")

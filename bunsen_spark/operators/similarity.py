@@ -2395,13 +2395,15 @@ def mmr_select(
     k-means family already uses) — no float comparisons anywhere.
     Output: ``(sel_rank, vec_id, score_num)``; ties break on vec_id.
 
-    Scale: per round ONE linear scan of the quantized corpus — the
-    selected set (≤k rows) rides along as an explicit
-    ``F.broadcast`` cross join for the max-sim reduction, the argmax
-    is a distributed ``orderBy().limit(1)``, and only the single
-    winner row is ever collected (same round-coordination shape as
-    ``sampling.coverage_select`` / the Lloyd trainer). No pairwise
-    corpus expansion at any point.
+    Scale: per round ONE linear scan of the quantized corpus — ONE
+    Spark job. The selected set (≤k vectors) lives on the DRIVER and
+    enters the scan as literal arrays (the argmax collect already
+    returns the winner's quantized vector along with its id), so the
+    max-sim reduction is a ``greatest`` over ≤k map-side dot-product
+    expressions: no per-round cross join, no group-by exchange, no
+    selected-set materialization or broadcast. Collecting ≤k
+    dim-length vectors is the same bounded driver coordination as the
+    Lloyd trainer's centroid pull.
     """
     a, b = lam
     if k < 1:
@@ -2427,31 +2429,24 @@ def mmr_select(
         .select("vec_id", "q", idot.alias("rel"))
     )
     winners: list[tuple[int, int, int]] = []
-    sel: DataFrame | None = None
+    sel_vecs: list[list[int]] = []
     for rank in range(1, k + 1):
-        if sel is None:
-            scored = cands.select(
-                "vec_id", (F.lit(a) * F.col("rel")).alias("score_num")
-            )
+        if not sel_vecs:
+            score = F.lit(a) * F.col("rel")
         else:
-            sdot = F.aggregate(
-                F.zip_with(F.col("q"), F.col("__sv"), lambda x, y: x * y),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            )
-            scored = (
-                cands.crossJoin(F.broadcast(sel))
-                .groupBy("vec_id", "rel")
-                .agg(F.max(sdot).alias("__ms"))
-                .select(
-                    "vec_id",
-                    (
-                        F.lit(a) * F.col("rel") - F.lit(b - a) * F.col("__ms")
-                    ).alias("score_num"),
+            dots = [
+                F.aggregate(
+                    F.zip_with(F.col("q"), F.lit(sv), lambda x, y: x * y),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x,
                 )
-            )
+                for sv in sel_vecs
+            ]
+            maxsim = dots[0] if len(dots) == 1 else F.greatest(*dots)
+            score = F.lit(a) * F.col("rel") - F.lit(b - a) * maxsim
         top = (
-            scored.orderBy(F.col("score_num").desc(), F.col("vec_id").asc())
+            cands.select("vec_id", "q", score.alias("score_num"))
+            .orderBy(F.col("score_num").desc(), F.col("vec_id").asc())
             .limit(1)
             .collect()
         )
@@ -2459,12 +2454,7 @@ def mmr_select(
             raise ValueError(f"corpus exhausted after {rank - 1} picks")
         [r] = top
         winners.append((rank, r.vec_id, r.score_num))
-        picked = cands.where(F.col("vec_id") == r.vec_id).select(
-            F.col("q").alias("__sv")
-        )
-        sel = materialize(
-            picked if sel is None else sel.union(picked), eager=True
-        )
+        sel_vecs.append([int(x) for x in r.q])
         cands = cands.where(F.col("vec_id") != r.vec_id)
     return embeddings.sparkSession.createDataFrame(
         winners, "sel_rank long, vec_id long, score_num long"

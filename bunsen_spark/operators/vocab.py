@@ -142,7 +142,22 @@ LIMIT {top_n}
 """
 
 
-def bpe_train(docs: DataFrame, n_merges: int = 4) -> DataFrame:
+def word_counts(docs: DataFrame) -> DataFrame:
+    """The frequency-weighted DISTINCT-word table ``(w, wcnt)`` every
+    BPE operator starts from — exposed so a gate composing train +
+    apply tokenizes the corpus ONCE (materialize the result and pass
+    it via the operators' ``words=`` parameter) instead of paying the
+    corpus scan per stage."""
+    return (
+        docs.select(F.explode(words_col(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wcnt"))
+    )
+
+
+def bpe_train(
+    docs: DataFrame, n_merges: int = 4, words: DataFrame | None = None
+) -> DataFrame:
     """Learn ``n_merges`` BPE merges over the corpus (Sennrich et al.
     2016) and return the merge table ``(merge_rank, lhs, rhs, cnt)`` —
     the tokenizer-training loop itself, completing the vocab story:
@@ -174,11 +189,8 @@ def bpe_train(docs: DataFrame, n_merges: int = 4) -> DataFrame:
     if n_merges < 1:
         raise ValueError("n_merges must be >= 1")
     spark = docs.sparkSession
-    words = (
-        docs.select(F.explode(words_col(F.col("text"))).alias("w"))
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("wcnt"))
-    )
+    if words is None:
+        words = word_counts(docs)
     cur = materialize(
         words.select(
             F.expr(
@@ -222,15 +234,18 @@ def bpe_train(docs: DataFrame, n_merges: int = 4) -> DataFrame:
             )
         [r] = top
         merges.append((k, r.lhs, r.rhs, r.cnt))
-        # symbols are [a-z0-9]+ (words_col alphabet), safe to embed
+        # symbols are [a-z0-9]+ (words_col alphabet), safe to embed.
+        # LAZY materialize: nothing reads the new table until the next
+        # round's argmax (or never, on the last round), so the
+        # checkpoint rides that action instead of costing its own job
+        # per merge — and the lineage is still cut round-by-round
         nxt = materialize(
             cur.select(
                 F.expr(
                     f"replace(sym, '|{r.lhs}||{r.rhs}|', '|{r.lhs}{r.rhs}|')"
                 ).alias("sym"),
                 "wcnt",
-            ),
-            eager=True,
+            )
         )
         cur = nxt
     return spark.createDataFrame(
@@ -307,7 +322,10 @@ def _merge_chain_sql(merges: list[tuple[str, str]], base: str) -> str:
 
 
 def bpe_subword_counts(
-    docs: DataFrame, merges: list[tuple[str, str]], top_n: int = 50
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    top_n: int = 50,
+    words: DataFrame | None = None,
 ) -> DataFrame:
     """Apply a trained merge list (:func:`bpe_train` output) to segment
     the corpus into subword tokens and count them: ``(subword, cnt,
@@ -327,11 +345,8 @@ def bpe_subword_counts(
         " i -> substring(w, i, 1))) || '|'"
     )
     chain = _merge_chain_sql(merges, wrapped)
-    words = (
-        docs.select(F.explode(words_col(F.col("text"))).alias("w"))
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("wcnt"))
-    )
+    if words is None:
+        words = word_counts(docs)
     sub = words.select(
         F.explode(
             F.split(
@@ -465,9 +480,11 @@ def bpe_fertility(
     DISTINCT ``(group, word)`` table — map-only whole-stage codegen,
     weighted by word frequency, so corpus scale is paid once in the
     word count and the replace work is vocabulary-bounded."""
-    merges_rows = bpe_train(docs, n_merges).collect()
-    merges = [(r.lhs, r.rhs) for r in merges_rows]
-    wl = (
+    # ONE corpus tokenize: the per-group word table is materialized and
+    # the trainer's global word counts fold from it (a vocabulary-sized
+    # re-aggregate, sum over groups == the direct corpus count), so the
+    # corpus text is scanned once instead of once per stage
+    wl = materialize(
         docs.select(
             F.col(group_col).alias("__grp"),
             F.explode(words_col(F.col("text"))).alias("w"),
@@ -475,6 +492,9 @@ def bpe_fertility(
         .groupBy("__grp", "w")
         .agg(F.count(F.lit(1)).alias("wcnt"))
     )
+    words = wl.groupBy("w").agg(F.sum("wcnt").alias("wcnt"))
+    merges_rows = bpe_train(docs, n_merges, words=words).collect()
+    merges = [(r.lhs, r.rhs) for r in merges_rows]
     sym0 = (
         "'|' || concat_ws('||', transform(sequence(1, length(w)),"
         " i -> substring(w, i, 1))) || '|'"

@@ -340,16 +340,21 @@ def bpe_subword_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     6 learned merges — the apply half of the BPE lifecycle
     (`operators/vocab.py:bpe_train` → `bpe_subword_counts`; the oracle
     reads the training CTE chain's final symbol table directly)."""
-    from ..operators.vocab import bpe_subword_counts, bpe_train
+    from ..operators.vocab import bpe_subword_counts, bpe_train, word_counts
+    from ..persist import materialize
 
     docs = load(spark, sf_dir, "documents")
+    # tokenize the corpus ONCE: train and apply share the materialized
+    # frequency-weighted word table
+    words = materialize(word_counts(docs))
     merges = [
         (r.lhs, r.rhs)
         for r in sorted(
-            bpe_train(docs, n_merges=6).collect(), key=lambda r: r.merge_rank
+            bpe_train(docs, n_merges=6, words=words).collect(),
+            key=lambda r: r.merge_rank,
         )
     ]
-    return bpe_subword_counts(docs, merges, top_n=40)
+    return bpe_subword_counts(docs, merges, top_n=40, words=words)
 
 
 def _bpe_subword_sql() -> str:
