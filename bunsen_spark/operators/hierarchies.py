@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from ..persist import materialize_eager, release
+from ..persist import materialize, release
 
 LOINC_CODE_SYSTEM = "http://loinc.org"
 SNOMED_CODE_SYSTEM = "http://snomed.info/sct"
@@ -78,9 +78,12 @@ def transitive_closure(edges: DataFrame, max_iterations: int = 40) -> DataFrame:
     """All (descendant, ancestor) pairs reachable through the edge set.
 
     Distributed iterative doubling with a count-based fixpoint; each
-    round is localCheckpoint'ed to cut lineage. Self-pairs (possible in
-    cyclic inputs) are excluded from the result, matching the stored
-    `ancestors` table semantics (FIXTURES §4).
+    round is localCheckpoint'ed to cut lineage — LAZILY, so the round's
+    single count() both answers convergence and materializes the
+    checkpoint (one job per round, the same shape as the
+    connected-components loop). Self-pairs (possible in cyclic inputs)
+    are excluded from the result, matching the stored `ancestors`
+    table semantics (FIXTURES §4).
 
     Input columns: ancestorSystem, ancestorValue, descendantSystem,
     descendantValue (direct parent→child edges).
@@ -90,7 +93,7 @@ def transitive_closure(edges: DataFrame, max_iterations: int = 40) -> DataFrame:
             "descendantSystem", "descendantValue", "ancestorSystem", "ancestorValue"
         )
         .distinct()
-        .transform(materialize_eager)
+        .transform(materialize)
     )
     n = closure.count()
     for _ in range(max_iterations):
@@ -109,7 +112,7 @@ def transitive_closure(edges: DataFrame, max_iterations: int = 40) -> DataFrame:
                 F.col("b.ancestorValue").alias("ancestorValue"),
             )
         )
-        new_closure = closure.union(extended).distinct().transform(materialize_eager)
+        new_closure = closure.union(extended).distinct().transform(materialize)
         new_n = new_closure.count()
         if new_n == n:
             release(new_closure)  # keep the equal, already-pinned round
