@@ -996,23 +996,23 @@ def simhash_pairs(
         ]
     )
     buckets = sigs.select("doc_id", "sig", F.explode(band_keys).alias("bk"))
+    # Hamming is computed INSIDE the band join and filtered before the
+    # dedup exchange: hamming is functionally determined by the pair
+    # (same signatures whichever band collided), so filter-then-distinct
+    # emits exactly the former distinct-then-filter rows while the
+    # distinct shuffles only verified near-dups instead of every chance
+    # band collision.
+    hamming = F.bit_count(F.col("x.sig").bitwiseXOR(F.col("y.sig")))
     pairs = (
         buckets.alias("x")
         .join(buckets.alias("y"), "bk")
-        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .where((F.col("x.doc_id") < F.col("y.doc_id")) & (hamming <= hamming_max))
         .select(
             F.col("x.doc_id").alias("a_id"),
             F.col("y.doc_id").alias("b_id"),
-            F.col("x.sig").alias("sa"),
-            F.col("y.sig").alias("sb"),
+            hamming.alias("hamming"),
         )
         .distinct()
-        .select(
-            "a_id",
-            "b_id",
-            F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).alias("hamming"),
-        )
-        .where(F.col("hamming") <= hamming_max)
     )
     return pairs
 
