@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..persist import materialize
+from ..persist import materialize, materialize_eager
 
 
 def as_of_join(
@@ -129,7 +129,7 @@ def as_of_join(
         # not re-derived per consumer
         unioned = unioned.withColumn(
             bkt, F.floor(F.col(ts) / F.lit(time_bucket))
-        ).transform(materialize)
+        ).transform(materialize_eager)
         wb = (
             Window.partitionBy(*on, bkt)
             .orderBy(ts_order, side_order)

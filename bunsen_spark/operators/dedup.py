@@ -570,7 +570,7 @@ def minhash_lsh_pairs(
     # times — state is (doc_id, hs, sig), far smaller than the text
     from .setjoin import _lossless_fraction
 
-    sigs = minhash_signature(docs, portable).transform(materialize)
+    sigs = minhash_signature(docs, portable).transform(materialize_eager)
     buckets = sigs.select(
         "doc_id", F.size("hs").alias("sz"), F.explode(_band_keys()).alias("bk")
     )
@@ -1422,7 +1422,7 @@ def incremental_near_dup(
     (`minhash_state(..., portable=...)`): signatures from different
     hash families never collide, so a mismatch silently keeps
     everything."""
-    batch = minhash_signature(new_docs, portable).transform(materialize)
+    batch = minhash_signature(new_docs, portable).transform(materialize_eager)
     bb = batch.select(F.col("doc_id").alias("b_id"), F.explode(_band_keys()).alias("bk"))
     sb = state.select(F.col("doc_id").alias("s_id"), F.explode(_band_keys()).alias("bk"))
     cand = bb.join(sb, "bk").select("b_id", "s_id").distinct()
@@ -1514,8 +1514,8 @@ def fuzzy_text_join(
     set and returns only overlap counts), this form handles two LARGE
     corpora — neither side is collected or broadcast — and names the
     matching pairs, which decontamination audits need."""
-    ls = minhash_signature(left, portable).transform(materialize)
-    rs = minhash_signature(right, portable).transform(materialize)
+    ls = minhash_signature(left, portable).transform(materialize_eager)
+    rs = minhash_signature(right, portable).transform(materialize_eager)
     lb = ls.select(F.col("doc_id").alias("l_id"), F.explode(_band_keys()).alias("bk"))
     rb = rs.select(F.col("doc_id").alias("r_id"), F.explode(_band_keys()).alias("bk"))
     cand = lb.join(rb, "bk").select("l_id", "r_id").distinct()
@@ -1584,7 +1584,7 @@ def fuzzy_text_join_split(
     sigs = (
         minhash_signature(docs, portable)
         .join(flags, "doc_id")
-        .transform(materialize)
+        .transform(materialize_eager)
     )
     lb = sigs.where("__left").select(
         F.col("doc_id").alias("l_id"), F.explode(_band_keys()).alias("bk")

@@ -44,7 +44,7 @@ import re
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..persist import materialize
+from ..persist import materialize, materialize_eager
 
 BM25_K1 = 1.2
 BM25_B = 0.75
@@ -185,7 +185,7 @@ def bm25_topk_by_query(
     # output, so the tokenized projection is materialized once (same
     # shape as minhash_signature's shared signature scan; measured ~25%
     # off the whole query vs re-running the regex for the stats pass)
-    toks = docs.select(F.col(id_col), words.alias("__w")).transform(materialize)
+    toks = docs.select(F.col(id_col), words.alias("__w")).transform(materialize_eager)
     base = toks.select(
         F.col(id_col),
         F.size("__w").alias("dl"),
@@ -197,7 +197,7 @@ def bm25_topk_by_query(
         .groupBy(id_col, "term")
         .agg(F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl"))
         # feeds df_term and the scoring join: aggregate once
-        .transform(materialize)
+        .transform(materialize_eager)
     )
     df_term = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     stats = toks.agg(

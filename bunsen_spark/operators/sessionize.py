@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..persist import materialize
+from ..persist import materialize, materialize_eager
 from .routing import route_hot_keys
 
 
@@ -120,8 +120,13 @@ def sessionize(
         )
         # consumed twice (offset aggregate + final join): without this,
         # the whole join+window subtree over the BIG frame runs twice —
-        # measured 36 s vs 8 s at 2M rows / 1.2M (key, bucket) groups
-        .transform(materialize)
+        # measured 36 s vs 8 s at 2M rows / 1.2M (key, bucket) groups.
+        # EAGER: the two consumers are independent AQE query stages that
+        # can launch concurrently, and a lazy checkpoint's blocks only
+        # exist after one full job computes them — concurrent first
+        # touches each recompute the subtree (r13 measured this on the
+        # signature tables), which eager materialization forecloses.
+        .transform(materialize_eager)
     )
     # per-bucket session-start counts, prefix-summed EXCLUSIVELY across
     # buckets -> each bucket's session-id offset (tiny frame again)

@@ -50,11 +50,25 @@ def _mode(df: DataFrame) -> str:
 def materialize(df: DataFrame, eager: bool = False) -> DataFrame:
     """Return a frame whose subplan will be computed (at most) once.
 
-    ``eager=False`` defers materialization to first use (the common
-    case: a signature table consumed by two downstream joins).
-    ``eager=True`` forces computation NOW — used as a read-before-write
-    barrier (e.g. streaming state update) or to pin a fixpoint round's
-    result before the next round mutates inputs.
+    ``eager=False`` defers materialization to first use. ``eager=True``
+    forces computation NOW — as a read-before-write barrier (streaming
+    state update), to pin a fixpoint round's result before the next
+    round mutates inputs, or because the frame FANS OUT to independent
+    consumers.
+
+    Choosing between them (r13 measurement, OPTIMIZATION_r13.md):
+    a LAZY checkpoint's blocks only exist after one full job has
+    computed every partition. AQE submits independent query stages
+    (each ``Exchange``/broadcast build below a join) CONCURRENTLY, so
+    when a lazy-checkpointed table fans out to several joins, each
+    stage's first touch can recompute the whole upstream subplan —
+    measured 2-4× duplicate compute (and run-to-run bimodality, since
+    the race is scheduling-dependent) on the MinHash signature tables.
+    Rule: fan-out tables (a signature/token table feeding candidate
+    AND verify joins) take ``eager=True``; sequential-consumer frames —
+    fixpoint rounds whose next action is an immediate count(), or
+    broadcast-then-probe chains where the broadcast build completes
+    before the probe starts — stay lazy and save the barrier job.
     """
     if _mode(df) == "persist":
         out = df.persist(StorageLevel.MEMORY_AND_DISK)

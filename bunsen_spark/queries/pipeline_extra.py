@@ -9,7 +9,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import load
-from ..persist import materialize
+from ..persist import materialize, materialize_eager
 
 
 def bloom_prefilter_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -135,7 +135,7 @@ def dedup_incremental_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per consumer), but here it is computed — materialize it once
     state = minhash_state(
         docs.where(F.col("doc_id") < 250), portable=True
-    ).transform(materialize)
+    ).transform(materialize_eager)
     batch = docs.where(F.col("doc_id") >= 250)
     kept = incremental_near_dup(batch, state, threshold=0.5, portable=True)
     return kept.select("doc_id", F.size("hs").cast("long").alias("n_shingles"))
