@@ -899,7 +899,7 @@ def _star_components(edges: DataFrame, max_iterations: int) -> DataFrame:
     # fixpoint: every edge links a node to its component minimum
     final_min = edges.groupBy("u").agg(
         F.least(F.min("v"), F.first("u")).alias("label")
-    ).transform(materialize)
+    ).transform(materialize_eager)  # two star-check branches consume it
     # Post-fixpoint invariant (ADVICE r3): the signature fixpoint must
     # be a star forest centered at component minima — every remaining
     # edge joins a leaf to its own label or a label to its own leaf.

@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from ..persist import materialize
+from ..persist import materialize, materialize_eager
 
 #: integer units per 1.0 of rank mass; 1e12 keeps sums far below 2^63
 SCALE = 10**12
@@ -182,7 +182,11 @@ def triangle_count(edges: DataFrame) -> DataFrame:
         )
         .where(F.col("u") < F.col("v"))
         .distinct()
-        .transform(materialize)
+        # EAGER: three independent exchanges consume canon (the two
+        # path sides shuffle by different keys, plus the closing-edge
+        # join) — concurrent AQE first-touch on a lazy checkpoint would
+        # recompute the upstream distinct per consumer (persist.py)
+        .transform(materialize_eager)
     )
     paths = (
         canon.alias("a")
