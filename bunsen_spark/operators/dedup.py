@@ -488,33 +488,41 @@ def minhash_signature(docs: DataFrame, portable: bool = False) -> DataFrame:
         "doc_id",
         F.array_distinct(_shingle_hashes(F.col("shingles"), portable)).alias("hs"),
     )
-    def perm(a: int, b: int):
-        return lambda h: (F.lit(a) * h + F.lit(b)) % MERSENNE31
-
-    sig = F.array(
-        *[
-            F.array_min(F.transform(F.col("hs"), perm(MINHASH_A[k], MINHASH_B[k])))
+    # ONE parser-built expression instead of NUM_HASHES Python-side
+    # transform/array_min constructions: the py4j round trips of the
+    # per-permutation Column building were ~0.5 s of driver time per
+    # fresh frame (r13 build-time ledger, OPTIMIZATION_r13.md §8); the
+    # SQL text resolves to the identical (a_k * h + b_k) % M array_min
+    # expressions, so results are byte-identical.
+    sig = F.expr(
+        "array("
+        + ", ".join(
+            f"array_min(transform(hs, h -> ({MINHASH_A[k]} * h + {MINHASH_B[k]})"
+            f" % {MERSENNE31}))"
             for k in range(NUM_HASHES)
-        ]
+        )
+        + ")"
     )
     return base.select("doc_id", "hs", sig.alias("sig"))
 
 
 def _band_keys() -> Column:
     """LSH band keys over a ``sig`` column: one string per band,
-    concatenating the band's ``ROWS_PER_BAND`` signature slots."""
-    return F.array(
-        *[
-            F.concat_ws(
-                "-",
-                F.lit(i),
-                *[
-                    F.element_at("sig", i * ROWS_PER_BAND + r + 1)
-                    for r in range(ROWS_PER_BAND)
-                ],
+    concatenating the band's ``ROWS_PER_BAND`` signature slots.
+    Parser-built (one py4j call) — resolves to the same concat_ws over
+    element_at slots as the former per-band Column construction."""
+    return F.expr(
+        "array("
+        + ", ".join(
+            f"concat_ws('-', {i}, "
+            + ", ".join(
+                f"element_at(sig, {i * ROWS_PER_BAND + r + 1})"
+                for r in range(ROWS_PER_BAND)
             )
+            + ")"
             for i in range(BANDS)
-        ]
+        )
+        + ")"
     )
 
 
@@ -961,18 +969,19 @@ def simhash_signature(docs: DataFrame, portable: bool = False) -> DataFrame:
         _shingle_hashes(F.col("shingles"), portable).alias("hs"),
         F.size("shingles").alias("n"),
     )
-    def bit_set(b: int):
-        return lambda h: F.shiftright(h, b).bitwiseAND(1) == 1
-
-    bit_terms = []
-    for b in range(SIMHASH_BITS):
-        cnt = F.size(F.filter(F.col("hs"), bit_set(b)))
-        bit_terms.append(
-            F.when(cnt * 2 > F.col("n"), F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+    # ONE parser-built expression instead of SIMHASH_BITS Python-side
+    # filter/when constructions (~1.3 s of py4j driver time per fresh
+    # frame — r13 build-time ledger). Resolves to the identical
+    # size(filter)*2 > n CASE chain summed left-to-right over exact
+    # longs, so results are byte-identical.
+    sig = F.expr(
+        " + ".join(
+            f"(CASE WHEN size(filter(hs, h -> (shiftright(h, {b}) & 1) = 1))"
+            f" * 2 > n THEN CAST({1 << b} AS BIGINT)"
+            " ELSE CAST(0 AS BIGINT) END)"
+            for b in range(SIMHASH_BITS)
         )
-    sig = bit_terms[0]
-    for t in bit_terms[1:]:
-        sig = sig + t
+    )
     return base.select("doc_id", sig.alias("sig"))
 
 
