@@ -214,15 +214,23 @@ def _canary() -> dict:
 #: inflated the whole suite ~27% measured ~12x, comfortably inside
 #: the flag and far outside the ambient band. Raw ratios are always
 #: recorded — the classification is the tripwire, not the evidence.
-#: mem_bw is a streaming reduction — stable to ~10% on a healthy box,
-#: so 2.5x is sustained bandwidth theft, not jitter. disk_write on
-#: shared/virtualized storage legitimately oscillates several-fold;
-#: only an order-of-magnitude slowdown is a flag.
+#: mem_bw is a streaming reduction — stable to ~10% on a healthy box.
+#: Two rounds of evidence (r12 close: ratios 1.13/1.20 alongside a
+#: +14% suite total; r13 baseline/smoke: 1.34/1.36 alongside a +15-30%
+#: total, with python_loop flat at 0.86-1.02 throughout) show the
+#: memory-bandwidth probe IS the correlate of whole-suite inflation on
+#: this box, at ratios far below the original 2.5x band — so per
+#: VERDICT r12 #4 the band is tightened to 1.25x (2.5x the ~10%
+#: healthy jitter): a box in the measured slow state now self-flags
+#: as degraded BEFORE a slow close gets committed as if comparable.
+#: disk_write on shared/virtualized storage legitimately oscillates
+#: several-fold; 4x (was 10x) still clears the measured ambient band
+#: (0.86-1.36) with margin while catching sustained write-back theft.
 CANARY_TOL = {
     "python_loop_s": 1.3,
     "numpy_matmul_s": 8.0,
-    "mem_bw_s": 2.5,
-    "disk_write_s": 10.0,
+    "mem_bw_s": 1.25,
+    "disk_write_s": 4.0,
 }
 
 

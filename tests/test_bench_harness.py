@@ -148,16 +148,20 @@ def test_canary_new_probes_classified_and_referenced():
         assert k in bench.CANARY_TOL
 
     base = {"mem_bw_s": 0.02, "disk_write_s": 0.1}
-    # within band: ok even when one CPU probe is absent
+    # within band: ok even when one CPU probe is absent (1.2x mem_bw is
+    # inside the healthy ~10% jitter x2.5 margin)
     ok = bench.classify_machine_state(
-        base, {"mem_bw_s": 0.03, "disk_write_s": 0.3}
+        base, {"mem_bw_s": 0.024, "disk_write_s": 0.3}
     )
     assert ok["state"] == "ok"
-    # sustained bandwidth theft past 2.5x: degraded
-    bad = bench.classify_machine_state(base, {"mem_bw_s": 0.06})
+    # r13 band decision (VERDICT r12 #4): the measured slow state —
+    # mem_bw ratio 1.3x alongside +15-30% suite totals with CPU probes
+    # flat — must flag, so past 1.25x is degraded
+    bad = bench.classify_machine_state(base, {"mem_bw_s": 0.027})
     assert bad["state"] == "degraded"
-    # disk oscillates legitimately — only order-of-magnitude flags
-    assert bench.classify_machine_state(base, {"disk_write_s": 0.9})["state"] == "ok"
+    # disk oscillates legitimately — 3x is ambient, past 4x flags
+    assert bench.classify_machine_state(base, {"disk_write_s": 0.3})["state"] == "ok"
+    assert bench.classify_machine_state(base, {"disk_write_s": 0.5})["state"] == "degraded"
     assert bench.classify_machine_state(base, {"disk_write_s": 1.5})["state"] == "degraded"
 
 
