@@ -907,7 +907,10 @@ def _star_components(edges: DataFrame, max_iterations: int) -> DataFrame:
     # fixpoint: every edge links a node to its component minimum
     final_min = edges.groupBy("u").agg(
         F.least(F.min("v"), F.first("u")).alias("label")
-    ).transform(materialize_eager)  # two star-check branches consume it
+    ).transform(materialize)  # lazy: the two star-check branches read a
+    # cheap contracted-edge aggregate — the duplicate-first-touch risk
+    # (persist.py) is bounded by that tiny agg, and lazy keeps the
+    # one-job-per-round contract pinned by test_dedup_clusters
     # Post-fixpoint invariant (ADVICE r3): the signature fixpoint must
     # be a star forest centered at component minima — every remaining
     # edge joins a leaf to its own label or a label to its own leaf.
@@ -1523,8 +1526,11 @@ def fuzzy_text_join(
     set and returns only overlap counts), this form handles two LARGE
     corpora — neither side is collected or broadcast — and names the
     matching pairs, which decontamination audits need."""
-    ls = minhash_signature(left, portable).transform(materialize_eager)
-    rs = minhash_signature(right, portable).transform(materialize_eager)
+    from ..persist import materialize_all
+
+    ls, rs = materialize_all(
+        minhash_signature(left, portable), minhash_signature(right, portable)
+    )
     lb = ls.select(F.col("doc_id").alias("l_id"), F.explode(_band_keys()).alias("bk"))
     rb = rs.select(F.col("doc_id").alias("r_id"), F.explode(_band_keys()).alias("bk"))
     cand = lb.join(rb, "bk").select("l_id", "r_id").distinct()

@@ -196,8 +196,11 @@ def bm25_topk_by_query(
         base.join(F.broadcast(vocab), "term")
         .groupBy(id_col, "term")
         .agg(F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl"))
-        # feeds df_term and the scoring join: aggregate once
-        .transform(materialize_eager)
+        # feeds df_term and the scoring join: aggregate once. Lazy is
+        # right here: tf contains its groupBy exchange, so AQE already
+        # materializes the expensive stages at checkpoint-creation time
+        # — the fan-out race only bites map-only subplans (persist.py)
+        .transform(materialize)
     )
     df_term = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     stats = toks.agg(

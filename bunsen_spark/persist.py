@@ -64,11 +64,26 @@ def materialize(df: DataFrame, eager: bool = False) -> DataFrame:
     stage's first touch can recompute the whole upstream subplan —
     measured 2-4× duplicate compute (and run-to-run bimodality, since
     the race is scheduling-dependent) on the MinHash signature tables.
-    Rule: fan-out tables (a signature/token table feeding candidate
-    AND verify joins) take ``eager=True``; sequential-consumer frames —
-    fixpoint rounds whose next action is an immediate count(), or
-    broadcast-then-probe chains where the broadcast build completes
-    before the probe starts — stay lazy and save the barrier job.
+
+    What can race is the checkpoint's LAZY RESIDUE: everything after
+    the frame's last Exchange. Creating the checkpoint RDD compiles
+    the adaptive plan, which materializes the shuffle-stage jobs right
+    then — so for an exchange-bearing frame only the final stage
+    (post-shuffle windows, aggregation merges, projections) is
+    recomputed per racing consumer, while a MAP-ONLY frame's residue
+    is its entire subplan (scan + regex + hashing).
+
+    Rule: take ``eager=True`` when the residue is expensive — map-only
+    signature/token projections feeding candidate AND verify joins
+    (2-4× measured), post-shuffle window evaluation over a big frame
+    (sessionize's flagged: ~20% measured) — or :func:`materialize_all`
+    when several such frames are independent (one gang job instead of
+    serial barriers). Stay lazy when the residue is cheap (the r13
+    scorecard runs and bm25 tf, whose residues are rank filters and
+    agg merges, measured ~1 s SLOWER eager) and for
+    sequential-consumer frames — fixpoint rounds whose next action is
+    an immediate count(), or broadcast-then-probe chains where the
+    broadcast build completes before the probe starts.
     """
     if _mode(df) == "persist":
         out = df.persist(StorageLevel.MEMORY_AND_DISK)
@@ -83,6 +98,29 @@ def materialize_eager(df: DataFrame) -> DataFrame:
     for fixpoint rounds that must pin THIS round's result before the
     next round re-derives from it."""
     return materialize(df, eager=True)
+
+
+def materialize_all(*dfs: DataFrame) -> list[DataFrame]:
+    """Materialize several INDEPENDENT fan-out frames with ONE job.
+
+    ``materialize_eager`` per frame forecloses the concurrent
+    first-touch recompute (module docstring) but serializes the
+    materialization jobs; when the frames don't derive from each other,
+    one action over a union of 1-column projections computes all their
+    subplans inside a single job — the stage trees run concurrently, so
+    the barrier costs max(frames) instead of sum(frames). Projections
+    over a checkpoint-marked frame cannot prune its compute (the
+    wrapped RDD is opaque), so every column of every frame is pinned."""
+    from pyspark.sql import functions as F
+
+    outs = [materialize(df) for df in dfs]
+    probe = None
+    for o in outs:
+        c = o.select(F.lit(1).alias("__one"))
+        probe = c if probe is None else probe.unionAll(c)
+    if probe is not None:
+        probe.count()
+    return outs
 
 
 def release(df: DataFrame) -> None:

@@ -133,6 +133,12 @@ def ann_eval_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     k = 5
     emb = load(spark, sf_dir, "embeddings")
+    # lazy is correct here despite the two-consumer fan-out: both runs
+    # contain exchanges, so AQE materializes their stage jobs when the
+    # checkpoint RDD is created at build time — the concurrent
+    # first-touch recompute race (persist.py) only bites MAP-ONLY
+    # subplans, and an r13 3-way measurement (lazy 8.9 s median vs
+    # eager 10.2 vs gang 16.0) confirmed lazy is the fast shape
     exact = materialize(brute_force_topk(emb, k, 32))
     jl = materialize(jl_topk(emb, k, 32))
     # ivf/ivf_p1/ivf_p4 (round 11): the folded-in IVF probe curve —
