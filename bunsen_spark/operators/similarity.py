@@ -666,7 +666,10 @@ def semantic_dedup(
     quant = _quantized(embeddings).transform(_spread)
     assigned = _kmeans_assign(quant, cents)
     base = materialize(
-        _with_norm(embeddings).transform(_spread).join(assigned, "vec_id")
+        _with_norm(embeddings).transform(_spread).join(assigned, "vec_id"),
+        eager=True,  # both pair sides consume it through different
+        # projections (no exchange reuse); the residue includes the
+        # assignment join — persist.py residue rule
     )
     a = base.select(
         F.col("cid"),
@@ -1401,10 +1404,15 @@ def ivfpq_topk(
             F.zip_with("sq", "s.ccv", lambda x, y: x - y).alias("r"),
         )
     )
-    # ccid rides on rsubs, so the former codes⋈resid join-back is gone
+    # ccid rides on rsubs, so the former codes⋈resid join-back is gone.
+    # EAGER: rsubs' lazy residue is the whole map-only argmin+residual
+    # compute over the corpus (its only exchange is the broadcast of
+    # the tiny coarse codebook), and it feeds both the residual-book
+    # training and the code assignment — racing consumers would
+    # recompute it (persist.py residue rule)
     rsubs = materialize(resid.select("vec_id", "ccid", _slices("r", n_subs)).select(
         "vec_id", "ccid", "p.sub", "p.sq"
-    ))
+    ), eager=True)
     books = _pq_train(
         rsubs.select("vec_id", "sub", "sq"),
         _seed_ids(embeddings, n_codewords),
