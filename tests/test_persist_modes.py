@@ -117,3 +117,49 @@ def test_transitive_closure_identical_across_modes(spark):
 
     a, b = _mode_results(spark, run)
     assert a == b and ("a", "d") in a
+
+
+def test_materialize_all_returns_pinned_frames_both_modes(spark):
+    """r13 gang barrier: `materialize_all` must return each frame's own
+    rows (not a union), already computed, in both modes — it is the
+    one-job replacement for serial materialize_eager calls on
+    independent map-only fan-out frames (persist.py residue rule)."""
+    from bunsen_spark.persist import materialize_all
+
+    def run():
+        a = spark.range(4).selectExpr("id", "id * 2 AS x")
+        b = spark.range(3).selectExpr("id", "id + 10 AS y")
+        ma, mb = materialize_all(a, b)
+        return (
+            sorted(tuple(r) for r in ma.collect()),
+            sorted(tuple(r) for r in mb.collect()),
+        )
+
+    (ca, cb), (pa, pb) = _mode_results(spark, run)
+    assert ca == pa == [(0, 0), (1, 2), (2, 4), (3, 6)]
+    assert cb == pb == [(0, 10), (1, 11), (2, 12)]
+
+
+def test_materialize_all_is_one_job(spark):
+    """The gang barrier must cost ONE job for N frames (the union
+    probe), not N materialization jobs."""
+    from bunsen_spark.persist import materialize_all
+
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+    spark.conf.set(MODE_CONF, "checkpoint")
+    try:
+        sc.setJobGroup("gang_probe", "gang materialize")
+        materialize_all(
+            spark.range(5).selectExpr("id AS a"),
+            spark.range(5).selectExpr("id AS b"),
+            spark.range(5).selectExpr("id AS c"),
+        )
+        jobs = tracker.getJobIdsForGroup("gang_probe")
+        # one ACTION — AQE may split the count into a stage job plus
+        # the final job, but the bound must stay below one job per
+        # frame (three serial materialize_eager calls would spend >= 3)
+        assert len(jobs) <= 2, f"gang barrier spent {len(jobs)} jobs"
+    finally:
+        sc.setJobGroup(None, None)
+        spark.conf.set(MODE_CONF, "auto")
