@@ -111,6 +111,35 @@ _CHANGED_GATES: list[tuple[str, int]] = [
     ("dedup_cluster_keep_best", 13),
     ("curation_pipeline_counts", 13),
     ("cluster_safe_split_counts", 13),
+    # round 13 (optimization, session 2): set-join verify sizes-carrying
+    # + probe-gated broadcast; greedy/train one-job rounds (BPE, MMR,
+    # coverage); lazy-residue eager materialization (MinHash/fuzzy/
+    # incremental signatures, BM25 tokens, sessionize bucketed, as-of
+    # union, triangle canon); SimHash filter-before-distinct +
+    # parser-built signatures; transitive-closure one-job rounds —
+    # all oracle-verified identical, new plan/job shapes
+    ("dedup_jaccard", 13),
+    ("dedup_containment", 13),
+    ("dedup_prefix_jaccard", 13),
+    ("dedup_substring_spans", 13),
+    ("bpe_subword_top", 13),
+    ("bpe_fertility_by_lang", 13),
+    ("bpe_learned_merges", 13),
+    ("mmr_diverse_topk", 13),
+    ("coverage_select_docs", 13),
+    ("dedup_simhash", 13),
+    ("dedup_minhash_lsh", 13),
+    ("dedup_incremental_near", 13),
+    ("split_leakage_pairs", 13),
+    ("fuzzy_join_even_odd", 13),
+    ("linkage_candidates_customers", 13),
+    ("bm25_search_topk", 13),
+    ("bm25_multiquery_topk", 13),
+    ("sessionize_events_bucketed", 13),
+    ("sessionize_events_hotkey", 13),
+    ("asof_bucketed_purchase_last_view", 13),
+    ("part_basket_triangles", 13),
+    ("closure_part_hierarchy", 13),
 ]
 
 
