@@ -124,11 +124,34 @@ def zorder_value(
     probs = [i / nb for i in range(1, nb)]
     # one scan computes every column's cut list (list overload)
     all_cuts = df.stat.approxQuantile(list(cols), probs, rel_err)
+    # Per-column bucket = count of cuts <= value. r14: the former shape
+    # built 2^bits - 1 literal Columns per dimension in a Python loop
+    # (O(2^bits) py4j roundtrips — 390 s of pure driver time at
+    # bits=15) and scanned the whole cut array per row with an
+    # interpreted filter() HOF (O(2^bits) per row per dimension). Now
+    # each cut list is ONE array literal (single py4j call) and the
+    # bucket is an O(bits) unrolled binary search: an aggregate() over
+    # the descending power-of-two steps, accumulating the classic
+    # bitwise upper-bound search (sorted cuts, duplicates fine — the
+    # predicate "arr[c] <= v" is monotone in c). The cut array is
+    # padded with one +inf so every probed index is in bounds; the
+    # final least() caps the v=+inf edge where the pad itself matches.
     z: Column = F.lit(0).cast("long")
+    steps = [1 << i for i in range(bits - 1, -1, -1)]
+    steps_arr = F.lit(steps)
     for d, (c, cuts) in enumerate(zip(cols, all_cuts)):
-        arr = F.array(*[F.lit(float(b)).cast("double") for b in cuts])
-        bucket = F.size(
-            F.filter(arr, lambda b: b <= F.col(c).cast("double"))
+        arr = F.lit([float(b) for b in cuts] + [float("inf")])
+        v = F.col(c).cast("double")
+        bucket = F.least(
+            F.aggregate(
+                steps_arr,
+                F.lit(0),
+                lambda acc, step: acc
+                + F.when(
+                    F.element_at(arr, (acc + step).cast("int")) <= v, step
+                ).otherwise(F.lit(0)),
+            ),
+            F.lit(nb - 1),
         ).cast("long")
         for i in range(bits):
             z = z + F.shiftleft(

@@ -108,8 +108,44 @@ def test_zorder_value_rejects_sign_bit_overflow(spark):
 
     from bunsen_spark.sources.warehouse import zorder_value
 
-    df = spark.range(10).select(*[(F.col("id") * 1.0).alias(f"c{i}") for i in range(4)])
+    # the 63-bit budget check is bits*ndim, agnostic to the split —
+    # exercise the exact 60-accept/64-reject boundary with 1-bit
+    # columns (the former 4x15 acceptance paid a 2^15-prob
+    # approxQuantile pass, ~2 driver-minutes, to test the same check)
+    df = spark.range(10).select(
+        *[(F.col("id") * 1.0).alias(f"c{i}") for i in range(64)]
+    )
+    with pytest.raises(ValueError, match="exceeds 63"):
+        zorder_value(df, [f"c{i}" for i in range(64)], bits=1)
     with pytest.raises(ValueError, match="exceeds 63"):
         zorder_value(df, [f"c{i}" for i in range(4)], bits=16)
-    # 4 dims at 15 bits = 60 interleaved bits: fine
-    assert zorder_value(df, [f"c{i}" for i in range(4)], bits=15) is not None
+    # 60 interleaved bits: fine
+    assert zorder_value(df, [f"c{i}" for i in range(60)], bits=1) is not None
+
+
+def test_zorder_bucket_matches_filter_count(spark):
+    """The r14 O(bits) binary-search bucket must agree with the
+    original O(2^bits) filter-count semantics (count of cuts <= v) on
+    every row — including duplicate cut boundaries (skewed data) and
+    values below/above all cuts. Single column, so the z value IS the
+    bucket (no interleaving) on both sides."""
+    from pyspark.sql import functions as F
+
+    from bunsen_spark.sources.warehouse import zorder_value
+
+    # heavy duplication -> approxQuantile yields repeated cuts
+    vals = [0.0] * 20 + [1.0] * 5 + [2.0] * 40 + [3.0] * 3 + [50.0, -7.0]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    bits = 5
+    z = zorder_value(df, ["v"], bits=bits)
+    nb = 1 << bits
+    probs = [i / nb for i in range(1, nb)]
+    cuts = df.stat.approxQuantile(["v"], probs, 0.001)[0]
+    arr = F.array(*[F.lit(float(b)).cast("double") for b in cuts])
+    old = F.size(F.filter(arr, lambda b: b <= F.col("v").cast("double"))).cast(
+        "long"
+    )
+    mism = df.select(z.alias("new"), old.alias("old")).where(
+        F.col("new") != F.col("old")
+    )
+    assert mism.count() == 0
