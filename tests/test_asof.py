@@ -5,6 +5,8 @@ instead of leaking an older (possibly out-of-tolerance) value."""
 
 from __future__ import annotations
 
+import pytest
+
 from bunsen_spark.operators.asof import as_of_join
 
 
@@ -26,6 +28,7 @@ def _frames(spark):
 def _by_ts(rows):
     return {(r["k"], r["ts"]): r["v"] for r in rows}
 
+@pytest.mark.slow
 def test_backward_nearest_row_is_atomic(spark):
     left, right = _frames(spark)
     out = _by_ts(as_of_join(left, right, ["k"], "ts", ["v"]).collect())

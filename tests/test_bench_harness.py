@@ -3,6 +3,8 @@ re-measurement triggers, VERDICT r7 #1) — pure-Python, no Spark."""
 
 from __future__ import annotations
 
+import pytest
+
 import sys
 from pathlib import Path
 
@@ -165,6 +167,7 @@ def test_canary_new_probes_classified_and_referenced():
     assert bench.classify_machine_state(base, {"disk_write_s": 1.5})["state"] == "degraded"
 
 
+@pytest.mark.slow
 def test_canary_measures_all_probes():
     import bench
 

@@ -33,6 +33,7 @@ def test_load_from_directory_explodes_entries(bundles):
     assert types["ValueSet"] == 1
 
 
+@pytest.mark.slow
 def test_extract_conditions_golden_count(spark, bundles):
     conditions = extract_entry(spark, bundles, "Condition")
     assert conditions.count() == 5
@@ -47,6 +48,7 @@ def test_extract_conditions_golden_count(spark, bundles):
     assert all(r["pid"] == r["ref"].split("/")[1] for r in rows)
 
 
+@pytest.mark.slow
 def test_extract_observations_choice_and_decimal(spark, bundles):
     obs = extract_entry(spark, bundles, "Observation").cache()
     assert obs.count() == 17

@@ -73,6 +73,7 @@ def test_param_validation(spark):
         chunk_documents(df, chunk_size=8, overlap=-1)
 
 
+@pytest.mark.slow
 def test_chunking_invariants_property(spark):
     """Property sweep across (n_tokens, size, overlap): full coverage in
     order, all-but-last chunks full, last chunk non-empty, declared

@@ -11,6 +11,7 @@ MAP_URL = "urn:example:map:priority"
 VS_URL = "urn:example:valueset:vitals"
 
 
+@pytest.mark.slow
 def test_with_new_map_and_add_mappings(spark):
     from bunsen_spark.codes import create_concept_maps
 
@@ -45,6 +46,7 @@ def test_with_new_map_and_add_mappings(spark):
     assert '<code value="a"/>' in xml and '<equivalence value="wider"/>' in xml
 
 
+@pytest.mark.slow
 def test_with_new_value_set_and_add_values(spark):
     from bunsen_spark.codes import create_value_sets
 

@@ -49,6 +49,7 @@ def test_r4_schemas_are_r4_shaped(spark):
     assert "immutable" in names
 
 
+@pytest.mark.slow
 def test_r4_with_new_map_and_add_mappings(spark):
     from bunsen_spark.r4.codes import create_concept_maps
 
@@ -80,6 +81,7 @@ def test_r4_with_new_map_and_add_mappings(spark):
     assert '<code value="a"/>' in xml and '<equivalence value="wider"/>' in xml
 
 
+@pytest.mark.slow
 def test_r4_with_new_value_set_and_add_values(spark):
     from bunsen_spark.r4.codes import create_value_sets
 

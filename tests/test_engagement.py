@@ -216,6 +216,7 @@ def test_session_paths_null_steps_filtered_consistently(spark):
     assert dict(con.execute(sql).fetchall()) == got
 
 
+@pytest.mark.slow
 def test_rfm_matches_ntile_exactly(spark):
     """The arithmetic bin assignment must reproduce SQL ntile for
     uneven splits (N mod n_bins != 0) and the degenerate N < n_bins

@@ -37,6 +37,7 @@ def _roundtrip(spark, bundles, resource_type: str):
     return original, exported
 
 
+@pytest.mark.slow
 def test_observation_roundtrip(spark, bundles):
     original, exported = _roundtrip(spark, bundles, "Observation")
     assert original.count() > 0

@@ -115,6 +115,7 @@ def test_xml_shim_roundtrip_fuzz(resource_type):
         "us-core-diagnosticreport",
     ],
 )
+@pytest.mark.slow
 def test_spark_ingest_export_roundtrip_fuzz(spark, resource_type):
     from pyspark.sql import functions as F
 

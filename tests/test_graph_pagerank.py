@@ -30,6 +30,7 @@ def test_pagerank_one_iteration_hand_computed(star_ranks):
     assert star_ranks[3] == base + (2 * (init // 1)) * DAMPING_PCT // 100
 
 
+@pytest.mark.slow
 def test_pagerank_mass_is_bounded_and_sink_accumulates(spark):
     # chain with a cycle: 1→2→3→1 plus feeder 4→1
     edges = spark.createDataFrame(
@@ -47,6 +48,7 @@ def test_pagerank_mass_is_bounded_and_sink_accumulates(spark):
     assert all(ranks[c] > ranks[4] for c in (1, 2, 3))
 
 
+@pytest.mark.slow
 def test_pagerank_deterministic_across_partitionings(spark):
     edges = spark.createDataFrame(
         [(i, (i * 7) % 20) for i in range(20)], ["src", "dst"]

@@ -14,6 +14,7 @@ def images(spark):
     return synthesize_media(spark, n=24, kind="image")
 
 
+@pytest.mark.slow
 def test_decode_shapes_and_determinism(spark, images):
     from bunsen_spark.operators.multimodal import decode_images
 
@@ -27,6 +28,7 @@ def test_decode_shapes_and_determinism(spark, images):
     assert all(bytes(rows[m]["pixels"]) == bytes(again[m]["pixels"]) for m in rows)
 
 
+@pytest.mark.slow
 def test_resize(spark, images):
     from bunsen_spark.operators.multimodal import decode_images, resize_images
 

@@ -6,6 +6,8 @@ this engine removes)."""
 
 from __future__ import annotations
 
+import pytest
+
 
 def _plan(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
@@ -143,6 +145,7 @@ def test_multimodal_audio_single_decode_pass(spark, sf_dir):
     assert "Join" not in plan
 
 
+@pytest.mark.slow
 def test_no_cartesian_product_in_any_gate_query(spark, sf_dir):
     """Blanket plan discipline: no gate query may degenerate into a
     CartesianProduct (the one join strategy that cannot survive scale).

@@ -50,6 +50,7 @@ def test_base_fields_unchanged_under_profile(spark, bundles):
     assert [f.name for f in profiled.fields[len(base.fields):]] == ["race", "birthsex"]
 
 
+@pytest.mark.slow
 def test_profiled_extensions_reexport_roundtrip(spark, bundles):
     """The former SURVEY gap: extension-slice columns re-export into
     the shared FHIR extension array (JSON and XML) and survive a full

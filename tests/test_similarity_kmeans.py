@@ -5,6 +5,8 @@ in CORRECTNESS (DuckDB re-trains the codebook and must match)."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from bunsen_spark.operators.similarity import (
@@ -97,6 +99,7 @@ def test_quantize_embeddings_stats_contract(spark, sf_dir):
     assert zr[2]["scale"] == 4.0 and zr[2]["q_l1"] == 0 + 64 + 127 + 32
 
 
+@pytest.mark.slow
 def test_semantic_dedup_dominance_rule(spark):
     """Near-identical vectors are dropped toward the smallest id in
     their cluster; dissimilar vectors survive. 64-dim fixture built so
@@ -133,6 +136,7 @@ def test_semantic_dedup_dominance_rule(spark):
     assert 0 not in out and 10 not in out and 20 not in out
 
 
+@pytest.mark.slow
 def test_pq_codes_and_recall(spark, sf_dir):
     """PQ invariants: every vector gets exactly one code per subspace,
     codes index real codewords, and ADC top-k overlaps exact top-k far
@@ -178,6 +182,7 @@ def test_pq_codes_and_recall(spark, sf_dir):
     assert a == b
 
 
+@pytest.mark.slow
 def test_ivfpq_candidates_come_from_probed_cells(spark, sf_dir):
     """IVF-PQ results are consistent with its contract: deterministic
     across layouts, self never returned, exactly k rows per query, and

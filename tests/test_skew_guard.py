@@ -50,6 +50,7 @@ def _key(rows, cols):
 import pytest
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("seed", [11, 23, 47])
 def test_asof_bucketed_matches_unbucketed_all_modes(spark, seed):
     left, right = _skewed_pair(spark, seed)

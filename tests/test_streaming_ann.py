@@ -4,6 +4,8 @@ same frozen codebooks."""
 
 from __future__ import annotations
 
+import pytest
+
 import pyspark.sql.types as T
 from pyspark.sql import functions as F
 
@@ -91,6 +93,7 @@ def test_stream_pq_encode_equals_batch(spark, sf_dir, tmp_path):
     assert merged == want
 
 
+@pytest.mark.slow
 def test_ivfpq_index_roundtrip_equals_operator(spark, sf_dir, tmp_path):
     """Build-once/search-many: an IVF-PQ search that reads only the
     persisted codes (+ broadcast coarse/books) must equal the inline
@@ -208,6 +211,7 @@ def test_append_ivfpq_index_equals_batch_encode(spark, sf_dir, tmp_path):
     assert any(n % 5 == 4 for n in neigh)
 
 
+@pytest.mark.slow
 def test_delete_from_ivfpq_index_tombstones(spark, sf_dir, tmp_path):
     """Right-to-erasure lifecycle: tombstoned ids vanish from the code
     table and from search results WITHOUT any code rewrite; surviving
@@ -319,6 +323,7 @@ def test_distinct_default_delete_batches_accumulate(spark, sf_dir, tmp_path):
     assert live2 == live
 
 
+@pytest.mark.slow
 def test_compact_ivfpq_index_lifecycle(spark, sf_dir, tmp_path):
     """The tombstone-fold rewrite the delete docstring promises: after
     compaction the index serves hash-identical search results from ONE
@@ -503,6 +508,7 @@ def test_pq_index_full_lifecycle_parity(spark, sf_dir, tmp_path):
     assert compact_pq_index(spark, path) is False
 
 
+@pytest.mark.slow
 def test_stream_tombstones_equals_batch_delete(spark, sf_dir, tmp_path):
     """Streamed erasure parity: tombstones arriving as micro-batches
     must produce the same live index view as one batch delete of the
@@ -566,6 +572,7 @@ def _write_jsonl(path, dicts, mtime):
     os.utime(path, (mtime, mtime))
 
 
+@pytest.mark.slow
 def test_stream_append_survives_checkpoint_reset_after_compaction(
     spark, sf_dir, tmp_path
 ):
@@ -686,6 +693,7 @@ def test_stream_tombstones_survive_checkpoint_reset_after_compaction(
     assert live.isdisjoint(second), "post-reset erasure requests silently dropped"
 
 
+@pytest.mark.slow
 def test_compaction_crash_before_manifest_flip(spark, sf_dir, tmp_path, monkeypatch):
     """Crash-injection for the flip window (VERDICT r12): a compaction
     that dies AFTER writing the new generation but BEFORE the manifest
@@ -735,6 +743,7 @@ def test_compaction_crash_before_manifest_flip(spark, sf_dir, tmp_path, monkeypa
     assert sorted(map(key, codes2.collect())) == rows_before
 
 
+@pytest.mark.slow
 def test_concurrent_append_during_compaction_not_double_counted(
     spark, sf_dir, tmp_path, monkeypatch
 ):

@@ -45,6 +45,7 @@ def _random_events(seed: int, n_users: int = 25, max_events: int = 30):
     return rows
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("n_batches,seed", [(1, 11), (3, 12), (7, 13)])
 def test_streaming_sessionize_any_cut_matches_batch(spark, tmp_path, n_batches, seed):
     from bunsen_spark.operators.sessionize import sessionize

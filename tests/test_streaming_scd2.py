@@ -3,6 +3,8 @@ replay idempotence, and parity with the batch scd2_apply fold."""
 
 from __future__ import annotations
 
+import pytest
+
 import json as jsonlib
 
 import pyspark.sql.types as T
@@ -112,6 +114,7 @@ def test_stream_scd2_replay_idempotent(spark, tmp_path):
     assert _dim_rows(spark, dim) == want
 
 
+@pytest.mark.slow
 def test_stream_scd2_matches_batch_fold(spark, tmp_path):
     """Folding the same upsert batches through the BATCH scd2_apply
     (emulating upserts by overlaying each batch onto the open rows)
@@ -180,6 +183,7 @@ def _apply_batches(spark, tmp_path, tag, batches):
     return dim
 
 
+@pytest.mark.slow
 def test_stream_scd2_open_rows_invariant_to_batch_cuts(spark, tmp_path):
     """However an upsert sequence is cut into micro-batches, the OPEN
     rows of the resulting dimension are identical (version timestamps

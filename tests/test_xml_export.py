@@ -15,6 +15,7 @@ def bundles(spark):
     return load_from_directory(spark, "fixtures/bundles/json")
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("rtype", ["Patient", "Observation", "Condition"])
 def test_xml_roundtrip(spark, bundles, rtype):
     from bunsen_spark.sources.bundles import extract_entry
