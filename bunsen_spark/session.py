@@ -12,7 +12,17 @@ import os
 from pyspark.sql import SparkSession
 
 
-def get_spark(app_name: str = "bunsen_spark", shuffle_partitions: int | None = None) -> SparkSession:
+def get_spark(
+    app_name: str = "bunsen_spark",
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) the harness SparkSession.
+
+    ``extra_conf`` lets tools (e.g. ``tools/profile_gate.py``'s event
+    log) layer additive settings on top of the ONE shared conf set —
+    never copy this builder's conf into another tool: a drifted copy
+    silently breaks the bench parity those tools claim (ADVICE r13)."""
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     parts = str(shuffle_partitions or cpus)
     builder = (
@@ -31,6 +41,8 @@ def get_spark(app_name: str = "bunsen_spark", shuffle_partitions: int | None = N
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark

@@ -35,35 +35,32 @@ def main() -> None:
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--plans", default=None, help="directory for explain dumps")
     ap.add_argument("--suffix", default="before")
+    ap.add_argument(
+        "--json-out",
+        default=None,
+        help="write {gate: {wall_median_s, task_time_s, n_tasks}} here "
+        "(the committed per-round task-time artifact)",
+    )
     args = ap.parse_args()
 
     evdir = tempfile.mkdtemp(prefix="profile_gate_ev_")
     import os
 
     os.environ.setdefault("SPARK_GRAFT_CPUS", "32")
-    from pyspark.sql import SparkSession
 
-    # same conf set as bunsen_spark.session.get_spark, plus the event log
-    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    builder = (
-        SparkSession.builder.master(f"local[{cpus}]")
-        .appName("profile_gate")
-        .config("spark.sql.shuffle.partitions", cpus)
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
-        .config("spark.ui.enabled", "false")
-        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        .config("spark.eventLog.enabled", "true")
-        .config("spark.eventLog.dir", evdir)
-        .config("spark.eventLog.compress", "false")
+    # the ONE shared bench-parity conf set (bunsen_spark.session), plus
+    # the event log as an additive layer (ADVICE r13: never copy the
+    # builder's conf — a drifted copy silently breaks bench parity)
+    from bunsen_spark.session import get_spark
+
+    spark = get_spark(
+        "profile_gate",
+        extra_conf={
+            "spark.eventLog.enabled": "true",
+            "spark.eventLog.dir": evdir,
+            "spark.eventLog.compress": "false",
+        },
     )
-    spark = builder.getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
 
     from bunsen_spark.queries import all_queries
 
@@ -114,9 +111,16 @@ def main() -> None:
     app_id = spark.sparkContext.applicationId
     spark.stop()
 
-    # parse the event log: per-job (description, duration)
+    # parse the event log: per-job (description, duration) + per-task
+    # executor time. Task time is the scale-honest signal (VERDICT r13
+    # #4): at sf0.1 wall time is driver-overhead-bound (the 8-core
+    # suite total beats 32-core), so per-gate summed executor-task
+    # milliseconds is what actually tracks the work a cluster would do.
     jobs: list[dict] = []
     starts: dict[int, dict] = {}
+    stage_desc: dict[int, str] = {}
+    task_ms: dict[str, float] = {}  # job desc -> summed executor run time
+    task_n: dict[str, int] = {}
     # Spark 4 rolling layout: eventlog_v2_<appId>/events_1_<appId>...
     candidates = [
         p
@@ -142,11 +146,22 @@ def main() -> None:
                 if ev.get("Event") == "SparkListenerJobStart":
                     jid = ev["Job ID"]
                     props = ev.get("Properties") or {}
+                    desc = props.get("spark.job.description", "")
                     starts[jid] = {
-                        "desc": props.get("spark.job.description", ""),
+                        "desc": desc,
                         "t0": ev["Submission Time"],
                         "stages": len(ev.get("Stage IDs", [])),
                     }
+                    for sid in ev.get("Stage IDs", []):
+                        stage_desc[sid] = desc
+                elif ev.get("Event") == "SparkListenerTaskEnd":
+                    sid = ev.get("Stage ID")
+                    m = ev.get("Task Metrics") or {}
+                    run = m.get("Executor Run Time")
+                    if sid in stage_desc and isinstance(run, (int, float)):
+                        d = stage_desc[sid]
+                        task_ms[d] = task_ms.get(d, 0.0) + run
+                        task_n[d] = task_n.get(d, 0) + 1
                 elif ev.get("Event") == "SparkListenerJobEnd":
                     jid = ev["Job ID"]
                     if jid in starts:
@@ -164,14 +179,31 @@ def main() -> None:
 
     for name in names:
         r = results[name]
+        last_desc = f"{name}|run{args.runs - 1}"
+        r["task_time_s"] = round(task_ms.get(last_desc, 0.0) / 1000.0, 3)
+        r["n_tasks"] = task_n.get(last_desc, 0)
         print(f"\n== {name}: median {r['median']}s  samples {r['samples']}")
-        last = [j for j in jobs if j["desc"] == f"{name}|run{args.runs - 1}"]
+        last = [j for j in jobs if j["desc"] == last_desc]
         tot = sum(j["sec"] for j in last)
-        print(f"   last timed run: {len(last)} jobs, {tot:.3f}s in jobs")
+        print(
+            f"   last timed run: {len(last)} jobs, {tot:.3f}s in jobs, "
+            f"{r['task_time_s']:.3f}s summed executor task time "
+            f"({r['n_tasks']} tasks)"
+        )
         for j in sorted(last, key=lambda x: -x["sec"])[:15]:
             print(f"   {j['sec']:7.3f}s  job {j['job']:>4}  stages={j['stages']}")
     print()
-    print(json.dumps({n: results[n]["median"] for n in names}))
+    summary = {
+        n: {
+            "wall_median_s": results[n]["median"],
+            "task_time_s": results[n]["task_time_s"],
+            "n_tasks": results[n]["n_tasks"],
+        }
+        for n in names
+    }
+    if args.json_out:
+        Path(args.json_out).write_text(json.dumps(summary, indent=1))
+    print(json.dumps(summary))
 
 
 if __name__ == "__main__":
