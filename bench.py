@@ -286,6 +286,28 @@ def _preflight() -> dict:
         ref = None
     cls = classify_machine_state(ref and ref.get("canary"), measured)
     if cls["state"] == "degraded":
+        # Corroboration pass (ADVICE r13): the tightened mem_bw band
+        # (1.25x over a probe stable to ~10%) can catch a single jitter
+        # tail spanning the 3-sample window. A transient won't
+        # reproduce 30 s later; sustained degradation will — so a
+        # degraded first read gets ONE re-measure and the per-probe min
+        # of both windows is what's classified. Both reads land in the
+        # artifact ("canary_first_read"), so a flag that only the
+        # retry cleared stays visible.
+        first = dict(measured)
+        time.sleep(30)
+        retry = _canary()
+        measured = {
+            k: (
+                min(v for v in (measured.get(k), retry.get(k)) if v is not None)
+                if (measured.get(k) is not None or retry.get(k) is not None)
+                else None
+            )
+            for k in measured
+        }
+        cls = classify_machine_state(ref and ref.get("canary"), measured)
+        cls["canary_first_read"] = first
+    if cls["state"] == "degraded":
         print(
             f"# WARNING: machine-speed canary degraded vs committed "
             f"reference (ratios {cls['ratios']}); timings are suspect",
