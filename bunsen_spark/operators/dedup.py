@@ -704,14 +704,13 @@ BROADCAST_LABELS_DEFAULT = 10_000_000
 
 
 def _label_broadcast_cap(df: DataFrame) -> int:
-    spark = df.sparkSession
-    thr = str(
-        spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
-    ).strip()
-    if thr.startswith("-") or thr == "0":
-        return 0
-    return int(
-        spark.conf.get(BROADCAST_LABELS_CONF, str(BROADCAST_LABELS_DEFAULT))
+    # row cap scales with the cluster's configured auto-broadcast
+    # threshold (explicit conf wins; disabled threshold disables the
+    # hint too) — see operators/_bcast.py
+    from ._bcast import broadcast_row_cap
+
+    return broadcast_row_cap(
+        df.sparkSession, BROADCAST_LABELS_CONF, BROADCAST_LABELS_DEFAULT
     )
 
 

@@ -85,8 +85,13 @@ def pagerank(edges: DataFrame, iters: int = 3) -> DataFrame:
             F.lit(0.0).alias("rank"),
         )
     spark = edges.sparkSession
-    bcast_cap = int(
-        spark.conf.get(BROADCAST_NODES_CONF, str(BROADCAST_NODES_DEFAULT))
+    # row cap scales with the cluster's configured auto-broadcast
+    # threshold (explicit conf wins; disabled threshold disables the
+    # hint too) — see operators/_bcast.py
+    from ._bcast import broadcast_row_cap
+
+    bcast_cap = broadcast_row_cap(
+        spark, BROADCAST_NODES_CONF, BROADCAST_NODES_DEFAULT
     )
     small = n <= bcast_cap
 

@@ -64,14 +64,13 @@ BROADCAST_CANDS_DEFAULT = 4_000_000
 
 
 def _candidate_broadcast_cap(df: DataFrame) -> int:
-    spark = df.sparkSession
-    thr = str(
-        spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
-    ).strip()
-    if thr.startswith("-") or thr == "0":
-        return 0
-    return int(
-        spark.conf.get(BROADCAST_CANDS_CONF, str(BROADCAST_CANDS_DEFAULT))
+    # row cap scales with the cluster's configured auto-broadcast
+    # threshold (explicit conf wins; disabled threshold disables the
+    # hint too) — see operators/_bcast.py
+    from ._bcast import broadcast_row_cap
+
+    return broadcast_row_cap(
+        df.sparkSession, BROADCAST_CANDS_CONF, BROADCAST_CANDS_DEFAULT
     )
 
 

@@ -60,6 +60,21 @@ def _dot(a: Column, b: Column) -> Column:
 
 
 def _cosine(va: Column, vb: Column, na: Column, nb: Column) -> Column:
+    """Cosine similarity given precomputed norms.
+
+    PRECONDITION (ADVICE r13 #1): inputs must be non-zero vectors. A
+    zero-norm vector yields 0/0 = NaN, and NaN ordering DIFFERS between
+    the r13 map-only argmin rewrites (``array_min`` of the negated
+    struct never selects NaN) and the row_number windows they replaced
+    (``desc(csim)`` sorted NaN first) — so a zero vector would get a
+    different IVF cell / probe list than the window-ordered DuckDB
+    twins. The embedding fixtures contain no zero vectors (oracle
+    hash-matches pin this); production callers must drop or epsilon-pad
+    zero embeddings before the ANN family sees them. Guarding here
+    (nanvl/when) was deliberately NOT done: any imputed similarity
+    would silently differ from the unguarded DuckDB twin SQL on the
+    same degenerate input, trading a documented precondition for a
+    quiet cross-engine divergence."""
     return _dot(va, vb) / (na * nb)
 
 
