@@ -456,57 +456,57 @@ def kmeans_codebook(
     across engines on the quantized integral vectors; the means are
     exact integer-sum averages (see :func:`_quantized`)."""
     # the quantized corpus is re-read by every Lloyd iteration's
-    # assignment join; spread it across cores and materialize it once
+    # assignment pass; spread it across cores and materialize it once
     # (state: id + int vector)
-    base = _quantized(embeddings).transform(_spread).transform(materialize)
+    # numpy consumer: natural partitioning, no _spread (see pq_codebooks)
+    base = _quantized(embeddings).transform(materialize)
     from .text_analysis import md5int
 
-    cents = (
+    seed_rows = (
         base.withColumn("h", md5int(F.col("vec_id").cast("string")))
         .orderBy("h", "vec_id")
         .limit(n_centroids)
         .select(F.col("vec_id").alias("cid"), F.col("q").alias("cv"))
+        .collect()
     )
+    # Each refinement round is ONE vectorized corpus pass (r14, guide
+    # §4.2 — the same MLlib-shaped rewrite as _pq_train; see the r13
+    # HOF cost evidence there). Cosines are accumulated strictly
+    # left-to-right across dimensions (_seq_dot), the exact order of
+    # the aggregate(zip_with) form and the DuckDB kernel — required
+    # because post-round-1 centroid means are NON-integral, where
+    # blocked BLAS summation could differ in the last bit and flip a
+    # rank. Counts + element sums stay exact integers; the mean is the
+    # identical single IEEE division. argmax first-occurrence over
+    # cid-ascending rows == max(struct(csim, -cid, cid)). Centroids
+    # that lose all members drop out (standard Lloyd, mirrored by the
+    # oracle).
+    import numpy as np
+
+    pairs = sorted(((r.cid, list(r.cv)) for r in seed_rows), key=lambda t: t[0])
+    cids = [c for c, _ in pairs]
+    c_mat = np.array([v for _, v in pairs], dtype=np.float64)
+    corpus = base.select("q", "qnorm")
     for _ in range(n_iters):
-        cent = cents.select(
-            "cid", "cv", F.sqrt(_dot(F.col("cv"), F.col("cv"))).alias("cnorm")
+        combined = (
+            corpus.mapInArrow(
+                _cos_partials_fn(cids, c_mat),
+                "cid long, n long, s array<double>",
+            )
+            .groupBy("cid")
+            .agg(F.sum("n").alias("n"), _elem_sums(EMBED_DIM).alias("s"))
+            .collect()
         )
-        # argmax centroid via map-only array_max (r13): the centroids
-        # ride in ONE broadcast array row and each vector scores all of
-        # them inside a single expression — same (csim DESC, cid ASC)
-        # struct ordering as the max-of-struct aggregate it replaces
-        # (PERF.md "Round-6: kmeans argmax"), with the k-way row
-        # expansion AND its corpus-sized groupBy exchange removed. The
-        # centroid update is one map-side-combined aggregate of
-        # EMBED_DIM element sums + a count per cid (the posexplode
-        # two-level mean shuffled corpus × dim rows); the mean stays
-        # the identical exact IEEE division of exact integer sums.
-        carr = cent.agg(F.collect_list(F.struct("cid", "cv", "cnorm")).alias("cs"))
-        assigned = base.crossJoin(F.broadcast(carr)).select(
-            F.array_max(
-                F.transform(
-                    F.col("cs"),
-                    lambda c: F.struct(
-                        _cosine(
-                            F.col("q"), c["cv"], F.col("qnorm"), c["cnorm"]
-                        ).alias("csim"),
-                        (-c["cid"]).alias("negcid"),
-                        c["cid"].alias("cid"),
-                    ),
-                )
-            )["cid"].alias("cid"),
-            "q",
+        pairs = sorted(
+            ((r.cid, [sv / r.n for sv in r.s]) for r in combined),
+            key=lambda t: t[0],
         )
-        grp = assigned.groupBy("cid").agg(
-            F.count(F.lit(1)).alias("__n"),
-            *[F.sum(F.col("q")[i]).alias(f"__s{i}") for i in range(EMBED_DIM)],
-        )
-        cents = grp.select(
-            "cid",
-            F.array(
-                *[F.col(f"__s{i}") / F.col("__n") for i in range(EMBED_DIM)]
-            ).alias("cv"),
-        )
+        cids = [c for c, _ in pairs]
+        c_mat = np.array([v for _, v in pairs], dtype=np.float64)
+    rows = [(None, int(c), [float(x) for x in c_mat[j]]) for j, c in enumerate(cids)]
+    cents = _local_codebook_df(base.sparkSession, rows, "")
+    # Project over LocalRelation folds driver-side (ConvertToLocalRelation),
+    # so the returned frame stays a LocalRelation including cnorm
     return cents.select(
         "cid", "cv", F.sqrt(_dot(F.col("cv"), F.col("cv"))).alias("cnorm")
     )
@@ -515,26 +515,23 @@ def kmeans_codebook(
 def _kmeans_assign(quant: DataFrame, cents: DataFrame) -> DataFrame:
     """(vec_id, cid): max-cosine centroid per quantized vector — the
     shared assignment step of :func:`semantic_dedup`,
-    :func:`cluster_label_purity` and :func:`ivf_kmeans_topk`. Map-only
-    (r13): the centroids ride in ONE broadcast array row and the
-    argmax is ``array_max`` over ``struct(csim, negcid, cid)`` — the
-    identical ordering of the former broadcast-join + max-of-struct
-    groupBy aggregate, with its corpus-sized exchange removed."""
-    carr = cents.agg(F.collect_list(F.struct("cid", "cv", "cnorm")).alias("cs"))
-    return quant.crossJoin(F.broadcast(carr)).select(
-        "vec_id",
-        F.array_max(
-            F.transform(
-                F.col("cs"),
-                lambda c: F.struct(
-                    _cosine(
-                        F.col("q"), c["cv"], F.col("qnorm"), c["cnorm"]
-                    ).alias("csim"),
-                    (-c["cid"]).alias("negcid"),
-                    c["cid"].alias("cid"),
-                ),
-            )
-        )["cid"].alias("cid"),
+    :func:`cluster_label_purity` and :func:`ivf_kmeans_topk`. One
+    vectorized corpus pass (r14, guide §4.2): the k centroids (with
+    their Spark-computed cnorms, verbatim) ride in the task closure and
+    the argmax runs in numpy with the strict left-to-right cosine
+    accumulation (_seq_dot) — first occurrence over cid-ascending rows
+    is exactly the former ``array_max(struct(csim, -cid, cid))``
+    ordering. ``cents`` is a local relation when trained this session,
+    so the collect is driver-only."""
+    rows = sorted(
+        ((r.cid, list(r.cv), r.cnorm) for r in cents.select("cid", "cv", "cnorm").collect()),
+        key=lambda t: t[0],
+    )
+    cids = [c for c, _, _ in rows]
+    c_mat = [v for _, v, _ in rows]
+    cnorms = [n for _, _, n in rows]
+    return quant.select("vec_id", "q", "qnorm").mapInArrow(
+        _cos_assign_fn(cids, c_mat, cnorms), "vec_id long, cid long"
     )
 
 
@@ -551,20 +548,17 @@ def ivf_kmeans_topk(
     Coarse assignment/probing uses cosine against the trained
     centroids on the quantized vectors; final ranking among candidates
     is exact cosine on the original vectors."""
-    # the trained codebook (tiny) is checkpointed — it feeds both the
-    # corpus assignment and the probe lists. The coarse scoring itself
-    # is ONE broadcast join + map, cheap enough to compute twice, so
-    # no ranking checkpoint: corpus assignment is a map-side-combined
-    # max-of-struct argmax (same (csim DESC, cid ASC) order as the
-    # row_number window it replaces, without the per-vector sort), and
-    # the probe-list window runs only over the query vectors' scores.
-    cents = kmeans_codebook(embeddings, n_centroids, n_iters).transform(materialize)
-    quant = _quantized(embeddings).transform(_spread)
-    # map-only (r13): corpus argmax and query top-n_probe are array
-    # expressions over one broadcast centroid array — see ivf_topk for
-    # the struct(negsim, cid) == (csim DESC, cid ASC) argument
+    # the trained codebook is a LOCAL RELATION (r14 kmeans_codebook) —
+    # no checkpoint needed; broadcasts/collects of it are free. Corpus
+    # assignment is the shared vectorized numpy pass; the query
+    # top-n_probe stays the map-only array expression — it evaluates on
+    # num_queries rows only (the filter sits below the tiny broadcast),
+    # with the struct(negsim, cid) == (csim DESC, cid ASC) ordering
+    # argument from ivf_topk.
+    cents = kmeans_codebook(embeddings, n_centroids, n_iters)
+    quant = _quantized(embeddings)  # numpy consumer: no _spread
+    assigned = _kmeans_assign(quant, cents)
     carr = cents.agg(F.collect_list(F.struct("cid", "cv", "cnorm")).alias("cs"))
-    qb = quant.crossJoin(F.broadcast(carr))
     scored_arr = F.transform(
         F.col("cs"),
         lambda c: F.struct(
@@ -574,9 +568,9 @@ def ivf_kmeans_topk(
             c["cid"].alias("cid"),
         ),
     )
-    assigned = qb.select("vec_id", F.array_min(scored_arr)["cid"].alias("cid"))
     probes = (
-        qb.where(F.col("vec_id") < num_queries)
+        quant.where(F.col("vec_id") < num_queries)
+        .crossJoin(F.broadcast(carr))
         .select(
             F.col("vec_id").alias("query_id"),
             F.slice(F.array_sort(scored_arr), 1, n_probe).alias("pc"),
@@ -677,8 +671,9 @@ def semantic_dedup(
     skew risk (raise n_centroids, or pre-split hot cids by salting the
     JOIN — dominance against a lower id is salt-invariant only for the
     count, so prefer more centroids)."""
-    cents = kmeans_codebook(embeddings, n_centroids, n_iters).transform(materialize)
-    quant = _quantized(embeddings).transform(_spread)
+    # the trained codebook is a local relation (r14) — no materialize
+    cents = kmeans_codebook(embeddings, n_centroids, n_iters)
+    quant = _quantized(embeddings)  # numpy consumer: no _spread
     assigned = _kmeans_assign(quant, cents)
     base = materialize(
         _with_norm(embeddings).transform(_spread).join(assigned, "vec_id"),
@@ -1078,6 +1073,274 @@ def _d2(a: Column, b: Column) -> Column:
     )
 
 
+# ---------------------------------------------------------------------------
+# r14 vectorized Lloyd substrate (guide §4.2). The r13 map-only argmin
+# rewrites evaluated nested higher-order functions (transform → struct →
+# aggregate(zip_with)) per row — interpreted per ELEMENT, never codegen'd —
+# which doubled ann_ivfpq_topk's summed executor task time (24 s → 51 s at
+# sf0.1, tools/profile_gate.py) and, worse for the bench, made the driver
+# spend seconds ANALYZING the giant expression trees between jobs (build
+# ledger: ann_ivf_kmeans frame construction 1.9 s → 2.9 s r12→r13). The
+# fix is the canonical distributed-Lloyd shape (what Spark MLlib's KMeans
+# does): per iteration, ONE corpus pass computes per-partition partial
+# sums in vectorized numpy (mapInArrow), a k-bounded combine yields the
+# next centroids as plain driver data, and the trained codebook becomes a
+# LOCAL RELATION — downstream broadcasts of it cost no job and no analysis.
+#
+# Bit-parity argument (what lets the DuckDB twins keep hash-matching):
+# - integer-lattice paths (_pq_train: quantized subvectors, residuals):
+#   every product/sum is an integral double < 2^53, so numpy's blocked/
+#   SIMD summation order CANNOT change the value; argmin first-occurrence
+#   over cid-ascending centroid rows == min(struct(d2, cid)).
+# - cosine paths (kmeans_codebook, _kmeans_assign): centroid means after
+#   round 1 are NON-integral, so dot products are accumulated with the
+#   helper below — strictly left-to-right across dimensions, the exact
+#   order of F.aggregate(zip_with(...)) and DuckDB's list_cosine kernel —
+#   one IEEE multiply + divide for the norm step; argmax first-occurrence
+#   over cid-ascending rows == max(struct(csim, -cid, cid)).
+# - centroid updates: sums are exact integers; the mean is the identical
+#   single IEEE division; _pq_train's lattice rounding uses
+#   decimal.Decimal(float) (exact binary expansion) with ROUND_HALF_UP —
+#   Java BigDecimal HALF_UP semantics, divergence-free in the quantized
+#   value range (halves are exactly representable far beyond it).
+# ---------------------------------------------------------------------------
+
+
+def _round_half_up(x: float) -> float:
+    """Spark/DuckDB ``round(x)`` for doubles: HALF_UP (away from zero)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(x).quantize(Decimal(1), rounding=ROUND_HALF_UP))
+
+
+def _batch_mat(batch, name: str, dim: int):
+    """(n × dim) float64 matrix from a fixed-width list<double> column
+    of an Arrow record batch (offsets honored via flatten)."""
+    import numpy as np
+
+    col = batch.column(batch.schema.get_field_index(name))
+    n = len(col)
+    flat = col.flatten().to_numpy(zero_copy_only=False)
+    return np.asarray(flat, dtype=np.float64).reshape(n, dim)
+
+
+def _batch_np(batch, name: str):
+    import numpy as np
+
+    col = batch.column(batch.schema.get_field_index(name))
+    return np.asarray(col.to_numpy(zero_copy_only=False))
+
+
+def _seq_dot(mat, v):
+    """Row-wise dot(mat, v) accumulated STRICTLY left-to-right across
+    dimensions — bit-identical to ``aggregate(zip_with(a, b, x*y), 0.0,
+    acc+x)`` (and DuckDB's sequential list kernel) even when ``v`` is
+    non-integral, where blocked BLAS summation could differ in the last
+    bit and flip a rank."""
+    import numpy as np
+
+    acc = np.zeros(mat.shape[0], dtype=np.float64)
+    for i in range(mat.shape[1]):
+        acc = acc + mat[:, i] * v[i]
+    return acc
+
+
+def _pack_cents(by_sub: dict) -> dict:
+    """{sub: (cids ascending, k × subdim matrix)} — ascending cid makes
+    numpy's first-occurrence argmin/argmax the struct tiebreak."""
+    import numpy as np
+
+    return {
+        s: (
+            [cid for cid, _ in sorted(rows, key=lambda t: t[0])],
+            np.array(
+                [cv for _, cv in sorted(rows, key=lambda t: t[0])],
+                dtype=np.float64,
+            ),
+        )
+        for s, rows in by_sub.items()
+    }
+
+
+def _lloyd_partials_fn(cents: dict, subdim: int):
+    """mapInArrow body: per batch, integral-exact d2 argmin against the
+    captured centroids and per-(sub, cid) member counts + element sums.
+    Output rows are k-bounded per batch: (sub, cid, n, s)."""
+
+    def fn(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        for batch in batches:
+            subs = _batch_np(batch, "sub")
+            vecs = _batch_mat(batch, "sq", subdim)
+            out_sub, out_cid, out_n, out_s = [], [], [], []
+            for s in np.unique(subs):
+                key = int(s)
+                if key not in cents:
+                    continue
+                cids, c_mat = cents[key]
+                m = vecs[subs == s]
+                if not m.shape[0]:
+                    continue
+                d = np.empty((m.shape[0], len(cids)), dtype=np.float64)
+                for j in range(len(cids)):
+                    diff = m - c_mat[j]
+                    # integral squared-L2: exact under any order
+                    d[:, j] = (diff * diff).sum(axis=1)
+                amin = d.argmin(axis=1)
+                for j, cid in enumerate(cids):
+                    mem = m[amin == j]
+                    if not mem.shape[0]:
+                        continue
+                    out_sub.append(key)
+                    out_cid.append(int(cid))
+                    out_n.append(int(mem.shape[0]))
+                    out_s.append([float(x) for x in mem.sum(axis=0)])
+            yield pa.record_batch(
+                [
+                    pa.array(out_sub, pa.int32()),
+                    pa.array(out_cid, pa.int64()),
+                    pa.array(out_n, pa.int64()),
+                    pa.array(out_s, pa.list_(pa.float64())),
+                ],
+                names=["sub", "cid", "n", "s"],
+            )
+
+    return fn
+
+
+def _elem_sums(subdim: int) -> Column:
+    """ONE parsed expression for the element-wise sums of an
+    ``s array<double>`` column — a single py4j roundtrip regardless of
+    ``subdim`` (the per-element F.sum loop paid O(dim) roundtrips)."""
+    body = ",".join(f"sum(s[{i}])" for i in range(subdim))
+    return F.expr(f"array({body})")
+
+
+def _local_codebook_df(spark, rows, first_col: str):
+    """A TRUE LocalRelation codebook frame from driver data.
+
+    ``spark.createDataFrame(list)`` is RDD-backed in PySpark (the rows
+    are parallelized into defaultParallelism pickled partitions), so
+    every downstream collect/scan of the "tiny" codebook spawned 32
+    Python tasks at ~0.3 s each (measured: the _collect_books collect
+    was a 9 task-SECOND stage for 128 rows). A SQL ``VALUES`` inline
+    table folds to a Catalyst LocalRelation instead: collects are
+    driver-only (no job), broadcasts build without touching the
+    cluster. Doubles are embedded as ``CAST('<repr>' AS DOUBLE)`` —
+    ``repr`` is the shortest round-trip form, and string→double casts
+    are correctly rounded, so the values are bit-identical."""
+
+    def d(x: float) -> str:
+        return f"CAST('{x!r}' AS DOUBLE)"
+
+    parts = []
+    for key, cid, cv in rows:
+        arr = ",".join(d(float(x)) for x in cv)
+        if first_col:
+            parts.append(f"({int(key)}, CAST({int(cid)} AS BIGINT), array({arr}))")
+        else:
+            parts.append(f"(CAST({int(cid)} AS BIGINT), array({arr}))")
+    cols = f"{first_col}, cid, cv" if first_col else "cid, cv"
+    return spark.sql(f"SELECT * FROM VALUES {','.join(parts)} AS t({cols})")
+
+
+def _seq_self_norms(c_mat):
+    """Per-centroid ``sqrt(dot(cv, cv))`` with the strict left-to-right
+    accumulation of ``sqrt(aggregate(zip_with(cv, cv, x*y), 0.0,
+    acc+x))`` — bit-identical to the Spark column the cosine paths
+    compare against."""
+    import math
+
+    out = []
+    for row in c_mat:
+        acc = 0.0
+        for x in row:
+            acc = acc + float(x) * float(x)
+        out.append(math.sqrt(acc))
+    return out
+
+
+def _cos_csim(vecs, qnorm, c_mat, cnorms):
+    """(n × k) cosine matrix with exact Spark/DuckDB bit-parity:
+    sequential-across-dims dots (_seq_dot), one IEEE multiply for the
+    norm product, one IEEE divide."""
+    import numpy as np
+
+    csim = np.empty((vecs.shape[0], c_mat.shape[0]), dtype=np.float64)
+    for j in range(c_mat.shape[0]):
+        csim[:, j] = _seq_dot(vecs, c_mat[j]) / (qnorm * cnorms[j])
+    return csim
+
+
+def _cos_partials_fn(cids: list, c_mat):
+    """mapInArrow body for a kmeans_codebook round: max-cosine argmax
+    (first occurrence over cid-ascending rows == max(struct(csim,
+    -cid, cid))) + per-cid member counts and exact integral element
+    sums."""
+
+    def fn(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        cmat = np.asarray(c_mat, dtype=np.float64)
+        cnorms = _seq_self_norms(cmat)
+        for batch in batches:
+            vecs = _batch_mat(batch, "q", EMBED_DIM)
+            qnorm = _batch_np(batch, "qnorm")
+            if not vecs.shape[0]:
+                continue
+            amax = _cos_csim(vecs, qnorm, cmat, cnorms).argmax(axis=1)
+            out_cid, out_n, out_s = [], [], []
+            for j, cid in enumerate(cids):
+                mem = vecs[amax == j]
+                if not mem.shape[0]:
+                    continue
+                out_cid.append(int(cid))
+                out_n.append(int(mem.shape[0]))
+                out_s.append([float(x) for x in mem.sum(axis=0)])
+            yield pa.record_batch(
+                [
+                    pa.array(out_cid, pa.int64()),
+                    pa.array(out_n, pa.int64()),
+                    pa.array(out_s, pa.list_(pa.float64())),
+                ],
+                names=["cid", "n", "s"],
+            )
+
+    return fn
+
+
+def _cos_assign_fn(cids: list, c_mat, cnorms: list):
+    """mapInArrow body: (vec_id, q, qnorm) → (vec_id, cid) max-cosine
+    assignment against the captured centroids (cnorms taken verbatim
+    from the trained frame's Spark-computed column)."""
+
+    def fn(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        cmat = np.asarray(c_mat, dtype=np.float64)
+        cid_arr = np.asarray(cids, dtype=np.int64)
+        for batch in batches:
+            ids = _batch_np(batch, "vec_id")
+            vecs = _batch_mat(batch, "q", EMBED_DIM)
+            qnorm = _batch_np(batch, "qnorm")
+            if not vecs.shape[0]:
+                continue
+            amax = _cos_csim(vecs, qnorm, cmat, cnorms).argmax(axis=1)
+            yield pa.record_batch(
+                [
+                    pa.array(ids, pa.int64()),
+                    pa.array(cid_arr[amax], pa.int64()),
+                ],
+                names=["vec_id", "cid"],
+            )
+
+    return fn
+
+
 def pq_codebooks(
     embeddings: DataFrame,
     n_subs: int = PQ_SUBS,
@@ -1100,7 +1363,12 @@ def pq_codebooks(
     combined aggregates regardless of n_subs. Seeds are the md5-min
     pick of whole vectors (one seed set, each contributing its
     subvector to every subspace book)."""
-    base = materialize(_sub_quantized(embeddings, n_subs).transform(_spread))
+    # numpy consumers (r14): keep the scan's natural partitioning — a
+    # small input fanned to 32 Python tasks pays ~0.3 s of per-task
+    # worker round-trips per stage for zero compute benefit (measured
+    # probe, OPTIMIZATION_r14.md); cluster-scale inputs arrive with
+    # natural parallelism and are untouched by this choice
+    base = materialize(_sub_quantized(embeddings, n_subs))
     return _pq_train(base, _seed_ids(embeddings, k), n_iters, EMBED_DIM // n_subs)
 
 
@@ -1124,59 +1392,112 @@ def _pq_train(
     ``(vec_id, sub, sq)``: returns (sub, cid, cv). Shared by the plain
     PQ books and the IVF-PQ residual books.
 
-    Each refinement round is ONE corpus-side exchange (r13): the
-    previous round's centroids are collected per subspace into a
-    broadcast array and assignment is a map-only ``array_min`` argmin
-    over it — ``array_min`` on ``struct(d2, cid)`` compares fields in
-    order, exactly the ``min(struct(d2, cid))`` the former
-    join+groupBy computed — and the centroid update aggregates
-    ``subdim`` element sums plus a count per (sub, cid), map-side
-    combinable. The former shape shuffled the corpus twice per round
-    (the k-way-expanded argmin groupBy, then a posexplode mean over
-    rows × subdim); both were corpus-sized exchanges at scale, now the
-    only shuffled bytes per round are k × n_subs centroid partial
-    sums. Arithmetic is unchanged and order-free: integral-double
-    sums are exact under any accumulation order, and the rounded mean
-    is the identical single IEEE division."""
-    cents = base.join(
-        F.broadcast(seed_ids), base["vec_id"] == seed_ids["cid"]
-    ).select("sub", "cid", F.col("sq").alias("cv"))
+    Each refinement round is ONE vectorized corpus pass (r14, guide
+    §4.2 — the canonical MLlib-style distributed Lloyd): a numpy
+    ``mapInArrow`` computes the integral-exact d2 argmin and
+    per-(sub, cid) partial sums per partition, one tiny
+    map-side-combined aggregate reduces the partition × k × n_subs
+    partials, and the k-bounded result is combined ON THE DRIVER into
+    the next round's centroids (k × n_subs × subdim values — the same
+    driver footprint MLlib's KMeans carries; documented coordination,
+    like MMR's selected-vector literals). The corpus is never
+    shuffled, and the trained codebook returns as a LOCAL RELATION, so
+    downstream broadcasts of it cost no job and no plan analysis. This
+    replaces the r13 broadcast-array ``array_min`` HOF form, whose
+    per-element interpreted evaluation doubled executor task time and
+    whose expression trees dominated driver analysis between jobs
+    (profile_gate/build_ledger evidence in OPTIMIZATION_r14.md).
+
+    Arithmetic is unchanged and order-free: integral-double sums are
+    exact under any accumulation order (numpy's blocked summation
+    included), the mean is the identical single IEEE division, and the
+    lattice rounding is Decimal-exact HALF_UP — Spark ``round()``'s
+    semantics (see the r14 substrate comment above :func:`_round_half_up`)."""
+    spark = base.sparkSession
+    seed_rows = (
+        base.join(F.broadcast(seed_ids), base["vec_id"] == seed_ids["cid"])
+        .select("sub", "cid", "sq")
+        .collect()
+    )
+    by_sub: dict = {}
+    for r in seed_rows:
+        by_sub.setdefault(r.sub, []).append((r.cid, list(r.sq)))
+    cents = _pack_cents(by_sub)
+    corpus = base.select("sub", "sq")
     for _ in range(n_iters):
-        carr = cents.groupBy("sub").agg(
-            F.collect_list(F.struct("cid", "cv")).alias("cs")
+        combined = (
+            corpus.mapInArrow(
+                _lloyd_partials_fn(cents, subdim),
+                "sub int, cid long, n long, s array<double>",
+            )
+            .groupBy("sub", "cid")
+            .agg(F.sum("n").alias("n"), _elem_sums(subdim).alias("s"))
+            .collect()
         )
-        assigned = base.join(F.broadcast(carr), "sub").select(
-            "sub",
-            F.array_min(
-                F.transform(
-                    F.col("cs"),
-                    lambda c: F.struct(
-                        _d2(F.col("sq"), c["cv"]).alias("d2"),
-                        c["cid"].alias("cid"),
-                    ),
-                )
-            )["cid"].alias("cid"),
-            "sq",
-        )
-        grp = assigned.groupBy("sub", "cid").agg(
-            F.count(F.lit(1)).alias("__n"),
-            *[F.sum(F.col("sq")[i]).alias(f"__s{i}") for i in range(subdim)],
-        )
-        cents = grp.select(
-            "sub",
-            "cid",
+        by_sub = {}
+        for r in combined:
             # rounded mean: centroids stay ON the integer lattice, so
             # the next round's distances remain integral-exact. The
-            # mean itself is one exact IEEE division; round() of the
-            # identical double agrees across engines.
-            F.array(
-                *[
-                    F.round(F.col(f"__s{i}") / F.col("__n"), 0)
-                    for i in range(subdim)
-                ]
-            ).alias("cv"),
-        )
-    return cents.select("sub", "cid", "cv")
+            # mean itself is one exact IEEE division; the rounding is
+            # Decimal-exact HALF_UP == Spark/DuckDB round().
+            cv = [_round_half_up(sv / r.n) for sv in r.s]
+            by_sub.setdefault(r.sub, []).append((r.cid, cv))
+        cents = _pack_cents(by_sub)
+    rows = [
+        (int(s), int(cid), [float(x) for x in c_mat[j]])
+        for s, (cids, c_mat) in sorted(cents.items())
+        for j, cid in enumerate(cids)
+    ]
+    return _local_codebook_df(spark, rows, "sub")
+
+
+def _collect_books(codebooks: DataFrame) -> dict:
+    """{sub: (cids ascending, k × subdim matrix)} from a trained
+    codebook frame. The trained books are local relations (or tiny
+    persisted tables), so this is a driver-only (or one small-job)
+    read of k × n_subs rows."""
+    by_sub: dict = {}
+    for r in codebooks.select("sub", "cid", "cv").collect():
+        by_sub.setdefault(r.sub, []).append((r.cid, list(r.cv)))
+    return _pack_cents(by_sub)
+
+
+def _assign_codes_fn(books: dict, subdim: int, carry_ccid: bool):
+    """mapInArrow body: vectorized integral-exact d2 argmin code
+    assignment; first-occurrence argmin over cid-ascending rows ==
+    ``min(struct(d2, cid))`` (ties to the smallest cid)."""
+
+    def fn(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        for batch in batches:
+            ids = _batch_np(batch, "vec_id")
+            subs = _batch_np(batch, "sub")
+            vecs = _batch_mat(batch, "sq", subdim)
+            ccids = _batch_np(batch, "ccid") if carry_ccid else None
+            code = np.zeros(len(ids), dtype=np.int64)
+            for s in np.unique(subs):
+                cids, c_mat = books[int(s)]
+                m_idx = np.nonzero(subs == s)[0]
+                m = vecs[m_idx]
+                d = np.empty((m.shape[0], len(cids)), dtype=np.float64)
+                for j in range(len(cids)):
+                    diff = m - c_mat[j]
+                    d[:, j] = (diff * diff).sum(axis=1)
+                code[m_idx] = np.asarray(cids, dtype=np.int64)[d.argmin(axis=1)]
+            cols = [
+                pa.array(ids, pa.int64()),
+                pa.array(subs.astype("int32"), pa.int32()),
+                pa.array(code, pa.int64()),
+            ]
+            names = ["vec_id", "sub", "code"]
+            if carry_ccid:
+                cols.insert(1, pa.array(ccids, pa.int64()))
+                names.insert(1, "ccid")
+            yield pa.record_batch(cols, names=names)
+
+    return fn
 
 
 def pq_encode(
@@ -1184,27 +1505,15 @@ def pq_encode(
 ) -> DataFrame:
     """(vec_id, sub, code): nearest-codeword assignment per subspace —
     the 8-byte-per-vector compressed representation (ties by smallest
-    cid). Map-only (r13): the codebooks are collected into one
-    broadcast array per subspace and the argmin is an ``array_min``
-    over ``struct(d2, cid)`` — identical ordering to the former
-    ``min(struct(d2, cid))`` groupBy, with the k-way row expansion and
-    its corpus-sized exchange removed."""
-    subs = _sub_quantized(embeddings, n_subs).transform(_spread)
-    carr = codebooks.groupBy("sub").agg(
-        F.collect_list(F.struct("cid", "cv")).alias("cs")
-    )
-    return subs.join(F.broadcast(carr), "sub").select(
-        "vec_id",
-        "sub",
-        F.array_min(
-            F.transform(
-                F.col("cs"),
-                lambda c: F.struct(
-                    _d2(F.col("sq"), c["cv"]).alias("d2"),
-                    c["cid"].alias("cid"),
-                ),
-            )
-        )["cid"].alias("code"),
+    cid). One vectorized corpus pass (r14, guide §4.2): the k × n_subs
+    codebook rides in the task closure and the argmin runs in numpy —
+    no row expansion, no exchange, no per-element interpreted HOF."""
+    subdim = EMBED_DIM // n_subs
+    # natural partitioning into the numpy pass (see pq_codebooks)
+    subs = _sub_quantized(embeddings, n_subs)
+    return subs.select("vec_id", "sub", "sq").mapInArrow(
+        _assign_codes_fn(_collect_books(codebooks), subdim, carry_ccid=False),
+        "vec_id long, sub int, code long",
     )
 
 
@@ -1230,9 +1539,8 @@ def pq_topk(
     the candidate scoring reads 8 longs per vector instead of 64
     doubles: the 8× scan-compression that makes billion-vector ANN fit
     in memory at 1000 executors."""
-    books = pq_codebooks(embeddings, n_subs, n_codewords, n_iters).transform(
-        materialize
-    )
+    # the trained codebook is a local relation (r14) — no materialize
+    books = pq_codebooks(embeddings, n_subs, n_codewords, n_iters)
     codes = pq_encode(embeddings, books, n_subs)
     qsubs = _sub_quantized(
         embeddings.where(F.col("vec_id") < num_queries), n_subs
@@ -1388,52 +1696,36 @@ def ivfpq_topk(
     n_coarse/n_probe scan cut and the 8× compression COMPOSE. The
     residual codebook is shared across cells (standard IVFADC), so the
     broadcast stays n_subs × k rows."""
-    full = materialize(_sub_quantized(embeddings, 1).transform(_spread))
-    coarse = _pq_train(full, _seed_ids(embeddings, n_coarse), n_iters, EMBED_DIM).select(
-        F.col("cid").alias("ccid"), F.col("cv").alias("ccv")
-    ).transform(materialize)
-    # corpus coarse assignment + integral residuals — map-only (r13):
-    # the 16 cell centroids ride in one broadcast array; array_min on
-    # struct(d2, ccid, ccv) is the former min(struct(...)) groupBy
-    # without the 16-way row expansion or its corpus-sized exchange
-    carr = coarse.agg(F.collect_list(F.struct("ccid", "ccv")).alias("cs"))
-    resid = (
-        full.crossJoin(F.broadcast(carr))
-        .select(
-            "vec_id",
-            F.array_min(
-                F.transform(
-                    F.col("cs"),
-                    lambda c: F.struct(
-                        _d2(F.col("sq"), c["ccv"]).alias("d2"),
-                        c["ccid"].alias("ccid"),
-                        c["ccv"].alias("ccv"),
-                    ),
-                )
-            ).alias("s"),
-            "sq",
-        )
-        .select(
-            "vec_id",
-            F.col("s.ccid").alias("ccid"),
-            F.zip_with("sq", "s.ccv", lambda x, y: x - y).alias("r"),
-        )
-    )
+    # numpy consumers only (train / residual slicing / 32-row query
+    # filter): natural partitioning, no _spread (see pq_codebooks)
+    full = materialize(_sub_quantized(embeddings, 1))
+    # the trained coarse codebook is a LOCAL RELATION (r14 _pq_train) —
+    # no materialize, free broadcasts/collects downstream
+    coarse = _pq_train(
+        full, _seed_ids(embeddings, n_coarse), n_iters, EMBED_DIM
+    ).select(F.col("cid").alias("ccid"), F.col("cv").alias("ccv"))
+    # corpus coarse assignment + integral residuals + slicing in ONE
+    # vectorized numpy pass (r14, guide §4.2 — the r13 HOF chain
+    # crossJoin → struct-carrying array_min → zip_with → explode paid
+    # interpreted per-element evaluation AND heavy plan analysis).
     # ccid rides on rsubs, so the former codes⋈resid join-back is gone.
-    # EAGER: rsubs' lazy residue is the whole map-only argmin+residual
-    # compute over the corpus (its only exchange is the broadcast of
-    # the tiny coarse codebook), and it feeds both the residual-book
-    # training and the code assignment — racing consumers would
-    # recompute it (persist.py residue rule)
-    rsubs = materialize(resid.select("vec_id", "ccid", _slices("r", n_subs)).select(
-        "vec_id", "ccid", "p.sub", "p.sq"
-    ), eager=True)
+    # EAGER: rsubs' lazy residue is the whole corpus pass and it feeds
+    # both the residual-book training and the code assignment — racing
+    # consumers would recompute it (persist.py residue rule)
+    ccids, cc_mat = _collect_coarse(coarse)
+    rsubs = materialize(
+        full.select("vec_id", "sq").mapInArrow(
+            _residual_slices_fn(ccids, cc_mat, n_subs),
+            "vec_id long, ccid long, sub int, sq array<double>",
+        ),
+        eager=True,
+    )
     books = _pq_train(
         rsubs.select("vec_id", "sub", "sq"),
         _seed_ids(embeddings, n_codewords),
         n_iters,
         EMBED_DIM // n_subs,
-    ).transform(materialize)
+    )
     codes = _assign_residual_codes(rsubs, books)
     # query side: probe lists + per-cell residual LUTs
     qfull = full.where(F.col("vec_id") < num_queries).select(
@@ -1687,7 +1979,8 @@ def write_pq_index(
     streaming arrivals append codes without retraining
     (:func:`bunsen_spark.streaming.ann.stream_pq_encode`).
     ``(n_subs, k, n_iters)`` must stay constant per index path."""
-    books = pq_codebooks(embeddings, n_subs, k, n_iters).transform(materialize)
+    # the trained codebook is a local relation (r14) — no materialize
+    books = pq_codebooks(embeddings, n_subs, k, n_iters)
     books.write.mode(mode).parquet(f"{path}/books")
     pq_encode(embeddings, books, n_subs).write.mode(mode).parquet(f"{path}/codes")
 
@@ -1782,62 +2075,95 @@ def pq_index_topk(
     )
 
 
+def _collect_coarse(coarse: DataFrame) -> tuple:
+    """(ccids ascending, k × EMBED_DIM matrix) from a coarse codebook
+    frame — a driver-only read when trained this session (local
+    relation), one tiny job when read back from a persisted index."""
+    import numpy as np
+
+    rows = sorted(
+        ((r.ccid, list(r.ccv)) for r in coarse.select("ccid", "ccv").collect()),
+        key=lambda t: t[0],
+    )
+    return (
+        [cid for cid, _ in rows],
+        np.array([cv for _, cv in rows], dtype=np.float64),
+    )
+
+
+def _residual_slices_fn(ccids: list, cc_mat, n_subs: int):
+    """mapInArrow body: coarse-assign each integral vector (d2 argmin,
+    ties to the smallest ccid via first-occurrence over ascending
+    rows), subtract its centroid, and emit the n_subs residual slices
+    directly — the former crossJoin + struct-carrying array_min +
+    zip_with + explode chain in ONE vectorized pass."""
+
+    def fn(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        subdim = EMBED_DIM // n_subs
+        cc = np.asarray(cc_mat, dtype=np.float64)
+        cid_arr = np.asarray(ccids, dtype=np.int64)
+        for batch in batches:
+            ids = _batch_np(batch, "vec_id")
+            vecs = _batch_mat(batch, "sq", EMBED_DIM)
+            n = vecs.shape[0]
+            if not n:
+                continue
+            d = np.empty((n, len(ccids)), dtype=np.float64)
+            for j in range(len(ccids)):
+                diff = vecs - cc[j]
+                d[:, j] = (diff * diff).sum(axis=1)  # integral-exact
+            amin = d.argmin(axis=1)
+            resid = vecs - cc[amin]  # integral subtraction: exact
+            out_id = np.repeat(ids, n_subs)
+            out_ccid = np.repeat(cid_arr[amin], n_subs)
+            out_sub = np.tile(np.arange(n_subs, dtype=np.int32), n)
+            values = pa.array(resid.ravel(), pa.float64())
+            offsets = pa.array(
+                np.arange(0, n * n_subs + 1, dtype=np.int32) * subdim,
+                pa.int32(),
+            )
+            yield pa.record_batch(
+                [
+                    pa.array(out_id, pa.int64()),
+                    pa.array(out_ccid, pa.int64()),
+                    pa.array(out_sub, pa.int32()),
+                    pa.ListArray.from_arrays(offsets, values),
+                ],
+                names=["vec_id", "ccid", "sub", "sq"],
+            )
+
+    return fn
+
+
 def _ivfpq_residual_subs(embeddings: DataFrame, coarse: DataFrame, n_subs: int) -> DataFrame:
     """(vec_id, ccid, sub, sq): coarse-assign each vector to its
     nearest centroid and slice the integral residual (x − centroid)
     into PQ subvectors — the shared encode substrate of the persisted
     IVF-PQ index (same arithmetic as the inline :func:`ivfpq_topk`
-    corpus side, against a FROZEN ``coarse`` table)."""
-    full = _sub_quantized(embeddings, 1).transform(_spread)
-    carr = coarse.agg(F.collect_list(F.struct("ccid", "ccv")).alias("cs"))
-    resid = (
-        full.crossJoin(F.broadcast(carr))
-        .select(
-            "vec_id",
-            F.array_min(
-                F.transform(
-                    F.col("cs"),
-                    lambda c: F.struct(
-                        _d2(F.col("sq"), c["ccv"]).alias("d2"),
-                        c["ccid"].alias("ccid"),
-                        c["ccv"].alias("ccv"),
-                    ),
-                )
-            ).alias("s"),
-            "sq",
-        )
-        .select(
-            "vec_id",
-            F.col("s.ccid").alias("ccid"),
-            F.zip_with("sq", "s.ccv", lambda x, y: x - y).alias("r"),
-        )
-    )
-    return resid.select("vec_id", "ccid", _slices("r", n_subs)).select(
-        "vec_id", "ccid", "p.sub", "p.sq"
+    corpus side, against a FROZEN ``coarse`` table). One vectorized
+    corpus pass (r14, guide §4.2)."""
+    full = _sub_quantized(embeddings, 1)  # numpy consumer: no _spread
+    ccids, cc_mat = _collect_coarse(coarse)
+    return full.select("vec_id", "sq").mapInArrow(
+        _residual_slices_fn(ccids, cc_mat, n_subs),
+        "vec_id long, ccid long, sub int, sq array<double>",
     )
 
 
 def _assign_residual_codes(rsubs: DataFrame, books: DataFrame) -> DataFrame:
     """(vec_id, ccid, sub, code): nearest residual codeword per
-    subspace (ties by smallest cid, matching :func:`ivfpq_topk`).
-    Map-only (r13): broadcast codebook array + ``array_min`` argmin —
-    no row expansion, no exchange."""
-    carr = books.groupBy("sub").agg(
-        F.collect_list(F.struct("cid", "cv")).alias("cs")
-    )
-    return rsubs.join(F.broadcast(carr), "sub").select(
-        "vec_id",
-        "ccid",
-        "sub",
-        F.array_min(
-            F.transform(
-                F.col("cs"),
-                lambda c: F.struct(
-                    _d2(F.col("sq"), c["cv"]).alias("d2"),
-                    c["cid"].alias("cid"),
-                ),
-            )
-        )["cid"].alias("code"),
+    subspace (ties by smallest cid, matching :func:`ivfpq_topk`). One
+    vectorized corpus pass (r14, guide §4.2): codebooks in the task
+    closure, numpy argmin — no row expansion, no exchange, no
+    interpreted HOF."""
+    packed = _collect_books(books)
+    subdim = next(iter(packed.values()))[1].shape[1] if packed else 0
+    return rsubs.select("vec_id", "ccid", "sub", "sq").mapInArrow(
+        _assign_codes_fn(packed, subdim, carry_ccid=True),
+        "vec_id long, ccid long, sub int, code long",
     )
 
 
@@ -1880,10 +2206,11 @@ def write_ivfpq_index(
     per index path. Same integer-lattice Lloyd as :func:`ivfpq_topk`,
     so an index built and searched here reproduces the inline gate's
     arithmetic bit-for-bit."""
-    full = materialize(_sub_quantized(embeddings, 1).transform(_spread))
+    full = materialize(_sub_quantized(embeddings, 1))  # numpy consumer
+    # the trained quantizers are local relations (r14) — no materialize
     coarse = _pq_train(full, _seed_ids(embeddings, n_coarse), n_iters, EMBED_DIM).select(
         F.col("cid").alias("ccid"), F.col("cv").alias("ccv")
-    ).transform(materialize)
+    )
     coarse.write.mode(mode).parquet(f"{path}/coarse")
     rsubs = materialize(_ivfpq_residual_subs(embeddings, coarse, n_subs))
     books = _pq_train(
@@ -1891,7 +2218,7 @@ def write_ivfpq_index(
         _seed_ids(embeddings, n_codewords),
         n_iters,
         EMBED_DIM // n_subs,
-    ).transform(materialize)
+    )
     books.write.mode(mode).parquet(f"{path}/books")
     _assign_residual_codes(rsubs, books).write.mode(mode).parquet(f"{path}/codes")
 
@@ -2780,10 +3107,9 @@ def cluster_label_purity(
     both the member count and the majority vote are map-side-combined
     aggregates on ``(cid[, label])`` — state bounded by clusters ×
     labels, never corpus rows."""
-    cents = kmeans_codebook(embeddings, n_centroids, n_iters).transform(
-        materialize
-    )
-    quant = _quantized(embeddings).transform(_spread)
+    # the trained codebook is a local relation (r14) — no materialize
+    cents = kmeans_codebook(embeddings, n_centroids, n_iters)
+    quant = _quantized(embeddings)  # numpy consumer: no _spread
     assigned = _kmeans_assign(quant, cents)
     labeled = assigned.join(
         embeddings.select("vec_id", F.col("label").cast("long").alias("label")),
