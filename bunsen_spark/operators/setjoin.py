@@ -53,27 +53,6 @@ from ..persist import materialize
 from .text_analysis import WORDS_SQL, words_col
 
 
-#: candidate-pair rows below which the verification stage broadcasts
-#: the candidate relation (and semi-join-prefilters the token side)
-#: instead of shuffling the corpus-wide token table by doc id — the
-#: probe volume that gates every prefix join is an upper bound on this
-#: count, so the decision needs no extra job. 4M pair rows is a
-#: ~100 MB built relation; honor a globally disabled auto-broadcast.
-BROADCAST_CANDS_CONF = "spark.bunsen.setjoin.broadcastCandidates"
-BROADCAST_CANDS_DEFAULT = 4_000_000
-
-
-def _candidate_broadcast_cap(df: DataFrame) -> int:
-    # row cap scales with the cluster's configured auto-broadcast
-    # threshold (explicit conf wins; disabled threshold disables the
-    # hint too) — see operators/_bcast.py
-    from ._bcast import broadcast_row_cap
-
-    return broadcast_row_cap(
-        df.sparkSession, BROADCAST_CANDS_CONF, BROADCAST_CANDS_DEFAULT
-    )
-
-
 def _threshold_fraction(threshold: float) -> Fraction:
     frac = Fraction(threshold).limit_denominator(1000)
     if not 0 < frac <= 1:
@@ -346,23 +325,19 @@ def exact_intersections(
     the two sizes joins of the old shape are gone; ``sizes`` is only
     consulted for legacy candidate frames without size columns.
 
-    When ``candidate_volume`` (the guard probe's upper bound on match
-    rows ≥ candidate pairs) is under
-    ``spark.bunsen.setjoin.broadcastCandidates``, the candidate
-    relation is BROADCAST into the first token join (guide §3.1), so
-    the a-side of the corpus token table is read map-only instead of
-    shuffled by doc id — one corpus shuffle (the b-side token join)
-    instead of two, with zero extra jobs (the hint consumes the probe
-    the guard already ran). Above the cap (or with no probe) the
-    shuffle-join verification stands."""
+    ``candidate_volume`` is accepted for call-site compatibility but no
+    longer forces a broadcast: the r13 probe-gated candidate-broadcast
+    hint measured SLOWER or flat in every clean alternating A/B
+    (r13 close containment 5.97→7.29; r14 `plans/r14/ab_setjoin_r14.json`
+    — the no-broadcast tree beats the hinted tree on dedup_jaccard and
+    dedup_containment in BOTH passes). Join strategy is left to AQE,
+    which broadcast-converts a small candidate side from its REAL
+    runtime size instead of a pre-join row-bound estimate — the same
+    conclusion the r13 A/B reached for the LSH verify joins."""
     ta = toks.withColumnRenamed("doc_id", "doc_a")
     tb = toks.withColumnRenamed("doc_id", "doc_b")
     carries = "sza" in cands.columns
-    cap = _candidate_broadcast_cap(toks)
-    if candidate_volume is not None and candidate_volume <= cap:
-        first = F.broadcast(cands).join(ta, "doc_a")
-    else:
-        first = cands.join(ta, "doc_a")
+    first = cands.join(ta, "doc_a")
     agg = [F.count(F.lit(1)).alias("inter")]
     if carries:
         agg += [F.min("sza").alias("sza"), F.min("szb").alias("szb")]

@@ -82,64 +82,25 @@ def ts_us(df: DataFrame, col: str = "ts"):
 # convenient. (Round 11's 24 entries all received r11 rows and were
 # pruned when expiry landed in round 12.)
 _CHANGED_GATES: list[tuple[str, int]] = [
-    # (the round-12 index-lifecycle entries for the three persisted
-    # IVF-PQ gates were superseded by their round-13 re-listing below —
-    # one entry per name, latest change round, so expiry stays
-    # single-rowed)
-    # round 13 (optimization): map-only Lloyd/assignment rewrites in
-    # operators/similarity.py (array-broadcast argmin, single-exchange
-    # centroid update) and the tagged-union ann_eval_scorecard —
-    # results proven identical against the oracle, but these gates run
-    # new plan shapes and deserve fresh driver rows
-    ("ann_eval_scorecard", 13),
-    ("ann_pq_topk", 13),
-    ("ann_ivfpq_topk", 13),
-    ("ann_ivf_topk", 13),
-    ("ann_ivf_kmeans_topk", 13),
-    ("semantic_dedup_drops", 13),
-    ("cluster_purity_embeddings", 13),
+    # (all 37 round-13 entries received r13 CORRECTNESS rows — the
+    # driver's sample was steered to exactly these gates — so they
+    # expired and were pruned here; see git history for the list)
+    # round 14 (optimization): vectorized Lloyd/ANN family — numpy
+    # mapInArrow training/assignment/encode passes, VALUES-LocalRelation
+    # codebooks, natural partitioning into the Python stages
+    # (operators/similarity.py). Results proven identical against the
+    # oracle at sf0.01 + sf0.001, but these gates run new plan/job
+    # shapes and deserve fresh driver rows.
+    ("ann_eval_scorecard", 14),
+    ("ann_pq_topk", 14),
+    ("ann_ivfpq_topk", 14),
+    ("ann_ivf_kmeans_topk", 14),
+    ("semantic_dedup_drops", 14),
+    ("cluster_purity_embeddings", 14),
     # the index gates' build path shares the rewritten encode/train
-    ("ann_ivfpq_index_topk", 13),
-    ("ann_ivfpq_index_append_topk", 13),
-    ("ann_ivfpq_index_delete_topk", 13),
-    # round 13 (optimization): PageRank broadcast iterations
-    # (operators/graph.py) and the connected-components fixpoint's
-    # broadcast rounds + halved edge dedup (operators/dedup.py) —
-    # oracle-verified identical, new plan shapes
-    ("pagerank_trade_network", 13),
-    ("dedup_clusters", 13),
-    ("dedup_cluster_keep_best", 13),
-    ("curation_pipeline_counts", 13),
-    ("cluster_safe_split_counts", 13),
-    # round 13 (optimization, session 2): set-join verify sizes-carrying
-    # + probe-gated broadcast; greedy/train one-job rounds (BPE, MMR,
-    # coverage); lazy-residue eager materialization (MinHash/fuzzy/
-    # incremental signatures, BM25 tokens, sessionize bucketed, as-of
-    # union, triangle canon); SimHash filter-before-distinct +
-    # parser-built signatures; transitive-closure one-job rounds —
-    # all oracle-verified identical, new plan/job shapes
-    ("dedup_jaccard", 13),
-    ("dedup_containment", 13),
-    ("dedup_prefix_jaccard", 13),
-    ("dedup_substring_spans", 13),
-    ("bpe_subword_top", 13),
-    ("bpe_fertility_by_lang", 13),
-    ("bpe_learned_merges", 13),
-    ("mmr_diverse_topk", 13),
-    ("coverage_select_docs", 13),
-    ("dedup_simhash", 13),
-    ("dedup_minhash_lsh", 13),
-    ("dedup_incremental_near", 13),
-    ("split_leakage_pairs", 13),
-    ("fuzzy_join_even_odd", 13),
-    ("linkage_candidates_customers", 13),
-    ("bm25_search_topk", 13),
-    ("bm25_multiquery_topk", 13),
-    ("sessionize_events_bucketed", 13),
-    ("sessionize_events_hotkey", 13),
-    ("asof_bucketed_purchase_last_view", 13),
-    ("part_basket_triangles", 13),
-    ("closure_part_hierarchy", 13),
+    ("ann_ivfpq_index_topk", 14),
+    ("ann_ivfpq_index_append_topk", 14),
+    ("ann_ivfpq_index_delete_topk", 14),
 ]
 
 
