@@ -796,22 +796,35 @@ SELECT query_id, neighbor_id, rank FROM (
 """
 
 
+_BUCKET_EXPR_CACHE: list[str] = []
+
+
 def _bucket_col() -> Column:
     """NUM_PLANES-bit LSH bucket from hyperplane dot-product signs.
 
-    Each plane is ONE array literal (``F.lit(list)``), not 64
-    element-wise ``F.lit`` calls — the per-element form cost ~2,000
-    py4j roundtrips per plan construction (r13; rebuilt on every
-    bench run and inside every scorecard run). Identical literal
-    values, identical plan."""
-    bit = None
-    for p in range(NUM_PLANES):
-        plane = F.lit(list(PLANES[p]))
-        term = F.when(_dot(F.col("v"), plane) > 0, F.lit(1 << p).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        bit = term if bit is None else bit + term
-    return bit
+    ONE parsed SQL expression (r14): the former Python loop built 16
+    ``F.when`` chains with HOF-lambda dots — ~150 py4j roundtrips per
+    plan construction, ~0.9 s of the gate's per-run build time
+    (tools/build_ledger.py; rebuilt on every bench run and inside
+    every scorecard run). The SQL resolves to the identical expression
+    tree: same left-to-right aggregate(zip_with) dot, same CASE/cast
+    shape, same left-fold long sum; plane doubles are embedded as
+    ``CAST('<repr>' AS DOUBLE)`` (shortest round-trip form, correctly
+    rounded parse → bit-identical literals)."""
+    if not _BUCKET_EXPR_CACHE:
+        terms = []
+        for p in range(NUM_PLANES):
+            arr = ",".join(f"CAST('{float(x)!r}' AS DOUBLE)" for x in PLANES[p])
+            dot = (
+                f"aggregate(zip_with(v, array({arr}), (x, y) -> x * y),"
+                f" CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+            )
+            terms.append(
+                f"CASE WHEN {dot} > 0 THEN CAST({1 << p} AS BIGINT)"
+                f" ELSE CAST(0 AS BIGINT) END"
+            )
+        _BUCKET_EXPR_CACHE.append(" + ".join(terms))
+    return F.expr(_BUCKET_EXPR_CACHE[0])
 
 
 def _bucket_sql() -> str:

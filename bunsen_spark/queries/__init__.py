@@ -101,6 +101,11 @@ _CHANGED_GATES: list[tuple[str, int]] = [
     ("ann_ivfpq_index_topk", 14),
     ("ann_ivfpq_index_append_topk", 14),
     ("ann_ivfpq_index_delete_topk", 14),
+    # round 14: set-join verification — candidate-broadcast hint
+    # removed (AQE decides), sizes-carrying kept; new join shapes
+    ("dedup_jaccard", 14),
+    ("dedup_containment", 14),
+    ("dedup_prefix_jaccard", 14),
 ]
 
 
