@@ -665,45 +665,46 @@ def semantic_dedup(
 
     Scale shape: the quadratic cosine comparison runs WITHIN clusters
     only — Σ nᵢ² vs n² for the naive all-pairs, the SemDeDup contract
-    (n_centroids grows with the corpus to bound nᵢ). The cluster
-    self-join is an equi-join on cid, so it shuffles each side once by
-    cluster; a pathologically hot cluster is the operator's documented
-    skew risk (raise n_centroids, or pre-split hot cids by salting the
-    JOIN — dominance against a lower id is salt-invariant only for the
-    count, so prefer more centroids)."""
+    (n_centroids grows with the corpus to bound nᵢ). One corpus pass
+    fuses the Lloyd assignment with the raw-vector payload (r14, guide
+    §4.2/§2.4 — the former shape eagerly checkpointed an
+    assignment-join table and exploded a per-pair interpreted-HOF
+    cosine self-join on it); ONE exchange groups each cluster, and a
+    grouped Arrow pass computes the within-cluster dominance in
+    vectorized numpy with the strict left-to-right accumulation
+    (:func:`_seq_dot` order — bit-identical to the
+    ``aggregate(zip_with)`` cosine it replaces, see the parity block
+    above :func:`_round_half_up`). A pathologically hot cluster is the
+    operator's documented skew risk (raise n_centroids — the grouped
+    pass row-chunks its similarity slabs, so memory is bounded, but a
+    single cid is still one task)."""
     # the trained codebook is a local relation (r14) — no materialize
     cents = kmeans_codebook(embeddings, n_centroids, n_iters)
-    quant = _quantized(embeddings)  # numpy consumer: no _spread
-    assigned = _kmeans_assign(quant, cents)
-    base = materialize(
-        _with_norm(embeddings).transform(_spread).join(assigned, "vec_id"),
-        eager=True,  # both pair sides consume it through different
-        # projections (no exchange reuse); the residue includes the
-        # assignment join — persist.py residue rule
-    )
-    a = base.select(
-        F.col("cid"),
-        F.col("vec_id").alias("keep"),
-        F.col("v").alias("av"),
-        F.col("norm").alias("anorm"),
-    )
-    b = base.select(
-        F.col("cid"),
-        F.col("vec_id").alias("vec_id"),
-        F.col("v").alias("bv"),
-        F.col("norm").alias("bnorm"),
-    )
-    pairs = (
-        a.join(b, "cid")
-        .where(F.col("keep") < F.col("vec_id"))
-        .where(
-            _cosine(F.col("av"), F.col("bv"), F.col("anorm"), F.col("bnorm"))
-            >= threshold
+    v = F.col("embedding").cast("array<double>")
+    src = (
+        embeddings.select("vec_id", v.alias("v"))
+        .withColumn("norm", F.sqrt(_dot(F.col("v"), F.col("v"))))
+        # the same quantized columns _quantized builds, kept as Spark
+        # expressions so assignment inputs are bit-identical to it
+        .withColumn(
+            "q", F.transform(F.col("v"), lambda x: F.round(x * F.lit(KMEANS_QUANT), 0))
         )
+        .withColumn("qnorm", F.sqrt(_dot(F.col("q"), F.col("q"))))
+    )  # numpy consumer: no _spread
+    rows = sorted(
+        ((r.cid, list(r.cv), r.cnorm) for r in cents.select("cid", "cv", "cnorm").collect()),
+        key=lambda t: t[0],
     )
-    return pairs.groupBy("vec_id").agg(
-        F.min("keep").cast("long").alias("keep_id"),
-        F.count(F.lit(1)).cast("long").alias("n_dupes"),
+    assigned = src.mapInArrow(
+        _cos_assign_payload_fn(
+            [c for c, _, _ in rows],
+            [cv for _, cv, _ in rows],
+            [n for _, _, n in rows],
+        ),
+        "vec_id long, cid long, v array<double>, norm double",
+    )
+    return assigned.groupBy("cid").applyInArrow(
+        _dominance_fn(threshold), "vec_id long, keep_id long, n_dupes long"
     )
 
 
@@ -1350,6 +1351,91 @@ def _cos_assign_fn(cids: list, c_mat, cnorms: list):
                 ],
                 names=["vec_id", "cid"],
             )
+
+    return fn
+
+
+def _cos_assign_payload_fn(cids: list, c_mat, cnorms: list):
+    """mapInArrow body: (vec_id, v, norm, q, qnorm) → (vec_id, cid, v,
+    norm) — the :func:`_cos_assign_fn` max-cosine assignment with the
+    raw vector and its Spark-computed norm passed through untouched
+    (zero-copy Arrow columns), so one corpus pass feeds a downstream
+    per-cluster consumer without a join back to the embeddings."""
+
+    def fn(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        cmat = np.asarray(c_mat, dtype=np.float64)
+        cid_arr = np.asarray(cids, dtype=np.int64)
+        for batch in batches:
+            if not batch.num_rows:
+                continue
+            vecs = _batch_mat(batch, "q", EMBED_DIM)
+            qnorm = _batch_np(batch, "qnorm")
+            amax = _cos_csim(vecs, qnorm, cmat, cnorms).argmax(axis=1)
+            yield pa.record_batch(
+                [
+                    batch.column(batch.schema.get_field_index("vec_id")),
+                    pa.array(cid_arr[amax], pa.int64()),
+                    batch.column(batch.schema.get_field_index("v")),
+                    batch.column(batch.schema.get_field_index("norm")),
+                ],
+                names=["vec_id", "cid", "v", "norm"],
+            )
+
+    return fn
+
+
+def _dominance_fn(threshold: float):
+    """applyInArrow body for one semantic-dedup cluster: (vec_id, cid,
+    v, norm) rows → (vec_id, keep_id, n_dupes) for every vector
+    dominated by a lower-id cluster neighbor with cosine ≥ threshold.
+
+    Bit-parity with the JVM pair expression it replaces: the pairwise
+    dot matrix is accumulated dimension-by-dimension (each element sees
+    ``acc + a[d]*b[d]`` in ascending d — exactly the
+    ``aggregate(zip_with)`` / :func:`_seq_dot` order), the norm product
+    is the identical single IEEE multiply of the Spark-computed norm
+    column values, and the divide is one IEEE op. Row-chunked so the
+    similarity slab is bounded (~16M cells) however hot the cluster."""
+
+    def fn(table):
+        import numpy as np
+        import pyarrow as pa
+
+        ids = table.column("vec_id").to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        norms = table.column("norm").to_numpy()[order]
+        n = len(ids)
+        flat = table.column("v").combine_chunks().flatten().to_numpy(
+            zero_copy_only=False
+        )
+        mat = np.asarray(flat, dtype=np.float64).reshape(n, EMBED_DIM)[order]
+        out_id, out_keep, out_n = [], [], []
+        chunk = max(1, 16_000_000 // max(1, n))
+        for s in range(0, n, chunk):
+            e = min(n, s + chunk)
+            acc = np.zeros((e - s, n), dtype=np.float64)
+            for d in range(EMBED_DIM):
+                acc = acc + np.multiply.outer(mat[s:e, d], mat[:, d])
+            csim = acc / np.multiply.outer(norms[s:e], norms[:])
+            hits = csim >= threshold
+            # dominance only from strictly lower-id rows (ids ascending)
+            hits &= np.arange(n)[None, :] < np.arange(s, e)[:, None]
+            cnt = hits.sum(axis=1)
+            for i in np.nonzero(cnt)[0]:
+                out_id.append(int(ids[s + i]))
+                out_keep.append(int(ids[np.argmax(hits[i])]))
+                out_n.append(int(cnt[i]))
+        return pa.table(
+            {
+                "vec_id": pa.array(out_id, pa.int64()),
+                "keep_id": pa.array(out_keep, pa.int64()),
+                "n_dupes": pa.array(out_n, pa.int64()),
+            }
+        )
 
     return fn
 
