@@ -127,21 +127,35 @@ def brute_force_topk(
     """Exact cosine top-k: for each query vector (vec_id <
     ``num_queries``), the ``k`` nearest other vectors. Output:
     (query_id, neighbor_id, rank) — rank 1 = nearest, ties broken by
-    neighbor_id."""
-    corpus = _with_norm(embeddings).transform(_spread)
-    queries = corpus.where(F.col("vec_id") < num_queries).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("v").alias("qv"),
-        F.col("norm").alias("qnorm"),
+    neighbor_id.
+
+    One vectorized corpus pass (r14, guide §4.2 — same treatment as
+    the Lloyd family): the ≤num_queries queries ride in the task
+    closure; each partition emits its local top-k per query (any
+    global top-k row is in its partition's top-k), and the final
+    window ranks ≤ partitions × queries × k rows — the corpus is never
+    joined, shuffled, or scored through interpreted HOFs. Bit-parity:
+    sims are :func:`_cos_csim` (strict left-to-right dots, single IEEE
+    norm-multiply/divide — the exact ``aggregate(zip_with)`` values),
+    and the partial selection uses the same (sim DESC, id ASC) order
+    as the window it feeds."""
+    import math
+
+    qrows = _collect_queries(embeddings, num_queries)
+    qids = [q for q, _ in qrows]
+    qmat = [v for _, v in qrows]
+    qnorms = [math.sqrt(_py_seq_dot(v, v)) for v in qmat]
+    # numpy consumer: natural partitioning, no _spread
+    corpus = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    scored = corpus.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id")).select(
-        "query_id",
-        F.col("vec_id").alias("neighbor_id"),
-        _cosine(F.col("qv"), F.col("v"), F.col("qnorm"), F.col("norm")).alias("sim"),
+    partials = corpus.mapInArrow(
+        _brute_partials_fn(qids, qmat, qnorms, k),
+        "query_id long, neighbor_id long, sim double",
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        partials.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank")
     )
@@ -188,73 +202,144 @@ def ivf_topk(
     corpus assignment is one map + a 1-row-per-vector shuffle for the
     argmax window; per-query work touches n_probe lists, not the
     corpus — at 1000 executors the scan cost drops by
-    n_centroids/n_probe versus brute force."""
-    from .text_analysis import md5int
+    n_centroids/n_probe versus brute force.
 
-    base = _with_norm(embeddings).transform(_spread)
-    centroids = (
-        base.withColumn("h", md5int(F.col("vec_id").cast("string")))
-        .orderBy("h", "vec_id")
-        .limit(n_centroids)
-        .select(
-            F.col("vec_id").alias("cid"),
-            F.col("v").alias("cv"),
-            F.col("norm").alias("cnorm"),
-        )
-    )
-    # map-only cell assignment (r13): the 16 centroids ride in ONE
-    # broadcast array row; argmax / top-n_probe are array expressions
-    # in the scan stage — the former per-vector row_number window
-    # shuffled the corpus × n_centroids scored rows. struct(negsim,
-    # cid) ascending is exactly the window's (csim DESC, cid ASC):
-    # negation is an exact sign flip, and -0.0 vs 0.0 cannot reorder
-    # (Spark's total order normalizes them equal; ties fall to cid).
-    carr = centroids.agg(
-        F.collect_list(F.struct("cid", "cv", "cnorm")).alias("cs")
-    )
-    spread_base = base.crossJoin(F.broadcast(carr))
-    scored_arr = F.transform(
-        F.col("cs"),
-        lambda c: F.struct(
-            (-_cosine(F.col("v"), c["cv"], F.col("norm"), c["cnorm"])).alias(
-                "negsim"
-            ),
-            c["cid"].alias("cid"),
-        ),
-    )
-    assigned = spread_base.select(
-        "vec_id", "v", "norm", F.array_min(scored_arr)["cid"].alias("cid")
-    )
-    probes = (
-        spread_base.where(F.col("vec_id") < num_queries)
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("v").alias("qv"),
-            F.col("norm").alias("qnorm"),
-            F.slice(F.array_sort(scored_arr), 1, n_probe).alias("pc"),
-        )
-        .select(
-            "query_id",
-            "qv",
-            "qnorm",
-            F.explode(F.col("pc")["cid"]).alias("cid"),
-        )
-    )
-    cand = (
-        assigned.join(F.broadcast(probes), "cid")
-        .where(F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            _cosine(F.col("qv"), F.col("v"), F.col("qnorm"), F.col("norm")).alias("sim"),
-        )
+    One vectorized corpus pass (r14, guide §4.2): the md5-seeded
+    centroids are collected (their Spark-computed cnorms verbatim, as
+    in :func:`_kmeans_assign`), the ≤num_queries query probe lists are
+    derived driver-side with the identical float arithmetic, and the
+    pass assigns cells + scores probed candidates in numpy, emitting
+    partition-local top-k partials for the final tiny window. The
+    argmax first-occurrence over cid-ascending centroid rows is
+    exactly the former ``array_min(struct(negsim, cid))``; candidate
+    sims are :func:`_cos_csim` / :func:`_seq_norms` order."""
+    cents, qs = _ivf_setup(embeddings, n_centroids, num_queries)
+    probe_lists = _ivf_probe_lists(cents, qs, n_probe)
+    corpus = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )  # numpy consumer: no _spread
+    partials = corpus.mapInArrow(
+        _ivf_partials_fn(cents, qs, probe_lists, (n_probe,), k),
+        "query_id long, neighbor_id long, sim double, probe_rn int",
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
-        cand.withColumn("rank", F.row_number().over(w))
+        partials.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank")
     )
+
+
+def _ivf_setup(
+    embeddings: DataFrame, n_centroids: int, num_queries: int
+) -> tuple[list, list]:
+    """Driver data for the seeded-IVF scans: ``cents`` =
+    [(cid, cv, cnorm)] ascending by cid (cnorm verbatim from the
+    Spark-computed column — the argmax tiebreak needs ascending rows),
+    ``qs`` = [(query_id, qv, qnorm)] ascending by id with the
+    driver-side strict-order norm."""
+    import math
+
+    from .text_analysis import md5int
+
+    base = _with_norm(embeddings)
+    cent_rows = (
+        base.withColumn("h", md5int(F.col("vec_id").cast("string")))
+        .orderBy("h", "vec_id")
+        .limit(n_centroids)
+        .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"), F.col("norm").alias("cnorm"))
+        .collect()
+    )
+    cents = sorted(
+        ((int(r.cid), [float(x) for x in r.cv], float(r.cnorm)) for r in cent_rows),
+        key=lambda t: t[0],
+    )
+    qs = [
+        (qid, qv, math.sqrt(_py_seq_dot(qv, qv)))
+        for qid, qv in _collect_queries(embeddings, num_queries)
+    ]
+    return cents, qs
+
+
+def _ivf_probe_lists(cents: list, qs: list, max_p: int) -> list:
+    """Per query, the top-``max_p`` probed cells as a list of
+    (centroid INDEX into the cid-ascending ``cents``, probe_rn) — the
+    former ``slice(array_sort(struct(negsim, cid)), 1, n_probe)``:
+    csim DESC then cid ASC, ±0.0 comparing equal (Python float ==,
+    matching Spark's normalized struct order)."""
+    out = []
+    for _, qv, qnorm in qs:
+        scored = sorted(
+            (
+                (-(_py_seq_dot(qv, cv) / (qnorm * cnorm)), cid, idx)
+                for idx, (cid, cv, cnorm) in enumerate(cents)
+            ),
+        )
+        out.append([(idx, rn + 1) for rn, (_, _, idx) in enumerate(scored[:max_p])])
+    return out
+
+
+def _ivf_partials_fn(cents: list, qs: list, probe_lists: list, levels, k: int):
+    """mapInArrow body: (vec_id, v) → per-partition top-k per (query,
+    probe level) over candidates in the query's probed cells, carrying
+    ``probe_rn`` so a multi-level sweep filters one partial table. A
+    vector lives in exactly one cell, so a (query, neighbor) pair is
+    emitted at most once per batch (levels dedup through the union
+    set)."""
+
+    def fn(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        c_mat = np.asarray([cv for _, cv, _ in cents], dtype=np.float64)
+        cnorms = [cn for _, _, cn in cents]
+        qi = [int(q) for q, _, _ in qs]
+        qm = np.asarray([qv for _, qv, _ in qs], dtype=np.float64)
+        qn = [qnorm for _, _, qnorm in qs]
+        max_p = max(levels)
+        # centroid-index → probe_rn LUT per query (0 = not probed)
+        rnmaps = np.zeros((len(qs), len(cents)), dtype=np.int64)
+        for j, plist in enumerate(probe_lists):
+            for idx, rn in plist:
+                rnmaps[j, idx] = rn
+        for batch in batches:
+            if not batch.num_rows:
+                continue
+            ids = _batch_np(batch, "vec_id")
+            vecs = _batch_mat(batch, "v", EMBED_DIM)
+            norms = _seq_norms(vecs)
+            amax = _cos_csim(vecs, norms, c_mat, cnorms).argmax(axis=1)
+            out = ([], [], [], [])
+            for j, qid in enumerate(qi):
+                prn = rnmaps[j][amax]
+                cand = (prn >= 1) & (prn <= max_p) & (ids != qid)
+                pos = np.nonzero(cand)[0]
+                if not len(pos):
+                    continue
+                sims = _seq_dot(vecs[pos], qm[j]) / (norms[pos] * qn[j])
+                cids_pos = ids[pos]
+                prn_pos = prn[pos]
+                chosen: set[int] = set()
+                for p in levels:
+                    lv = prn_pos <= p
+                    top = _topk_sel(cids_pos[lv], sims[lv], k, largest=True)
+                    chosen.update(np.nonzero(lv)[0][top])
+                for c in sorted(chosen):
+                    out[0].append(qid)
+                    out[1].append(int(cids_pos[c]))
+                    out[2].append(float(sims[c]))
+                    out[3].append(int(prn_pos[c]))
+            yield pa.record_batch(
+                [
+                    pa.array(out[0], pa.int64()),
+                    pa.array(out[1], pa.int64()),
+                    pa.array(out[2], pa.float64()),
+                    pa.array(out[3], pa.int32()),
+                ],
+                names=["query_id", "neighbor_id", "sim", "probe_rn"],
+            )
+
+    return fn
 
 
 def ivf_probe_sweep(
@@ -274,86 +359,30 @@ def ivf_probe_sweep(
     neighbor_id, rank), bit-identical per level to the standalone
     operator (the scorecard gate's DuckDB twin pins it per level).
     This is the recall-vs-scan-cost curve an index operator publishes;
-    computing it naively re-scores the corpus once per level."""
+    computing it naively re-scores the corpus once per level.
+
+    r14 (guide §4.2): the corpus-sized work — cell assignment AND
+    candidate scoring — is ONE vectorized numpy pass emitting
+    partition-local top-k partials per (query, level), each carrying
+    its probe_rn; every level's result is a filter + window over that
+    one partial table. The partials are EAGERLY pinned: the level
+    branches are planned as concurrent AQE query stages, and a lazy
+    checkpoint's map-only residue (the whole scoring pass) would race
+    and recompute per branch (persist.py residue rule)."""
     from ..persist import materialize
-    from .text_analysis import md5int
 
     max_p = max(probes)
-    base = _with_norm(embeddings).transform(_spread)
-    centroids = (
-        base.withColumn("h", md5int(F.col("vec_id").cast("string")))
-        .orderBy("h", "vec_id")
-        .limit(n_centroids)
-        .select(
-            F.col("vec_id").alias("cid"),
-            F.col("v").alias("cv"),
-            F.col("norm").alias("cnorm"),
-        )
-    )
-
-    # map-only cell scoring (r13): centroids ride in ONE broadcast
-    # array row; the corpus argmax and the query top-max_p are array
-    # expressions inside the scan stage (the former shape shuffled the
-    # corpus × n_centroids scored rows through a per-vector window).
-    # struct(negsim, cid) ascending == the window's (csim DESC, cid
-    # ASC); see ivf_topk for the -0.0 note. The CORPUS is scored
-    # exactly once, into the materialized 1-row-per-vector cell
-    # assignment (the IVF index structure itself); the probe cells
-    # re-score only the num_queries query vectors.
-    carr = centroids.agg(
-        F.collect_list(F.struct("cid", "cv", "cnorm")).alias("cs")
-    )
-    spread_base = base.crossJoin(F.broadcast(carr))
-    scored_arr = F.transform(
-        F.col("cs"),
-        lambda c: F.struct(
-            (-_cosine(F.col("v"), c["cv"], F.col("norm"), c["cnorm"])).alias(
-                "negsim"
-            ),
-            c["cid"].alias("cid"),
-        ),
-    )
-    assigned = materialize(
-        spread_base.select(
-            "vec_id", "v", "norm", F.array_min(scored_arr)["cid"].alias("cid")
-        )
-    )
-    probe_cells = (
-        spread_base.where(F.col("vec_id") < num_queries)
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("v").alias("qv"),
-            F.col("norm").alias("qnorm"),
-            F.slice(F.array_sort(scored_arr), 1, max_p).alias("pc"),
-        )
-        .select(
-            "query_id",
-            "qv",
-            "qnorm",
-            F.posexplode(F.col("pc")["cid"]).alias("rn0", "cid"),
-        )
-        .select(
-            "query_id",
-            "qv",
-            "qnorm",
-            "cid",
-            (F.col("rn0") + 1).alias("probe_rn"),
-        )
-    )
-    # each (query, neighbor) pair is reachable through exactly one cell
-    # (a vector lives in one cell), so it carries ONE probe_rn and the
-    # candidate table is level-filterable after a single join
+    cents, qs = _ivf_setup(embeddings, n_centroids, num_queries)
+    probe_lists = _ivf_probe_lists(cents, qs, max_p)
+    corpus = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )  # numpy consumer: no _spread
     cand = materialize(
-        assigned.join(F.broadcast(probe_cells), "cid")
-        .where(F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            _cosine(
-                F.col("qv"), F.col("v"), F.col("qnorm"), F.col("norm")
-            ).alias("sim"),
-            "probe_rn",
-        )
+        corpus.mapInArrow(
+            _ivf_partials_fn(cents, qs, probe_lists, tuple(probes), k),
+            "query_id long, neighbor_id long, sim double, probe_rn int",
+        ),
+        eager=True,
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     out = None
@@ -844,38 +873,35 @@ def lsh_topk(
 ) -> DataFrame:
     """Approximate cosine top-k: candidates must share one of the
     ``LSH_BANDS`` bucket bands with the query; exact cosine ranks the
-    candidates. Output: (query_id, neighbor_id, rank)."""
-    base = _with_norm(embeddings).transform(_spread).withColumn("bucket", _bucket_col())
-    band_keys = F.array(
-        *[
-            F.concat_ws(
-                "-",
-                F.lit(i),
-                F.shiftright("bucket", i * BAND_BITS).bitwiseAND((1 << BAND_BITS) - 1),
-            )
-            for i in range(LSH_BANDS)
-        ]
+    candidates. Output: (query_id, neighbor_id, rank).
+
+    One vectorized corpus pass (r14, guide §4.2): plane-sign buckets,
+    band matching against the closure-carried query bands (an OR over
+    bands — the same pair-dedup the former explode+join+dropDuplicates
+    bought with an exchange), and exact cosine for the band-matched
+    candidates only, emitted as partition-local top-k partials for the
+    final tiny window. Bit-parity: plane dots accumulate left-to-right
+    against the identical PLANES literals, the ``> 0`` sign predicate
+    is unchanged, and candidate sims are :func:`_cos_csim` /
+    :func:`_seq_norms` order."""
+    import math
+
+    qrows = _collect_queries(embeddings, num_queries)
+    qids = [q for q, _ in qrows]
+    qmat = [v for _, v in qrows]
+    qnorms = [math.sqrt(_py_seq_dot(v, v)) for v in qmat]
+    qbands = [_py_bands(v) for v in qmat]
+    # numpy consumer: natural partitioning, no _spread
+    corpus = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    banded = base.select("vec_id", "v", "norm", F.explode(band_keys).alias("bk"))
-    queries = banded.where(F.col("vec_id") < num_queries).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("v").alias("qv"),
-        F.col("norm").alias("qnorm"),
-        "bk",
-    )
-    cand = (
-        banded.join(F.broadcast(queries), "bk")
-        .where(F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            _cosine(F.col("qv"), F.col("v"), F.col("qnorm"), F.col("norm")).alias("sim"),
-        )
-        .dropDuplicates(["query_id", "neighbor_id"])
+    partials = corpus.mapInArrow(
+        _lsh_partials_fn(qids, qmat, qnorms, qbands, k),
+        "query_id long, neighbor_id long, sim double",
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
-        cand.withColumn("rank", F.row_number().over(w))
+        partials.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank")
     )
@@ -1288,6 +1314,54 @@ def _cos_csim(vecs, qnorm, c_mat, cnorms):
     return csim
 
 
+def _seq_norms(mat):
+    """Per-row ``sqrt(dot(v, v))`` with the strict left-to-right
+    accumulation of ``_with_norm``'s ``sqrt(aggregate(zip_with(v, v,
+    x*y), 0.0, acc+x))`` — the vectorized form of
+    :func:`_seq_self_norms` (np.sqrt is the same correctly-rounded
+    IEEE sqrt)."""
+    import numpy as np
+
+    acc = np.zeros(mat.shape[0], dtype=np.float64)
+    for d in range(mat.shape[1]):
+        acc = acc + mat[:, d] * mat[:, d]
+    return np.sqrt(acc)
+
+
+def _py_seq_dot(a, b) -> float:
+    """Driver-side scalar :func:`_seq_dot`: strict left-to-right
+    accumulation across dimensions."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + float(x) * float(y)
+    return acc
+
+
+def _collect_queries(embeddings: DataFrame, num_queries: int) -> list:
+    """The query rows (vec_id < num_queries) as driver data, vec_id
+    ascending: ``[(vec_id, [v...])]``. The ANN query set is ≤32 rows by
+    construction — collecting it replaces a broadcast-subplan build
+    (and its job) with one pushed-filter scan, and lets the scoring
+    pass carry the queries in its task closure like the Lloyd
+    centroids."""
+    rows = embeddings.where(F.col("vec_id") < num_queries).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    ).collect()
+    return sorted((int(r.vec_id), [float(x) for x in r.v]) for r in rows)
+
+
+def _topk_sel(ids, sims, k: int, largest: bool):
+    """Positions of the per-partition top-``k`` by (sim, id asc) —
+    ``largest`` picks sim DESC (the cosine/dot rankings), else ASC
+    (distances). np.lexsort's last key is primary; equal sims
+    (including ±0.0, which compare equal) fall to the id key — exactly
+    the row_number window ordering these partials feed."""
+    import numpy as np
+
+    key = -sims if largest else sims
+    return np.lexsort((ids, key))[:k]
+
+
 def _cos_partials_fn(cids: list, c_mat):
     """mapInArrow body for a kmeans_codebook round: max-cosine argmax
     (first occurrence over cid-ascending rows == max(struct(csim,
@@ -1350,6 +1424,237 @@ def _cos_assign_fn(cids: list, c_mat, cnorms: list):
                     pa.array(cid_arr[amax], pa.int64()),
                 ],
                 names=["vec_id", "cid"],
+            )
+
+    return fn
+
+
+def _brute_partials_fn(qids: list, q_mat, qnorms: list, k: int):
+    """mapInArrow body: (vec_id, v) → per-partition top-k (query_id,
+    neighbor_id, sim) per query. Norms are :func:`_seq_norms` (the
+    bit-exact ``_with_norm`` order); sims are :func:`_cos_csim`."""
+
+    def fn(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        qm = np.asarray(q_mat, dtype=np.float64)
+        qn = list(qnorms)
+        qi = [int(q) for q in qids]
+        for batch in batches:
+            if not batch.num_rows:
+                continue
+            ids = _batch_np(batch, "vec_id")
+            vecs = _batch_mat(batch, "v", EMBED_DIM)
+            norms = _seq_norms(vecs)
+            csim = _cos_csim(vecs, norms, qm, qn)
+            out_q, out_n, out_s = [], [], []
+            for j, qid in enumerate(qi):
+                excl = ids != qid
+                sel_ids = ids[excl]
+                sel = csim[excl, j]
+                top = _topk_sel(sel_ids, sel, k, largest=True)
+                out_q.extend([qid] * len(top))
+                out_n.extend(int(x) for x in sel_ids[top])
+                out_s.extend(float(x) for x in sel[top])
+            yield pa.record_batch(
+                [
+                    pa.array(out_q, pa.int64()),
+                    pa.array(out_n, pa.int64()),
+                    pa.array(out_s, pa.float64()),
+                ],
+                names=["query_id", "neighbor_id", "sim"],
+            )
+
+    return fn
+
+
+def _jl_partials_fn(qids: list, qproj, signs, k: int):
+    """mapInArrow body: (vec_id, q int64 lattice) → per-partition
+    top-k (query_id, neighbor_id, sim) per query, sims exact int64
+    projected dot products."""
+
+    def fn(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        qp = np.asarray(qproj, dtype=np.int64)
+        sg = np.asarray(signs, dtype=np.int64)
+        qi = [int(q) for q in qids]
+        for batch in batches:
+            if not batch.num_rows:
+                continue
+            ids = _batch_np(batch, "vec_id")
+            col = batch.column(batch.schema.get_field_index("q"))
+            flat = col.flatten().to_numpy(zero_copy_only=False)
+            qmat = np.asarray(flat, dtype=np.int64).reshape(
+                len(ids), sg.shape[1]
+            )
+            sims = (qmat @ sg.T) @ qp.T  # (n × num_queries), exact
+            out_q, out_n, out_s = [], [], []
+            for j, qid in enumerate(qi):
+                excl = ids != qid
+                sel_ids = ids[excl]
+                sel = sims[excl, j]
+                top = _topk_sel(sel_ids, sel, k, largest=True)
+                out_q.extend([qid] * len(top))
+                out_n.extend(int(x) for x in sel_ids[top])
+                out_s.extend(int(x) for x in sel[top])
+            yield pa.record_batch(
+                [
+                    pa.array(out_q, pa.int64()),
+                    pa.array(out_n, pa.int64()),
+                    pa.array(out_s, pa.int64()),
+                ],
+                names=["query_id", "neighbor_id", "sim"],
+            )
+
+    return fn
+
+
+def _py_bands(v) -> list[int]:
+    """Driver-side LSH band values for one vector: the
+    :func:`_bucket_col` plane-sign bucket (strict left-to-right dots
+    against the PLANES literals, ``> 0`` predicate), split into
+    ``LSH_BANDS`` groups of ``BAND_BITS`` bits."""
+    bucket = 0
+    for p in range(NUM_PLANES):
+        if _py_seq_dot(v, PLANES[p]) > 0.0:
+            bucket |= 1 << p
+    return [
+        (bucket >> (i * BAND_BITS)) & ((1 << BAND_BITS) - 1)
+        for i in range(LSH_BANDS)
+    ]
+
+
+def _lsh_partials_fn(qids, q_mat, qnorms, qbands, k: int):
+    """mapInArrow body: (vec_id, v) → per-partition top-k per query
+    over band-matched candidates. A row is a candidate for query j iff
+    ANY band value matches — computed as an OR over bands, so a pair
+    sharing both bands is naturally counted once."""
+
+    def fn(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        qm = np.asarray(q_mat, dtype=np.float64)
+        qn = list(qnorms)
+        qi = [int(q) for q in qids]
+        qb = np.asarray(qbands, dtype=np.int64)  # (nq × LSH_BANDS)
+        planes = np.asarray(PLANES, dtype=np.float64)
+        mask_bits = (1 << BAND_BITS) - 1
+        for batch in batches:
+            if not batch.num_rows:
+                continue
+            ids = _batch_np(batch, "vec_id")
+            vecs = _batch_mat(batch, "v", EMBED_DIM)
+            bucket = np.zeros(len(ids), dtype=np.int64)
+            for p in range(NUM_PLANES):
+                bucket |= (_seq_dot(vecs, planes[p]) > 0.0).astype(
+                    np.int64
+                ) << p
+            bands = np.stack(
+                [
+                    (bucket >> (i * BAND_BITS)) & mask_bits
+                    for i in range(LSH_BANDS)
+                ],
+                axis=1,
+            )  # (n × LSH_BANDS)
+            norms = _seq_norms(vecs)
+            out_q, out_n, out_s = [], [], []
+            for j, qid in enumerate(qi):
+                cand = (bands == qb[j]).any(axis=1) & (ids != qid)
+                pos = np.nonzero(cand)[0]
+                if not len(pos):
+                    continue
+                sims = _seq_dot(vecs[pos], qm[j]) / (norms[pos] * qn[j])
+                top = _topk_sel(ids[pos], sims, k, largest=True)
+                out_q.extend([qid] * len(top))
+                out_n.extend(int(x) for x in ids[pos][top])
+                out_s.extend(float(x) for x in sims[top])
+            yield pa.record_batch(
+                [
+                    pa.array(out_q, pa.int64()),
+                    pa.array(out_n, pa.int64()),
+                    pa.array(out_s, pa.float64()),
+                ],
+                names=["query_id", "neighbor_id", "sim"],
+            )
+
+    return fn
+
+
+def _py_sign_words(v) -> tuple[int, int]:
+    """Driver-side :func:`_sign_words`: bit ``i`` of word ``w`` set
+    iff ``v[w*32 + i] > 0`` (missing trailing dims read as 0)."""
+    words = []
+    for w in range(2):
+        acc = 0
+        for i in range(32):
+            d = w * 32 + i
+            if d < len(v) and float(v[d]) > 0.0:
+                acc |= 1 << i
+        words.append(acc)
+    return words[0], words[1]
+
+
+def _hamming_partials_fn(qids, q_mat, qnorms, qwords, n_candidates: int):
+    """mapInArrow body: (vec_id, v) → per-partition Hamming
+    top-n_candidates per query, each row carrying its exact cosine
+    (computed here, where the float vector is already in hand)."""
+
+    def fn(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        qm = np.asarray(q_mat, dtype=np.float64)
+        qn = list(qnorms)
+        qi = [int(q) for q in qids]
+        qw = np.asarray(qwords, dtype=np.int64)  # (nq × 2)
+        # 16-bit popcount table: bit_count is numpy≥2 only
+        pop16 = np.array(
+            [bin(x).count("1") for x in range(1 << 16)], dtype=np.int64
+        )
+
+        def popcount(a):
+            c = pop16[a & 0xFFFF]
+            c += pop16[(a >> 16) & 0xFFFF]
+            return c
+
+        for batch in batches:
+            if not batch.num_rows:
+                continue
+            ids = _batch_np(batch, "vec_id")
+            vecs = _batch_mat(batch, "v", EMBED_DIM)
+            # sign words, vectorized: bit i of word w ⇔ v[w*32+i] > 0
+            bits = vecs > 0.0
+            pows = np.int64(1) << np.arange(32, dtype=np.int64)
+            w0 = (bits[:, :32] * pows).sum(axis=1)
+            w1 = (bits[:, 32:64] * pows).sum(axis=1)
+            norms = _seq_norms(vecs)
+            out = ([], [], [], [])
+            for j, qid in enumerate(qi):
+                ham = popcount(w0 ^ qw[j, 0]) + popcount(w1 ^ qw[j, 1])
+                excl = ids != qid
+                sel_ids = ids[excl]
+                sel_ham = ham[excl]
+                top = _topk_sel(sel_ids, sel_ham, n_candidates, largest=False)
+                cand_pos = np.nonzero(excl)[0][top]
+                sims = _seq_dot(vecs[cand_pos], qm[j]) / (
+                    norms[cand_pos] * qn[j]
+                )
+                out[0].extend([qid] * len(top))
+                out[1].extend(int(x) for x in sel_ids[top])
+                out[2].extend(int(x) for x in sel_ham[top])
+                out[3].extend(float(x) for x in sims)
+            yield pa.record_batch(
+                [
+                    pa.array(out[0], pa.int64()),
+                    pa.array(out[1], pa.int64()),
+                    pa.array(out[2], pa.int64()),
+                    pa.array(out[3], pa.float64()),
+                ],
+                names=["query_id", "neighbor_id", "hamming", "sim"],
             )
 
     return fn
@@ -2905,8 +3210,11 @@ def mmr_select(
         winners.append((rank, r.vec_id, r.score_num))
         sel_vecs.append([int(x) for x in r.q])
         cands = cands.where(F.col("vec_id") != r.vec_id)
-    return embeddings.sparkSession.createDataFrame(
-        winners, "sel_rank long, vec_id long, score_num long"
+    from ..localrel import values_df
+
+    # LocalRelation result frame (r14): driver-only collects
+    return values_df(
+        embeddings.sparkSession, winners, "sel_rank long, vec_id long, score_num long"
     )
 
 
@@ -3093,54 +3401,42 @@ def jl_topk(
     distance-preservation bound rather than an inverted-list prune.
     All arithmetic is integer (products of round(x*1000) sums stay far
     under 2^63 for out_dim·dim ≤ ~10^5), so any engine reproduces the
-    ranking bit-for-bit."""
-    signs = _jl_matrix(out_dim, EMBED_DIM)
+    ranking bit-for-bit — and the r14 vectorized pass inherits that
+    exactness for free (int64 lattice: any summation order; numpy and
+    Java longs share wrap-around semantics even hypothetically).
+
+    One vectorized corpus pass (r14, guide §4.2): quantization,
+    projection, and scoring run as int64 numpy matmuls inside
+    mapInArrow; the queries' projections are computed driver-side with
+    the identical HALF_UP lattice rounding (:func:`_round_half_up`);
+    the final window ranks partition-local top-k partials only."""
+    import numpy as np
+
+    signs = np.asarray(_jl_matrix(out_dim, EMBED_DIM), dtype=np.int64)
+    qrows = _collect_queries(embeddings, num_queries)
+    qids = [q for q, _ in qrows]
+    qq = np.asarray(
+        [[int(_round_half_up(x * KMEANS_QUANT)) for x in v] for _, v in qrows],
+        dtype=np.int64,
+    )
+    qproj = qq @ signs.T  # (num_queries × out_dim), exact int64
+    # the corpus quantization stays the Spark expression _quantized
+    # uses (same HALF_UP round), so the lattice is pinned in one place
     q = F.transform(
         F.col("embedding").cast("array<double>"),
         lambda x: F.round(x * F.lit(KMEANS_QUANT), 0).cast("long"),
     )
-    # each sign row is ONE array<long> literal (F.lit(list)) — the
-    # former per-element F.lit chain cost ~1,000 py4j roundtrips per
-    # plan construction (r13); identical literal values
-    proj = F.array(
-        *[
-            F.aggregate(
-                F.zip_with(
-                    F.col("__q"),
-                    F.lit([int(s) for s in signs[j]]),
-                    lambda x, y: x * y,
-                ),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            )
-            for j in range(out_dim)
-        ]
-    )
-    base = (
-        embeddings.select("vec_id", q.alias("__q"))
-        .select("vec_id", proj.alias("p"))
-        .transform(_spread)
-    )
-    queries = base.where(F.col("vec_id") < num_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("p").alias("qp")
-    )
-    idot = F.aggregate(
-        F.zip_with(F.col("qp"), F.col("p"), lambda x, y: x * y),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    scored = base.join(
-        F.broadcast(queries), F.col("vec_id") != F.col("query_id")
-    ).select(
-        "query_id",
-        F.col("vec_id").alias("neighbor_id"),
-        idot.alias("sim"),
+    # numpy consumer: natural partitioning, no _spread
+    base = embeddings.select("vec_id", q.alias("q"))
+    partials = base.mapInArrow(
+        _jl_partials_fn(qids, qproj, signs, k),
+        "query_id long, neighbor_id long, sim long",
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("sim"), F.asc("neighbor_id")
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        partials.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank")
     )
@@ -3417,51 +3713,42 @@ def hamming_rerank_topk(
     ``n_candidates`` closest, then re-score ONLY those candidates with
     exact cosine and emit the top ``k``.
 
-    100 TB design: the Hamming scan reads 2 longs per corpus vector
-    (not 64 doubles); the candidate table is queries x n_candidates
-    rows and is BROADCAST back against the corpus to fetch the float
-    vectors for the rerank, so the full-width embedding column is
-    touched only for candidates. The window is partitioned by query_id.
+    100 TB design (r14, guide §4.2): ONE vectorized corpus pass packs
+    the sign words, ranks each partition's Hamming top-n_candidates
+    per query, and — since the float vectors are in hand — scores the
+    exact cosine for those partial candidates in the same pass (the
+    former shape re-touched the corpus through a broadcast join to
+    fetch vectors for the rerank). The global stage sees
+    ≤ partitions × queries × n_candidates rows: one crank window
+    (hamming ASC, id ASC) keeps the true candidate set, one rank
+    window (sim DESC, id ASC) on the SAME partitioning emits the top
+    k — both windows share one exchange. Bit-parity: packing is the
+    identical ``x > 0`` bit predicate (ints exact), sims are
+    :func:`_cos_csim` / :func:`_seq_norms` order.
     Output: (query_id, neighbor_id, hamming, rank) — integers plus a
     cosine-ordered rank, ties by neighbor_id."""
-    v = F.col("embedding").cast("array<double>")
-    w0, w1 = _sign_words(v)
-    packed = embeddings.select(
-        "vec_id", w0.alias("w0"), w1.alias("w1")
-    ).transform(_spread)
-    qp = packed.where(F.col("vec_id") < num_queries).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("w0").alias("q0"),
-        F.col("w1").alias("q1"),
+    import math
+
+    qrows = _collect_queries(embeddings, num_queries)
+    qids = [q for q, _ in qrows]
+    qmat = [v for _, v in qrows]
+    qnorms = [math.sqrt(_py_seq_dot(v, v)) for v in qmat]
+    qwords = [_py_sign_words(v) for v in qmat]
+    # numpy consumer: natural partitioning, no _spread
+    corpus = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    ham = packed.join(F.broadcast(qp), F.col("vec_id") != F.col("query_id")).select(
-        "query_id",
-        F.col("vec_id").alias("neighbor_id"),
-        (
-            F.bit_count(F.expr("w0 ^ q0")) + F.bit_count(F.expr("w1 ^ q1"))
-        ).cast("long").alias("hamming"),
+    partials = corpus.mapInArrow(
+        _hamming_partials_fn(qids, qmat, qnorms, qwords, n_candidates),
+        "query_id long, neighbor_id long, hamming long, sim double",
     )
     wnd = Window.partitionBy("query_id").orderBy(F.asc("hamming"), F.asc("neighbor_id"))
-    cand = ham.withColumn("crank", F.row_number().over(wnd)).where(
+    cand = partials.withColumn("crank", F.row_number().over(wnd)).where(
         F.col("crank") <= n_candidates
-    ).select("query_id", "neighbor_id", "hamming")
-    vecs = _with_norm(embeddings)
-    qv = vecs.where(F.col("vec_id") < num_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("norm").alias("qnorm")
-    )
-    scored = (
-        vecs.join(F.broadcast(cand), vecs.vec_id == cand.neighbor_id)
-        .join(F.broadcast(qv), "query_id")
-        .select(
-            "query_id",
-            "neighbor_id",
-            "hamming",
-            _cosine(F.col("qv"), F.col("v"), F.col("qnorm"), F.col("norm")).alias("sim"),
-        )
     )
     rw = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(rw).cast("long"))
+        cand.withColumn("rank", F.row_number().over(rw).cast("long"))
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "hamming", "rank")
     )
