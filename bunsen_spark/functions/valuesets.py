@@ -165,8 +165,10 @@ def in_valueset_join(
     if vs is None or ref not in vs:
         raise ValueError(f"unknown valueset reference {ref!r}")
     spark = df.sparkSession
-    codes = spark.createDataFrame(
-        [(s, c) for s, cs in vs[ref].items() for c in cs], "system string, code string"
+    from ..localrel import values_df
+
+    codes = values_df(
+        spark, [(s, c) for s, cs in vs[ref].items() for c in cs], "system string, code string"
     )
     # Explode only (row-id, system, code) — never the full resource row
     # (a wide row duplicated per coding, then de-duplicated with a

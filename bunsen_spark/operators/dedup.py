@@ -1155,9 +1155,13 @@ def embedding_near_dup_pairs(
     if strategy != "blocked":
         raise ValueError(f"unknown strategy {strategy!r}")
 
+    from ..localrel import values_df
+
     B = num_blocks
-    pairs = spark.createDataFrame(
-        [(i, j) for i in range(B) for j in range(i, B)], "bi int, bj int"
+    # LocalRelation (r14): the RDD-backed form cost one 32-Python-task
+    # scan per broadcast build (two builds here)
+    pairs = values_df(
+        spark, [(i, j) for i in range(B) for j in range(i, B)], "bi int, bj int"
     )
     blocked = src.withColumn("blk", F.pmod(F.xxhash64("vec_id"), F.lit(B)).cast("int"))
     # a vector participates in every block pair containing its block;

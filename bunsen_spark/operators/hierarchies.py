@@ -208,7 +208,9 @@ class Hierarchies:
             )
             .distinct()
         )
-        self_row = self.spark.createDataFrame([(system, value)], "system string, value string")
+        from ..localrel import values_df
+
+        self_row = values_df(self.spark, [(system, value)], "system string, value string")
         return hits.unionByName(self_row).distinct()
 
     # -- warehouse (S9/S10) -------------------------------------------------

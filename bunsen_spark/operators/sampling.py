@@ -558,9 +558,11 @@ def coverage_select(
         covered = materialize(
             newly if covered is None else covered.union(newly)
         )
-    return spark.createDataFrame(
-        winners, "sel_rank long, doc_id long, gain long"
-    )
+    from ..localrel import values_df
+
+    # LocalRelation result frame (r14): collect()s of it are
+    # driver-only instead of a 32-Python-task pickle scan per read
+    return values_df(spark, winners, "sel_rank long, doc_id long, gain long")
 
 
 def coverage_select_sql(table: str = "documents", k: int = 5, n: int = 3) -> str:
@@ -702,8 +704,11 @@ def interleave_positions(
     # type (ADVICE r7: a hardcoded `string` schema made non-string
     # groups — e.g. int source codes — fail the broadcast join or
     # mismatch via implicit casts).
+    from ..localrel import values_df
+
     gtype = df.schema[group_col].dataType
-    wtab = df.sparkSession.createDataFrame(
+    wtab = values_df(
+        df.sparkSession,
         [(str(g), int(w)) for g, w in sorted(weights.items())],
         f"{group_col} string, __wt long",
     ).withColumn(group_col, F.col(group_col).cast(gtype))

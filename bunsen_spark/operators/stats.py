@@ -523,7 +523,9 @@ def weighted_quantiles(
         "__cumw",
     )
     spark = df.sparkSession
-    targets = spark.createDataFrame(qs, "q string, num long, den long")
+    from ..localrel import values_df
+
+    targets = values_df(spark, qs, "q string, num long, den long")
     tot = src.agg(F.sum("__wt").alias("__W"))
     targets = targets.crossJoin(tot).select(
         "q",

@@ -248,9 +248,10 @@ def bpe_train(
             )
         )
         cur = nxt
-    return spark.createDataFrame(
-        merges, "merge_rank long, lhs string, rhs string, cnt long"
-    )
+    from ..localrel import values_df
+
+    # LocalRelation result frame (r14): driver-only collects
+    return values_df(spark, merges, "merge_rank long, lhs string, rhs string, cnt long")
 
 
 def bpe_train_sql(table: str = "documents", n_merges: int = 4) -> str:

@@ -106,6 +106,24 @@ _CHANGED_GATES: list[tuple[str, int]] = [
     ("dedup_jaccard", 14),
     ("dedup_containment", 14),
     ("dedup_prefix_jaccard", 14),
+    # round 14 session 2: vectorized ANN query scans (numpy mapInArrow
+    # partial top-k + tiny global window) and the LocalRelation sweep
+    # of driver-built lookup/result tables (bunsen_spark/localrel.py)
+    ("ann_brute_topk", 14),
+    ("ann_jl_topk", 14),
+    ("ann_lsh_topk", 14),
+    ("ann_hamming_topk", 14),
+    ("ann_ivf_topk", 14),
+    ("dedup_embedding", 14),
+    ("coverage_select_docs", 14),
+    ("interleave_mix_positions", 14),
+    ("weighted_median_prices", 14),
+    ("bpe_learned_merges", 14),
+    ("mmr_diverse_topk", 14),
+    ("translate_order_priority", 14),
+    ("bm25_multiquery_topk", 14),
+    ("valueset_membership_lineitem", 14),
+    ("closure_part_hierarchy", 14),
 ]
 
 

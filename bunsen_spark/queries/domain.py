@@ -114,8 +114,10 @@ def translate_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the reference's `BroadcastableConceptMap.getTarget` semantics as a
     Catalyst join). Output: order counts per (source, target) code."""
     orders = load(spark, sf_dir, "orders")
-    mapping = spark.createDataFrame(
-        list(PRIORITY_MAP), "o_orderpriority string, translated string"
+    from ..localrel import values_df
+
+    mapping = values_df(
+        spark, list(PRIORITY_MAP), "o_orderpriority string, translated string"
     )
     return (
         orders.join(F.broadcast(mapping), "o_orderpriority", "left")

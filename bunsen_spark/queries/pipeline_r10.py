@@ -192,8 +192,11 @@ def ann_eval_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("variant", "query_id")
         .agg(F.count(F.lit(1)).cast("long").alias("hits"))
     )
-    variants = spark.createDataFrame(
-        [(v,) for v in ("ivf", "ivf_p1", "ivf_p4", "jl", "lsh")], "variant string"
+    # TRUE LocalRelation (r14): createDataFrame(list) is RDD-backed in
+    # PySpark — scanning this 5-row table spawned 32 Python tasks
+    variants = spark.sql(
+        "SELECT * FROM VALUES ('ivf'), ('ivf_p1'), ('ivf_p4'), ('jl'), ('lsh')"
+        " AS t(variant)"
     )
     recall = (
         a.select("query_id")

@@ -298,7 +298,9 @@ def bm25_multiquery_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.retrieval import bm25_topk_by_query
 
     docs = load(spark, sf_dir, "documents")
-    qdf = spark.createDataFrame(BM25_QUERY_ROWS, "query_id string, term string")
+    from ..localrel import values_df
+
+    qdf = values_df(spark, BM25_QUERY_ROWS, "query_id string, term string")
     return bm25_topk_by_query(docs, qdf, k=10)
 
 
