@@ -576,58 +576,55 @@ def ivf_kmeans_topk(
     upgrade of :func:`ivf_topk`'s seeded quantizer; same probe plan).
     Coarse assignment/probing uses cosine against the trained
     centroids on the quantized vectors; final ranking among candidates
-    is exact cosine on the original vectors."""
-    # the trained codebook is a LOCAL RELATION (r14 kmeans_codebook) —
-    # no checkpoint needed; broadcasts/collects of it are free. Corpus
-    # assignment is the shared vectorized numpy pass; the query
-    # top-n_probe stays the map-only array expression — it evaluates on
-    # num_queries rows only (the filter sits below the tiny broadcast),
-    # with the struct(negsim, cid) == (csim DESC, cid ASC) ordering
-    # argument from ivf_topk.
+    is exact cosine on the original vectors.
+
+    One vectorized corpus pass (r14, guide §4.2 — the seeded-IVF
+    treatment of :func:`ivf_topk` applied to the trained codebook):
+    the LocalRelation codebook collects driver-only, query probe lists
+    derive driver-side with the identical quantized-cosine arithmetic
+    (HALF_UP lattice, struct ordering via Python tuple compare), and
+    the pass assigns cells on the quantized columns while scoring
+    probed candidates on the raw vectors — partition-local top-k into
+    the final tiny window. The former shape joined the assignment
+    against broadcast probes, re-joined the corpus for raw vectors,
+    and evaluated every candidate cosine as an interpreted HOF."""
+    import math
+
     cents = kmeans_codebook(embeddings, n_centroids, n_iters)
-    quant = _quantized(embeddings)  # numpy consumer: no _spread
-    assigned = _kmeans_assign(quant, cents)
-    carr = cents.agg(F.collect_list(F.struct("cid", "cv", "cnorm")).alias("cs"))
-    scored_arr = F.transform(
-        F.col("cs"),
-        lambda c: F.struct(
-            (-_cosine(F.col("q"), c["cv"], F.col("qnorm"), c["cnorm"])).alias(
-                "negsim"
-            ),
-            c["cid"].alias("cid"),
+    cent_rows = sorted(
+        (
+            (int(r.cid), [float(x) for x in r.cv], float(r.cnorm))
+            for r in cents.select("cid", "cv", "cnorm").collect()
         ),
+        key=lambda t: t[0],
     )
-    probes = (
-        quant.where(F.col("vec_id") < num_queries)
-        .crossJoin(F.broadcast(carr))
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.slice(F.array_sort(scored_arr), 1, n_probe).alias("pc"),
+    qraw = _collect_queries(embeddings, num_queries)
+    # probe lists on the QUANTIZED lattice (the assignment geometry),
+    # exactly as the former slice(array_sort(struct(negsim, cid)))
+    qs_quant = []
+    for qid, v in qraw:
+        qq = [_round_half_up(x * KMEANS_QUANT) for x in v]
+        qs_quant.append((qid, qq, math.sqrt(_py_seq_dot(qq, qq))))
+    probe_lists = _ivf_probe_lists(cent_rows, qs_quant, n_probe)
+    # exact scoring on the RAW vectors (raw driver-side norms)
+    qs_raw = [
+        (qid, v, math.sqrt(_py_seq_dot(v, v))) for qid, v in qraw
+    ]
+    v = F.col("embedding").cast("array<double>")
+    src = (
+        embeddings.select("vec_id", v.alias("v"))
+        .withColumn(
+            "q", F.transform(F.col("v"), lambda x: F.round(x * F.lit(KMEANS_QUANT), 0))
         )
-        .select("query_id", F.explode(F.col("pc")["cid"]).alias("cid"))
-    )
-    base = _with_norm(embeddings).transform(_spread)
-    queries = base.select(
-        F.col("vec_id").alias("query_id"),
-        F.col("v").alias("qv"),
-        F.col("norm").alias("qnorm"),
-    )
-    cand = (
-        assigned.join(F.broadcast(probes), "cid")
-        .where(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", F.col("vec_id").alias("neighbor_id"))
-        .distinct()
-        .join(base, F.col("neighbor_id") == base["vec_id"])
-        .join(F.broadcast(queries), "query_id")
-        .select(
-            "query_id",
-            "neighbor_id",
-            _cosine(F.col("qv"), F.col("v"), F.col("qnorm"), F.col("norm")).alias("sim"),
-        )
+        .withColumn("qnorm", F.sqrt(_dot(F.col("q"), F.col("q"))))
+    )  # numpy consumer: no _spread
+    partials = src.mapInArrow(
+        _ivf_kmeans_partials_fn(cent_rows, qs_raw, probe_lists, k),
+        "query_id long, neighbor_id long, sim double",
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
-        cand.withColumn("rank", F.row_number().over(w))
+        partials.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank")
     )
@@ -1584,6 +1581,58 @@ def _lsh_partials_fn(qids, q_mat, qnorms, qbands, k: int):
     return fn
 
 
+def _ivf_kmeans_partials_fn(cents: list, qs_raw: list, probe_lists: list, k: int):
+    """mapInArrow body for the trained-codebook IVF scan: (vec_id, v,
+    q, qnorm) rows — cell assignment on the quantized (q, qnorm)
+    columns against the trained centroids, exact-cosine scoring of
+    probed candidates on the raw v (norms via :func:`_seq_norms`, the
+    `_with_norm` order), partition-local top-k per query."""
+
+    def fn(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        c_mat = np.asarray([cv for _, cv, _ in cents], dtype=np.float64)
+        cnorms = [cn for _, _, cn in cents]
+        qi = [int(q) for q, _, _ in qs_raw]
+        qm = np.asarray([qv for _, qv, _ in qs_raw], dtype=np.float64)
+        qn = [qnorm for _, _, qnorm in qs_raw]
+        rnmaps = np.zeros((len(qs_raw), len(cents)), dtype=np.int64)
+        for j, plist in enumerate(probe_lists):
+            for idx, rn in plist:
+                rnmaps[j, idx] = rn
+        for batch in batches:
+            if not batch.num_rows:
+                continue
+            ids = _batch_np(batch, "vec_id")
+            vecs = _batch_mat(batch, "v", EMBED_DIM)
+            qvecs = _batch_mat(batch, "q", EMBED_DIM)
+            qnorm = _batch_np(batch, "qnorm")
+            amax = _cos_csim(qvecs, qnorm, c_mat, cnorms).argmax(axis=1)
+            norms = _seq_norms(vecs)
+            out_q, out_n, out_s = [], [], []
+            for j, qid in enumerate(qi):
+                cand = (rnmaps[j][amax] >= 1) & (ids != qid)
+                pos = np.nonzero(cand)[0]
+                if not len(pos):
+                    continue
+                sims = _seq_dot(vecs[pos], qm[j]) / (norms[pos] * qn[j])
+                top = _topk_sel(ids[pos], sims, k, largest=True)
+                out_q.extend([qid] * len(top))
+                out_n.extend(int(x) for x in ids[pos][top])
+                out_s.extend(float(x) for x in sims[top])
+            yield pa.record_batch(
+                [
+                    pa.array(out_q, pa.int64()),
+                    pa.array(out_n, pa.int64()),
+                    pa.array(out_s, pa.float64()),
+                ],
+                names=["query_id", "neighbor_id", "sim"],
+            )
+
+    return fn
+
+
 def _py_sign_words(v) -> tuple[int, int]:
     """Driver-side :func:`_sign_words`: bit ``i`` of word ``w`` set
     iff ``v[w*32 + i] > 0`` (missing trailing dims read as 0)."""
@@ -1660,12 +1709,12 @@ def _hamming_partials_fn(qids, q_mat, qnorms, qwords, n_candidates: int):
     return fn
 
 
-def _cos_assign_payload_fn(cids: list, c_mat, cnorms: list):
-    """mapInArrow body: (vec_id, v, norm, q, qnorm) → (vec_id, cid, v,
-    norm) — the :func:`_cos_assign_fn` max-cosine assignment with the
-    raw vector and its Spark-computed norm passed through untouched
-    (zero-copy Arrow columns), so one corpus pass feeds a downstream
-    per-cluster consumer without a join back to the embeddings."""
+def _cos_assign_payload_fn(cids: list, c_mat, cnorms: list, payload: tuple = ("v", "norm")):
+    """mapInArrow body: (vec_id, q, qnorm, *payload) → (vec_id, cid,
+    *payload) — the :func:`_cos_assign_fn` max-cosine assignment with
+    the payload columns passed through untouched (zero-copy Arrow
+    columns), so one corpus pass feeds a downstream per-cluster
+    consumer without a join back to the embeddings."""
 
     def fn(batches):
         import numpy as np
@@ -1683,10 +1732,12 @@ def _cos_assign_payload_fn(cids: list, c_mat, cnorms: list):
                 [
                     batch.column(batch.schema.get_field_index("vec_id")),
                     pa.array(cid_arr[amax], pa.int64()),
-                    batch.column(batch.schema.get_field_index("v")),
-                    batch.column(batch.schema.get_field_index("norm")),
+                ]
+                + [
+                    batch.column(batch.schema.get_field_index(c))
+                    for c in payload
                 ],
-                names=["vec_id", "cid", "v", "norm"],
+                names=["vec_id", "cid", *payload],
             )
 
     return fn
@@ -3502,13 +3553,33 @@ def cluster_label_purity(
     both the member count and the majority vote are map-side-combined
     aggregates on ``(cid[, label])`` — state bounded by clusters ×
     labels, never corpus rows."""
-    # the trained codebook is a local relation (r14) — no materialize
+    # the trained codebook is a local relation (r14) — no materialize.
+    # The label rides THROUGH the assignment pass as an Arrow
+    # passthrough column (r14 session 2), deleting the join back to
+    # the embeddings (two exchanges) — same fusion as semantic_dedup.
     cents = kmeans_codebook(embeddings, n_centroids, n_iters)
-    quant = _quantized(embeddings)  # numpy consumer: no _spread
-    assigned = _kmeans_assign(quant, cents)
-    labeled = assigned.join(
-        embeddings.select("vec_id", F.col("label").cast("long").alias("label")),
-        "vec_id",
+    v = F.col("embedding").cast("array<double>")
+    src = (
+        embeddings.select(
+            "vec_id", F.col("label").cast("long").alias("label"), v.alias("v")
+        )
+        .withColumn(
+            "q", F.transform(F.col("v"), lambda x: F.round(x * F.lit(KMEANS_QUANT), 0))
+        )
+        .withColumn("qnorm", F.sqrt(_dot(F.col("q"), F.col("q"))))
+    )  # numpy consumer: no _spread
+    rows = sorted(
+        ((r.cid, list(r.cv), r.cnorm) for r in cents.select("cid", "cv", "cnorm").collect()),
+        key=lambda t: t[0],
+    )
+    labeled = src.mapInArrow(
+        _cos_assign_payload_fn(
+            [c for c, _, _ in rows],
+            [cv for _, cv, _ in rows],
+            [n for _, _, n in rows],
+            payload=("label",),
+        ),
+        "vec_id long, cid long, label long",
     )
     votes = labeled.groupBy("cid", "label").agg(
         F.count(F.lit(1)).cast("long").alias("votes")
