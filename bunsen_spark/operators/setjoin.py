@@ -333,7 +333,42 @@ def exact_intersections(
     dedup_containment in BOTH passes). Join strategy is left to AQE,
     which broadcast-converts a small candidate side from its REAL
     runtime size instead of a pre-join row-bound estimate — the same
-    conclusion the r13 A/B reached for the LSH verify joins."""
+    conclusion the r13 A/B reached for the LSH verify joins.
+
+    r14 session 2 (guide §2.3/§2.4), NUMERIC tokens only: intersections
+    are computed with ONE native ``size(array_intersect(...))`` per
+    candidate pair over per-doc token ARRAYS (rebuilt from the same —
+    possibly df-pruned — ``toks`` relation, so the pruned-measure
+    semantics are untouched). The former shape exploded every candidate
+    against doc_a's full token list and shuffled |pairs| × |set| skinny
+    rows through an equi-join + groupBy; the array form attaches two
+    array payloads by doc-id joins (AQE broadcast-converts the
+    doc-count-sized array table when it fits; the two sides reuse one
+    exchange) and deletes the per-pair aggregation exchange outright.
+    ``array_intersect`` over distinct-element arrays returns exactly
+    |A∩B| — the same count(*) the equi-join produced. Measured
+    (profile_gate sf0.1 task time): int64-hash tokens 7.6→4.0 s
+    (jaccard) / 4.8→3.3 s (containment); STRING tokens got SLOWER
+    (prefix_jaccard 11.2→12.9 s — array_intersect's per-pair hash-set
+    over ~17-char shingle strings costs more than the skinny
+    equi-join), so string-token callers keep the explode form."""
+    from pyspark.sql.types import NumericType
+
+    if isinstance(toks.schema["tok"].dataType, NumericType):
+        arrs = toks.groupBy("doc_id").agg(F.collect_list("tok").alias("__arr"))
+        sa = arrs.select(F.col("doc_id").alias("doc_a"), F.col("__arr").alias("__sa"))
+        sb = arrs.select(F.col("doc_id").alias("doc_b"), F.col("__arr").alias("__sb"))
+        inter_col = F.size(F.array_intersect("__sa", "__sb")).cast("long").alias("inter")
+        joined = cands.join(sa, "doc_a").join(sb, "doc_b")
+        if "sza" in cands.columns:
+            return joined.select("doc_a", "doc_b", inter_col, "sza", "szb")
+        szs_a = sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sza")
+        szs_b = sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "szb")
+        return (
+            joined.select("doc_a", "doc_b", inter_col)
+            .join(szs_a, "doc_a")
+            .join(szs_b, "doc_b")
+        )
     ta = toks.withColumnRenamed("doc_id", "doc_a")
     tb = toks.withColumnRenamed("doc_id", "doc_b")
     carries = "sza" in cands.columns
