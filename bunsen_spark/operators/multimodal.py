@@ -86,7 +86,19 @@ def synthesize_media(
         else:
             meta = (4, 4, 3, None, None, 4 + i % 5, "fake-video")
         rows.append((i, kind, bytearray(content), meta))
-    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+    # ONE source slice (r14): createDataFrame parallelizes n=64 fixture
+    # rows into 32 pickled RDD partitions, and every chained
+    # mapInPandas stage over them then spins up 32 Python worker
+    # pipelines for ~2 rows each — measured 112 s of summed executor
+    # task time on the resize gate, all fixed per-worker overhead.
+    # (A downstream coalesce(1) is NOT the fix: the coalesced task
+    # computes the 32 parent python-RDD slices serially — measured
+    # 4.8 s for the bare 64-row source.) The rows are KiB-sized test
+    # media; one task does the whole table in milliseconds. Production
+    # media tables enter through parquet scans, not this synthesizer.
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), MEDIA_SCHEMA
+    )
 
 
 def _fake_decode_image(payload: bytes, width: int, height: int, channels: int) -> np.ndarray:
