@@ -26,6 +26,12 @@ def waterfill_lang_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang")
         .agg(F.sum("__nw").cast("long").alias("avail"))
     )
+    from ..persist import materialize
+
+    # one documents scan: the budget collect is the checkpoint's first
+    # reader, and the allocator's rank pass then reads blocks instead
+    # of re-running the words_col regex aggregate (r14)
+    counts = materialize(counts)
     total = counts.agg(F.sum("avail")).collect()[0][0]
     return waterfill_allocation(counts, "lang", "avail", total * 7 // 10)
 
@@ -385,6 +391,11 @@ def cusum_event_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-(type,day) mean cents, integer-floored: the in-control drift
     # integer div on BOTH engines: DuckDB CAST(double AS BIGINT)
     # rounds while Spark's cast truncates — sidestep floats entirely
+    from ..persist import materialize
+
+    # one events scan: the mean collect materializes the checkpoint,
+    # cusum_alerts reads blocks (r14)
+    daily = materialize(daily)
     k = int(daily.agg(F.expr("sum(cents) div count(1)")).collect()[0][0])
     return cusum_alerts(daily, "event_type", "day", "cents", k, k // 2)
 
