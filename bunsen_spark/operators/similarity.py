@@ -306,7 +306,7 @@ def _ivf_partials_fn(cents: list, qs: list, probe_lists: list, levels, k: int):
             if not batch.num_rows:
                 continue
             ids = _batch_np(batch, "vec_id")
-            vecs = _batch_mat(batch, "v", EMBED_DIM)
+            vecs = _batch_mat(batch, "v", c_mat.shape[1])
             norms = _seq_norms(vecs)
             amax = _cos_csim(vecs, norms, c_mat, cnorms).argmax(axis=1)
             out = ([], [], [], [])
@@ -1372,7 +1372,7 @@ def _cos_partials_fn(cids: list, c_mat):
         cmat = np.asarray(c_mat, dtype=np.float64)
         cnorms = _seq_self_norms(cmat)
         for batch in batches:
-            vecs = _batch_mat(batch, "q", EMBED_DIM)
+            vecs = _batch_mat(batch, "q", cmat.shape[1])
             qnorm = _batch_np(batch, "qnorm")
             if not vecs.shape[0]:
                 continue
@@ -1410,7 +1410,7 @@ def _cos_assign_fn(cids: list, c_mat, cnorms: list):
         cid_arr = np.asarray(cids, dtype=np.int64)
         for batch in batches:
             ids = _batch_np(batch, "vec_id")
-            vecs = _batch_mat(batch, "q", EMBED_DIM)
+            vecs = _batch_mat(batch, "q", cmat.shape[1])
             qnorm = _batch_np(batch, "qnorm")
             if not vecs.shape[0]:
                 continue
@@ -1442,7 +1442,7 @@ def _brute_partials_fn(qids: list, q_mat, qnorms: list, k: int):
             if not batch.num_rows:
                 continue
             ids = _batch_np(batch, "vec_id")
-            vecs = _batch_mat(batch, "v", EMBED_DIM)
+            vecs = _batch_mat(batch, "v", qm.shape[1])
             norms = _seq_norms(vecs)
             csim = _cos_csim(vecs, norms, qm, qn)
             out_q, out_n, out_s = [], [], []
@@ -1544,7 +1544,7 @@ def _lsh_partials_fn(qids, q_mat, qnorms, qbands, k: int):
             if not batch.num_rows:
                 continue
             ids = _batch_np(batch, "vec_id")
-            vecs = _batch_mat(batch, "v", EMBED_DIM)
+            vecs = _batch_mat(batch, "v", qm.shape[1])
             bucket = np.zeros(len(ids), dtype=np.int64)
             for p in range(NUM_PLANES):
                 bucket |= (_seq_dot(vecs, planes[p]) > 0.0).astype(
@@ -1605,8 +1605,8 @@ def _ivf_kmeans_partials_fn(cents: list, qs_raw: list, probe_lists: list, k: int
             if not batch.num_rows:
                 continue
             ids = _batch_np(batch, "vec_id")
-            vecs = _batch_mat(batch, "v", EMBED_DIM)
-            qvecs = _batch_mat(batch, "q", EMBED_DIM)
+            vecs = _batch_mat(batch, "v", qm.shape[1])
+            qvecs = _batch_mat(batch, "q", qm.shape[1])
             qnorm = _batch_np(batch, "qnorm")
             amax = _cos_csim(qvecs, qnorm, c_mat, cnorms).argmax(axis=1)
             norms = _seq_norms(vecs)
@@ -1674,12 +1674,15 @@ def _hamming_partials_fn(qids, q_mat, qnorms, qwords, n_candidates: int):
             if not batch.num_rows:
                 continue
             ids = _batch_np(batch, "vec_id")
-            vecs = _batch_mat(batch, "v", EMBED_DIM)
+            vecs = _batch_mat(batch, "v", qm.shape[1])
             # sign words, vectorized: bit i of word w ⇔ v[w*32+i] > 0
+            # (missing trailing dims read as sign 0, like _sign_words)
             bits = vecs > 0.0
             pows = np.int64(1) << np.arange(32, dtype=np.int64)
-            w0 = (bits[:, :32] * pows).sum(axis=1)
-            w1 = (bits[:, 32:64] * pows).sum(axis=1)
+            b0 = bits[:, :32]
+            b1 = bits[:, 32:64]
+            w0 = (b0 * pows[: b0.shape[1]]).sum(axis=1).astype(np.int64)
+            w1 = (b1 * pows[: b1.shape[1]]).sum(axis=1).astype(np.int64)
             norms = _seq_norms(vecs)
             out = ([], [], [], [])
             for j, qid in enumerate(qi):
@@ -1725,7 +1728,7 @@ def _cos_assign_payload_fn(cids: list, c_mat, cnorms: list, payload: tuple = ("v
         for batch in batches:
             if not batch.num_rows:
                 continue
-            vecs = _batch_mat(batch, "q", EMBED_DIM)
+            vecs = _batch_mat(batch, "q", cmat.shape[1])
             qnorm = _batch_np(batch, "qnorm")
             amax = _cos_csim(vecs, qnorm, cmat, cnorms).argmax(axis=1)
             yield pa.record_batch(
@@ -1768,13 +1771,13 @@ def _dominance_fn(threshold: float):
         flat = table.column("v").combine_chunks().flatten().to_numpy(
             zero_copy_only=False
         )
-        mat = np.asarray(flat, dtype=np.float64).reshape(n, EMBED_DIM)[order]
+        mat = np.asarray(flat, dtype=np.float64).reshape(n, -1)[order]
         out_id, out_keep, out_n = [], [], []
         chunk = max(1, 16_000_000 // max(1, n))
         for s in range(0, n, chunk):
             e = min(n, s + chunk)
             acc = np.zeros((e - s, n), dtype=np.float64)
-            for d in range(EMBED_DIM):
+            for d in range(mat.shape[1]):
                 acc = acc + np.multiply.outer(mat[s:e, d], mat[:, d])
             csim = acc / np.multiply.outer(norms[s:e], norms[:])
             hits = csim >= threshold
@@ -2557,12 +2560,12 @@ def _residual_slices_fn(ccids: list, cc_mat, n_subs: int):
         import numpy as np
         import pyarrow as pa
 
-        subdim = EMBED_DIM // n_subs
         cc = np.asarray(cc_mat, dtype=np.float64)
+        subdim = cc.shape[1] // n_subs
         cid_arr = np.asarray(ccids, dtype=np.int64)
         for batch in batches:
             ids = _batch_np(batch, "vec_id")
-            vecs = _batch_mat(batch, "sq", EMBED_DIM)
+            vecs = _batch_mat(batch, "sq", cc.shape[1])
             n = vecs.shape[0]
             if not n:
                 continue

@@ -88,15 +88,17 @@ def test_sql_string_in_valueset_is_native(spark):
         pop_valuesets(spark)
 
 
-def test_ivf_topk_broadcasts_centroids(spark, sf_dir):
-    """IVF: centroid scoring and probe joins must be broadcast — the
-    corpus is never on the build side and never nested-loop joined
-    against itself."""
+def test_ivf_topk_scan_is_one_pass(spark, sf_dir):
+    """IVF (r14 vectorized scan): the corpus is consumed by ONE
+    mapInArrow partials pass — no join of any kind touches it (the
+    former shape broadcast the centroid array and probe lists), and
+    the final window ranks only the partition-local top-k partials."""
     from bunsen_spark.queries.pipeline import ann_ivf_topk
 
     plan = _plan(ann_ivf_topk(spark, sf_dir))
     assert "CartesianProduct" not in plan
-    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "Join" not in plan
+    assert plan.count("MapInArrow") == 1
 
 
 def test_contamination_broadcasts_probe(spark, sf_dir):
